@@ -1,0 +1,683 @@
+"""Numpy reference codecs for GGUF block-quantization formats.
+
+These are the golden encode/decode implementations every Pallas kernel is
+tested against (the TPU analog of the reference's ``test-backend-ops`` CPU
+oracle).  The *bit layouts* are fixed by the GGUF format (reference numpy
+codecs: ``gguf-py/gguf/quants.py``; layout summary in SURVEY.md §2.5); the
+vectorized implementations here are original.
+
+Conventions
+-----------
+- ``dequant_*`` takes raw block bytes ``(nblocks, block_bytes) uint8`` and
+  returns ``(nblocks, block_size) float32``.
+- ``quant_*`` takes ``(nblocks, block_size) float32`` and returns raw bytes.
+- The public entry points :func:`dequantize` / :func:`quantize` operate on
+  arbitrary-shaped arrays whose last axis is the contiguous quantized axis
+  (matching ggml's row-major block layout).
+
+Quantizer note: the encoders use straightforward min/max (asymmetric) or
+absmax (symmetric) grid fitting.  ggml's encoders additionally run small
+weighted searches (``make_qx_quants``); decoding is bit-identical either
+way, so GGUF files produced by llama.cpp round-trip exactly, while files
+*we* quantize have slightly different (but comparable-quality) codes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import GGML_BLOCK_SIZES, QK_K, GGMLType
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _f16(view: np.ndarray) -> np.ndarray:
+    """Reinterpret a (nblocks, 2) uint8 slice as little-endian float16 → f32."""
+    return view.copy().view(np.dtype("<f2")).astype(np.float32)
+
+
+def _to_f16_bytes(x: np.ndarray) -> np.ndarray:
+    """float32 (n, 1) → raw f16 bytes (n, 2)."""
+    return x.astype(np.dtype("<f2")).view(np.uint8)
+
+
+def _nibbles_lo_hi(qs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return qs & 0x0F, qs >> 4
+
+
+def _safe_inv(d: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d != 0.0, 1.0 / np.where(d != 0.0, d, 1.0), 0.0)
+    return inv
+
+
+# ---------------------------------------------------------------------------
+# Q4_0 / Q4_1 / Q5_0 / Q5_1 / Q8_0  (32-element blocks)
+# ---------------------------------------------------------------------------
+
+
+def dequant_q4_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2])
+    lo, hi = _nibbles_lo_hi(blocks[:, 2:18])
+    q = np.concatenate([lo, hi], axis=1).astype(np.int8) - 8
+    return q.astype(np.float32) * d
+
+
+def quant_q4_0(x: np.ndarray) -> np.ndarray:
+    # signed max-magnitude value maps to -8 (ggml convention)
+    idx = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(x.shape[0]), idx]
+    d = mx / -8.0
+    q = np.floor(x * _safe_inv(d)[:, None] + 8.5).clip(0, 15).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    return np.concatenate([_to_f16_bytes(d[:, None]), lo | (hi << 4)], axis=1)
+
+
+def dequant_q4_1(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2])
+    m = _f16(blocks[:, 2:4])
+    lo, hi = _nibbles_lo_hi(blocks[:, 4:20])
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return q * d + m
+
+
+def quant_q4_1(x: np.ndarray) -> np.ndarray:
+    mn = x.min(axis=1)
+    d = (x.max(axis=1) - mn) / 15.0
+    q = (
+        np.floor((x - mn[:, None]) * _safe_inv(d)[:, None] + 0.5)
+        .clip(0, 15)
+        .astype(np.uint8)
+    )
+    lo, hi = q[:, :16], q[:, 16:]
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), _to_f16_bytes(mn[:, None]), lo | (hi << 4)],
+        axis=1,
+    )
+
+
+def _qh_bits(qh_bytes: np.ndarray) -> np.ndarray:
+    """(n, 4) uint8 → (n, 32) single bits, bit i of the packed uint32."""
+    qh = qh_bytes.copy().view(np.dtype("<u4"))  # (n, 1)
+    shifts = np.arange(32, dtype=np.uint32)
+    return ((qh >> shifts) & 1).astype(np.uint8)
+
+
+def _pack_qh(bits: np.ndarray) -> np.ndarray:
+    """(n, 32) bits → (n, 4) uint8 little-endian uint32."""
+    shifts = np.arange(32, dtype=np.uint32)
+    packed = (bits.astype(np.uint32) << shifts).sum(axis=1, dtype=np.uint32)
+    return packed[:, None].view(np.uint8).reshape(-1, 4)
+
+
+def dequant_q5_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2])
+    hbit = _qh_bits(blocks[:, 2:6])
+    lo, hi = _nibbles_lo_hi(blocks[:, 6:22])
+    q4 = np.concatenate([lo, hi], axis=1)
+    q = (q4 | (hbit << 4)).astype(np.int16) - 16
+    return q.astype(np.float32) * d
+
+
+def quant_q5_0(x: np.ndarray) -> np.ndarray:
+    idx = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(x.shape[0]), idx]
+    d = mx / -16.0
+    q = np.floor(x * _safe_inv(d)[:, None] + 16.5).clip(0, 31).astype(np.uint8)
+    qh = _pack_qh(q >> 4)
+    q4 = q & 0x0F
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), qh, q4[:, :16] | (q4[:, 16:] << 4)], axis=1
+    )
+
+
+def dequant_q5_1(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2])
+    m = _f16(blocks[:, 2:4])
+    hbit = _qh_bits(blocks[:, 4:8])
+    lo, hi = _nibbles_lo_hi(blocks[:, 8:24])
+    q = (np.concatenate([lo, hi], axis=1) | (hbit << 4)).astype(np.float32)
+    return q * d + m
+
+
+def quant_q5_1(x: np.ndarray) -> np.ndarray:
+    mn = x.min(axis=1)
+    d = (x.max(axis=1) - mn) / 31.0
+    q = (
+        np.floor((x - mn[:, None]) * _safe_inv(d)[:, None] + 0.5)
+        .clip(0, 31)
+        .astype(np.uint8)
+    )
+    qh = _pack_qh(q >> 4)
+    q4 = q & 0x0F
+    return np.concatenate(
+        [
+            _to_f16_bytes(d[:, None]),
+            _to_f16_bytes(mn[:, None]),
+            qh,
+            q4[:, :16] | (q4[:, 16:] << 4),
+        ],
+        axis=1,
+    )
+
+
+def dequant_q8_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2])
+    q = blocks[:, 2:34].copy().view(np.int8).astype(np.float32)
+    return q * d
+
+
+def quant_q8_0(x: np.ndarray) -> np.ndarray:
+    d = np.abs(x).max(axis=1) / 127.0
+    q = np.rint(x * _safe_inv(d)[:, None]).clip(-127, 127).astype(np.int8)
+    return np.concatenate([_to_f16_bytes(d[:, None]), q.view(np.uint8)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# K-quants (256-element superblocks)
+# ---------------------------------------------------------------------------
+
+
+def _unpack_k4_scales(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack the Q4_K/Q5_K 12-byte 6-bit scale/min fields.
+
+    Returns (sc, m) each (n, 8) for the 8 sub-blocks, per the packed layout:
+    sub-blocks 0-3: sc = b[j] & 63, m = b[j+4] & 63
+    sub-blocks 4-7: sc = (b[j+4] & 0xF) | ((b[j-4] >> 6) << 4),
+                    m  = (b[j+4] >> 4)  | ((b[j]   >> 6) << 4)
+    (layout cf. reference gguf-py/gguf/quants.py:479-501)
+    """
+    b = scales.astype(np.uint8)
+    sc = np.empty(b.shape[:1] + (8,), np.uint8)
+    m = np.empty_like(sc)
+    sc[:, :4] = b[:, :4] & 63
+    m[:, :4] = b[:, 4:8] & 63
+    sc[:, 4:] = (b[:, 8:12] & 0x0F) | ((b[:, 0:4] >> 6) << 4)
+    m[:, 4:] = (b[:, 8:12] >> 4) | ((b[:, 4:8] >> 6) << 4)
+    return sc, m
+
+
+def _pack_k4_scales(sc: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_unpack_k4_scales`; sc/m are (n, 8) values in [0, 63]."""
+    b = np.zeros(sc.shape[:1] + (12,), np.uint8)
+    b[:, 0:4] = (sc[:, :4] & 63) | ((sc[:, 4:] >> 4) << 6)
+    b[:, 4:8] = (m[:, :4] & 63) | ((m[:, 4:] >> 4) << 6)
+    b[:, 8:12] = (sc[:, 4:] & 0x0F) | ((m[:, 4:] & 0x0F) << 4)
+    return b
+
+
+def dequant_q4_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    d = _f16(blocks[:, 0:2])
+    dmin = _f16(blocks[:, 2:4])
+    sc, m = _unpack_k4_scales(blocks[:, 4:16])
+    qs = blocks[:, 16:144]  # (n, 128)
+    out = np.empty((n, QK_K), np.float32)
+    dl = d * sc.astype(np.float32)  # (n, 8)
+    ml = dmin * m.astype(np.float32)
+    for j in range(4):  # 4 chunks of 64 elements = 32 bytes
+        byte = qs[:, 32 * j : 32 * (j + 1)]
+        out[:, 64 * j : 64 * j + 32] = (
+            (byte & 0x0F).astype(np.float32) * dl[:, 2 * j : 2 * j + 1]
+            - ml[:, 2 * j : 2 * j + 1]
+        )
+        out[:, 64 * j + 32 : 64 * j + 64] = (
+            (byte >> 4).astype(np.float32) * dl[:, 2 * j + 1 : 2 * j + 2]
+            - ml[:, 2 * j + 1 : 2 * j + 2]
+        )
+    return out
+
+
+def _fit_asym(x32: np.ndarray, qmax: int, smax: int):
+    """Asymmetric sub-block fit shared by Q4_K/Q5_K/Q2_K.
+
+    x32: (n, nsub, sub) → (d, dmin, sc, m, q) with value ≈ d*sc*q - dmin*m.
+    """
+    mn = np.minimum(x32.min(axis=2), 0.0)  # (n, nsub)
+    mx = np.maximum(x32.max(axis=2), 0.0)
+    sub_scale = (mx - mn) / qmax
+    d = sub_scale.max(axis=1) / smax  # (n,)
+    dmin = (-mn).max(axis=1) / smax
+    sc = np.rint(sub_scale * _safe_inv(d)[:, None]).clip(0, smax).astype(np.uint8)
+    m = np.rint(-mn * _safe_inv(dmin)[:, None]).clip(0, smax).astype(np.uint8)
+    dl = d[:, None] * sc  # effective per-sub-block scale
+    ml = dmin[:, None] * m
+    q = (
+        np.rint((x32 + ml[:, :, None]) * _safe_inv(dl)[:, :, None])
+        .clip(0, qmax)
+        .astype(np.uint8)
+    )
+    return d, dmin, sc, m, q
+
+
+def quant_q4_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    x32 = x.reshape(n, 8, 32)
+    d, dmin, sc, m, q = _fit_asym(x32, 15, 63)
+    qs = np.empty((n, 128), np.uint8)
+    for j in range(4):
+        qs[:, 32 * j : 32 * (j + 1)] = q[:, 2 * j] | (q[:, 2 * j + 1] << 4)
+    return np.concatenate(
+        [
+            _to_f16_bytes(d[:, None]),
+            _to_f16_bytes(dmin[:, None]),
+            _pack_k4_scales(sc, m),
+            qs,
+        ],
+        axis=1,
+    )
+
+
+def dequant_q5_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    d = _f16(blocks[:, 0:2])
+    dmin = _f16(blocks[:, 2:4])
+    sc, m = _unpack_k4_scales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]  # (n, 32): bit 2j → low-nibble half of 64-chunk j
+    qs = blocks[:, 48:176]  # (n, 128)
+    out = np.empty((n, QK_K), np.float32)
+    dl = d * sc.astype(np.float32)
+    ml = dmin * m.astype(np.float32)
+    for j in range(4):
+        byte = qs[:, 32 * j : 32 * (j + 1)]
+        h1 = ((qh >> (2 * j)) & 1) << 4
+        h2 = ((qh >> (2 * j + 1)) & 1) << 4
+        out[:, 64 * j : 64 * j + 32] = (
+            ((byte & 0x0F) | h1).astype(np.float32) * dl[:, 2 * j : 2 * j + 1]
+            - ml[:, 2 * j : 2 * j + 1]
+        )
+        out[:, 64 * j + 32 : 64 * j + 64] = (
+            ((byte >> 4) | h2).astype(np.float32) * dl[:, 2 * j + 1 : 2 * j + 2]
+            - ml[:, 2 * j + 1 : 2 * j + 2]
+        )
+    return out
+
+
+def quant_q5_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    x32 = x.reshape(n, 8, 32)
+    d, dmin, sc, m, q = _fit_asym(x32, 31, 63)
+    qs = np.empty((n, 128), np.uint8)
+    qh = np.zeros((n, 32), np.uint8)
+    for j in range(4):
+        lo, hi = q[:, 2 * j], q[:, 2 * j + 1]
+        qs[:, 32 * j : 32 * (j + 1)] = (lo & 0x0F) | ((hi & 0x0F) << 4)
+        qh |= ((lo >> 4) << (2 * j)) | ((hi >> 4) << (2 * j + 1))
+    return np.concatenate(
+        [
+            _to_f16_bytes(d[:, None]),
+            _to_f16_bytes(dmin[:, None]),
+            _pack_k4_scales(sc, m),
+            qh,
+            qs,
+        ],
+        axis=1,
+    )
+
+
+def dequant_q6_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    sc = blocks[:, 192:208].copy().view(np.int8).astype(np.float32)  # (n, 16)
+    d = _f16(blocks[:, 208:210])
+    out = np.empty((n, QK_K), np.float32)
+    for half in range(2):  # two 128-element halves
+        lq = ql[:, 64 * half : 64 * half + 64]
+        hq = qh[:, 32 * half : 32 * half + 32]
+        s = sc[:, 8 * half : 8 * half + 8]
+        q1 = ((lq[:, :32] & 0x0F) | (((hq >> 0) & 3) << 4)).astype(np.int16) - 32
+        q2 = ((lq[:, 32:] & 0x0F) | (((hq >> 2) & 3) << 4)).astype(np.int16) - 32
+        q3 = ((lq[:, :32] >> 4) | (((hq >> 4) & 3) << 4)).astype(np.int16) - 32
+        q4 = ((lq[:, 32:] >> 4) | (((hq >> 6) & 3) << 4)).astype(np.int16) - 32
+        for i, q in enumerate([q1, q2, q3, q4]):
+            # scale index: sub-blocks of 16 within this 32-element strip
+            ss = np.repeat(s[:, 2 * i : 2 * i + 2], 16, axis=1)
+            out[:, 128 * half + 32 * i : 128 * half + 32 * (i + 1)] = (
+                q.astype(np.float32) * ss * d
+            )
+    return out
+
+
+def quant_q6_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    x16 = x.reshape(n, 16, 16)
+    sub_scale = np.abs(x16).max(axis=2) / 31.0  # (n, 16)
+    d = sub_scale.max(axis=1) / 127.0
+    sc = np.rint(sub_scale * _safe_inv(d)[:, None]).clip(-128, 127).astype(np.int8)
+    dl = d[:, None] * sc.astype(np.float32)  # (n, 16)
+    q = (
+        np.rint(x16 * _safe_inv(dl)[:, :, None])
+        .clip(-32, 31)
+        .astype(np.int16)
+        .reshape(n, QK_K)
+        + 32
+    ).astype(np.uint8)
+    ql = np.empty((n, 128), np.uint8)
+    qh = np.zeros((n, 64), np.uint8)
+    for half in range(2):
+        qq = q[:, 128 * half : 128 * (half + 1)]
+        s1, s2, s3, s4 = qq[:, :32], qq[:, 32:64], qq[:, 64:96], qq[:, 96:]
+        ql[:, 64 * half : 64 * half + 32] = (s1 & 0x0F) | ((s3 & 0x0F) << 4)
+        ql[:, 64 * half + 32 : 64 * half + 64] = (s2 & 0x0F) | ((s4 & 0x0F) << 4)
+        qh[:, 32 * half : 32 * half + 32] = (
+            (s1 >> 4) | ((s2 >> 4) << 2) | ((s3 >> 4) << 4) | ((s4 >> 4) << 6)
+        )
+    return np.concatenate(
+        [ql, qh, sc.view(np.uint8), _to_f16_bytes(d[:, None])], axis=1
+    )
+
+
+def dequant_q2_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    scales = blocks[:, 0:16]  # per-16-elem sub-block: lo nibble=scale, hi=min
+    qs = blocks[:, 16:80]
+    d = _f16(blocks[:, 80:82])
+    dmin = _f16(blocks[:, 82:84])
+    dl = d * (scales & 0x0F).astype(np.float32)  # (n, 16)
+    ml = dmin * (scales >> 4).astype(np.float32)
+    out = np.empty((n, QK_K), np.float32)
+    for half in range(2):  # 128 elements per half, 32 bytes each
+        byte = qs[:, 32 * half : 32 * half + 32]
+        for j in range(4):
+            q = ((byte >> (2 * j)) & 3).astype(np.float32)  # (n, 32)
+            sidx = 8 * half + 2 * j
+            out[:, 128 * half + 32 * j : 128 * half + 32 * j + 16] = (
+                q[:, :16] * dl[:, sidx : sidx + 1] - ml[:, sidx : sidx + 1]
+            )
+            out[:, 128 * half + 32 * j + 16 : 128 * half + 32 * (j + 1)] = (
+                q[:, 16:] * dl[:, sidx + 1 : sidx + 2] - ml[:, sidx + 1 : sidx + 2]
+            )
+    return out
+
+
+def quant_q2_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    x16 = x.reshape(n, 16, 16)
+    d, dmin, sc, m, q = _fit_asym(x16, 3, 15)
+    scales = (sc & 0x0F) | (m << 4)
+    q = q.reshape(n, QK_K)
+    qs = np.zeros((n, 64), np.uint8)
+    for half in range(2):
+        for j in range(4):
+            strip = q[:, 128 * half + 32 * j : 128 * half + 32 * (j + 1)]
+            qs[:, 32 * half : 32 * half + 32] |= strip << (2 * j)
+    return np.concatenate(
+        [scales, qs, _to_f16_bytes(d[:, None]), _to_f16_bytes(dmin[:, None])],
+        axis=1,
+    )
+
+
+def _unpack_q3k_scales(b: np.ndarray) -> np.ndarray:
+    """12 packed bytes → 16 signed 6-bit scales (already −32-offset)."""
+    s = np.empty(b.shape[:1] + (16,), np.int16)
+    s[:, 0:4] = (b[:, 0:4] & 0x0F) | (((b[:, 8:12] >> 0) & 3) << 4)
+    s[:, 4:8] = (b[:, 4:8] & 0x0F) | (((b[:, 8:12] >> 2) & 3) << 4)
+    s[:, 8:12] = (b[:, 0:4] >> 4) | (((b[:, 8:12] >> 4) & 3) << 4)
+    s[:, 12:16] = (b[:, 4:8] >> 4) | (((b[:, 8:12] >> 6) & 3) << 4)
+    return s - 32
+
+
+def _pack_q3k_scales(s: np.ndarray) -> np.ndarray:
+    """16 values in [0, 63] (biased by +32) → 12 packed bytes."""
+    b = np.zeros(s.shape[:1] + (12,), np.uint8)
+    b[:, 0:4] = (s[:, 0:4] & 0x0F) | ((s[:, 8:12] & 0x0F) << 4)
+    b[:, 4:8] = (s[:, 4:8] & 0x0F) | ((s[:, 12:16] & 0x0F) << 4)
+    b[:, 8:12] = (
+        ((s[:, 0:4] >> 4) << 0)
+        | ((s[:, 4:8] >> 4) << 2)
+        | ((s[:, 8:12] >> 4) << 4)
+        | ((s[:, 12:16] >> 4) << 6)
+    )
+    return b
+
+
+def dequant_q3_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    hmask = blocks[:, 0:32]
+    qs = blocks[:, 32:96]
+    sc = _unpack_q3k_scales(blocks[:, 96:108]).astype(np.float32)  # (n, 16)
+    d = _f16(blocks[:, 108:110])
+    dl = d * sc  # (n, 16)
+    out = np.empty((n, QK_K), np.float32)
+    for half in range(2):
+        byte = qs[:, 32 * half : 32 * half + 32]
+        for j in range(4):
+            bit = 4 * half + j
+            q2 = ((byte >> (2 * j)) & 3).astype(np.int16)
+            hi = ((hmask >> bit) & 1).astype(np.int16)
+            q = q2 - np.where(hi != 0, 0, 4)  # (n, 32)
+            sidx = 8 * half + 2 * j
+            out[:, 128 * half + 32 * j : 128 * half + 32 * j + 16] = (
+                q[:, :16].astype(np.float32) * dl[:, sidx : sidx + 1]
+            )
+            out[:, 128 * half + 32 * j + 16 : 128 * half + 32 * (j + 1)] = (
+                q[:, 16:].astype(np.float32) * dl[:, sidx + 1 : sidx + 2]
+            )
+    return out
+
+
+def quant_q3_k(x: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    x16 = x.reshape(n, 16, 16)
+    sub_scale = np.abs(x16).max(axis=2) / 4.0
+    d = sub_scale.max(axis=1) / 31.0
+    sc = np.rint(sub_scale * _safe_inv(d)[:, None]).clip(-32, 31).astype(np.int16)
+    dl = d[:, None] * sc.astype(np.float32)
+    q = (
+        np.rint(x16 * _safe_inv(dl)[:, :, None]).clip(-4, 3).astype(np.int16)
+        + 4
+    ).reshape(n, QK_K).astype(np.uint8)  # biased to [0, 7]
+    qs = np.zeros((n, 64), np.uint8)
+    hmask = np.zeros((n, 32), np.uint8)
+    for half in range(2):
+        for j in range(4):
+            bit = 4 * half + j
+            strip = q[:, 128 * half + 32 * j : 128 * half + 32 * (j + 1)]
+            hbit = (strip >> 2) & 1  # 1 ⇔ value in [0,3] unbiased (no −4)
+            q2 = np.where(hbit != 0, strip - 4, strip)
+            qs[:, 32 * half : 32 * half + 32] |= q2 << (2 * j)
+            hmask |= hbit << bit
+    return np.concatenate(
+        [hmask, qs, _pack_q3k_scales((sc + 32).astype(np.uint8)), _to_f16_bytes(d[:, None])],
+        axis=1,
+    )
+
+
+def dequant_q8_k(blocks: np.ndarray) -> np.ndarray:
+    d = blocks[:, 0:4].copy().view(np.dtype("<f4")).astype(np.float32)
+    q = blocks[:, 4 : 4 + QK_K].copy().view(np.int8).astype(np.float32)
+    return q * d
+
+
+def quant_q8_k(x: np.ndarray) -> np.ndarray:
+    d = np.abs(x).max(axis=1) / 127.0
+    q = np.rint(x * _safe_inv(d)[:, None]).clip(-127, 127).astype(np.int8)
+    bsums = q.reshape(-1, 16, 16).sum(axis=2).astype(np.dtype("<i2"))
+    return np.concatenate(
+        [
+            d[:, None].astype(np.dtype("<f4")).view(np.uint8),
+            q.view(np.uint8),
+            bsums.view(np.uint8).reshape(-1, 32),
+        ],
+        axis=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MXFP4 (gpt-oss native) and IQ4_NL — LUT nibble formats, 32-element blocks
+# ---------------------------------------------------------------------------
+
+# 2× the e2m1 values; the ×1/2 is folded into the E8M0 scale (2^(e−128)).
+MXFP4_KVALUES = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12], dtype=np.float32
+)
+
+IQ4_NL_KVALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.float32,
+)
+
+
+def dequant_mxfp4(blocks: np.ndarray) -> np.ndarray:
+    e = blocks[:, 0:1].astype(np.int32)
+    d = np.exp2((e - 127).astype(np.float32) - 1.0)  # E8M0-to-fp32 half
+    lo, hi = _nibbles_lo_hi(blocks[:, 1:17])
+    q = np.concatenate([lo, hi], axis=1)
+    return MXFP4_KVALUES[q] * d
+
+
+def quant_mxfp4(x: np.ndarray) -> np.ndarray:
+    absmax = np.abs(x).max(axis=1)
+    with np.errstate(divide="ignore"):
+        e = np.where(
+            absmax > 0, np.ceil(np.log2(absmax / 12.0)) + 128.0, 0.0
+        ).clip(0, 255)
+    d = np.exp2(e - 128.0)
+    scaled = x * _safe_inv(d)[:, None]
+    # nearest code in the 16-entry LUT
+    q = np.abs(scaled[:, :, None] - MXFP4_KVALUES[None, None, :]).argmin(axis=2)
+    q = q.astype(np.uint8)
+    return np.concatenate(
+        [e.astype(np.uint8)[:, None], q[:, :16] | (q[:, 16:] << 4)], axis=1
+    )
+
+
+def dequant_iq4_nl(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2])
+    lo, hi = _nibbles_lo_hi(blocks[:, 2:18])
+    q = np.concatenate([lo, hi], axis=1)
+    return IQ4_NL_KVALUES[q] * d
+
+
+def quant_iq4_nl(x: np.ndarray) -> np.ndarray:
+    # map absmax onto the largest LUT magnitude so the tails stay representable
+    d = np.abs(x).max(axis=1) / 113.0
+    scaled = x * _safe_inv(d)[:, None]
+    q = np.abs(scaled[:, :, None] - IQ4_NL_KVALUES[None, None, :]).argmin(axis=2)
+    q = q.astype(np.uint8)
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), q[:, :16] | (q[:, 16:] << 4)], axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# float types
+# ---------------------------------------------------------------------------
+
+
+def dequant_f32(blocks: np.ndarray) -> np.ndarray:
+    return blocks.reshape(blocks.shape[0], -1).copy().view(np.dtype("<f4"))
+
+
+def dequant_f16(blocks: np.ndarray) -> np.ndarray:
+    return (
+        blocks.reshape(blocks.shape[0], -1)
+        .copy()
+        .view(np.dtype("<f2"))
+        .astype(np.float32)
+    )
+
+
+def dequant_bf16(blocks: np.ndarray) -> np.ndarray:
+    u16 = blocks.reshape(blocks.shape[0], -1).copy().view(np.dtype("<u2"))
+    u32 = u16.astype(np.uint32) << 16
+    return u32.view(np.float32)
+
+
+def quant_bf16(x: np.ndarray) -> np.ndarray:
+    u32 = np.ascontiguousarray(x, dtype=np.float32).view(np.uint32)
+    # round-to-nearest-even on the dropped 16 bits
+    rounded = (u32 + 0x7FFF + ((u32 >> 16) & 1)) >> 16
+    return rounded.astype(np.dtype("<u2")).view(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# registry + public API
+# ---------------------------------------------------------------------------
+
+_DEQUANT = {
+    GGMLType.F32: dequant_f32,
+    GGMLType.F16: dequant_f16,
+    GGMLType.BF16: dequant_bf16,
+    GGMLType.Q4_0: dequant_q4_0,
+    GGMLType.Q4_1: dequant_q4_1,
+    GGMLType.Q5_0: dequant_q5_0,
+    GGMLType.Q5_1: dequant_q5_1,
+    GGMLType.Q8_0: dequant_q8_0,
+    GGMLType.Q2_K: dequant_q2_k,
+    GGMLType.Q3_K: dequant_q3_k,
+    GGMLType.Q4_K: dequant_q4_k,
+    GGMLType.Q5_K: dequant_q5_k,
+    GGMLType.Q6_K: dequant_q6_k,
+    GGMLType.Q8_K: dequant_q8_k,
+    GGMLType.MXFP4: dequant_mxfp4,
+    GGMLType.IQ4_NL: dequant_iq4_nl,
+}
+
+_QUANT = {
+    GGMLType.F32: lambda x: np.ascontiguousarray(x, np.dtype("<f4")).view(np.uint8),
+    GGMLType.F16: lambda x: np.ascontiguousarray(x.astype(np.dtype("<f2"))).view(np.uint8),
+    GGMLType.BF16: quant_bf16,
+    GGMLType.Q4_0: quant_q4_0,
+    GGMLType.Q4_1: quant_q4_1,
+    GGMLType.Q5_0: quant_q5_0,
+    GGMLType.Q5_1: quant_q5_1,
+    GGMLType.Q8_0: quant_q8_0,
+    GGMLType.Q2_K: quant_q2_k,
+    GGMLType.Q3_K: quant_q3_k,
+    GGMLType.Q4_K: quant_q4_k,
+    GGMLType.Q5_K: quant_q5_k,
+    GGMLType.Q6_K: quant_q6_k,
+    GGMLType.Q8_K: quant_q8_k,
+    GGMLType.MXFP4: quant_mxfp4,
+    GGMLType.IQ4_NL: quant_iq4_nl,
+}
+
+
+def supported_dequant_types() -> list[GGMLType]:
+    return sorted(_DEQUANT.keys())
+
+
+def supported_quant_types() -> list[GGMLType]:
+    return sorted(_QUANT.keys())
+
+
+def dequantize(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> np.ndarray:
+    """Decode raw GGUF tensor bytes to float32.
+
+    ``data`` is the flat uint8 byte array; ``shape`` is the logical tensor
+    shape with the *last* axis contiguous (numpy order — the reverse of the
+    GGUF ``ne`` order, which lists the fastest axis first).
+    """
+    ggml_type = GGMLType(ggml_type)
+    if ggml_type not in _DEQUANT:
+        raise NotImplementedError(f"dequantize: unsupported type {ggml_type.name}")
+    blck, bsize = GGML_BLOCK_SIZES[ggml_type]
+    n_elem = int(np.prod(shape)) if shape else 1
+    n_blocks = n_elem // blck
+    if n_blocks * bsize != data.size:
+        raise ValueError(
+            f"{ggml_type.name}: got {data.size} bytes for {n_elem} elements "
+            f"(expected {n_blocks * bsize})"
+        )
+    out = _DEQUANT[ggml_type](data.reshape(n_blocks, bsize))
+    return out.reshape(shape)
+
+
+def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+    """Encode a float32 array into raw GGUF block bytes (flat uint8)."""
+    ggml_type = GGMLType(ggml_type)
+    if ggml_type not in _QUANT:
+        raise NotImplementedError(f"quantize: unsupported type {ggml_type.name}")
+    blck, _ = GGML_BLOCK_SIZES[ggml_type]
+    n_elem = x.size
+    if n_elem % blck:
+        raise ValueError(
+            f"{ggml_type.name}: {n_elem} elements not divisible by block {blck} "
+            f"(tensor shape {x.shape})"
+        )
+    flat = np.ascontiguousarray(x, np.float32).reshape(n_elem // blck, blck)
+    return _QUANT[ggml_type](flat).reshape(-1)
