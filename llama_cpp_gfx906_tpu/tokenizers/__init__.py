@@ -1,0 +1,43 @@
+"""Tokenizer families (SPM, BPE, WPM) loaded from GGUF vocab metadata.
+
+Reference coverage: 6 families in ``src/llama-vocab.cpp`` (SPM :110,
+BPE :279, WPM :636, UGM :752, RWKV :1156, PLaMo2).  UGM/RWKV/PLaMo2 are
+not yet implemented and raise at construction.
+"""
+
+from __future__ import annotations
+
+from .bpe import BPETokenizer
+from .spm import SPMTokenizer
+from .vocab import SpecialTokens, Vocab, vocab_from_gguf
+from .wpm import WPMTokenizer
+
+Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer
+
+
+def tokenizer_for_vocab(vocab: Vocab) -> Tokenizer:
+    if vocab.model == "llama":
+        return SPMTokenizer(vocab)
+    if vocab.model == "gpt2":
+        return BPETokenizer(vocab)
+    if vocab.model == "bert":
+        return WPMTokenizer(vocab)
+    raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
+
+
+def tokenizer_from_gguf(reader) -> Tokenizer:
+    """Build the right tokenizer for a GGUF model file."""
+    return tokenizer_for_vocab(vocab_from_gguf(reader))
+
+
+__all__ = [
+    "BPETokenizer",
+    "SPMTokenizer",
+    "WPMTokenizer",
+    "SpecialTokens",
+    "Tokenizer",
+    "Vocab",
+    "tokenizer_for_vocab",
+    "tokenizer_from_gguf",
+    "vocab_from_gguf",
+]
