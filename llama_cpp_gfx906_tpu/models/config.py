@@ -1,0 +1,136 @@
+"""Model hyperparameters read from GGUF metadata.
+
+The TPU-native analog of the reference's ``llama_hparams`` loading
+(``src/llama-model.cpp:453`` ``load_hparams``) — but as a frozen dataclass
+consumed by pure functions, not a mutable struct on a C++ model object.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from ..gguf.constants import Keys, RopeScalingType
+from ..gguf.reader import GGUFModelReader, GGUFReader
+
+_ROPE_SCALING_NAMES = {
+    "none": RopeScalingType.NONE,
+    "linear": RopeScalingType.LINEAR,
+    "yarn": RopeScalingType.YARN,
+    "longrope": RopeScalingType.LONGROPE,
+}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str
+    n_layers: int
+    n_embd: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    n_ff: int
+    n_vocab: int
+    n_ctx_train: int
+    rms_eps: float = 1e-5
+    rope_dim: int = 0  # 0 → full head_dim
+    rope_base: float = 10000.0
+    rope_interleaved: bool = True  # ggml NORM mode (llama); False = NEOX halves
+    rope_scaling: RopeScalingType = RopeScalingType.NONE
+    rope_scale: float = 1.0
+    rope_orig_ctx: int = 0
+    rope_yarn_log_mul: float = 0.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    attn_bias: bool = False  # qwen2-style qkv bias
+    tie_embeddings: bool = False
+    # sliding-window attention (Gemma/Mistral style); 0 = disabled
+    sliding_window: int = 0
+    swa_pattern: int = 1  # every n-th layer is full-attention (iSWA)
+    # MoE
+    n_experts: int = 0
+    n_experts_used: int = 0
+    expert_ff: int = 0
+    expert_weights_norm: bool = False
+    expert_weights_scale: float = 1.0
+    # normalization details
+    post_attn_norm: bool = False  # gemma2/3 extra norms
+    post_ffn_norm: bool = False
+    qk_norm: bool = False  # qwen3/gemma3 per-head q/k rmsnorm
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    embedding_scale: float = 1.0  # gemma multiplies embeddings by sqrt(n_embd)
+    attn_scale: float = 0.0  # 0 → 1/sqrt(head_dim)
+    act_fn: str = "silu"  # "silu" | "gelu"
+    # NOTE: must stay hashable — it is a static jit argument
+
+    @property
+    def n_q_per_kv(self) -> int:
+        return self.n_heads // self.n_kv_heads
+
+    def with_(self, **kw) -> "ModelConfig":
+        return replace(self, **kw)
+
+
+def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
+    arch = reader.architecture
+    get = reader.get
+
+    def g(key, default=None):
+        v = get(key, arch=arch)
+        return default if v is None else v
+
+    n_embd = int(g(Keys.LLM.EMBEDDING_LENGTH))
+    n_heads = int(g(Keys.Attention.HEAD_COUNT))
+    n_kv = int(g(Keys.Attention.HEAD_COUNT_KV, n_heads))
+    head_dim = int(g(Keys.Attention.KEY_LENGTH, n_embd // n_heads))
+    n_vocab = g(Keys.LLM.VOCAB_SIZE)
+    if n_vocab is None:
+        n_vocab = len(get(Keys.Tokenizer.LIST) or [])
+
+    scaling = _ROPE_SCALING_NAMES.get(str(g(Keys.Rope.SCALING_TYPE, "none")), RopeScalingType.NONE)
+
+    cfg = ModelConfig(
+        arch=arch,
+        n_layers=int(g(Keys.LLM.BLOCK_COUNT)),
+        n_embd=n_embd,
+        n_heads=n_heads,
+        n_kv_heads=n_kv,
+        head_dim=head_dim,
+        n_ff=int(g(Keys.LLM.FEED_FORWARD_LENGTH)),
+        n_vocab=int(n_vocab),
+        n_ctx_train=int(g(Keys.LLM.CONTEXT_LENGTH, 2048)),
+        rms_eps=float(g(Keys.Attention.LAYERNORM_RMS_EPS, 1e-5)),
+        rope_dim=int(g(Keys.Rope.DIMENSION_COUNT, head_dim)),
+        rope_base=float(g(Keys.Rope.FREQ_BASE, 10000.0)),
+        rope_scaling=scaling,
+        rope_scale=float(g(Keys.Rope.SCALING_FACTOR, 1.0)),
+        rope_orig_ctx=int(g(Keys.Rope.SCALING_ORIG_CTX_LEN, 0)),
+        rope_low_freq_factor=float(g(Keys.Rope.SCALING_LOW_FREQ_FACTOR, 1.0)),
+        rope_high_freq_factor=float(g(Keys.Rope.SCALING_HIGH_FREQ_FACTOR, 4.0)),
+        sliding_window=int(g(Keys.Attention.SLIDING_WINDOW, 0)),
+        n_experts=int(g(Keys.LLM.EXPERT_COUNT, 0)),
+        n_experts_used=int(g(Keys.LLM.EXPERT_USED_COUNT, 0)),
+        expert_ff=int(g(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, 0)),
+    )
+
+    # per-arch adjustments (graph-builder differences live in models/*.py;
+    # cf. the 82 llm_build_* structs at reference llama-model.cpp:5969-18037)
+    if arch in ("qwen2", "qwen2moe"):
+        cfg = cfg.with_(attn_bias=True, rope_interleaved=False)
+    elif arch in ("qwen3", "qwen3moe"):
+        cfg = cfg.with_(qk_norm=True, rope_interleaved=False)
+    elif arch.startswith("gemma"):
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            act_fn="gelu",
+            embedding_scale=float(n_embd) ** 0.5,
+            post_attn_norm=True,
+            post_ffn_norm=arch in ("gemma2", "gemma3"),
+            qk_norm=arch == "gemma3",
+            swa_pattern={"gemma2": 2, "gemma3": 6}.get(arch, 1),
+        )
+        if arch == "gemma2":
+            cfg = cfg.with_(attn_logit_softcap=50.0, final_logit_softcap=30.0)
+    elif arch == "mixtral" or (arch == "llama" and cfg.n_experts > 0):
+        pass  # MoE handled by tensor presence
+    return cfg

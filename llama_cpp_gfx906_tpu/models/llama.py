@@ -1,0 +1,141 @@
+"""Llama-family transformer as a pure JAX function.
+
+The TPU-native re-design of the reference's per-arch graph builder
+``llm_build_llama`` (``src/llama-model.cpp:5969-6123``): instead of
+assembling a ggml graph node-by-node each ubatch, the whole forward pass is
+one traced function — layers run under ``lax.scan`` over stacked weights
+(compile time is O(1) in depth, XLA pipelines the HBM weight streams), the
+KV cache is a donated carry, and sharding annotations (parallel/) partition
+the same program over a device mesh.
+
+Also covers: Mistral (sliding window), Qwen2 (attn bias, NEOX rope), Qwen3
+(qk-norm), Gemma-ish options via ModelConfig flags, and TinyLlama/Llama-2/3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha_with_cache
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_frequencies
+from .config import ModelConfig
+
+
+@dataclass
+class KVCache:
+    """Static ring-buffer KV cache: (L, B, S, Hkv, Dh) + per-seq fill level."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    n_past: jnp.ndarray  # (B,) int32
+
+    @classmethod
+    def create(
+        cls, cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            n_past=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+jax.tree_util.register_dataclass(KVCache, ["k", "v", "n_past"], [])
+
+
+def _mlp(x, gate_w, up_w, down_w, act_fn: str):
+    gate = x @ gate_w
+    up = x @ up_w
+    if act_fn == "gelu":
+        act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype)
+    else:
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+    return (act * up) @ down_w
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # (B, T) int32
+    kv: KVCache,
+    n_tokens: jnp.ndarray | None = None,  # (B,) valid length within T (padding)
+) -> tuple[jnp.ndarray, KVCache]:
+    """One forward step (prefill or decode). Returns (logits (B,T,V), kv')."""
+    B, T = tokens.shape
+    inv_freq = jnp.asarray(rope_frequencies(cfg))
+    positions = kv.n_past[:, None] + jnp.arange(T)[None, :]
+
+    x = params["tok_emb"][tokens]  # (B, T, D)
+    if cfg.embedding_scale != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+
+    scale = cfg.attn_scale or cfg.head_dim**-0.5
+
+    def layer_step(carry, layer):
+        x, = carry
+        p, k_cache_l, v_cache_l = layer
+
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        q = h @ p["wq"]
+        k = h @ p["wk"]
+        v = h @ p["wv"]
+        if "bq" in p:
+            q = q + p["bq"]
+            k = k + p["bk"]
+            v = v + p["bv"]
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
+        k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+
+        attn, k_cache_l, v_cache_l = mha_with_cache(
+            q, k, v, k_cache_l, v_cache_l, kv.n_past, scale,
+            sliding_window=cfg.sliding_window,
+            logit_softcap=cfg.attn_logit_softcap,
+        )
+        attn = attn.reshape(B, T, cfg.n_heads * cfg.head_dim) @ p["wo"]
+        if cfg.post_attn_norm and "post_attn_norm" in p:
+            attn = rms_norm(attn, p["post_attn_norm"], cfg.rms_eps)
+        x = x + attn
+
+        h = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
+        mlp = _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
+        if cfg.post_ffn_norm and "post_ffn_norm" in p:
+            mlp = rms_norm(mlp, p["post_ffn_norm"], cfg.rms_eps)
+        x = x + mlp
+        return (x,), (k_cache_l, v_cache_l)
+
+    (x,), (k_new, v_new) = jax.lax.scan(
+        layer_step, (x,), (params["layers"], kv.k, kv.v)
+    )
+
+    x = rms_norm(x, params["out_norm"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if cfg.final_logit_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+
+    if n_tokens is None:
+        advance = jnp.full((B,), T, jnp.int32)
+    else:
+        advance = n_tokens.astype(jnp.int32)
+    new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance)
+    return logits, new_kv
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
+def forward_jit(params, cfg: ModelConfig, tokens, kv: KVCache, n_tokens=None):
+    return forward(params, cfg, tokens, kv, n_tokens)

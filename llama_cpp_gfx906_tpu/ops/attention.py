@@ -1,0 +1,78 @@
+"""Attention with an in-place (donated) KV cache — jnp reference path.
+
+Covers the semantics of the reference's ``build_attn_mha``
+(``src/llama-graph.cpp:1220``): GQA broadcast, causal masking, optional
+sliding window and logit softcap, KV insertion (``ggml_set_rows`` analog,
+``llama-kv-cache-unified.cpp:1108``).  The Pallas flash/paged kernels in
+``ops/flash_attention.py`` replace the score materialization on the hot
+path; this version is the golden oracle they are tested against.
+
+Shapes (all static under jit):
+  q:        (B, T, Hq, Dh)      new queries
+  k/v new:  (B, T, Hkv, Dh)
+  k/v cache:(B, S, Hkv, Dh)     ring buffer in HBM
+  n_past:   (B,)                tokens already in cache per sequence
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def insert_kv(
+    cache: jnp.ndarray, new: jnp.ndarray, n_past: jnp.ndarray
+) -> jnp.ndarray:
+    """Scatter new K or V rows at each sequence's write offset."""
+
+    def one(c, x, start):
+        return jax.lax.dynamic_update_slice(c, x, (start, 0, 0))
+
+    return jax.vmap(one)(cache, new.astype(cache.dtype), n_past)
+
+
+def mha_with_cache(
+    q: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    n_past: jnp.ndarray,
+    scale: float,
+    sliding_window: int = 0,
+    logit_softcap: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache')."""
+    B, T, Hq, Dh = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    G = Hq // Hkv
+
+    k_cache = insert_kv(k_cache, k_new, n_past)
+    v_cache = insert_kv(v_cache, v_new, n_past)
+
+    # scores: group the query heads over their shared KV head
+    qg = q.reshape(B, T, Hkv, G, Dh)
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, k_cache, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if logit_softcap > 0.0:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+
+    # causal mask against absolute cache-slot positions
+    q_pos = n_past[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    s_pos = jnp.arange(S)[None, :]  # (1, S)
+    mask = s_pos[:, None, :] <= q_pos[:, :, None]  # (B, T, S)
+    if sliding_window > 0:
+        mask &= s_pos[:, None, :] > q_pos[:, :, None] - sliding_window
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, Hq, Dh).astype(q.dtype), k_cache, v_cache

@@ -1,0 +1,160 @@
+"""Single-model inference engine: load → prefill → decode loop.
+
+The TPU-native counterpart of ``llama_context`` + the llama-cli decode loop
+(reference ``src/llama-context.cpp:946`` ``decode``; ``tools/main``):
+instead of building a ggml graph per ubatch and scheduling it over
+backends, prefill and decode are two jit-compiled programs over static
+shape buckets (the graph-reuse check at ``llama-context.cpp:728`` becomes
+an XLA compile-cache hit), and the KV cache is donated so decode updates
+it in place in HBM.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFModelReader
+from ..models.config import ModelConfig, config_from_gguf
+from ..models.llama import KVCache, forward
+from ..sampling.samplers import SamplerChain, SamplerParams
+from ..tokenizers import Tokenizer, tokenizer_from_gguf
+from .weights import load_llama_params
+
+# prefill length buckets — pad prompts up to the next bucket to bound the
+# number of compiled programs (reference analog: ubatch shaping)
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucket_len(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 4095) // 4096) * 4096
+
+
+@dataclass
+class PerfCounters:
+    """llama_perf_context analog (llama.h:1419)."""
+
+    t_load_s: float = 0.0
+    t_prefill_s: float = 0.0
+    t_decode_s: float = 0.0
+    n_prefill: int = 0
+    n_decode: int = 0
+
+    def summary(self) -> dict:
+        return {
+            "load_s": round(self.t_load_s, 3),
+            "prefill_tok_s": round(self.n_prefill / self.t_prefill_s, 2) if self.t_prefill_s else 0.0,
+            "decode_tok_s": round(self.n_decode / self.t_decode_s, 2) if self.t_decode_s else 0.0,
+            "n_prefill": self.n_prefill,
+            "n_decode": self.n_decode,
+        }
+
+
+@dataclass
+class Engine:
+    cfg: ModelConfig
+    params: dict
+    tokenizer: Tokenizer
+    max_seq: int = 2048
+    batch_size: int = 1
+    kv_dtype: object = jnp.bfloat16
+    perf: PerfCounters = field(default_factory=PerfCounters)
+
+    def __post_init__(self):
+        self._forward = jax.jit(
+            forward, static_argnames=("cfg",), donate_argnames=("kv",)
+        )
+        self.kv = KVCache.create(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_gguf(
+        cls,
+        path: str,
+        max_seq: int = 2048,
+        batch_size: int = 1,
+        dtype=jnp.bfloat16,
+        device_put_fn=None,
+    ) -> "Engine":
+        t0 = time.perf_counter()
+        reader = GGUFModelReader(path)
+        cfg = config_from_gguf(reader)
+        tok = tokenizer_from_gguf(reader.readers[0])
+        params = load_llama_params(reader, cfg, dtype, device_put_fn)
+        eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq, batch_size=batch_size, kv_dtype=dtype)
+        eng.perf.t_load_s = time.perf_counter() - t0
+        return eng
+
+    # -- low-level steps ----------------------------------------------------
+
+    def reset(self):
+        self.kv = KVCache.create(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
+
+    def prefill(self, token_ids: list[int]) -> np.ndarray:
+        """Run the prompt through; returns last-token logits (V,)."""
+        n = len(token_ids)
+        padded = bucket_len(n)
+        toks = np.zeros((self.batch_size, padded), np.int32)
+        toks[0, :n] = token_ids
+        t0 = time.perf_counter()
+        logits, self.kv = self._forward(
+            self.params, self.cfg, jnp.asarray(toks), self.kv,
+            jnp.full((self.batch_size,), n, jnp.int32),
+        )
+        out = np.asarray(logits[0, n - 1])
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+        return out
+
+    def decode_one(self, token_id: int) -> np.ndarray:
+        """Advance one token; returns next-token logits (V,)."""
+        toks = jnp.full((self.batch_size, 1), token_id, jnp.int32)
+        t0 = time.perf_counter()
+        logits, self.kv = self._forward(self.params, self.cfg, toks, self.kv, None)
+        out = np.asarray(logits[0, 0])
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += 1
+        return out
+
+    # -- high-level generation ---------------------------------------------
+
+    def generate(
+        self,
+        prompt: str,
+        n_predict: int = 64,
+        sampler: SamplerParams | SamplerChain | None = None,
+        stop_on_eog: bool = True,
+        stream_cb=None,
+    ) -> tuple[str, list[int]]:
+        if isinstance(sampler, SamplerChain):
+            chain = sampler
+        else:
+            chain = SamplerChain(sampler or SamplerParams(greedy=True), self.cfg.n_vocab)
+        ids = self.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+        if len(ids) + n_predict > self.max_seq:
+            raise ValueError(
+                f"prompt ({len(ids)}) + n_predict ({n_predict}) exceeds max_seq {self.max_seq}"
+            )
+        self.reset()
+        logits = self.prefill(ids)
+        out_ids: list[int] = []
+        all_ids = list(ids)
+        eog = self.tokenizer.vocab.special.eog_ids()
+        for _ in range(n_predict):
+            tok = chain.sample(logits, all_ids)
+            if stop_on_eog and tok in eog:
+                break
+            out_ids.append(tok)
+            all_ids.append(tok)
+            if stream_cb is not None:
+                stream_cb(tok)
+            logits = self.decode_one(tok)
+        return self.tokenizer.detokenize(out_ids), out_ids

@@ -1,0 +1,121 @@
+"""HF checkpoint → GGUF converter (convert_hf_to_gguf.py capability).
+
+Converts a transformers Llama/Mistral/Qwen2-family model (in memory or from
+a local path) into a GGUF file readable by this engine *and* by llama.cpp:
+tensor names map to the canonical ``blk.N.*`` scheme and Q/K projections
+are permuted from HF half-rotation RoPE layout to the interleaved (ggml
+NORM) layout, matching the public GGUF conventions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys
+from ..gguf.writer import GGUFWriter
+
+
+def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-rotation layout → ggml interleaved layout (rows = out dim)."""
+    out_dim = w.shape[0]
+    return (
+        w.reshape(n_head, 2, out_dim // n_head // 2, *w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("self_attn.q_proj.weight", "attn_q.weight"),
+    ("self_attn.k_proj.weight", "attn_k.weight"),
+    ("self_attn.v_proj.weight", "attn_v.weight"),
+    ("self_attn.o_proj.weight", "attn_output.weight"),
+    ("self_attn.q_proj.bias", "attn_q.bias"),
+    ("self_attn.k_proj.bias", "attn_k.bias"),
+    ("self_attn.v_proj.bias", "attn_v.bias"),
+    ("self_attn.q_norm.weight", "attn_q_norm.weight"),
+    ("self_attn.k_norm.weight", "attn_k_norm.weight"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("mlp.gate_proj.weight", "ffn_gate.weight"),
+    ("mlp.up_proj.weight", "ffn_up.weight"),
+    ("mlp.down_proj.weight", "ffn_down.weight"),
+]
+
+
+def convert_hf_llama(
+    model,
+    tokenizer_vocab: dict | None,
+    out_path: str,
+    quant_type: GGMLType = GGMLType.F16,
+    arch: str = "llama",
+) -> str:
+    """Write a transformers *LlamaForCausalLM-style* model to GGUF.
+
+    ``model`` is the torch module (cpu); ``tokenizer_vocab`` optionally
+    carries tokenizer metadata: {"model": "llama", "tokens": [...],
+    "scores": [...], "token_types": [...], "bos": id, "eos": id, ...}.
+    """
+    hf_cfg = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    n_head = hf_cfg.num_attention_heads
+    n_kv = getattr(hf_cfg, "num_key_value_heads", n_head)
+    head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // n_head
+
+    w = GGUFWriter(out_path, arch)
+    w.add_string(Keys.General.NAME, getattr(hf_cfg, "name_or_path", "") or "hf-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf_cfg.max_position_embeddings)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf_cfg.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf_cfg.num_hidden_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf_cfg.intermediate_size)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_kv)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf_cfg.rms_norm_eps)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf_cfg, "rope_theta", 10000.0))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf_cfg.vocab_size)
+
+    if tokenizer_vocab:
+        tv = tokenizer_vocab
+        w.add_string(Keys.Tokenizer.MODEL, tv.get("model", "llama"))
+        w.add_array(Keys.Tokenizer.LIST, tv["tokens"])
+        if "scores" in tv:
+            w.add_array(Keys.Tokenizer.SCORES, np.asarray(tv["scores"], np.float32))
+        if "token_types" in tv:
+            w.add_array(Keys.Tokenizer.TOKEN_TYPE, np.asarray(tv["token_types"], np.int32))
+        for key, kv_key in [("bos", Keys.Tokenizer.BOS_ID), ("eos", Keys.Tokenizer.EOS_ID)]:
+            if tv.get(key) is not None:
+                w.add_uint32(kv_key, tv[key])
+
+    from ..gguf.constants import GGML_BLOCK_SIZES
+
+    def qt(name: str, arr: np.ndarray) -> GGMLType:
+        # norms/biases stay f32; rows not divisible by the block fall back
+        if arr.ndim == 1 or "norm" in name:
+            return GGMLType.F32
+        blck, _ = GGML_BLOCK_SIZES[quant_type]
+        if arr.shape[-1] % blck:
+            return GGMLType.F16
+        return quant_type
+
+    emb = state["model.embed_tokens.weight"]
+    w.add_tensor("token_embd.weight", emb, qt("token_embd.weight", emb))
+    for i in range(hf_cfg.num_hidden_layers):
+        for hf_suffix, gg_suffix in _LAYER_MAP:
+            hf_name = f"model.layers.{i}.{hf_suffix}"
+            if hf_name not in state:
+                continue
+            arr = state[hf_name]
+            if gg_suffix == "attn_q.weight":
+                arr = permute_qk(arr, n_head)
+            elif gg_suffix == "attn_k.weight":
+                arr = permute_qk(arr, n_kv)
+            name = f"blk.{i}.{gg_suffix}"
+            w.add_tensor(name, arr, qt(name, arr))
+    w.add_tensor("output_norm.weight", state["model.norm.weight"], GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", state["lm_head.weight"], qt("output.weight", state["lm_head.weight"]))
+    return w.write()

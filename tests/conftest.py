@@ -8,10 +8,16 @@ separately via ``bench.py``.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU harness overrides JAX_PLATFORMS at plugin discovery; only the
+# config flag reliably forces CPU, so set it before any backend is touched.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # repo root importable regardless of pytest invocation directory
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

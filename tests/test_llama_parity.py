@@ -1,0 +1,136 @@
+"""End-to-end numerical parity: HF transformers (torch CPU) as the oracle.
+
+Covers the whole chain: HF checkpoint → our GGUF converter (with the Q/K
+rope permutation) → GGUF reader → weight loader → JAX forward with KV
+cache → sampler.  The reference validates the same contract with
+temp=0 token-identity runs (SURVEY.md §7 phase 1 exit test).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from transformers import LlamaConfig, LlamaForCausalLM
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType
+from llama_cpp_gfx906_tpu.runtime.engine import Engine
+from llama_cpp_gfx906_tpu.sampling.samplers import SamplerParams
+from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+
+VOCAB = 96
+
+
+def tiny_hf_model(seed=0, n_kv=2):
+    torch.manual_seed(seed)
+    cfg = LlamaConfig(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=n_kv,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    return LlamaForCausalLM(cfg).eval()
+
+
+def dummy_vocab():
+    tokens = ["<s>", "</s>", "<unk>"] + [f"<t{i}>" for i in range(VOCAB - 3)]
+    return {
+        "model": "llama",
+        "tokens": tokens,
+        "scores": [0.0] * VOCAB,
+        "token_types": [3, 3, 2] + [1] * (VOCAB - 3),
+        "bos": 0,
+        "eos": 1,
+    }
+
+
+@pytest.fixture(scope="module")
+def gguf_path(tmp_path_factory):
+    model = tiny_hf_model()
+    path = str(tmp_path_factory.mktemp("models") / "tiny-llama-f32.gguf")
+    convert_hf_llama(model, dummy_vocab(), path, quant_type=GGMLType.F32)
+    return path, model
+
+
+def test_logits_parity_prefill(gguf_path):
+    path, hf = gguf_path
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    ids = [3, 17, 42, 9, 88, 5, 63, 21]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+
+    got, _ = __import__("llama_cpp_gfx906_tpu.models.llama", fromlist=["forward"]).forward(
+        eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv
+    )
+    got = np.asarray(got[0])
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_greedy_decode_matches_hf(gguf_path):
+    path, hf = gguf_path
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    prompt_ids = [3, 17, 42, 9]
+    n_steps = 12
+
+    # HF greedy via full re-forward each step (oracle)
+    ids = list(prompt_ids)
+    with torch.no_grad():
+        for _ in range(n_steps):
+            logits = hf(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(torch.argmax(logits)))
+    ref_out = ids[len(prompt_ids):]
+
+    # our engine: prefill once + incremental KV decode
+    logits = eng.prefill(prompt_ids)
+    got_out = []
+    for _ in range(n_steps):
+        tok = int(np.argmax(logits))
+        got_out.append(tok)
+        logits = eng.decode_one(tok)
+    assert got_out == ref_out
+
+
+def test_gqa_and_padding(gguf_path):
+    """Prefill with bucket padding must equal unpadded logits at valid rows."""
+    path, hf = gguf_path
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    ids = [5, 6, 7, 8, 9]  # length 5 → bucketed to 8
+    logits = eng.prefill(ids)
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0, -1].float().numpy()
+    np.testing.assert_allclose(logits, ref, rtol=2e-3, atol=2e-3)
+    # KV advanced by the *valid* length, not the padded length
+    assert int(eng.kv.n_past[0]) == 5
+
+
+def test_generate_api(gguf_path):
+    path, _ = gguf_path
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    text, ids = eng.generate("<t1><t2>", n_predict=4, sampler=SamplerParams(greedy=True), stop_on_eog=False)
+    assert len(ids) == 4
+    # deterministic across runs
+    text2, ids2 = eng.generate("<t1><t2>", n_predict=4, sampler=SamplerParams(greedy=True), stop_on_eog=False)
+    assert ids == ids2
+
+
+def test_quantized_model_close(gguf_path, tmp_path):
+    """Q8_0-quantized weights stay close to the f32 logits (PPL-parity proxy)."""
+    _, hf = gguf_path
+    q_path = str(tmp_path / "tiny-q8.gguf")
+    convert_hf_llama(hf, dummy_vocab(), q_path, quant_type=GGMLType.Q8_0)
+    eng_q = Engine.from_gguf(q_path, max_seq=64, dtype=jnp.float32)
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0, -1].float().numpy()
+    got = eng_q.prefill(ids)
+    # correlation-style check: top-1 agrees and values are close
+    assert int(np.argmax(got)) == int(np.argmax(ref))
+    assert np.mean(np.abs(got - ref)) < 0.05 * (np.abs(ref).mean() + 1)
