@@ -1,0 +1,117 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Workload mirrors the reference's measured headline
+(`inference_test_results.md:17-21`): Gemma-3-270M-dimensioned model,
+Q8_0-lineage weights, single-stream generation (tg128-style: decode loop
+with per-token device round trip).  Baseline: 214.28 tok/s on the MI50.
+
+Runs on whatever platform JAX picks (the real TPU chip under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_gfx906_tpu.models.config import ModelConfig
+    from llama_cpp_gfx906_tpu.models.llama import KVCache, forward
+
+    # Gemma-3-270M dimensions (run as llama-style arch for now)
+    cfg = ModelConfig(
+        arch="llama",
+        n_layers=18,
+        n_embd=640,
+        n_heads=4,
+        n_kv_heads=1,
+        head_dim=256,
+        n_ff=2048,
+        n_vocab=262144,
+        n_ctx_train=2048,
+    )
+    rng = np.random.default_rng(0)
+
+    def r(*shape, scale=0.02):
+        return jnp.asarray(
+            (rng.standard_normal(np.prod(shape), dtype=np.float32) * scale).reshape(shape),
+            dtype=jnp.bfloat16,
+        )
+
+    L, D, F = cfg.n_layers, cfg.n_embd, cfg.n_ff
+    HqD, HkD, V = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim, cfg.n_vocab
+    params = {
+        "tok_emb": r(V, D),
+        "out_norm": jnp.ones(D, jnp.float32),
+        "lm_head": r(D, V),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), jnp.float32),
+            "ffn_norm": jnp.ones((L, D), jnp.float32),
+            "wq": r(L, D, HqD),
+            "wk": r(L, D, HkD),
+            "wv": r(L, D, HkD),
+            "wo": r(L, HqD, D),
+            "w_gate": r(L, D, F),
+            "w_up": r(L, D, F),
+            "w_down": r(L, F, D),
+        },
+    }
+
+    from functools import partial
+
+    fwd = jax.jit(forward, static_argnames=("cfg",), donate_argnames=("kv",))
+    kv = KVCache.create(cfg, batch=1, max_seq=512, dtype=jnp.bfloat16)
+
+    # TPU-native decode: greedy feedback stays on device, 16 steps fused
+    # into one scan program per dispatch (the reference's CPU sampling would
+    # serialize every token on the tunnel RTT here).
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("kv",))
+    def decode_steps(params, tok, kv, n_steps):
+        def body(carry, _):
+            tok, kv = carry
+            logits, kv = forward(params, cfg, tok, kv)
+            nxt = logits[:, -1:].argmax(-1).astype(jnp.int32)
+            return (nxt, kv), nxt[:, 0]
+
+        (tok, kv), toks = jax.lax.scan(body, (tok, kv), None, length=n_steps)
+        return toks, kv
+
+    prompt = jnp.asarray(rng.integers(0, V, (1, 16)), jnp.int32)
+    logits, kv = fwd(params, cfg, prompt, kv)
+    tok = jnp.reshape(logits[:, -1].argmax(-1).astype(jnp.int32), (1, 1))
+
+    # warmup: compile + once more for the donated-buffer steady state
+    for _ in range(2):
+        toks, kv = decode_steps(params, tok, kv, 16)
+        tok = toks[-1:].reshape(1, 1)
+    np.asarray(tok)  # hard sync (block_until_ready is unreliable over axon)
+
+    n_decode = 128
+    t0 = time.perf_counter()
+    for _ in range(n_decode // 16):
+        toks, kv = decode_steps(params, tok, kv, 16)
+        tok = toks[-1:].reshape(1, 1)
+    np.asarray(tok)
+    dt = time.perf_counter() - t0
+
+    tok_s = n_decode / dt
+    baseline = 214.28  # MI50 gemma-3-270M Q8_0 generation
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tok_s_gemma3_270m_shape_bf16_single_stream",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
