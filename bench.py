@@ -23,6 +23,9 @@ def main() -> None:
     from llama_cpp_gfx906_tpu.models.config import ModelConfig
     from llama_cpp_gfx906_tpu.models.llama import KVCache, forward
 
+    from llama_cpp_gfx906_tpu.gguf import GGMLType, quantize
+    from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
+
     # Gemma-3-270M dimensions (run as llama-style arch for now)
     cfg = ModelConfig(
         arch="llama",
@@ -36,29 +39,39 @@ def main() -> None:
         n_ctx_train=2048,
     )
     rng = np.random.default_rng(0)
-
-    def r(*shape, scale=0.02):
-        return jnp.asarray(
-            (rng.standard_normal(np.prod(shape), dtype=np.float32) * scale).reshape(shape),
-            dtype=jnp.bfloat16,
-        )
-
     L, D, F = cfg.n_layers, cfg.n_embd, cfg.n_ff
     HqD, HkD, V = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim, cfg.n_vocab
+    QTYPE = GGMLType.Q8_0  # matches the reference's headline workload
+
+    def qstack(K, N):
+        # one random weight quantized and replicated across layers (decode
+        # speed is value-independent; this keeps host-side setup fast)
+        w = rng.standard_normal((N, K), dtype=np.float32) * 0.02
+        qt = qmm.pack_gguf_tensor(quantize(w, QTYPE), QTYPE, (N, K))
+        return qmm.QuantTensor(
+            q=jnp.stack([qt.q] * L),
+            s=jnp.stack([qt.s] * L),
+            m=jnp.stack([qt.m] * L) if qt.m is not None else None,
+            fmt=qt.fmt,
+            group=qt.group,
+            shape=qt.shape,
+        )
+
+    w_head = rng.standard_normal((V, D), dtype=np.float32) * 0.02
     params = {
-        "tok_emb": r(V, D),
+        "tok_emb": jnp.asarray(w_head * 0.1, jnp.bfloat16),
         "out_norm": jnp.ones(D, jnp.float32),
-        "lm_head": r(D, V),
+        "lm_head": qmm.pack_gguf_tensor(quantize(w_head, QTYPE), QTYPE, (V, D)),
         "layers": {
             "attn_norm": jnp.ones((L, D), jnp.float32),
             "ffn_norm": jnp.ones((L, D), jnp.float32),
-            "wq": r(L, D, HqD),
-            "wk": r(L, D, HkD),
-            "wv": r(L, D, HkD),
-            "wo": r(L, HqD, D),
-            "w_gate": r(L, D, F),
-            "w_up": r(L, D, F),
-            "w_down": r(L, F, D),
+            "wq": qstack(D, HqD),
+            "wk": qstack(D, HkD),
+            "wv": qstack(D, HkD),
+            "wo": qstack(HqD, D),
+            "w_gate": qstack(D, F),
+            "w_up": qstack(D, F),
+            "w_down": qstack(F, D),
         },
     }
 
@@ -104,7 +117,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "decode_tok_s_gemma3_270m_shape_bf16_single_stream",
+                "metric": "decode_tok_s_gemma3_270m_shape_q8_0_single_stream",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / baseline, 3),

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import mha_with_cache
 from ..ops.norms import rms_norm
+from ..ops.quant_matmul import linear
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
 
@@ -54,13 +55,13 @@ jax.tree_util.register_dataclass(KVCache, ["k", "v", "n_past"], [])
 
 
 def _mlp(x, gate_w, up_w, down_w, act_fn: str):
-    gate = x @ gate_w
-    up = x @ up_w
+    gate = linear(x, gate_w)
+    up = linear(x, up_w)
     if act_fn == "gelu":
         act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype)
     else:
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
-    return (act * up) @ down_w
+    return linear(act * up, down_w)
 
 
 def forward(
@@ -86,9 +87,9 @@ def forward(
         p, k_cache_l, v_cache_l = layer
 
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = h @ p["wq"]
-        k = h @ p["wk"]
-        v = h @ p["wv"]
+        q = linear(h, p["wq"])
+        k = linear(h, p["wk"])
+        v = linear(h, p["wv"])
         if "bq" in p:
             q = q + p["bq"]
             k = k + p["bk"]
@@ -107,7 +108,7 @@ def forward(
             sliding_window=cfg.sliding_window,
             logit_softcap=cfg.attn_logit_softcap,
         )
-        attn = attn.reshape(B, T, cfg.n_heads * cfg.head_dim) @ p["wo"]
+        attn = linear(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p["wo"])
         if cfg.post_attn_norm and "post_attn_norm" in p:
             attn = rms_norm(attn, p["post_attn_norm"], cfg.rms_eps)
         x = x + attn
@@ -124,7 +125,7 @@ def forward(
     )
 
     x = rms_norm(x, params["out_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = linear(x, params["lm_head"]).astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
 

@@ -1,0 +1,476 @@
+"""Quantized weights on device + fused dequant-matmul.
+
+The TPU-native analog of the reference fork's fused dequant+GEMM HIP
+kernels (``docs/gfx906/implementation_guide.md:12-287`` — V_DOT4_I32_I8
+per quant type, tiled LDS GEMM): weights stay block-quantized in HBM and
+are dequantized on the VPU inside the matmul kernel, so HBM traffic per
+token is the *quantized* byte count.  Decode is bandwidth-bound, so this
+is the core speedup over a bf16-dequantized load.
+
+Device layout (decoded exactly from the GGUF block bytes — bit-identical
+values to the reference's dequant, so perplexity parity is preserved):
+
+- ``int8``  : q int8 (K, N);          w[k,n] = q[k,n]·s[k//g, n] − m[k//g, n]
+- ``nib4``  : packed uint8 (K/2, N):  low nibble = k even, high = k odd
+              (two half-K planes — no interleave needed in-kernel)
+
+with per-group scales ``s`` (K/g, N) f32 and optional subtractive ``m``
+(asymmetric formats; for Q4_0 the −8 offset folds into m = 8·s).
+
+The matmul computes  out = x @ w  =  Σ_g s_g ⊙ (x_g @ q_g) − xsum_g ⊙ m_g,
+realized as in-kernel dequant → MXU dot per (TM, TN, TK) tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGML_BLOCK_SIZES, QK_K, GGMLType
+from ..gguf import quants as Q
+
+# ---------------------------------------------------------------------------
+# QuantTensor pytree
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QuantTensor:
+    """Block-quantized weight resident on device, used as ``x @ qt``."""
+
+    q: jnp.ndarray  # int8 (K, N) or uint8 (K/2, N) packed nibbles
+    s: jnp.ndarray  # f32 (K/g, N) scales
+    m: jnp.ndarray | None  # f32 (K/g, N) subtractive term, or None
+    fmt: str  # "int8" | "nib4"
+    group: int  # quant group size g along K
+    shape: tuple[int, int]  # logical (K, N)
+
+    @property
+    def K(self) -> int:
+        return self.shape[0]
+
+    @property
+    def N(self) -> int:
+        return self.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    QuantTensor, data_fields=["q", "s", "m"], meta_fields=["fmt", "group", "shape"]
+)
+
+
+# ---------------------------------------------------------------------------
+# Host-side decode: GGUF raw blocks → (values, scales, mins) grids
+# ---------------------------------------------------------------------------
+# Each decoder takes (nblocks, block_bytes) uint8 for rows of a tensor laid
+# out GGUF-style (quantized along the last/contiguous axis) and returns
+#   values int8 (n, blck), scales f32 (n, blck//g), mins or None
+# such that dequant == values*repeat(scales) - repeat(mins).  These reuse the
+# bit-layout logic of gguf/quants.py and are tested against it exactly.
+
+
+def _grid_q8_0(b):
+    d = Q._f16(b[:, 0:2])
+    q = b[:, 2:34].copy().view(np.int8)
+    return q, d.repeat(1, axis=1), None, 32
+
+
+def _grid_q4_0(b):
+    d = Q._f16(b[:, 0:2])
+    lo, hi = b[:, 2:18] & 0x0F, b[:, 2:18] >> 4
+    q = np.concatenate([lo, hi], 1).astype(np.int8)
+    return q, d, 8.0 * d, 32
+
+
+def _grid_q4_1(b):
+    d = Q._f16(b[:, 0:2])
+    mn = Q._f16(b[:, 2:4])
+    lo, hi = b[:, 4:20] & 0x0F, b[:, 4:20] >> 4
+    q = np.concatenate([lo, hi], 1).astype(np.int8)
+    return q, d, -mn, 32
+
+
+def _grid_q5_0(b):
+    d = Q._f16(b[:, 0:2])
+    hbit = Q._qh_bits(b[:, 2:6])
+    lo, hi = b[:, 6:22] & 0x0F, b[:, 6:22] >> 4
+    q = (np.concatenate([lo, hi], 1) | (hbit << 4)).astype(np.int16) - 16
+    return q.astype(np.int8), d, None, 32
+
+
+def _grid_q5_1(b):
+    d = Q._f16(b[:, 0:2])
+    mn = Q._f16(b[:, 2:4])
+    hbit = Q._qh_bits(b[:, 4:8])
+    lo, hi = b[:, 8:24] & 0x0F, b[:, 8:24] >> 4
+    q = (np.concatenate([lo, hi], 1) | (hbit << 4)).astype(np.int8)
+    return q, d, -mn, 32
+
+
+def _grid_q4_k(b):
+    d = Q._f16(b[:, 0:2])
+    dmin = Q._f16(b[:, 2:4])
+    sc, m = Q._unpack_k4_scales(b[:, 4:16])
+    qs = b[:, 16:144]
+    n = b.shape[0]
+    q = np.empty((n, QK_K), np.int8)
+    for j in range(4):
+        byte = qs[:, 32 * j : 32 * (j + 1)]
+        q[:, 64 * j : 64 * j + 32] = (byte & 0x0F).astype(np.int8)
+        q[:, 64 * j + 32 : 64 * (j + 1)] = (byte >> 4).astype(np.int8)
+    scales = d * sc.astype(np.float32)  # (n, 8) per 32 elems
+    mins = dmin * m.astype(np.float32)
+    return q, scales, mins, 32
+
+
+def _grid_q5_k(b):
+    d = Q._f16(b[:, 0:2])
+    dmin = Q._f16(b[:, 2:4])
+    sc, m = Q._unpack_k4_scales(b[:, 4:16])
+    qh = b[:, 16:48]
+    qs = b[:, 48:176]
+    n = b.shape[0]
+    q = np.empty((n, QK_K), np.int8)
+    for j in range(4):
+        byte = qs[:, 32 * j : 32 * (j + 1)]
+        h1 = ((qh >> (2 * j)) & 1) << 4
+        h2 = ((qh >> (2 * j + 1)) & 1) << 4
+        q[:, 64 * j : 64 * j + 32] = ((byte & 0x0F) | h1).astype(np.int8)
+        q[:, 64 * j + 32 : 64 * (j + 1)] = ((byte >> 4) | h2).astype(np.int8)
+    return q, d * sc.astype(np.float32), dmin * m.astype(np.float32), 32
+
+
+def _grid_q6_k(b):
+    n = b.shape[0]
+    ql, qh = b[:, 0:128], b[:, 128:192]
+    sc = b[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d = Q._f16(b[:, 208:210])
+    q = np.empty((n, QK_K), np.int8)
+    for half in range(2):
+        lq = ql[:, 64 * half : 64 * half + 64]
+        hq = qh[:, 32 * half : 32 * half + 32]
+        q[:, 128 * half : 128 * half + 32] = (
+            ((lq[:, :32] & 0x0F) | (((hq >> 0) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        q[:, 128 * half + 32 : 128 * half + 64] = (
+            ((lq[:, 32:] & 0x0F) | (((hq >> 2) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        q[:, 128 * half + 64 : 128 * half + 96] = (
+            ((lq[:, :32] >> 4) | (((hq >> 4) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        q[:, 128 * half + 96 : 128 * half + 128] = (
+            ((lq[:, 32:] >> 4) | (((hq >> 6) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+    return q, d * sc, None, 16
+
+
+def _grid_q3_k(b):
+    n = b.shape[0]
+    hmask, qs = b[:, 0:32], b[:, 32:96]
+    sc = Q._unpack_q3k_scales(b[:, 96:108]).astype(np.float32)
+    d = Q._f16(b[:, 108:110])
+    q = np.empty((n, QK_K), np.int8)
+    for half in range(2):
+        byte = qs[:, 32 * half : 32 * half + 32]
+        for j in range(4):
+            bit = 4 * half + j
+            q2 = ((byte >> (2 * j)) & 3).astype(np.int16)
+            hi = ((hmask >> bit) & 1).astype(np.int16)
+            q[:, 128 * half + 32 * j : 128 * half + 32 * (j + 1)] = (
+                q2 - np.where(hi != 0, 0, 4)
+            ).astype(np.int8)
+    return q, d * sc, None, 16
+
+
+def _grid_q2_k(b):
+    n = b.shape[0]
+    scales, qs = b[:, 0:16], b[:, 16:80]
+    d = Q._f16(b[:, 80:82])
+    dmin = Q._f16(b[:, 82:84])
+    q = np.empty((n, QK_K), np.int8)
+    for half in range(2):
+        byte = qs[:, 32 * half : 32 * half + 32]
+        for j in range(4):
+            q[:, 128 * half + 32 * j : 128 * half + 32 * (j + 1)] = (
+                (byte >> (2 * j)) & 3
+            ).astype(np.int8)
+    return q, d * (scales & 0x0F).astype(np.float32), dmin * (scales >> 4).astype(np.float32), 16
+
+
+def _grid_mxfp4(b):
+    e = b[:, 0:1].astype(np.int32)
+    s = np.exp2((e - 127).astype(np.float32) - 1.0)
+    lo, hi = b[:, 1:17] & 0x0F, b[:, 1:17] >> 4
+    q = Q.MXFP4_KVALUES[np.concatenate([lo, hi], 1)].astype(np.int8)
+    return q, s, None, 32
+
+
+def _grid_iq4_nl(b):
+    d = Q._f16(b[:, 0:2])
+    lo, hi = b[:, 2:18] & 0x0F, b[:, 2:18] >> 4
+    q = Q.IQ4_NL_KVALUES[np.concatenate([lo, hi], 1)].astype(np.int8)
+    return q, d, None, 32
+
+
+_GRID_DECODERS = {
+    GGMLType.Q8_0: _grid_q8_0,
+    GGMLType.Q4_0: _grid_q4_0,
+    GGMLType.Q4_1: _grid_q4_1,
+    GGMLType.Q5_0: _grid_q5_0,
+    GGMLType.Q5_1: _grid_q5_1,
+    GGMLType.Q4_K: _grid_q4_k,
+    GGMLType.Q5_K: _grid_q5_k,
+    GGMLType.Q6_K: _grid_q6_k,
+    GGMLType.Q3_K: _grid_q3_k,
+    GGMLType.Q2_K: _grid_q2_k,
+    GGMLType.MXFP4: _grid_mxfp4,
+    GGMLType.IQ4_NL: _grid_iq4_nl,
+}
+
+# formats whose values fit unsigned nibbles → can stay 4-bit packed on device
+_NIB4_TYPES = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
+
+
+def supported_qmm_types() -> list[GGMLType]:
+    return sorted(_GRID_DECODERS)
+
+
+def pack_gguf_tensor(
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...], put=jnp.asarray
+) -> QuantTensor:
+    """Decode GGUF block bytes of a (N, K) weight into a device QuantTensor.
+
+    GGUF stores weights (out=N, in=K) row-major with K contiguous; the
+    matmul consumes (K, N), so grids are transposed here on the host.
+    """
+    N, K = int(np.prod(shape[:-1])), int(shape[-1])
+    ggml_type = GGMLType(ggml_type)
+    blck, bsize = GGML_BLOCK_SIZES[ggml_type]
+    decode = _GRID_DECODERS[ggml_type]
+    q, s, m, g = decode(raw.reshape(-1, bsize))
+    # (N*K/blck, blck) → (N, K); scales (N*K/blck, blck/g) → (N, K/g)
+    q = q.reshape(N, K)
+    s = s.reshape(N, K // g)
+    m = m.reshape(N, K // g) if m is not None else None
+
+    if ggml_type in _NIB4_TYPES and K % (2 * g) == 0:
+        # split-K packing: low nibble = k, high nibble = k + K/2 — the kernel
+        # unpacks into two contiguous planes (no sublane interleave needed).
+        # Stored as an int8 *view* (Mosaic has no uint8 compute path; the
+        # kernel widens to int32 and masks).
+        qT = q.T.astype(np.uint8)  # (K, N) values 0..15
+        packed = (qT[: K // 2] | (qT[K // 2 :] << 4)).view(np.int8)  # (K/2, N)
+        return QuantTensor(
+            q=put(packed),
+            s=put(np.ascontiguousarray(s.T, np.float32)),
+            m=put(np.ascontiguousarray(m.T, np.float32)) if m is not None else None,
+            fmt="nib4",
+            group=g,
+            shape=(K, N),
+        )
+    return QuantTensor(
+        q=put(np.ascontiguousarray(q.T)),
+        s=put(np.ascontiguousarray(s.T, np.float32)),
+        m=put(np.ascontiguousarray(m.T, np.float32)) if m is not None else None,
+        fmt="int8",
+        group=g,
+        shape=(K, N),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback path (CPU tests, golden oracle for the Pallas kernel)
+# ---------------------------------------------------------------------------
+
+
+def dequantize_qt(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Materialize the (K, N) weight (oracle / non-TPU fallback)."""
+    if qt.fmt == "nib4":
+        p32 = qt.q.astype(jnp.int32) & 255
+        lo = (p32 & 0x0F).astype(jnp.int8)  # rows 0..K/2-1
+        hi = (p32 >> 4).astype(jnp.int8)  # rows K/2..K-1
+        vals = jnp.concatenate([lo, hi], axis=0)
+    else:
+        vals = qt.q
+    s = jnp.repeat(qt.s, qt.group, axis=0)
+    w = vals.astype(jnp.float32) * s
+    if qt.m is not None:
+        w = w - jnp.repeat(qt.m, qt.group, axis=0)
+    return w.astype(dtype)
+
+
+def quant_matmul_xla(x: jnp.ndarray, qt: QuantTensor) -> jnp.ndarray:
+    """x (..., K) @ qt (K, N) via dequantize-then-dot (XLA fuses the scale
+    broadcast into the dot's operand stream)."""
+    w = dequantize_qt(qt, jnp.bfloat16)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _qmm_int8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group, n_k):
+    """int8 format: one (TM, TN) tile, grid dim 2 accumulates over K tiles."""
+    from jax.experimental import pallas as pl
+
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sg = jnp.repeat(s_ref[:], group, axis=0)  # (TK, TN) f32
+    w = (q_ref[:].astype(jnp.float32) * sg).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _qmm_nib4_kernel(
+    xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref, *, group, n_k
+):
+    """nib4 split-K format: low nibbles are K-half 0, high nibbles K-half 1;
+    two dots per tile against the two x column tiles."""
+    from jax.experimental import pallas as pl
+
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = q_ref[:].astype(jnp.int32) & 255  # (TKh, TN) int8 view of bytes
+    lo = (p32 & 0x0F).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    wlo = (lo * jnp.repeat(slo_ref[:], group, axis=0)).astype(jnp.bfloat16)
+    whi = (hi * jnp.repeat(shi_ref[:], group, axis=0)).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot(xlo_ref[:], wlo, preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot(xhi_ref[:], whi, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pick_tiles(M: int, K: int, N: int, group: int) -> tuple[int, int, int]:
+    """Mosaic constraint: every block dim must be divisible by (8, 128) or
+    span the full array — so the scales tile (TK/group rows) needs TK ≥
+    8·group unless TK == K."""
+    TM = min(256, max(8, M))
+    # decode (tiny M): widen N tiles so each grid step streams more weight
+    # bytes per fixed overhead; prefill (large M) favors squarer tiles
+    TN = next((t for t in ((2048, 1024, 512, 256, 128) if M <= 8 else (256, 128)) if N % t == 0), 128)
+    TK = next(
+        (t for t in (512, 256) if K % t == 0 and t >= 8 * group), K
+    )
+    if TK == K and K > 8192:
+        raise ValueError(f"quant_matmul: no valid K tiling for K={K}, group={group}")
+    return TM, TN, TK
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "group", "shape", "interpret"))
+def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, N = shape
+    lead = x.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(M, K)
+
+    TM, TN, TK = _pick_tiles(M, K, N, group)
+    Mp = -(-M // TM) * TM
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    x2 = x2.astype(jnp.bfloat16)
+
+    params = dict(
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * 2
+            + (K * N if fmt == "int8" else K * N // 2)
+            + K // group * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    if fmt == "nib4":
+        Kh = K // 2
+        TKh = next(
+            (t for t in (512, 256) if Kh % t == 0 and t >= 8 * group), Kh
+        )
+        n_k = Kh // TKh
+        # pre-split x columns and scale rows so every kernel operand block is
+        # either (8,128)-aligned or spans its full array
+        x_lo, x_hi = x2[:, :Kh], x2[:, Kh:]
+        s_lo, s_hi = s[: Kh // group], s[Kh // group :]
+        out = pl.pallas_call(
+            functools.partial(_qmm_nib4_kernel, group=group, n_k=n_k),
+            grid=(Mp // TM, N // TN, n_k),
+            in_specs=[
+                pl.BlockSpec((TM, TKh), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TM, TKh), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TKh, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (max(TKh // group, 1), TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (max(TKh // group, 1), TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            **params,
+        )(x_lo, x_hi, q, s_lo, s_hi)
+    else:
+        n_k = K // TK
+        out = pl.pallas_call(
+            functools.partial(_qmm_int8_kernel, group=group, n_k=n_k),
+            grid=(Mp // TM, N // TN, n_k),
+            in_specs=[
+                pl.BlockSpec((TM, TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TK, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (TK // group, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            **params,
+        )(x2, q, s)
+
+    if m is not None:
+        # subtractive term: out -= xsum @ m, xsum (M, K/g) group sums of x
+        xs = x2.astype(jnp.float32).reshape(Mp, K // group, group).sum(-1)
+        out = out - xs @ m
+    out = out[:M].reshape(*lead, N)
+    return out.astype(x.dtype)
+
+
+def quant_matmul(x: jnp.ndarray, qt: QuantTensor, use_pallas: bool | None = None) -> jnp.ndarray:
+    """x (..., K) @ quantized (K, N) — Pallas on TPU, XLA fallback elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if not use_pallas:
+        return quant_matmul_xla(x, qt)
+    return _quant_matmul_pallas(
+        x, qt.q, qt.s, qt.m, fmt=qt.fmt, group=qt.group, shape=qt.shape
+    )
+
+
+def linear(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Dispatch: plain array or QuantTensor."""
+    if isinstance(w, QuantTensor):
+        return quant_matmul(x, w)
+    return x @ w

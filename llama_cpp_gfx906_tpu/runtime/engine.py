@@ -83,12 +83,18 @@ class Engine:
         batch_size: int = 1,
         dtype=jnp.bfloat16,
         device_put_fn=None,
+        keep_quantized: bool = True,
     ) -> "Engine":
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
         cfg = config_from_gguf(reader)
         tok = tokenizer_from_gguf(reader.readers[0])
-        params = load_llama_params(reader, cfg, dtype, device_put_fn)
+        if keep_quantized:
+            from .weights import load_llama_params_quantized
+
+            params = load_llama_params_quantized(reader, cfg, dtype, device_put_fn)
+        else:
+            params = load_llama_params(reader, cfg, dtype, device_put_fn)
         eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq, batch_size=batch_size, kv_dtype=dtype)
         eng.perf.t_load_s = time.perf_counter() - t0
         return eng

@@ -19,8 +19,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFModelReader, GGUFReader
 from ..models.config import ModelConfig
+from ..ops.quant_matmul import (
+    QuantTensor,
+    _GRID_DECODERS,
+    pack_gguf_tensor,
+    supported_qmm_types,
+)
 
 # GGUF canonical tensor names (reference naming tables: src/llama-arch.cpp:245)
 EMBD = "token_embd.weight"
@@ -106,3 +113,128 @@ def load_llama_params(
 def _np_dtype(jdtype):
     # numpy handles ml_dtypes (bfloat16) natively via astype
     return jdtype
+
+
+# -- quantized-on-device loading --------------------------------------------
+
+# layer weights that flow through ops.quant_matmul.linear
+_QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _pack_int8_g16(raw: np.ndarray, ggml_type: GGMLType, shape, put) -> QuantTensor:
+    """Unify any supported quant type to int8 values with group-16 scales.
+
+    Used when layers of one weight mix quant types (e.g. Q4_K_M puts Q6_K on
+    some ffn_down layers): values stay bit-exact, only the storage width is
+    promoted so the stacked lax.scan layout stays homogeneous."""
+    from ..gguf.constants import GGML_BLOCK_SIZES
+
+    N, K = int(np.prod(shape[:-1])), int(shape[-1])
+    blck, bsize = GGML_BLOCK_SIZES[ggml_type]
+    q, s, m, g = _GRID_DECODERS[ggml_type](raw.reshape(-1, bsize))
+    q = q.reshape(N, K)
+    s = s.reshape(N, K // g)
+    m = m.reshape(N, K // g) if m is not None else np.zeros_like(s)
+    if g != 16:
+        s = np.repeat(s, g // 16, axis=1)
+        m = np.repeat(m, g // 16, axis=1)
+    return QuantTensor(
+        q=put(np.ascontiguousarray(q.T)),
+        s=put(np.ascontiguousarray(s.T, np.float32)),
+        m=put(np.ascontiguousarray(m.T, np.float32)),
+        fmt="int8",
+        group=16,
+        shape=(K, N),
+    )
+
+
+def load_llama_params_quantized(
+    reader: GGUFReader | GGUFModelReader,
+    cfg: ModelConfig,
+    dtype=jnp.bfloat16,
+    device_put_fn: Callable[[np.ndarray, str], jax.Array] | None = None,
+) -> dict:
+    """Like :func:`load_llama_params` but keeps matmul weights block-
+    quantized on device (fused dequant happens inside ops/quant_matmul).
+
+    Embeddings/norms dequantize to ``dtype`` (gather needs materialized
+    rows); unsupported tensor types fall back to dequantized arrays.
+    """
+    put_named = device_put_fn or (lambda arr, name: jnp.asarray(arr))
+    qmm_ok = set(supported_qmm_types())
+
+    params: dict = {}
+    emb = reader.tensors[EMBD].to_f32().astype(_np_dtype(dtype))
+    params["tok_emb"] = put_named(emb, "tok_emb")
+    params["out_norm"] = put_named(reader.tensors[OUT_NORM].to_f32(), "out_norm")
+
+    if OUTPUT in reader.tensors:
+        t = reader.tensors[OUTPUT]
+        if t.ggml_type in qmm_ok and t.shape[-1] % 32 == 0:
+            qt = pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
+            params["lm_head"] = _put_qt(qt, "lm_head", put_named)
+        else:
+            arr = np.ascontiguousarray(t.to_f32().T).astype(_np_dtype(dtype))
+            params["lm_head"] = put_named(arr, "lm_head")
+    else:
+        params["lm_head"] = put_named(emb.T.copy(), "lm_head")
+
+    # group layer tensors by logical name, detect heterogeneous quant types
+    layers: dict = {}
+    for key in list(_layer_names(0)):
+        names = [
+            _layer_names(i)[key]
+            for i in range(cfg.n_layers)
+            if _layer_names(i)[key] in reader.tensors
+        ]
+        if not names:
+            continue
+        if len(names) != cfg.n_layers:
+            raise ValueError(f"{key}: found {len(names)}/{cfg.n_layers} tensors")
+        infos = [reader.tensors[n] for n in names]
+        types = {t.ggml_type for t in infos}
+        if key in _QUANTIZABLE and types <= qmm_ok and infos[0].shape[-1] % 32 == 0:
+            if len(types) == 1:
+                qts = [
+                    pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
+                    for t in infos
+                ]
+            else:  # mixed types (e.g. Q4_K_M): unify to int8/g16
+                qts = [
+                    _pack_int8_g16(np.asarray(t.data), t.ggml_type, t.shape, jnp.asarray)
+                    for t in infos
+                ]
+            proto = qts[0]
+            stacked = QuantTensor(
+                q=jnp.stack([qt.q for qt in qts]),
+                s=jnp.stack([qt.s for qt in qts]),
+                m=jnp.stack([qt.m for qt in qts]) if proto.m is not None else None,
+                fmt=proto.fmt,
+                group=proto.group,
+                shape=proto.shape,
+            )
+            layers[key] = _put_qt(stacked, f"layers.{key}", put_named)
+        else:
+            arrs = []
+            for t in infos:
+                arr = t.to_f32()
+                if key in _TRANSPOSED:
+                    arr = np.ascontiguousarray(arr.T)
+                if "norm" not in key:
+                    arr = arr.astype(_np_dtype(dtype))
+                arrs.append(arr)
+            layers[key] = put_named(np.stack(arrs), f"layers.{key}")
+    params["layers"] = layers
+    return params
+
+
+def _put_qt(qt: QuantTensor, logical: str, put_named) -> QuantTensor:
+    """Route QuantTensor components through the (sharding) placement fn."""
+    return QuantTensor(
+        q=put_named(np.asarray(qt.q), f"{logical}.q"),
+        s=put_named(np.asarray(qt.s), f"{logical}.s"),
+        m=put_named(np.asarray(qt.m), f"{logical}.m") if qt.m is not None else None,
+        fmt=qt.fmt,
+        group=qt.group,
+        shape=qt.shape,
+    )

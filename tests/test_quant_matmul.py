@@ -1,0 +1,96 @@
+"""Fused dequant-matmul tests (test-backend-ops analog).
+
+Three oracles, strongest first:
+1. grid decode == gguf.quants dequantize, bit-exact per type
+2. quant_matmul_xla == x @ dequantized weight
+3. Pallas kernel (interpret mode on CPU) == XLA fallback
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType, quantize, dequantize
+from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
+
+RNG = np.random.default_rng(7)
+
+TYPES = qmm.supported_qmm_types()
+
+
+def make_qt(qtype, N=64, K=512):
+    w = RNG.standard_normal((N, K)).astype(np.float32)
+    raw = quantize(w, qtype)
+    qt = qmm.pack_gguf_tensor(raw, qtype, (N, K))
+    ref_w = dequantize(raw, qtype, (N, K)).T  # (K, N) dequant oracle
+    return qt, ref_w
+
+
+@pytest.mark.parametrize("qtype", TYPES)
+def test_grid_decode_bit_exact(qtype):
+    qt, ref_w = make_qt(qtype)
+    got = np.asarray(qmm.dequantize_qt(qt, jnp.float32))
+    np.testing.assert_allclose(got, ref_w, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("qtype", TYPES)
+def test_xla_matmul_matches_dequant(qtype):
+    qt, ref_w = make_qt(qtype)
+    x = RNG.standard_normal((4, 512)).astype(np.float32)
+    got = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x), qt))
+    ref = x.astype(np.float32) @ ref_w  # bf16 compute in the op → loose tol
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02, qtype.name
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q5_K, GGMLType.MXFP4])
+@pytest.mark.parametrize("M", [1, 8, 100])
+def test_pallas_kernel_interpret(qtype, M):
+    qt, ref_w = make_qt(qtype, N=256, K=512)
+    x = (RNG.standard_normal((M, 512)) * 0.5).astype(np.float32)
+    got = np.asarray(
+        qmm._quant_matmul_pallas(
+            jnp.asarray(x, jnp.float32), qt.q, qt.s, qt.m,
+            fmt=qt.fmt, group=qt.group, shape=qt.shape, interpret=True,
+        )
+    )
+    ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02, (qtype.name, M)
+
+
+def test_linear_dispatch():
+    qt, ref_w = make_qt(GGMLType.Q8_0)
+    x = jnp.asarray(RNG.standard_normal((2, 3, 512)), jnp.bfloat16)
+    out = qmm.linear(x, qt)
+    assert out.shape == (2, 3, 64)
+    dense = jnp.asarray(ref_w, jnp.bfloat16)
+    out2 = qmm.linear(x, dense)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(out2, np.float32), rtol=0.05, atol=0.05
+    )
+
+
+def test_quantized_engine_end_to_end(tmp_path):
+    """Engine with keep_quantized=True matches the dequantized engine."""
+    pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_llama_parity import tiny_hf_model, dummy_vocab
+
+    from llama_cpp_gfx906_tpu.runtime.engine import Engine
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+
+    hf = tiny_hf_model(seed=3)
+    path = str(tmp_path / "tiny-q8.gguf")
+    convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.Q8_0)
+
+    eng_q = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32, keep_quantized=True)
+    eng_d = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32, keep_quantized=False)
+    ids = [3, 17, 42, 9, 88]
+    lq = eng_q.prefill(ids)
+    ld = eng_d.prefill(ids)
+    assert int(np.argmax(lq)) == int(np.argmax(ld))
+    assert np.abs(lq - ld).max() < 0.05 * (np.abs(ld).max() + 1)
