@@ -1,0 +1,307 @@
+"""Continuous-batching inference engine (server backend).
+
+The TPU-native analog of the reference server's slot machinery +
+``update_slots`` loop (``tools/server/server.cpp:3017-3482``) on top of
+``llama_decode``'s ubatch pipeline:
+
+- N slots share one batched KV cache (L, N, S, Hkv, Dh) in HBM; each slot
+  advances at its own ``n_past`` (the unified-cache ``find_slot`` cell scan
+  becomes a fixed slot index — idiomatic for static XLA shapes).
+- Prompt prefill runs as a bucketed single-sequence forward whose K/V are
+  scattered into the slot's rows (one compile per bucket ≙ graph reuse).
+- One decode step advances *all* slots in a single (B, 1) forward; sampling
+  happens on-device (ops/sampling_ops) so only token ids cross the host
+  boundary.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import KVCache, forward
+from ..ops.sampling_ops import CAND, sample_tokens
+from .engine import PREFILL_BUCKETS, bucket_len
+
+RECENT = 64  # repetition-penalty window kept on device
+
+
+class SlotState(enum.Enum):
+    IDLE = 0
+    GENERATING = 1
+
+
+@dataclass
+class SamplerConfig:
+    temp: float = 0.8
+    top_k: int = 40
+    top_p: float = 0.95
+    min_p: float = 0.05
+    penalty_repeat: float = 1.0
+    seed: int | None = None
+
+
+@dataclass
+class Slot:
+    id: int
+    state: SlotState = SlotState.IDLE
+    request_id: str = ""
+    prompt_ids: list[int] = field(default_factory=list)
+    generated: list[int] = field(default_factory=list)
+    n_predict: int = 0
+    n_past: int = 0
+    current_token: int = 0
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    stop_reason: str | None = None
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+
+    def reset(self):
+        self.state = SlotState.IDLE
+        self.request_id = ""
+        self.prompt_ids = []
+        self.generated = []
+        self.n_past = 0
+        self.stop_reason = None
+
+
+class BatchedEngine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        tokenizer,
+        n_slots: int = 8,
+        max_seq: int = 2048,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.n_slots = n_slots
+        self.max_seq = max_seq
+        self.dtype = dtype
+        self.slots = [Slot(i) for i in range(n_slots)]
+        self.kv = KVCache.create(cfg, n_slots, max_seq, dtype)
+        self.n_past_host = np.zeros(n_slots, np.int32)
+        self.recent = np.full((n_slots, RECENT), -1, np.int32)
+        self.rng_key = jax.random.PRNGKey(seed)
+        self.metrics = {
+            "n_prompt_tokens": 0,
+            "n_generated_tokens": 0,
+            "t_prefill_s": 0.0,
+            "t_decode_s": 0.0,
+            "n_requests": 0,
+        }
+
+        @partial(jax.jit, static_argnames=("cfg",))
+        def _prefill(params, cfg, tokens, n_tokens):
+            """Single-sequence bucketed prefill; returns (last_logits, k, v)."""
+            kv = KVCache.create(cfg, 1, tokens.shape[1], dtype)
+            logits, kv = forward(params, cfg, tokens, kv, n_tokens)
+            last = logits[0, n_tokens[0] - 1]
+            return last, kv.k, kv.v
+
+        @partial(jax.jit, donate_argnames=("kv_k", "kv_v"))
+        def _insert(kv_k, kv_v, new_k, new_v, slot):
+            """Scatter a prefilled sequence's K/V rows into the slot."""
+            k = jax.lax.dynamic_update_slice(kv_k, new_k.astype(kv_k.dtype), (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(kv_v, new_v.astype(kv_v.dtype), (0, slot, 0, 0, 0))
+            return k, v
+
+        @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
+        def _decode(params, cfg, tokens, kv, key, temp, top_k, top_p, min_p, pen, recent):
+            logits, kv = forward(params, cfg, tokens, kv)
+            toks = sample_tokens(
+                logits[:, -1].astype(jnp.float32), key, temp, top_k, top_p, min_p, pen, recent
+            )
+            return toks, kv
+
+        self._prefill = _prefill
+        self._insert = _insert
+        self._decode = _decode
+
+    # -- slot management ------------------------------------------------------
+
+    def free_slot(self) -> Slot | None:
+        for s in self.slots:
+            if s.state == SlotState.IDLE:
+                return s
+        return None
+
+    @property
+    def n_active(self) -> int:
+        return sum(s.state == SlotState.GENERATING for s in self.slots)
+
+    def add_request(
+        self,
+        prompt_ids: list[int],
+        n_predict: int,
+        sampler: SamplerConfig | None = None,
+        request_id: str = "",
+    ) -> Slot | None:
+        """Prefill a prompt into a free slot; returns None when saturated."""
+        slot = self.free_slot()
+        if slot is None:
+            return None
+        if len(prompt_ids) + n_predict > self.max_seq:
+            raise ValueError(
+                f"prompt ({len(prompt_ids)}) + n_predict ({n_predict}) > max_seq {self.max_seq}"
+            )
+        sampler = sampler or SamplerConfig()
+        t0 = time.perf_counter()
+        n = len(prompt_ids)
+        padded = min(bucket_len(n), self.max_seq)
+        toks = np.zeros((1, padded), np.int32)
+        toks[0, :n] = prompt_ids
+        last_logits, new_k, new_v = self._prefill(
+            self.params, self.cfg, jnp.asarray(toks), jnp.asarray([n], jnp.int32)
+        )
+        self.kv = KVCache(
+            *self._insert(self.kv.k, self.kv.v, new_k, new_v, slot.id),
+            n_past=self.kv.n_past,
+        )
+        # first token sampled on host (single logits vector, full chain OK)
+        first = self._sample_host(np.asarray(last_logits), prompt_ids, sampler)
+        self.metrics["t_prefill_s"] += time.perf_counter() - t0
+        self.metrics["n_prompt_tokens"] += n
+        self.metrics["n_requests"] += 1
+
+        slot.state = SlotState.GENERATING
+        slot.request_id = request_id
+        slot.prompt_ids = list(prompt_ids)
+        slot.generated = [first]
+        slot.n_predict = n_predict
+        slot.n_past = n
+        slot.current_token = first
+        slot.sampler = sampler
+        slot.t_start = t0
+        slot.t_first_token = time.perf_counter()
+        self.n_past_host[slot.id] = n
+        self.recent[slot.id] = -1
+        self.recent[slot.id, -min(RECENT, n + 1):] = (prompt_ids + [first])[-RECENT:]
+        self.metrics["n_generated_tokens"] += 1
+        self._check_finished(slot, first)
+        return slot
+
+    def _sample_host(self, logits: np.ndarray, prev: list[int], sc: SamplerConfig) -> int:
+        from ..sampling.samplers import SamplerChain, SamplerParams
+
+        chain = SamplerChain(
+            SamplerParams(
+                temp=sc.temp,
+                top_k=sc.top_k,
+                top_p=sc.top_p,
+                min_p=sc.min_p,
+                penalty_repeat=sc.penalty_repeat,
+                greedy=sc.temp <= 0,
+                seed=sc.seed if sc.seed is not None else 0xFFFFFFFF,
+            ),
+            self.cfg.n_vocab,
+        )
+        return chain.sample(logits, prev)
+
+    def _check_finished(self, slot: Slot, token: int) -> bool:
+        eog = self.tokenizer.vocab.special.eog_ids()
+        if token in eog:
+            slot.stop_reason = "stop"
+        elif len(slot.generated) >= slot.n_predict:
+            slot.stop_reason = "length"
+        elif slot.n_past + 1 >= self.max_seq:
+            slot.stop_reason = "length"
+        return slot.stop_reason is not None
+
+    # -- decode ---------------------------------------------------------------
+
+    def step(self) -> list[tuple[Slot, int, bool]]:
+        """One decode step for every generating slot.
+
+        Returns [(slot, new_token, finished)] for slots that produced a
+        token this step."""
+        active = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if not active:
+            return []
+        t0 = time.perf_counter()
+
+        tokens = np.zeros((self.n_slots, 1), np.int32)
+        temp = np.zeros(self.n_slots, np.float32)
+        top_k = np.zeros(self.n_slots, np.int32)
+        top_p = np.ones(self.n_slots, np.float32)
+        min_p = np.zeros(self.n_slots, np.float32)
+        pen = np.ones(self.n_slots, np.float32)
+        for s in active:
+            tokens[s.id, 0] = s.current_token
+            temp[s.id] = s.sampler.temp
+            top_k[s.id] = min(s.sampler.top_k, CAND) if s.sampler.top_k > 0 else CAND
+            top_p[s.id] = s.sampler.top_p
+            min_p[s.id] = s.sampler.min_p
+            pen[s.id] = s.sampler.penalty_repeat
+
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        toks_dev, kv = self._decode(
+            self.params, self.cfg, jnp.asarray(tokens), kv, sub,
+            jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
+            jnp.asarray(min_p), jnp.asarray(pen), jnp.asarray(self.recent),
+        )
+        self.kv = kv
+        new_tokens = np.asarray(toks_dev)
+
+        results = []
+        for s in active:
+            tok = int(new_tokens[s.id])
+            s.n_past += 1
+            self.n_past_host[s.id] = s.n_past
+            s.generated.append(tok)
+            s.current_token = tok
+            self.recent[s.id] = np.roll(self.recent[s.id], -1)
+            self.recent[s.id, -1] = tok
+            finished = self._check_finished(slot=s, token=tok)
+            results.append((s, tok, finished))
+        self.metrics["t_decode_s"] += time.perf_counter() - t0
+        self.metrics["n_generated_tokens"] += len(active)
+        return results
+
+    def release(self, slot: Slot):
+        self.n_past_host[slot.id] = 0
+        slot.reset()
+
+    # -- state save/restore (llama_state_seq_* analog) ------------------------
+
+    def save_slot_state(self, slot_id: int) -> dict:
+        """Export a slot's KV rows + bookkeeping (llama_state_seq_get_data)."""
+        s = self.slots[slot_id]
+        n = s.n_past
+        return {
+            "k": np.asarray(self.kv.k[:, slot_id, :n]),
+            "v": np.asarray(self.kv.v[:, slot_id, :n]),
+            "n_past": n,
+            "prompt_ids": list(s.prompt_ids),
+            "generated": list(s.generated),
+        }
+
+    def load_slot_state(self, slot_id: int, state: dict):
+        """Import a previously saved sequence into a slot."""
+        n = int(state["n_past"])
+        pad = self.max_seq - n
+        new_k = jnp.pad(jnp.asarray(state["k"]), ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
+        new_v = jnp.pad(jnp.asarray(state["v"]), ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
+        self.kv = KVCache(
+            *self._insert(self.kv.k, self.kv.v, new_k, new_v, slot_id),
+            n_past=self.kv.n_past,
+        )
+        s = self.slots[slot_id]
+        s.state = SlotState.GENERATING
+        s.prompt_ids = list(state["prompt_ids"])
+        s.generated = list(state["generated"])
+        s.n_past = n
+        s.current_token = (s.generated or s.prompt_ids)[-1]
+        self.n_past_host[slot_id] = n

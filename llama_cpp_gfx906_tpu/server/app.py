@@ -1,0 +1,468 @@
+"""OpenAI-compatible HTTP server with continuous batching.
+
+The TPU-native llama-server (reference: ``tools/server/server.cpp`` —
+slots :1292, task queue :1634, ``update_slots`` :3017, endpoint table
+:4976-4990).  Architecture: aiohttp handlers push tasks onto a queue; a
+dedicated inference thread runs the BatchedEngine loop (admit → step →
+emit); tokens stream back to handlers through per-request asyncio queues.
+
+Endpoints: /health, /props, /metrics (Prometheus), /slots, /v1/models,
+/tokenize, /detokenize, /completion(+/v1/completions),
+/v1/chat/completions (stream + non-stream), /slots/{id}?action=save|restore|erase.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import queue
+import threading
+import time
+import uuid
+
+from aiohttp import web
+
+from ..runtime.batch_engine import BatchedEngine, SamplerConfig, Slot, SlotState
+
+
+class PendingRequest:
+    def __init__(self, prompt_ids, n_predict, sampler, stop_strings, loop):
+        self.id = f"req-{uuid.uuid4().hex[:12]}"
+        self.prompt_ids = prompt_ids
+        self.n_predict = n_predict
+        self.sampler = sampler
+        self.stop_strings = stop_strings or []
+        self.loop = loop
+        self.token_queue: asyncio.Queue = asyncio.Queue()
+        self.cancelled = False
+
+    def emit(self, item):
+        self.loop.call_soon_threadsafe(self.token_queue.put_nowait, item)
+
+
+class InferenceServer:
+    """Owns the engine thread and the task queue (server_queue analog)."""
+
+    def __init__(self, engine: BatchedEngine, model_name: str = "model"):
+        self.engine = engine
+        self.model_name = model_name
+        self.tasks: queue.Queue[PendingRequest] = queue.Queue()
+        self.by_slot: dict[int, PendingRequest] = {}
+        self.running = False
+        self.thread: threading.Thread | None = None
+        self.t_start = time.time()
+        self.deferred: list[PendingRequest] = []
+
+    def start(self):
+        self.running = True
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.running = False
+        if self.thread:
+            self.thread.join(timeout=10)
+
+    def submit(self, req: PendingRequest):
+        self.tasks.put(req)
+
+    # -- inference thread -----------------------------------------------------
+
+    def _admit(self):
+        """Move queued requests into free slots (launch_slot_with_task)."""
+        pending = self.deferred
+        self.deferred = []
+        while True:
+            if not pending:
+                try:
+                    pending.append(self.tasks.get_nowait())
+                except queue.Empty:
+                    break
+            req = pending.pop(0)
+            if req.cancelled:
+                continue
+            slot = None
+            try:
+                slot = self.engine.add_request(
+                    req.prompt_ids, req.n_predict, req.sampler, req.id
+                )
+            except ValueError as e:
+                req.emit(("error", str(e)))
+                continue
+            if slot is None:
+                self.deferred.append(req)
+                self.deferred.extend(pending)
+                break
+            self.by_slot[slot.id] = req
+            # add_request already produced the first token
+            req.emit(("token", slot.generated[-1]))
+            if slot.stop_reason is not None:
+                self._finish(slot)
+
+    def _finish(self, slot: Slot):
+        req = self.by_slot.pop(slot.id, None)
+        if req is not None:
+            req.emit(("done", slot.stop_reason or "stop"))
+        self.engine.release(slot)
+
+    def _loop(self):
+        while self.running:
+            self._admit()
+            results = self.engine.step()
+            if not results and not self.by_slot:
+                time.sleep(0.005)
+                continue
+            for slot, token, finished in results:
+                req = self.by_slot.get(slot.id)
+                if req is None or req.cancelled:
+                    self._finish(slot)
+                    continue
+                req.emit(("token", token))
+                if finished:
+                    self._finish(slot)
+
+
+# -----------------------------------------------------------------------------
+# HTTP layer
+# -----------------------------------------------------------------------------
+
+
+def _sampler_from_body(body: dict) -> SamplerConfig:
+    return SamplerConfig(
+        temp=float(body.get("temperature", 0.8)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.05)),
+        penalty_repeat=float(body.get("repeat_penalty", body.get("frequency_penalty", 0.0) + 1.0 or 1.0)),
+        seed=body.get("seed"),
+    )
+
+
+def build_app(srv: InferenceServer) -> web.Application:
+    eng = srv.engine
+    tok = eng.tokenizer
+
+    async def collect_or_stream(req_obj: PendingRequest, stream: bool, fmt, request):
+        """fmt(tokens_text_delta, finished, reason) → SSE chunk dict."""
+        if stream:
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                }
+            )
+            await resp.prepare(request)
+        pieces: list[int] = []
+        emitted_len = 0
+        text_acc = ""
+        finish_reason = "stop"
+        try:
+            while True:
+                kind, value = await asyncio.wait_for(req_obj.token_queue.get(), timeout=600)
+                if kind == "error":
+                    if stream:
+                        await resp.write(b'data: {"error": ' + json.dumps(value).encode() + b"}\n\n")
+                        await resp.write_eof()
+                        return resp
+                    raise web.HTTPBadRequest(text=json.dumps({"error": value}))
+                if kind == "done":
+                    finish_reason = value
+                    break
+                pieces.append(value)
+                text_acc = tok.detokenize(pieces)
+                # hold back bytes that might be a partial multibyte char
+                new_text = text_acc[emitted_len:]
+                if stream and new_text and not new_text.endswith("�"):
+                    chunk = fmt(new_text, False, None)
+                    await resp.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                    emitted_len = len(text_acc)
+                # stop strings
+                for s in req_obj.stop_strings:
+                    if s and s in text_acc:
+                        text_acc = text_acc[: text_acc.index(s)]
+                        req_obj.cancelled = True
+                        finish_reason = "stop"
+                        break
+                if req_obj.cancelled:
+                    break
+        except asyncio.TimeoutError:
+            req_obj.cancelled = True
+            finish_reason = "timeout"
+        if stream:
+            final = fmt(text_acc[emitted_len:], True, finish_reason)
+            await resp.write(b"data: " + json.dumps(final).encode() + b"\n\n")
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+        return text_acc, pieces, finish_reason
+
+    # -- endpoints ------------------------------------------------------------
+
+    async def health(request):
+        return web.json_response({"status": "ok"})
+
+    async def props(request):
+        return web.json_response(
+            {
+                "model": srv.model_name,
+                "n_ctx": eng.max_seq,
+                "n_slots": eng.n_slots,
+                "arch": eng.cfg.arch,
+                "n_vocab": eng.cfg.n_vocab,
+                "chat_template": tok.vocab.chat_template or "",
+            }
+        )
+
+    async def models(request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": srv.model_name,
+                        "object": "model",
+                        "created": int(srv.t_start),
+                        "owned_by": "llama_cpp_gfx906_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def metrics(request):
+        m = eng.metrics
+        lines = [
+            "# TYPE llamacpp_tpu:prompt_tokens_total counter",
+            f"llamacpp_tpu:prompt_tokens_total {m['n_prompt_tokens']}",
+            "# TYPE llamacpp_tpu:tokens_predicted_total counter",
+            f"llamacpp_tpu:tokens_predicted_total {m['n_generated_tokens']}",
+            "# TYPE llamacpp_tpu:requests_total counter",
+            f"llamacpp_tpu:requests_total {m['n_requests']}",
+            "# TYPE llamacpp_tpu:prompt_seconds_total counter",
+            f"llamacpp_tpu:prompt_seconds_total {m['t_prefill_s']:.3f}",
+            "# TYPE llamacpp_tpu:predicted_seconds_total counter",
+            f"llamacpp_tpu:predicted_seconds_total {m['t_decode_s']:.3f}",
+            "# TYPE llamacpp_tpu:slots_busy gauge",
+            f"llamacpp_tpu:slots_busy {eng.n_active}",
+            "# TYPE llamacpp_tpu:slots_idle gauge",
+            f"llamacpp_tpu:slots_idle {eng.n_slots - eng.n_active}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
+
+    async def slots(request):
+        out = []
+        for s in eng.slots:
+            out.append(
+                {
+                    "id": s.id,
+                    "state": s.state.name,
+                    "n_past": s.n_past,
+                    "n_generated": len(s.generated),
+                    "request_id": s.request_id,
+                }
+            )
+        return web.json_response(out)
+
+    async def tokenize(request):
+        body = await request.json()
+        ids = tok.tokenize(
+            body.get("content", ""),
+            add_special=bool(body.get("add_special", False)),
+            parse_special=bool(body.get("parse_special", True)),
+        )
+        return web.json_response({"tokens": ids})
+
+    async def detokenize(request):
+        body = await request.json()
+        return web.json_response({"content": tok.detokenize(list(body.get("tokens", [])))})
+
+    def _make_req(prompt_ids, body) -> PendingRequest:
+        n_predict = int(body.get("n_predict", body.get("max_tokens", 128)) or 128)
+        stop = body.get("stop") or []
+        if isinstance(stop, str):
+            stop = [stop]
+        req_obj = PendingRequest(
+            prompt_ids,
+            n_predict,
+            _sampler_from_body(body),
+            stop,
+            asyncio.get_event_loop(),
+        )
+        srv.submit(req_obj)
+        return req_obj
+
+    async def completions(request):
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list):
+            prompt_ids = list(prompt)
+        else:
+            prompt_ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        req_obj = _make_req(prompt_ids, body)
+        rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+        stream = bool(body.get("stream", False))
+
+        def fmt(delta, finished, reason):
+            return {
+                "id": rid,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": srv.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": delta,
+                        "finish_reason": reason if finished else None,
+                    }
+                ],
+            }
+
+        result = await collect_or_stream(req_obj, stream, fmt, request)
+        if stream:
+            return result
+        text, pieces, reason = result
+        return web.json_response(
+            {
+                "id": rid,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": srv.model_name,
+                "choices": [
+                    {"index": 0, "text": text, "finish_reason": reason}
+                ],
+                "usage": {
+                    "prompt_tokens": len(prompt_ids),
+                    "completion_tokens": len(pieces),
+                    "total_tokens": len(prompt_ids) + len(pieces),
+                },
+            }
+        )
+
+    async def chat_completions(request):
+        from .chat import render_chat_template
+
+        body = await request.json()
+        messages = body.get("messages", [])
+        v = tok.vocab
+        bos = v.tokens[v.special.bos] if v.special.bos is not None else ""
+        eos = v.tokens[v.special.eos] if v.special.eos is not None else ""
+        prompt = render_chat_template(
+            v.chat_template, messages, add_generation_prompt=True, bos_token=bos, eos_token=eos
+        )
+        prompt_ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        req_obj = _make_req(prompt_ids, body)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        stream = bool(body.get("stream", False))
+
+        def fmt(delta, finished, reason):
+            d = {} if finished and not delta else {"content": delta}
+            if not finished and not delta:
+                d = {"role": "assistant", "content": ""}
+            return {
+                "id": rid,
+                "object": "chat.completion.chunk",
+                "created": int(time.time()),
+                "model": srv.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "delta": d,
+                        "finish_reason": reason if finished else None,
+                    }
+                ],
+            }
+
+        result = await collect_or_stream(req_obj, stream, fmt, request)
+        if stream:
+            return result
+        text, pieces, reason = result
+        return web.json_response(
+            {
+                "id": rid,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": srv.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text},
+                        "finish_reason": reason,
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": len(prompt_ids),
+                    "completion_tokens": len(pieces),
+                    "total_tokens": len(prompt_ids) + len(pieces),
+                },
+            }
+        )
+
+    _saved_states: dict[int, dict] = {}
+
+    async def slot_action(request):
+        slot_id = int(request.match_info["slot_id"])
+        action = request.query.get("action", "")
+        if action == "save":
+            _saved_states[slot_id] = eng.save_slot_state(slot_id)
+            return web.json_response({"saved": True, "n_past": _saved_states[slot_id]["n_past"]})
+        if action == "restore":
+            if slot_id not in _saved_states:
+                raise web.HTTPNotFound(text="no saved state")
+            eng.load_slot_state(slot_id, _saved_states[slot_id])
+            return web.json_response({"restored": True})
+        if action == "erase":
+            eng.release(eng.slots[slot_id])
+            return web.json_response({"erased": True})
+        raise web.HTTPBadRequest(text="unknown action")
+
+    app = web.Application()
+    app.router.add_get("/health", health)
+    app.router.add_get("/props", props)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_get("/slots", slots)
+    app.router.add_get("/v1/models", models)
+    app.router.add_post("/tokenize", tokenize)
+    app.router.add_post("/detokenize", detokenize)
+    app.router.add_post("/completion", completions)
+    app.router.add_post("/completions", completions)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/slots/{slot_id}", slot_action)
+    return app
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="llama-server (TPU)")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-np", "--n-slots", type=int, default=4)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
+
+    from ..gguf.reader import GGUFModelReader
+    from ..models.config import config_from_gguf
+    from ..runtime.weights import load_llama_params_quantized
+    from ..tokenizers import tokenizer_from_gguf
+
+    reader = GGUFModelReader(args.model)
+    cfg = config_from_gguf(reader)
+    tokenizer = tokenizer_from_gguf(reader.readers[0])
+    params = load_llama_params_quantized(reader, cfg)
+    engine = BatchedEngine(cfg, params, tokenizer, n_slots=args.n_slots, max_seq=args.ctx_size)
+    srv = InferenceServer(engine, model_name=args.model.rsplit("/", 1)[-1])
+    srv.start()
+    app = build_app(srv)
+    web.run_app(app, host=args.host, port=args.port)
+    srv.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,7 +46,8 @@ def dummy_vocab():
         "model": "llama",
         "tokens": tokens,
         "scores": [0.0] * VOCAB,
-        "token_types": [3, 3, 2] + [1] * (VOCAB - 3),
+        # <tN> markers are USER_DEFINED so prompts like "<t1><t2>" tokenize
+        "token_types": [3, 3, 2] + [4] * (VOCAB - 3),
         "bos": 0,
         "eos": 1,
     }

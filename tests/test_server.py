@@ -1,0 +1,209 @@
+"""Batched engine + server integration tests (reference: server pytest suite,
+``tools/server/tests/unit``) against a live aiohttp server on a tiny model."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+aiohttp = pytest.importorskip("aiohttp")
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType, GGUFReader
+from llama_cpp_gfx906_tpu.models.config import config_from_gguf
+from llama_cpp_gfx906_tpu.runtime.batch_engine import BatchedEngine, SamplerConfig
+from llama_cpp_gfx906_tpu.runtime.engine import Engine
+from llama_cpp_gfx906_tpu.runtime.weights import load_llama_params
+from llama_cpp_gfx906_tpu.tokenizers import tokenizer_from_gguf
+from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+
+from test_llama_parity import tiny_hf_model, dummy_vocab
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    hf = tiny_hf_model(seed=11)
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    return path
+
+
+@pytest.fixture(scope="module")
+def batched(tiny_gguf):
+    reader = GGUFReader(tiny_gguf)
+    cfg = config_from_gguf(reader)
+    tok = tokenizer_from_gguf(reader)
+    params = load_llama_params(reader, cfg, jnp.float32)
+    return BatchedEngine(cfg, params, tok, n_slots=3, max_seq=64, dtype=jnp.float32)
+
+
+def test_batched_matches_single(batched, tiny_gguf):
+    """Greedy generation in a shared-batch slot == single-stream engine."""
+    eng = Engine.from_gguf(tiny_gguf, max_seq=64, dtype=jnp.float32, keep_quantized=False)
+    prompt = [3, 17, 42]
+    logits = eng.prefill(prompt)
+    ref = []
+    for _ in range(6):
+        t = int(np.argmax(logits))
+        ref.append(t)
+        logits = eng.decode_one(t)
+
+    greedy = SamplerConfig(temp=0.0)
+    slot = batched.add_request(prompt, 6, greedy)
+    while slot.stop_reason is None:
+        batched.step()
+    assert slot.generated == ref
+    batched.release(slot)
+
+
+def test_concurrent_slots_are_isolated(batched):
+    """Three interleaved sequences produce the same tokens as when run alone."""
+    greedy = SamplerConfig(temp=0.0)
+    prompts = [[5, 6, 7], [30, 31], [9, 10, 11, 12]]
+
+    solo = []
+    for p in prompts:
+        slot = batched.add_request(p, 5, greedy)
+        while slot.stop_reason is None:
+            batched.step()
+        solo.append(list(slot.generated))
+        batched.release(slot)
+
+    slots = [batched.add_request(p, 5, greedy) for p in prompts]
+    assert all(s is not None for s in slots)
+    while any(s.stop_reason is None for s in slots):
+        batched.step()
+    for s, expect in zip(slots, solo):
+        assert s.generated == expect, f"slot {s.id}"
+        batched.release(s)
+
+
+def test_slot_exhaustion_and_reuse(batched):
+    greedy = SamplerConfig(temp=0.0)
+    slots = [batched.add_request([4, 5], 3, greedy) for _ in range(3)]
+    assert batched.add_request([4, 5], 3, greedy) is None  # saturated
+    while any(s.stop_reason is None for s in slots):
+        batched.step()
+    for s in slots:
+        batched.release(s)
+    assert batched.add_request([4, 5], 3, greedy) is not None
+
+
+def test_slot_state_save_restore(batched):
+    greedy = SamplerConfig(temp=0.0)
+    slot = batched.add_request([7, 8, 9], 8, greedy)
+    for _ in range(2):
+        batched.step()
+    mid_tokens = list(slot.generated)
+    state = batched.save_slot_state(slot.id)
+    # run to completion
+    while slot.stop_reason is None:
+        batched.step()
+    full = list(slot.generated)
+    batched.release(slot)
+    # restore mid-state into the same slot and continue
+    batched.load_slot_state(slot.id, state)
+    s = batched.slots[slot.id]
+    s.n_predict = 8
+    s.sampler = greedy
+    assert s.generated == mid_tokens
+    while s.stop_reason is None:
+        batched.step()
+    assert s.generated == full
+    batched.release(s)
+
+
+# -----------------------------------------------------------------------------
+# HTTP server
+# -----------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def server_client(tiny_gguf, batched):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from llama_cpp_gfx906_tpu.server.app import InferenceServer, build_app
+
+    srv = InferenceServer(batched, model_name="tiny")
+    srv.start()
+    app = build_app(srv)
+
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    srv.stop()
+    loop.close()
+
+
+def test_http_endpoints(server_client):
+    client, loop = server_client
+
+    async def run():
+        r = await client.get("/health")
+        assert (await r.json())["status"] == "ok"
+
+        r = await client.get("/v1/models")
+        assert (await r.json())["data"][0]["id"] == "tiny"
+
+        r = await client.get("/props")
+        props = await r.json()
+        assert props["n_slots"] == 3
+
+        r = await client.post("/tokenize", json={"content": "<t1><t2>", "parse_special": True})
+        toks = (await r.json())["tokens"]
+        assert toks == [4, 5]
+
+        r = await client.post("/detokenize", json={"tokens": toks})
+        assert (await r.json())["content"] == "<t1><t2>"
+
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": "<t1><t2>", "max_tokens": 4, "temperature": 0.0},
+        )
+        body = await r.json()
+        assert body["choices"][0]["finish_reason"] in ("length", "stop")
+        assert body["usage"]["completion_tokens"] >= 1
+
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4,
+                "temperature": 0.0,
+            },
+        )
+        body = await r.json()
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["role"] == "assistant"
+
+        r = await client.get("/metrics")
+        text = await r.text()
+        assert "llamacpp_tpu:requests_total" in text
+
+        r = await client.get("/slots")
+        assert len(await r.json()) == 3
+
+    loop.run_until_complete(run())
+
+
+def test_http_streaming(server_client):
+    client, loop = server_client
+
+    async def run():
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": "<t3>", "max_tokens": 3, "temperature": 0.0, "stream": True},
+        )
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = await r.text()
+        events = [ln[6:] for ln in raw.splitlines() if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        parsed = [json.loads(e) for e in events[:-1]]
+        assert parsed[-1]["choices"][0]["finish_reason"] in ("length", "stop")
+
+    loop.run_until_complete(run())
