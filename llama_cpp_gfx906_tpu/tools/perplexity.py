@@ -1,0 +1,135 @@
+"""Perplexity / KL-divergence evaluation (reference: ``tools/perplexity``).
+
+Chunked wikitext-style PPL with half-window context re-eval
+(``perplexity.cpp:441``): each n_ctx chunk contributes NLL only for its
+second half, the first half serving as context.  ``--save-logits`` /
+``--kl-divergence`` mirror the reference's logit-dump + KL mode
+(``perplexity.cpp:1692``) for comparing quantizations against a base run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def evaluate(
+    model_path: str,
+    text: str,
+    n_ctx: int = 512,
+    n_chunks: int | None = None,
+    keep_quantized: bool = True,
+    save_logits_path: str | None = None,
+    kl_base_path: str | None = None,
+    dtype=None,
+) -> dict:
+    import jax.numpy as jnp
+
+    from ..gguf.reader import GGUFModelReader
+    from ..models.config import config_from_gguf
+    from ..models.llama import KVCache, forward
+    from ..runtime.weights import load_llama_params, load_llama_params_quantized
+    from ..tokenizers import tokenizer_from_gguf
+    import jax
+
+    dtype = dtype or jnp.bfloat16
+    reader = GGUFModelReader(model_path)
+    cfg = config_from_gguf(reader)
+    tok = tokenizer_from_gguf(reader.readers[0])
+    loader = load_llama_params_quantized if keep_quantized else load_llama_params
+    params = loader(reader, cfg, dtype)
+
+    ids = tok.tokenize(text, add_special=False, parse_special=False)
+    bos = tok.vocab.special.bos
+    total_chunks = len(ids) // n_ctx
+    if n_chunks:
+        total_chunks = min(total_chunks, n_chunks)
+    if total_chunks == 0:
+        raise ValueError(f"text too short: {len(ids)} tokens < n_ctx {n_ctx}")
+
+    fwd = jax.jit(forward, static_argnames=("cfg",))
+    first_eval = max(1, n_ctx // 2)
+
+    nll = 0.0
+    count = 0
+    t0 = time.time()
+    all_logprobs = [] if save_logits_path or kl_base_path else None
+    for c in range(total_chunks):
+        chunk = ids[c * n_ctx : (c + 1) * n_ctx]
+        if bos is not None:
+            chunk = [bos] + chunk[:-1]
+        toks = jnp.asarray([chunk], jnp.int32)
+        kv = KVCache.create(cfg, 1, n_ctx, dtype)
+        logits, _ = fwd(params, cfg, toks, kv)
+        logits = np.asarray(logits[0], np.float32)  # (T, V)
+        logp = logits - _logsumexp(logits)
+        targets = np.asarray(chunk[1:] + [0])
+        token_logp = logp[np.arange(len(chunk)), targets]  # next-token logprob
+        sel = token_logp[first_eval - 1 : n_ctx - 1]
+        nll -= float(sel.sum())
+        count += sel.size
+        if all_logprobs is not None:
+            all_logprobs.append(logp[first_eval - 1 : n_ctx - 1].astype(np.float16))
+        ppl_so_far = float(np.exp(nll / count))
+        print(f"chunk {c + 1}/{total_chunks}: ppl = {ppl_so_far:.4f}", flush=True)
+
+    result = {
+        "ppl": float(np.exp(nll / count)),
+        "n_tokens": count,
+        "n_chunks": total_chunks,
+        "t_eval_s": round(time.time() - t0, 2),
+    }
+
+    if save_logits_path:
+        np.savez_compressed(save_logits_path, logprobs=np.concatenate(all_logprobs))
+    if kl_base_path:
+        base = np.load(kl_base_path)["logprobs"].astype(np.float32)
+        ours = np.concatenate(all_logprobs).astype(np.float32)
+        n = min(len(base), len(ours))
+        p = np.exp(base[:n])
+        kl = (p * (base[:n] - ours[:n])).sum(axis=-1)
+        result["kl_divergence_mean"] = float(kl.mean())
+        result["kl_divergence_p99"] = float(np.percentile(kl, 99))
+    return result
+
+
+def _logsumexp(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="llama-perplexity (TPU)")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-f", "--file", required=True)
+    ap.add_argument("-c", "--ctx-size", type=int, default=512)
+    ap.add_argument("--chunks", type=int, default=None)
+    ap.add_argument("--no-quantized", action="store_true", help="dequantize weights to bf16")
+    ap.add_argument("--save-logits", default=None)
+    ap.add_argument("--kl-divergence-base", default=None)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
+    with open(args.file, encoding="utf-8") as f:
+        text = f.read()
+    result = evaluate(
+        args.model,
+        text,
+        n_ctx=args.ctx_size,
+        n_chunks=args.chunks,
+        keep_quantized=not args.no_quantized,
+        save_logits_path=args.save_logits,
+        kl_base_path=args.kl_divergence_base,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,108 @@
+"""Tool CLIs: quantize, gguf-split, gguf-dump, perplexity, llama-bench."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType, GGUFModelReader, GGUFReader
+from llama_cpp_gfx906_tpu.tools import gguf_dump, gguf_split, quantize as quantize_tool
+from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+
+from test_llama_parity import tiny_hf_model, dummy_vocab
+
+
+@pytest.fixture(scope="module")
+def f16_gguf(tmp_path_factory):
+    hf = tiny_hf_model(seed=5)
+    path = str(tmp_path_factory.mktemp("m") / "tiny-f16.gguf")
+    convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.F16)
+    return path
+
+
+def test_quantize_q8(f16_gguf, tmp_path):
+    out = str(tmp_path / "tiny-q8.gguf")
+    stats = quantize_tool.quantize_file(f16_gguf, out, "Q8_0")
+    assert stats["out_bytes"] < stats["in_bytes"]
+    r = GGUFReader(out)
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q8_0
+    assert r.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+    # metadata survived
+    assert len(r.get("tokenizer.ggml.tokens")) == 96
+    # quantized model still loads and runs
+    from llama_cpp_gfx906_tpu.runtime.engine import Engine
+
+    eng = Engine.from_gguf(out, max_seq=32, dtype=jnp.float32)
+    logits = eng.prefill([3, 4, 5])
+    assert np.isfinite(logits).all()
+
+
+def test_quantize_mix_rules(f16_gguf, tmp_path):
+    out = str(tmp_path / "tiny-q4km.gguf")
+    quantize_tool.quantize_file(f16_gguf, out, "Q4_K_M")
+    r = GGUFReader(out)
+    # head bumped to Q6_K; embd at base Q4_K — but 64-wide rows can't take
+    # 256-block K-quants, so they fall back to F16
+    embd = r.tensors["token_embd.weight"]
+    assert embd.ggml_type in (GGMLType.Q4_K, GGMLType.F16)
+    assert r.tensors["output.weight"].ggml_type in (GGMLType.Q6_K, GGMLType.F16)
+
+
+def test_split_and_merge(f16_gguf, tmp_path):
+    prefix = str(tmp_path / "shard.gguf")
+    paths = gguf_split.split(f16_gguf, prefix, max_tensors=10)
+    assert len(paths) > 1
+    model = GGUFModelReader(paths[0])
+    orig = GGUFReader(f16_gguf)
+    assert set(model.tensors) == set(orig.tensors)
+    merged = gguf_split.merge(paths[0], str(tmp_path / "merged.gguf"))
+    m = GGUFReader(merged)
+    assert set(m.tensors) == set(orig.tensors)
+    np.testing.assert_array_equal(
+        m.tensors["blk.0.attn_q.weight"].to_f32(),
+        orig.tensors["blk.0.attn_q.weight"].to_f32(),
+    )
+
+
+def test_gguf_dump(f16_gguf):
+    text = gguf_dump.dump(f16_gguf)
+    assert "arch=llama" in text and "token_embd.weight" in text
+    data = json.loads(gguf_dump.dump(f16_gguf, as_json=True))
+    assert data["architecture"] == "llama"
+    assert data["n_tensors"] == len(GGUFReader(f16_gguf).tensors)
+
+
+def test_perplexity_runs(f16_gguf):
+    from llama_cpp_gfx906_tpu.tools.perplexity import evaluate
+
+    text = "<t1><t2><t3><t4>" * 40
+    result = evaluate(f16_gguf, text, n_ctx=32, n_chunks=2, keep_quantized=False, dtype=jnp.float32)
+    assert result["ppl"] > 0 and np.isfinite(result["ppl"])
+    assert result["n_chunks"] == 2
+
+
+def test_perplexity_kl_divergence(f16_gguf, tmp_path):
+    from llama_cpp_gfx906_tpu.tools.perplexity import evaluate
+
+    text = "<t1><t2><t3><t4>" * 40
+    base = str(tmp_path / "base.npz")
+    evaluate(f16_gguf, text, n_ctx=32, n_chunks=1, keep_quantized=False, save_logits_path=base, dtype=jnp.float32)
+    result = evaluate(f16_gguf, text, n_ctx=32, n_chunks=1, keep_quantized=False, kl_base_path=base, dtype=jnp.float32)
+    # same model vs itself → KL ≈ 0 (f16 logit dump quantization only)
+    assert abs(result["kl_divergence_mean"]) < 1e-3
+
+
+def test_bench_tool(f16_gguf):
+    from llama_cpp_gfx906_tpu.tools.bench import format_rows, run_bench
+
+    rows = run_bench(f16_gguf, [8], [4], reps=2, keep_quantized=False)
+    assert len(rows) == 2
+    assert all(r["t/s"] > 0 for r in rows)
+    md = format_rows(rows, "md")
+    assert "pp8" in md and "tg4" in md
+    json.loads(format_rows(rows, "json"))
