@@ -111,6 +111,9 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         n_experts=int(g(Keys.LLM.EXPERT_COUNT, 0)),
         n_experts_used=int(g(Keys.LLM.EXPERT_USED_COUNT, 0)),
         expert_ff=int(g(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, 0)),
+        # mixtral/qwen-family renormalize the selected expert probabilities
+        expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)),
+        expert_weights_scale=float(g(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
     )
 
     # per-arch adjustments (graph-builder differences live in models/*.py;

@@ -70,6 +70,7 @@ def forward(
     tokens: jnp.ndarray,  # (B, T) int32
     kv: KVCache,
     n_tokens: jnp.ndarray | None = None,  # (B,) valid length within T (padding)
+    return_hidden: bool = False,  # return final-norm hidden states, not logits
 ) -> tuple[jnp.ndarray, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), kv')."""
     B, T = tokens.shape
@@ -114,7 +115,16 @@ def forward(
         x = x + attn
 
         h = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
-        mlp = _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
+        if "moe_gate_inp" in p:
+            from ..ops.moe import moe_ffn
+
+            mlp = moe_ffn(
+                h, p["moe_gate_inp"], p["moe_gate"], p["moe_up"], p["moe_down"], cfg
+            )
+            if "w_gate" in p:  # shared expert alongside routed experts
+                mlp = mlp + _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
+        else:
+            mlp = _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
         if cfg.post_ffn_norm and "post_ffn_norm" in p:
             mlp = rms_norm(mlp, p["post_ffn_norm"], cfg.rms_eps)
         x = x + mlp
@@ -125,18 +135,21 @@ def forward(
     )
 
     x = rms_norm(x, params["out_norm"], cfg.rms_eps)
-    logits = linear(x, params["lm_head"]).astype(jnp.float32)
-    if cfg.final_logit_softcap > 0.0:
-        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
 
     if n_tokens is None:
         advance = jnp.full((B,), T, jnp.int32)
     else:
         advance = n_tokens.astype(jnp.int32)
     new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance)
+
+    if return_hidden:
+        return x.astype(jnp.float32), new_kv
+    logits = linear(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_logit_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits, new_kv
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
-def forward_jit(params, cfg: ModelConfig, tokens, kv: KVCache, n_tokens=None):
-    return forward(params, cfg, tokens, kv, n_tokens)
+@partial(jax.jit, static_argnames=("cfg", "return_hidden"), donate_argnames=("kv",))
+def forward_jit(params, cfg: ModelConfig, tokens, kv: KVCache, n_tokens=None, return_hidden=False):
+    return forward(params, cfg, tokens, kv, n_tokens, return_hidden)

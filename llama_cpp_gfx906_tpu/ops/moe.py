@@ -1,0 +1,70 @@
+"""Mixture-of-experts routed FFN (reference: ``build_moe_ffn``,
+``src/llama-graph.cpp:776-1024`` — routing via ``ggml_mul_mat_id``).
+
+TPU-native dispatch, chosen by static token count at trace time:
+
+- decode (T·k small): gather the selected experts' weight slices from HBM —
+  reads exactly k experts per token, the bandwidth-optimal analog of the
+  reference's mul_mat_id row gather;
+- prefill (T large): dense all-experts einsum with a dispatch mask — every
+  expert runs on the MXU over all tokens; at T ≳ E·capacity this wins on
+  MXU utilization and avoids ragged shapes entirely.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import ModelConfig
+
+_GATHER_MAX_TOKENS = 8  # below this, per-token expert gather beats dense
+
+
+def moe_ffn(
+    x: jnp.ndarray,  # (B, T, D)
+    gate_inp: jnp.ndarray,  # (D, E) router
+    w_gate: jnp.ndarray,  # (E, D, F)
+    w_up: jnp.ndarray,  # (E, D, F)
+    w_down: jnp.ndarray,  # (E, F, D)
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    B, T, D = x.shape
+    E = w_gate.shape[0]
+    k = cfg.n_experts_used
+    xt = x.reshape(B * T, D)
+
+    router = (xt.astype(jnp.float32) @ gate_inp.astype(jnp.float32))  # (N, E)
+    probs = jax.nn.softmax(router, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)  # (N, k)
+    if cfg.expert_weights_norm:  # mixtral/qwen renormalize the selected probs
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
+    if cfg.expert_weights_scale != 1.0:
+        topv = topv * cfg.expert_weights_scale
+    topv = topv.astype(x.dtype)
+
+    def act(g):
+        if cfg.act_fn == "gelu":
+            return jax.nn.gelu(g.astype(jnp.float32), approximate=True).astype(x.dtype)
+        return jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+
+    if B * T <= _GATHER_MAX_TOKENS:
+        # gather path: (N, k, D, F) expert slices
+        wg = w_gate[topi]  # (N, k, D, F)
+        wu = w_up[topi]
+        wd = w_down[topi]  # (N, k, F, D)
+        g = jnp.einsum("nd,nkdf->nkf", xt, wg, preferred_element_type=jnp.float32).astype(x.dtype)
+        u = jnp.einsum("nd,nkdf->nkf", xt, wu, preferred_element_type=jnp.float32).astype(x.dtype)
+        h = act(g) * u
+        out = jnp.einsum("nkf,nkfd->nkd", h, wd, preferred_element_type=jnp.float32)
+        out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
+    else:
+        # dense path: run all experts, mask with dispatch weights
+        combine = jnp.zeros((B * T, E), x.dtype)
+        combine = jax.vmap(lambda c, i, v: c.at[i].set(v))(combine, topi, topv)  # (N, E)
+        g = jnp.einsum("nd,edf->enf", xt, w_gate, preferred_element_type=jnp.float32).astype(x.dtype)
+        u = jnp.einsum("nd,edf->enf", xt, w_up, preferred_element_type=jnp.float32).astype(x.dtype)
+        h = act(g) * u  # (E, N, F)
+        out_e = jnp.einsum("enf,efd->end", h, w_down, preferred_element_type=jnp.float32)
+        out = jnp.einsum("end,ne->nd", out_e, combine.astype(jnp.float32))
+    return out.astype(x.dtype).reshape(B, T, D)

@@ -69,7 +69,7 @@ class Engine:
 
     def __post_init__(self):
         self._forward = jax.jit(
-            forward, static_argnames=("cfg",), donate_argnames=("kv",)
+            forward, static_argnames=("cfg", "return_hidden"), donate_argnames=("kv",)
         )
         self.kv = KVCache.create(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
 
@@ -119,6 +119,58 @@ class Engine:
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
         return out
+
+    def set_n_past(self, n: int):
+        """Rewind (or advance) the sequence position — KV rows beyond ``n``
+        become dead and are overwritten by subsequent writes (the analog of
+        ``llama_memory_seq_rm`` tail removal for speculative rollback)."""
+        self.kv = KVCache(self.kv.k, self.kv.v, jnp.full((self.batch_size,), n, jnp.int32))
+
+    @property
+    def n_past(self) -> int:
+        return int(self.kv.n_past[0])
+
+    def decode_chunk(self, token_ids: list[int], chunk_pad: int = 16) -> np.ndarray:
+        """Decode several tokens in one forward; returns logits (len, V).
+
+        Used by speculative verification: the target scores the draft's
+        tokens in a single pass."""
+        n = len(token_ids)
+        padded = max(chunk_pad, bucket_len(n)) if n > chunk_pad else chunk_pad
+        toks = np.zeros((self.batch_size, padded), np.int32)
+        toks[0, :n] = token_ids
+        t0 = time.perf_counter()
+        logits, self.kv = self._forward(
+            self.params, self.cfg, jnp.asarray(toks), self.kv,
+            jnp.full((self.batch_size,), n, jnp.int32),
+        )
+        out = np.asarray(logits[0, :n])
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += n
+        return out
+
+    def embed(self, text: str, pooling: str = "mean", normalize: bool = True) -> np.ndarray:
+        """Pooled sequence embedding (build_pooling analog: mean/cls/last)."""
+        ids = self.tokenizer.tokenize(text, add_special=True, parse_special=True)
+        n = len(ids)
+        padded = bucket_len(n)
+        toks = np.zeros((self.batch_size, padded), np.int32)
+        toks[0, :n] = ids
+        kv = KVCache.create(self.cfg, self.batch_size, padded, self.kv_dtype)
+        hidden, _ = self._forward(
+            self.params, self.cfg, jnp.asarray(toks), kv,
+            jnp.full((self.batch_size,), n, jnp.int32), return_hidden=True,
+        )
+        h = np.asarray(hidden[0, :n])  # (n, D)
+        if pooling == "mean":
+            e = h.mean(axis=0)
+        elif pooling == "cls":
+            e = h[0]
+        else:  # "last"
+            e = h[-1]
+        if normalize:
+            e = e / max(np.linalg.norm(e), 1e-12)
+        return e
 
     def decode_one(self, token_id: int) -> np.ndarray:
         """Advance one token; returns next-token logits (V,)."""

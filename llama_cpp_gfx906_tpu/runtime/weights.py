@@ -54,10 +54,24 @@ def _layer_names(i: int) -> dict[str, str]:
         "w_gate": b + "ffn_gate.weight",
         "w_up": b + "ffn_up.weight",
         "w_down": b + "ffn_down.weight",
+        # MoE (stacked-expert tensors; reference arch tables LLM_TENSOR_FFN_*_EXPS)
+        "moe_gate_inp": b + "ffn_gate_inp.weight",
+        "moe_gate": b + "ffn_gate_exps.weight",
+        "moe_up": b + "ffn_up_exps.weight",
+        "moe_down": b + "ffn_down_exps.weight",
     }
 
 # weights consumed as x @ W — GGUF stores (out, in) row-major, so transpose
 _TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
+
+
+def _orient(key: str, arr: np.ndarray) -> np.ndarray:
+    """Put a GGUF-layout tensor into x @ W orientation for the forward pass."""
+    if key in _TRANSPOSED or key == "moe_gate_inp":
+        return np.ascontiguousarray(arr.T)
+    if key.startswith("moe_") and arr.ndim == 3:  # (E, out, in) → (E, in, out)
+        return np.ascontiguousarray(arr.transpose(0, 2, 1))
+    return arr
 
 
 def load_llama_params(
@@ -73,10 +87,12 @@ def load_llama_params(
     """
     put = device_put_fn or (lambda arr, name: jnp.asarray(arr))
 
-    def fetch(name: str, transpose: bool) -> np.ndarray:
+    def fetch(name: str, transpose: bool, key: str = "") -> np.ndarray:
         t = reader.tensors[name]
         arr = t.to_f32()
-        if transpose:
+        if key:
+            arr = _orient(key, arr)
+        elif transpose:
             arr = arr.T
         return np.ascontiguousarray(arr, dtype=np.float32)
 
@@ -94,7 +110,7 @@ def load_llama_params(
         for key, gguf_name in _layer_names(i).items():
             if gguf_name not in reader.tensors:
                 continue
-            arr = fetch(gguf_name, key in _TRANSPOSED)
+            arr = fetch(gguf_name, key in _TRANSPOSED, key=key)
             if "norm" not in key:
                 arr = arr.astype(_np_dtype(dtype))
             stacked.setdefault(key, []).append(arr)
@@ -217,9 +233,7 @@ def load_llama_params_quantized(
         else:
             arrs = []
             for t in infos:
-                arr = t.to_f32()
-                if key in _TRANSPOSED:
-                    arr = np.ascontiguousarray(arr.T)
+                arr = _orient(key, t.to_f32())
                 if "norm" not in key:
                     arr = arr.astype(_np_dtype(dtype))
                 arrs.append(arr)

@@ -67,6 +67,34 @@ class InferenceServer:
     def submit(self, req: PendingRequest):
         self.tasks.put(req)
 
+    def embed(self, text: str, pooling: str = "mean"):
+        """Pooled embedding over the engine's weights (thread-safe jit call)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.llama import KVCache, forward
+        from ..runtime.engine import bucket_len
+
+        eng = self.engine
+        ids = eng.tokenizer.tokenize(text, add_special=True, parse_special=True)
+        n = len(ids)
+        padded = bucket_len(n)
+        toks = np.zeros((1, padded), np.int32)
+        toks[0, :n] = ids
+        if not hasattr(self, "_embed_fwd"):
+            self._embed_fwd = jax.jit(
+                forward, static_argnames=("cfg", "return_hidden")
+            )
+        kv = KVCache.create(eng.cfg, 1, padded, eng.dtype)
+        hidden, _ = self._embed_fwd(
+            eng.params, eng.cfg, jnp.asarray(toks), kv,
+            jnp.asarray([n], jnp.int32), return_hidden=True,
+        )
+        h = np.asarray(hidden[0, :n])
+        vec = h.mean(axis=0) if pooling == "mean" else h[-1]
+        return vec / max(np.linalg.norm(vec), 1e-12)
+
     # -- inference thread -----------------------------------------------------
 
     def _admit(self):
@@ -397,6 +425,25 @@ def build_app(srv: InferenceServer) -> web.Application:
             }
         )
 
+    async def embeddings(request):
+        import numpy as np
+
+        body = await request.json()
+        inputs = body.get("input", body.get("content", ""))
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        loop = asyncio.get_event_loop()
+        data = []
+        for i, text in enumerate(inputs):
+            vec = await loop.run_in_executor(None, srv.embed, text)
+            data.append(
+                {"object": "embedding", "index": i, "embedding": np.asarray(vec).tolist()}
+            )
+        return web.json_response(
+            {"object": "list", "data": data, "model": srv.model_name,
+             "usage": {"prompt_tokens": 0, "total_tokens": 0}}
+        )
+
     _saved_states: dict[int, dict] = {}
 
     async def slot_action(request):
@@ -427,6 +474,9 @@ def build_app(srv: InferenceServer) -> web.Application:
     app.router.add_post("/completions", completions)
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/embedding", embeddings)
+    app.router.add_post("/embeddings", embeddings)
+    app.router.add_post("/v1/embeddings", embeddings)
     app.router.add_post("/slots/{slot_id}", slot_action)
     return app
 

@@ -78,6 +78,11 @@ def convert_hf_llama(
     w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf_cfg, "rope_theta", 10000.0))
     w.add_uint32(Keys.LLM.VOCAB_SIZE, hf_cfg.vocab_size)
 
+    n_experts = getattr(hf_cfg, "num_local_experts", 0)
+    if n_experts:
+        w.add_uint32(Keys.LLM.EXPERT_COUNT, n_experts)
+        w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf_cfg.num_experts_per_tok)
+
     if tokenizer_vocab:
         tv = tokenizer_vocab
         w.add_string(Keys.Tokenizer.MODEL, tv.get("model", "llama"))
@@ -115,6 +120,19 @@ def convert_hf_llama(
                 arr = permute_qk(arr, n_kv)
             name = f"blk.{i}.{gg_suffix}"
             w.add_tensor(name, arr, qt(name, arr))
+        # Mixtral-style sparse MoE block → stacked *_exps tensors
+        gate_name = f"model.layers.{i}.block_sparse_moe.gate.weight"
+        if gate_name in state:
+            w.add_tensor(f"blk.{i}.ffn_gate_inp.weight", state[gate_name], GGMLType.F32)
+            for hf_w, gg in [("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"), ("w2", "ffn_down_exps")]:
+                stackd = np.stack(
+                    [
+                        state[f"model.layers.{i}.block_sparse_moe.experts.{e}.{hf_w}.weight"]
+                        for e in range(n_experts)
+                    ]
+                )
+                name = f"blk.{i}.{gg}.weight"
+                w.add_tensor(name, stackd, qt(name, stackd))
     w.add_tensor("output_norm.weight", state["model.norm.weight"], GGMLType.F32)
     if "lm_head.weight" in state:
         w.add_tensor("output.weight", state["lm_head.weight"], qt("output.weight", state["lm_head.weight"]))

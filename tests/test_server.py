@@ -207,3 +207,18 @@ def test_http_streaming(server_client):
         assert parsed[-1]["choices"][0]["finish_reason"] in ("length", "stop")
 
     loop.run_until_complete(run())
+
+
+def test_http_embeddings(server_client):
+    client, loop = server_client
+
+    async def run():
+        r = await client.post("/v1/embeddings", json={"input": ["<t1><t2>", "<t9>"]})
+        body = await r.json()
+        assert body["object"] == "list" and len(body["data"]) == 2
+        import numpy as np
+
+        v = np.asarray(body["data"][0]["embedding"])
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+    loop.run_until_complete(run())
