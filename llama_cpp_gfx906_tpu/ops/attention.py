@@ -53,6 +53,17 @@ def mha_with_cache(
     k_cache = insert_kv(k_cache, k_new, n_past)
     v_cache = insert_kv(v_cache, v_new, n_past)
 
+    # long-enough prefill on TPU → blockwise flash kernel (never builds the
+    # (T, S) score matrix); decode and CPU runs use the einsum path below
+    if T >= 64 and jax.default_backend() == "tpu":
+        from .flash_attention import flash_attention
+
+        out = flash_attention(
+            q, k_cache, v_cache, n_past, scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+        )
+        return out.astype(q.dtype), k_cache, v_cache
+
     # scores: group the query heads over their shared KV head
     qg = q.reshape(B, T, Hkv, G, Dh)
     scores = jnp.einsum(

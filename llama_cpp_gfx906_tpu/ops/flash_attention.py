@@ -1,0 +1,188 @@
+"""Blockwise (flash) attention Pallas kernel.
+
+The TPU analog of the reference fork's 64KB-LDS flash attention
+(``docs/gfx906/implementation_guide.md:289-403``) and of
+``ggml_flash_attn_ext`` (used via ``build_attn_mha``,
+``llama-graph.cpp:1245-1259``): causal GQA attention that never
+materializes the (T, S) score matrix — K/V stream through VMEM in blocks
+with a running max/denominator, so prefill memory is O(T·D) and the
+arithmetic stays on the MXU.
+
+Supports: GQA (grouped q heads), per-sequence position offset (n_past),
+sliding-window masking, logit softcap (gemma2).
+
+Internal layout is (B, H, T, D) so every Pallas block keeps its last two
+dims (T-block, D) hardware-aligned; the (B, T, H, D) public interface
+transposes at the boundary (fused by XLA into neighboring ops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, BK, D)
+    v_ref,  # (1, 1, BK, D)
+    npast_ref,  # (1, 1) int32 in SMEM
+    o_ref,  # (1, 1, BQ, D)
+    acc_ref,  # (BQ, D) f32 scratch
+    m_ref,  # (BQ, 128) f32 scratch (running max, col-broadcast)
+    l_ref,  # (BQ, 128) f32 scratch (running denom)
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    n_k: int,
+    sliding_window: int,
+    logit_softcap: float,
+):
+    from jax.experimental import pallas as pl
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    n_past = npast_ref[0, 0]
+    q_pos = n_past + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    # skip blocks entirely above the causal diagonal (and, with a sliding
+    # window, blocks entirely left of every query's window)
+    block_needed = ki * block_k <= n_past + (qi + 1) * block_q - 1
+    if sliding_window > 0:
+        block_needed &= (ki + 1) * block_k - 1 > n_past + qi * block_q - sliding_window
+
+    @pl.when(block_needed)
+    def _():
+        q = q_ref[0, 0]  # (BQ, D)
+        k = k_ref[0, 0]  # (BK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        s = s * scale
+        if logit_softcap > 0.0:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        mask = k_pos <= q_pos
+        if sliding_window > 0:
+            mask &= k_pos > q_pos - sliding_window
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]  # (BQ, 1)
+        m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)  # (BQ, BK)
+        alpha = jnp.exp(m_prev - m_cur)  # (BQ, 1)
+        l_new = l_ref[:, 0:1] * alpha + p.sum(axis=-1, keepdims=True)
+
+        v = v_ref[0, 0]  # (BK, D)
+        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "logit_softcap", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,  # (B, T, Hq, D)
+    k_cache: jnp.ndarray,  # (B, S, Hkv, D)
+    v_cache: jnp.ndarray,
+    n_past: jnp.ndarray,  # (B,) int32
+    scale: float,
+    sliding_window: int = 0,
+    logit_softcap: float = 0.0,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, Hq, D = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    G = Hq // Hkv
+
+    block_q = max(8, min(block_q, T))
+    block_k = min(block_k, S)
+    Tp = -(-T // block_q) * block_q
+    n_q = Tp // block_q
+    n_k = -(-S // block_k)
+    Sp = n_k * block_k
+
+    qh = q.transpose(0, 2, 1, 3)  # (B, Hq, T, D)
+    if Tp != T:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kh = k_cache.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
+    vh = v_cache.transpose(0, 2, 1, 3)
+    if Sp != S:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+
+    npast2 = n_past.reshape(B, 1).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            scale=scale,
+            block_q=block_q,
+            block_k=block_k,
+            n_k=n_k,
+            sliding_window=sliding_window,
+            logit_softcap=logit_softcap,
+        ),
+        grid=(B, Hq, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, i, j, _g=G: (b, h // _g, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, i, j, _g=G: (b, h // _g, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Tp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * Tp * Sp * D,
+            bytes_accessed=B * (Tp * Hq * D * 2 + 2 * Sp * Hkv * D * 2),
+            transcendentals=B * Hq * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(qh, kh, vh, npast2)
+    return out[:, :, :T].transpose(0, 2, 1, 3)
