@@ -46,6 +46,11 @@ class SamplerConfig:
     min_p: float = 0.05
     penalty_repeat: float = 1.0
     seed: int | None = None
+    # constrained decoding: a GBNF grammar string or a JSON schema dict
+    # (server `grammar` / `response_format` fields; reference server.cpp
+    # params_from_json_cmpl -> sampling grammar)
+    grammar: str | None = None
+    json_schema: dict | None = None
 
 
 @dataclass
@@ -62,6 +67,7 @@ class Slot:
     stop_reason: str | None = None
     t_start: float = 0.0
     t_first_token: float = 0.0
+    chain: object | None = None  # persistent SamplerChain for grammar slots
 
     def reset(self):
         self.state = SlotState.IDLE
@@ -70,6 +76,7 @@ class Slot:
         self.generated = []
         self.n_past = 0
         self.stop_reason = None
+        self.chain = None
 
 
 class BatchedEngine:
@@ -125,9 +132,16 @@ class BatchedEngine:
             )
             return toks, kv
 
+        @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
+        def _decode_logits(params, cfg, tokens, kv):
+            """Grammar path: return full last-token logits for host sampling."""
+            logits, kv = forward(params, cfg, tokens, kv)
+            return logits[:, -1].astype(jnp.float32), kv
+
         self._prefill = _prefill
         self._insert = _insert
         self._decode = _decode
+        self._decode_logits = _decode_logits
 
     # -- slot management ------------------------------------------------------
 
@@ -170,7 +184,12 @@ class BatchedEngine:
             n_past=self.kv.n_past,
         )
         # first token sampled on host (single logits vector, full chain OK)
-        first = self._sample_host(np.asarray(last_logits), prompt_ids, sampler)
+        chain = self._make_chain(sampler)
+        if chain is not None:
+            first = chain.sample(np.asarray(last_logits), prompt_ids)
+            chain.accept(first, is_eog=first in self.tokenizer.vocab.special.eog_ids())
+        else:
+            first = self._sample_host(np.asarray(last_logits), prompt_ids, sampler)
         self.metrics["t_prefill_s"] += time.perf_counter() - t0
         self.metrics["n_prompt_tokens"] += n
         self.metrics["n_requests"] += 1
@@ -183,6 +202,7 @@ class BatchedEngine:
         slot.n_past = n
         slot.current_token = first
         slot.sampler = sampler
+        slot.chain = chain
         slot.t_start = t0
         slot.t_first_token = time.perf_counter()
         self.n_past_host[slot.id] = n
@@ -191,6 +211,26 @@ class BatchedEngine:
         self.metrics["n_generated_tokens"] += 1
         self._check_finished(slot, first)
         return slot
+
+    def _make_chain(self, sc: SamplerConfig):
+        """Persistent sampler chain — needed when the slot carries grammar
+        state across steps; None for the stateless on-device fast path."""
+        if sc.grammar is None and sc.json_schema is None:
+            return None
+        from ..grammar import Grammar, grammar_vocab_from_tokenizer, json_schema_to_gbnf
+        from ..sampling.samplers import SamplerChain, SamplerParams
+
+        src = sc.grammar if sc.grammar is not None else json_schema_to_gbnf(sc.json_schema)
+        chain = SamplerChain(
+            SamplerParams(
+                temp=sc.temp, top_k=sc.top_k, top_p=sc.top_p, min_p=sc.min_p,
+                penalty_repeat=sc.penalty_repeat, greedy=sc.temp <= 0,
+                seed=sc.seed if sc.seed is not None else 0xFFFFFFFF,
+            ),
+            self.cfg.n_vocab,
+        )
+        chain.set_grammar(Grammar.from_string(src), grammar_vocab_from_tokenizer(self.tokenizer))
+        return chain
 
     def _sample_host(self, logits: np.ndarray, prev: list[int], sc: SamplerConfig) -> int:
         from ..sampling.samplers import SamplerChain, SamplerParams
@@ -229,6 +269,8 @@ class BatchedEngine:
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active:
             return []
+        if any(s.chain is not None for s in active):
+            return self._step_host_sampled(active)
         t0 = time.perf_counter()
 
         tokens = np.zeros((self.n_slots, 1), np.int32)
@@ -258,6 +300,40 @@ class BatchedEngine:
         results = []
         for s in active:
             tok = int(new_tokens[s.id])
+            s.n_past += 1
+            self.n_past_host[s.id] = s.n_past
+            s.generated.append(tok)
+            s.current_token = tok
+            self.recent[s.id] = np.roll(self.recent[s.id], -1)
+            self.recent[s.id, -1] = tok
+            finished = self._check_finished(slot=s, token=tok)
+            results.append((s, tok, finished))
+        self.metrics["t_decode_s"] += time.perf_counter() - t0
+        self.metrics["n_generated_tokens"] += len(active)
+        return results
+
+    def _step_host_sampled(self, active: list[Slot]) -> list[tuple[Slot, int, bool]]:
+        """Decode step when at least one slot is grammar-constrained: the
+        forward returns full logits and every active slot samples on host
+        (its persistent chain when present, else the stateless config)."""
+        t0 = time.perf_counter()
+        tokens = np.zeros((self.n_slots, 1), np.int32)
+        for s in active:
+            tokens[s.id, 0] = s.current_token
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        logits_dev, kv = self._decode_logits(self.params, self.cfg, jnp.asarray(tokens), kv)
+        self.kv = kv
+        logits = np.asarray(logits_dev)
+        eog = self.tokenizer.vocab.special.eog_ids()
+
+        results = []
+        for s in active:
+            prev = (s.prompt_ids + s.generated)[-RECENT:]
+            if s.chain is not None:
+                tok = s.chain.sample(logits[s.id], prev)
+                s.chain.accept(tok, is_eog=tok in eog)
+            else:
+                tok = self._sample_host(logits[s.id], prev, s.sampler)
             s.n_past += 1
             self.n_past_host[s.id] = s.n_past
             s.generated.append(tok)

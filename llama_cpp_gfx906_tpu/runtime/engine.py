@@ -208,6 +208,7 @@ class Engine:
         eog = self.tokenizer.vocab.special.eog_ids()
         for _ in range(n_predict):
             tok = chain.sample(logits, all_ids)
+            chain.accept(tok, is_eog=tok in eog)
             if stop_on_eog and tok in eog:
                 break
             out_ids.append(tok)

@@ -157,6 +157,18 @@ class InferenceServer:
 
 
 def _sampler_from_body(body: dict) -> SamplerConfig:
+    # constrained decoding: raw GBNF (`grammar`), raw schema (`json_schema`),
+    # or OpenAI `response_format` (json_object / json_schema) — mirrors the
+    # reference server's params_from_json_cmpl grammar plumbing
+    grammar = body.get("grammar")
+    json_schema = body.get("json_schema")
+    rf = body.get("response_format") or {}
+    if isinstance(rf, dict):
+        rft = rf.get("type")
+        if rft == "json_schema":
+            json_schema = (rf.get("json_schema") or {}).get("schema", {})
+        elif rft == "json_object":
+            json_schema = rf.get("schema", {"type": "object", "additionalProperties": True})
     return SamplerConfig(
         temp=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
@@ -164,6 +176,8 @@ def _sampler_from_body(body: dict) -> SamplerConfig:
         min_p=float(body.get("min_p", 0.05)),
         penalty_repeat=float(body.get("repeat_penalty", body.get("frequency_penalty", 0.0) + 1.0 or 1.0)),
         seed=body.get("seed"),
+        grammar=grammar,
+        json_schema=json_schema,
     )
 
 
