@@ -1,0 +1,222 @@
+"""Builtin chat-template dialects + detection.
+
+Reference: src/llama-chat.{h,cpp} — 45 hardcoded dialects selected by
+substring fingerprints of the model's Jinja template, used when Jinja
+rendering is disabled or the template is unknown.  This module covers the
+widely-deployed subset; everything else goes through the Jinja path in
+chat.render.
+"""
+
+from __future__ import annotations
+
+
+def detect_template(tmpl: str | None) -> str:
+    """Map a Jinja template string (or alias name) to a dialect id.
+
+    Mirrors the fingerprinting approach of llm_chat_detect_template
+    (llama-chat.cpp) — checks distinctive tokens in the template text."""
+    if not tmpl:
+        return "chatml"
+    t = tmpl
+    # alias names ("llama2", "chatml", ...) pass straight through
+    if "{" not in t and "<" not in t and "[" not in t:
+        return t.strip().lower().replace("-", "_")
+    if "<|im_start|>" in t:
+        return "chatml"
+    if "<|start_header_id|>" in t and "<|end_header_id|>" in t:
+        return "llama3"
+    if "[gMASK]<sop>" in t:
+        return "chatglm4"
+    if "<start_of_turn>" in t:
+        return "gemma"
+    if "<|START_OF_TURN_TOKEN|>" in t:
+        return "command_r"
+    if "<|prompt|>" in t and "<|answer|>" in t:
+        return "monarch"
+    if "<|user|>" in t and "<|end|>" in t:
+        return "phi3"
+    if "<|assistant|>" in t and "<|user|>" in t:
+        return "zephyr"
+    if "<｜User｜>" in t or "<|User|>" in t:
+        return "deepseek3"
+    if "USER:" in t and "ASSISTANT:" in t:
+        return "vicuna"
+    if "[INST]" in t:
+        if "<<SYS>>" in t:
+            return "llama2_sys"
+        return "mistral_v3" if "[/INST]" in t else "llama2"
+    if "<|startoftext|>" in t and "<|endoftext|>" in t:
+        return "granite" if "<|start_of_role|>" in t else "orion"
+    if "<|start_of_role|>" in t:
+        return "granite"
+    if "GPT4 Correct" in t:
+        return "openchat"
+    if "<|start|>" in t and "<|channel|>" in t:
+        return "openai_moe"
+    return "unknown"
+
+
+def _sys_merge(messages: list[dict]) -> tuple[str, list[dict]]:
+    """Pull out the (first) system message; return (system, rest)."""
+    system = ""
+    rest = []
+    for m in messages:
+        if m["role"] == "system" and not system:
+            system = m.get("content") or ""
+        else:
+            rest.append(m)
+    return system, rest
+
+
+def apply_builtin_template(
+    dialect: str, messages: list[dict], add_generation_prompt: bool = True
+) -> str:
+    """Render with a hardcoded dialect (llm_chat_apply_template analog)."""
+    out: list[str] = []
+    d = dialect
+
+    if d in ("chatml", "unknown"):
+        for m in messages:
+            out.append(f"<|im_start|>{m['role']}\n{m.get('content') or ''}<|im_end|>\n")
+        if add_generation_prompt:
+            out.append("<|im_start|>assistant\n")
+    elif d == "llama3":
+        for m in messages:
+            out.append(
+                f"<|start_header_id|>{m['role']}<|end_header_id|>\n\n{m.get('content') or ''}<|eot_id|>"
+            )
+        if add_generation_prompt:
+            out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    elif d in ("llama2", "llama2_sys", "mistral_v1", "mistral_v3"):
+        system, rest = _sys_merge(messages)
+        pending_sys = system
+        for m in rest:
+            c = m.get("content") or ""
+            if m["role"] == "user":
+                if pending_sys:
+                    if d == "llama2_sys":
+                        c = f"<<SYS>>\n{pending_sys}\n<</SYS>>\n\n{c}"
+                    else:
+                        c = f"{pending_sys}\n\n{c}"
+                    pending_sys = ""
+                sep = " " if d in ("llama2", "llama2_sys", "mistral_v1") else ""
+                out.append(f"[INST]{' ' if sep else ''}{c}{' ' if sep else ''}[/INST]")
+            elif m["role"] == "assistant":
+                out.append(f" {c}</s>" if d != "mistral_v3" else f" {c}</s>")
+    elif d == "mistral_v7":
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(f"[SYSTEM_PROMPT] {c}[/SYSTEM_PROMPT]")
+            elif m["role"] == "user":
+                out.append(f"[INST] {c}[/INST]")
+            else:
+                out.append(f" {c}</s>")
+    elif d in ("phi3", "phi4"):
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n{m.get('content') or ''}<|end|>\n")
+        if add_generation_prompt:
+            out.append("<|assistant|>\n")
+    elif d == "zephyr":
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n{m.get('content') or ''}<|endoftext|>\n")
+        if add_generation_prompt:
+            out.append("<|assistant|>\n")
+    elif d == "monarch":
+        for i, m in enumerate(messages):
+            bos = "" if i == 0 else "<s>"
+            tag = {"system": "system", "user": "prompt", "assistant": "answer"}[m["role"]]
+            out.append(f"{bos}{tag}\n{m.get('content') or ''}</s>\n")
+        if add_generation_prompt:
+            out.append("<s>answer\n")
+    elif d == "gemma":
+        system, rest = _sys_merge(messages)
+        pending = system
+        for m in rest:
+            role = "model" if m["role"] == "assistant" else "user"
+            c = m.get("content") or ""
+            if pending and role == "user":
+                c = f"{pending}\n\n{c}"
+                pending = ""
+            out.append(f"<start_of_turn>{role}\n{c}<end_of_turn>\n")
+        if add_generation_prompt:
+            out.append("<start_of_turn>model\n")
+    elif d == "orion":
+        system, rest = _sys_merge(messages)
+        for m in rest:
+            if m["role"] == "user":
+                out.append(f"Human: {m.get('content') or ''}\n\nAssistant: </s>")
+            else:
+                out.append(f"{m.get('content') or ''}</s>")
+    elif d == "openchat":
+        for m in messages:
+            role = {"system": "", "user": "GPT4 Correct User: ", "assistant": "GPT4 Correct Assistant: "}[m["role"]]
+            out.append(f"{role}{m.get('content') or ''}<|end_of_turn|>")
+        if add_generation_prompt:
+            out.append("GPT4 Correct Assistant:")
+    elif d in ("vicuna", "vicuna_orca"):
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(f"SYSTEM: {c}\n" if d == "vicuna_orca" else f"{c}\n\n")
+            elif m["role"] == "user":
+                out.append(f"USER: {c}\n")
+            else:
+                out.append(f"ASSISTANT: {c}</s>\n")
+        if add_generation_prompt:
+            out.append("ASSISTANT:")
+    elif d == "deepseek3":
+        system, rest = _sys_merge(messages)
+        if system:
+            out.append(system)
+        for m in rest:
+            c = m.get("content") or ""
+            if m["role"] == "user":
+                out.append(f"<｜User｜>{c}")
+            else:
+                out.append(f"<｜Assistant｜>{c}<｜end▁of▁sentence｜>")
+        if add_generation_prompt:
+            out.append("<｜Assistant｜>")
+    elif d == "command_r":
+        for m in messages:
+            role = {"system": "SYSTEM", "user": "USER", "assistant": "CHATBOT"}[m["role"]]
+            out.append(
+                f"<|START_OF_TURN_TOKEN|><|{role}_TOKEN|>{(m.get('content') or '').strip()}<|END_OF_TURN_TOKEN|>"
+            )
+        if add_generation_prompt:
+            out.append("<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>")
+    elif d == "chatglm4":
+        out.append("[gMASK]<sop>")
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n{m.get('content') or ''}")
+        if add_generation_prompt:
+            out.append("<|assistant|>")
+    elif d == "granite":
+        for m in messages:
+            out.append(
+                f"<|start_of_role|>{m['role']}<|end_of_role|>{m.get('content') or ''}<|end_of_text|>\n"
+            )
+        if add_generation_prompt:
+            out.append("<|start_of_role|>assistant<|end_of_role|>")
+    elif d == "falcon3":
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n{m.get('content') or ''}\n")
+        if add_generation_prompt:
+            out.append("<|assistant|>\n")
+    elif d == "openai_moe":
+        # gpt-oss harmony-style (simplified: no channels in builtin path)
+        for m in messages:
+            out.append(f"<|start|>{m['role']}<|message|>{m.get('content') or ''}<|end|>")
+        if add_generation_prompt:
+            out.append("<|start|>assistant")
+    else:
+        raise ValueError(f"unsupported builtin chat dialect: {dialect}")
+    return "".join(out)
+
+
+BUILTIN_DIALECTS = (
+    "chatml", "llama2", "llama2_sys", "llama3", "mistral_v1", "mistral_v3",
+    "mistral_v7", "phi3", "phi4", "zephyr", "monarch", "gemma", "orion",
+    "openchat", "vicuna", "vicuna_orca", "deepseek3", "command_r",
+    "chatglm4", "granite", "falcon3", "openai_moe",
+)

@@ -381,15 +381,17 @@ def build_app(srv: InferenceServer) -> web.Application:
         )
 
     async def chat_completions(request):
-        from .chat import render_chat_template
+        from ..chat import parse_chat_output, render_chat_template
 
         body = await request.json()
         messages = body.get("messages", [])
+        tools = body.get("tools")
         v = tok.vocab
         bos = v.tokens[v.special.bos] if v.special.bos is not None else ""
         eos = v.tokens[v.special.eos] if v.special.eos is not None else ""
         prompt = render_chat_template(
-            v.chat_template, messages, add_generation_prompt=True, bos_token=bos, eos_token=eos
+            v.chat_template, messages, add_generation_prompt=True,
+            bos_token=bos, eos_token=eos, tools=tools,
         )
         prompt_ids = tok.tokenize(prompt, add_special=True, parse_special=True)
         req_obj = _make_req(prompt_ids, body)
@@ -418,6 +420,22 @@ def build_app(srv: InferenceServer) -> web.Application:
         if stream:
             return result
         text, pieces, reason = result
+        parsed = parse_chat_output(text, fmt="auto" if tools else "none")
+        message: dict = {"role": "assistant", "content": parsed.content or None}
+        if parsed.reasoning_content:
+            message["reasoning_content"] = parsed.reasoning_content
+        if parsed.tool_calls:
+            message["tool_calls"] = [
+                {
+                    "id": c.id,
+                    "type": "function",
+                    "function": {"name": c.name, "arguments": c.arguments},
+                }
+                for c in parsed.tool_calls
+            ]
+            reason = "tool_calls"
+        if not parsed.tool_calls and not parsed.reasoning_content:
+            message["content"] = text
         return web.json_response(
             {
                 "id": rid,
@@ -427,7 +445,7 @@ def build_app(srv: InferenceServer) -> web.Application:
                 "choices": [
                     {
                         "index": 0,
-                        "message": {"role": "assistant", "content": text},
+                        "message": message,
                         "finish_reason": reason,
                     }
                 ],
