@@ -60,8 +60,25 @@ class ModelConfig:
     final_logit_softcap: float = 0.0
     embedding_scale: float = 1.0  # gemma multiplies embeddings by sqrt(n_embd)
     attn_scale: float = 0.0  # 0 → 1/sqrt(head_dim)
-    act_fn: str = "silu"  # "silu" | "gelu"
+    act_fn: str = "silu"  # "silu" | "gelu" | "gelu_tanh" | "relu" | "relu2"
+    # architecture-shape switches (cover gpt2/phi/neox/starcoder families)
+    norm_type: str = "rms"  # "rms" | "layer" (LayerNorm, with optional bias)
+    pos_emb: str = "rope"  # "rope" | "learned" | "none"
+    parallel_residual: bool = False  # phi2/gpt-neox/gpt-j: attn+ffn share input
+    ffn_gated: bool = True  # False = classic 2-matrix MLP (gpt2/phi/bert)
     # NOTE: must stay hashable — it is a static jit argument
+
+    @property
+    def swa_layers(self) -> tuple[bool, ...]:
+        """Per-layer sliding-window flags (iSWA pattern): True = windowed.
+        Mirrors llama_hparams::is_swa(il) — with pattern n, every n-th
+        layer (the last of each group) is full attention."""
+        if self.sliding_window <= 0:
+            return tuple(False for _ in range(self.n_layers))
+        n = max(self.swa_pattern, 1)
+        if n == 1:
+            return tuple(True for _ in range(self.n_layers))
+        return tuple((il + 1) % n != 0 for il in range(self.n_layers))
 
     @property
     def n_q_per_kv(self) -> int:
@@ -136,4 +153,53 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             cfg = cfg.with_(attn_logit_softcap=50.0, final_logit_softcap=30.0)
     elif arch == "mixtral" or (arch == "llama" and cfg.n_experts > 0):
         pass  # MoE handled by tensor presence
+    elif arch in ("gpt2", "starcoder"):
+        # learned positions, LayerNorm(+bias), ungated gelu MLP, fused qkv
+        # (reference: llm_build_gpt2 / llm_build_starcoder)
+        cfg = cfg.with_(
+            norm_type="layer",
+            pos_emb="learned",
+            ffn_gated=False,
+            act_fn="gelu",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "phi2":
+        # parallel attn+FFN residual, LayerNorm, partial NEOX rotary
+        # (reference: llm_build_phi2)
+        cfg = cfg.with_(
+            norm_type="layer",
+            parallel_residual=True,
+            ffn_gated=False,
+            act_fn="gelu",
+            rope_interleaved=False,
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "phi3":
+        # fused qkv + fused gate||up handled by effective_tensors
+        # (reference: llm_build_phi3)
+        cfg = cfg.with_(rope_interleaved=False)
+    elif arch == "gptneox":
+        cfg = cfg.with_(
+            norm_type="layer",
+            ffn_gated=False,
+            act_fn="gelu",
+            rope_interleaved=False,
+            parallel_residual=bool(g("{arch}.use_parallel_residual", True)),
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "stablelm":
+        cfg = cfg.with_(
+            norm_type="layer",
+            rope_interleaved=False,
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "falcon":
+        cfg = cfg.with_(
+            norm_type="layer",
+            parallel_residual=True,
+            ffn_gated=False,
+            act_fn="gelu",
+            rope_interleaved=False,
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
     return cfg

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import mha_with_cache
-from ..ops.norms import rms_norm
+from ..ops.norms import layer_norm, rms_norm
 from ..ops.quant_matmul import linear
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
@@ -54,14 +54,40 @@ class KVCache:
 jax.tree_util.register_dataclass(KVCache, ["k", "v", "n_past"], [])
 
 
-def _mlp(x, gate_w, up_w, down_w, act_fn: str):
-    gate = linear(x, gate_w)
-    up = linear(x, up_w)
-    if act_fn == "gelu":
-        act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype)
+def _act(x, act_fn: str):
+    xf = x.astype(jnp.float32)
+    if act_fn in ("gelu", "gelu_tanh"):
+        out = jax.nn.gelu(xf, approximate=True)
+    elif act_fn == "gelu_erf":
+        out = jax.nn.gelu(xf, approximate=False)
+    elif act_fn == "relu":
+        out = jax.nn.relu(xf)
+    elif act_fn == "relu2":
+        out = jnp.square(jax.nn.relu(xf))
     else:
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
-    return linear(act * up, down_w)
+        out = jax.nn.silu(xf)
+    return out.astype(x.dtype)
+
+
+def _mlp(x, gate_w, up_w, down_w, act_fn: str):
+    return linear(_act(linear(x, gate_w), act_fn) * linear(x, up_w), down_w)
+
+
+def _mlp_plain(x, up_w, up_b, down_w, down_b, act_fn: str):
+    """Ungated 2-matrix MLP (gpt2/phi/bert lineage)."""
+    h = linear(x, up_w)
+    if up_b is not None:
+        h = h + up_b
+    h = linear(_act(h, act_fn), down_w)
+    if down_b is not None:
+        h = h + down_b
+    return h
+
+
+def _norm(x, w, b, cfg: ModelConfig):
+    if cfg.norm_type == "layer":
+        return layer_norm(x, w, b, cfg.rms_eps)
+    return rms_norm(x, w, cfg.rms_eps)
 
 
 def forward(
@@ -80,14 +106,21 @@ def forward(
     x = params["tok_emb"][tokens]  # (B, T, D)
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+    if cfg.pos_emb == "learned":
+        x = x + params["pos_emb"][positions].astype(x.dtype)
 
     scale = cfg.attn_scale or cfg.head_dim**-0.5
+    # per-layer sliding window (iSWA: gemma2/3, llama4, gpt-oss) rides the
+    # scan as a traced scalar — one compiled program for both layer kinds
+    windows = jnp.asarray(
+        [cfg.sliding_window if swa else 0 for swa in cfg.swa_layers], jnp.int32
+    )
 
     def layer_step(carry, layer):
         x, = carry
-        p, k_cache_l, v_cache_l = layer
+        p, k_cache_l, v_cache_l, window_l = layer
 
-        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
         q = linear(h, p["wq"])
         k = linear(h, p["wk"])
         v = linear(h, p["wv"])
@@ -101,20 +134,30 @@ def forward(
         if cfg.qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
-        k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+        if cfg.pos_emb == "rope":
+            q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
+            k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
 
         attn, k_cache_l, v_cache_l = mha_with_cache(
             q, k, v, k_cache_l, v_cache_l, kv.n_past, scale,
-            sliding_window=cfg.sliding_window,
+            sliding_window=window_l,
             logit_softcap=cfg.attn_logit_softcap,
         )
         attn = linear(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p["wo"])
+        if "bo" in p:
+            attn = attn + p["bo"]
         if cfg.post_attn_norm and "post_attn_norm" in p:
             attn = rms_norm(attn, p["post_attn_norm"], cfg.rms_eps)
-        x = x + attn
 
-        h = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
+        ffn_in = x if cfg.parallel_residual else None
+        if not cfg.parallel_residual:
+            x = x + attn
+            h = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+        else:
+            # phi2/gpt-j: attention and FFN both read the attn_norm output
+            h = _norm(ffn_in, p["attn_norm"], p.get("attn_norm_b"), cfg) \
+                if "ffn_norm" not in p else _norm(ffn_in, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+
         if "moe_gate_inp" in p:
             from ..ops.moe import moe_ffn
 
@@ -123,18 +166,23 @@ def forward(
             )
             if "w_gate" in p:  # shared expert alongside routed experts
                 mlp = mlp + _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
-        else:
+        elif cfg.ffn_gated:
             mlp = _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
+        else:
+            mlp = _mlp_plain(h, p["w_up"], p.get("b_up"), p["w_down"], p.get("b_down"), cfg.act_fn)
         if cfg.post_ffn_norm and "post_ffn_norm" in p:
             mlp = rms_norm(mlp, p["post_ffn_norm"], cfg.rms_eps)
-        x = x + mlp
+        if cfg.parallel_residual:
+            x = x + attn + mlp
+        else:
+            x = x + mlp
         return (x,), (k_cache_l, v_cache_l)
 
     (x,), (k_new, v_new) = jax.lax.scan(
-        layer_step, (x,), (params["layers"], kv.k, kv.v)
+        layer_step, (x,), (params["layers"], kv.k, kv.v, windows)
     )
 
-    x = rms_norm(x, params["out_norm"], cfg.rms_eps)
+    x = _norm(x, params["out_norm"], params.get("out_norm_b"), cfg)
 
     if n_tokens is None:
         advance = jnp.full((B,), T, jnp.int32)
@@ -145,6 +193,8 @@ def forward(
     if return_hidden:
         return x.astype(jnp.float32), new_kv
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits, new_kv

@@ -41,7 +41,7 @@ def mha_with_cache(
     v_cache: jnp.ndarray,
     n_past: jnp.ndarray,
     scale: float,
-    sliding_window: int = 0,
+    sliding_window=0,  # int or traced int32 scalar; <= 0 disables
     logit_softcap: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache')."""
@@ -77,8 +77,8 @@ def mha_with_cache(
     q_pos = n_past[:, None] + jnp.arange(T)[None, :]  # (B, T)
     s_pos = jnp.arange(S)[None, :]  # (1, S)
     mask = s_pos[:, None, :] <= q_pos[:, :, None]  # (B, T, S)
-    if sliding_window > 0:
-        mask &= s_pos[:, None, :] > q_pos[:, :, None] - sliding_window
+    window = jnp.asarray(sliding_window, jnp.int32)
+    mask &= jnp.logical_or(window <= 0, s_pos[:, None, :] > q_pos[:, :, None] - window)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)

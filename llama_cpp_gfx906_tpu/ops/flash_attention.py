@@ -31,6 +31,7 @@ def _flash_kernel(
     k_ref,  # (1, 1, BK, D)
     v_ref,  # (1, 1, BK, D)
     npast_ref,  # (1, 1) int32 in SMEM
+    window_ref,  # (1, 1) int32 in SMEM; <= 0 disables the sliding window
     o_ref,  # (1, 1, BQ, D)
     acc_ref,  # (BQ, D) f32 scratch
     m_ref,  # (BQ, 128) f32 scratch (running max, col-broadcast)
@@ -40,7 +41,6 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     n_k: int,
-    sliding_window: int,
     logit_softcap: float,
 ):
     from jax.experimental import pallas as pl
@@ -55,14 +55,16 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     n_past = npast_ref[0, 0]
+    window = window_ref[0, 0]  # traced: one compiled kernel serves iSWA models
     q_pos = n_past + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
     # skip blocks entirely above the causal diagonal (and, with a sliding
     # window, blocks entirely left of every query's window)
     block_needed = ki * block_k <= n_past + (qi + 1) * block_q - 1
-    if sliding_window > 0:
-        block_needed &= (ki + 1) * block_k - 1 > n_past + qi * block_q - sliding_window
+    block_needed &= jnp.logical_or(
+        window <= 0, (ki + 1) * block_k - 1 > n_past + qi * block_q - window
+    )
 
     @pl.when(block_needed)
     def _():
@@ -75,8 +77,7 @@ def _flash_kernel(
         if logit_softcap > 0.0:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
         mask = k_pos <= q_pos
-        if sliding_window > 0:
-            mask &= k_pos > q_pos - sliding_window
+        mask &= jnp.logical_or(window <= 0, k_pos > q_pos - window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]  # (BQ, 1)
@@ -99,7 +100,7 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "sliding_window", "logit_softcap", "block_q", "block_k", "interpret"),
+    static_argnames=("scale", "logit_softcap", "block_q", "block_k", "interpret"),
 )
 def flash_attention(
     q: jnp.ndarray,  # (B, T, Hq, D)
@@ -107,7 +108,7 @@ def flash_attention(
     v_cache: jnp.ndarray,
     n_past: jnp.ndarray,  # (B,) int32
     scale: float,
-    sliding_window: int = 0,
+    sliding_window=0,  # int or traced int32 scalar; <= 0 disables
     logit_softcap: float = 0.0,
     block_q: int = 128,
     block_k: int = 128,
@@ -138,6 +139,7 @@ def flash_attention(
         vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
 
     npast2 = n_past.reshape(B, 1).astype(jnp.int32)
+    window2 = jnp.reshape(jnp.asarray(sliding_window, jnp.int32), (1, 1))
 
     out = pl.pallas_call(
         functools.partial(
@@ -146,7 +148,6 @@ def flash_attention(
             block_q=block_q,
             block_k=block_k,
             n_k=n_k,
-            sliding_window=sliding_window,
             logit_softcap=logit_softcap,
         ),
         grid=(B, Hq, n_q, n_k),
@@ -165,6 +166,7 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
@@ -184,5 +186,5 @@ def flash_attention(
             transcendentals=B * Hq * Tp * Sp,
         ),
         interpret=interpret,
-    )(qh, kh, vh, npast2)
+    )(qh, kh, vh, npast2, window2)
     return out[:, :, :T].transpose(0, 2, 1, 3)

@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..gguf.constants import GGMLType
-from ..gguf.reader import GGUFModelReader, GGUFReader
+from ..gguf.constants import GGML_BLOCK_SIZES, GGMLType
+from ..gguf.reader import GGUFModelReader, GGUFReader, TensorInfo
 from ..models.config import ModelConfig
 from ..ops.quant_matmul import (
     QuantTensor,
@@ -39,6 +39,7 @@ def _layer_names(i: int) -> dict[str, str]:
     b = f"blk.{i}."
     return {
         "attn_norm": b + "attn_norm.weight",
+        "attn_norm_b": b + "attn_norm.bias",
         "wq": b + "attn_q.weight",
         "wk": b + "attn_k.weight",
         "wv": b + "attn_v.weight",
@@ -46,20 +47,84 @@ def _layer_names(i: int) -> dict[str, str]:
         "bq": b + "attn_q.bias",
         "bk": b + "attn_k.bias",
         "bv": b + "attn_v.bias",
+        "bo": b + "attn_output.bias",
         "q_norm": b + "attn_q_norm.weight",
         "k_norm": b + "attn_k_norm.weight",
         "post_attn_norm": b + "post_attention_norm.weight",
         "post_ffn_norm": b + "post_ffw_norm.weight",
         "ffn_norm": b + "ffn_norm.weight",
+        "ffn_norm_b": b + "ffn_norm.bias",
         "w_gate": b + "ffn_gate.weight",
         "w_up": b + "ffn_up.weight",
         "w_down": b + "ffn_down.weight",
+        "b_up": b + "ffn_up.bias",
+        "b_down": b + "ffn_down.bias",
         # MoE (stacked-expert tensors; reference arch tables LLM_TENSOR_FFN_*_EXPS)
         "moe_gate_inp": b + "ffn_gate_inp.weight",
         "moe_gate": b + "ffn_gate_exps.weight",
         "moe_up": b + "ffn_up_exps.weight",
         "moe_down": b + "ffn_down_exps.weight",
     }
+
+
+def _row_slice(t: TensorInfo, r0: int, r1: int, name: str) -> TensorInfo:
+    """View rows [r0, r1) of a 2-D GGUF tensor without dequantizing.
+
+    Quant blocks never straddle rows (each row is a whole number of
+    blocks), so fused tensors (attn_qkv, phi3's gate||up ffn_up) split
+    into bit-exact quantized sub-tensors."""
+    blck, bsize = GGML_BLOCK_SIZES[t.ggml_type]
+    K = t.shape[-1]
+    rows = int(np.prod(t.shape[:-1]))
+    bpr = K // blck * bsize
+    data = np.asarray(t.data).reshape(rows, bpr)[r0:r1].reshape(-1)
+    return TensorInfo(
+        name=name, shape=(r1 - r0, K), ne=(K, r1 - r0),
+        ggml_type=t.ggml_type, offset=-1, data=data,
+    )
+
+
+def _const_f32(name: str, arr: np.ndarray) -> TensorInfo:
+    raw = np.ascontiguousarray(arr.astype("<f4")).view(np.uint8)
+    return TensorInfo(
+        name=name, shape=tuple(arr.shape), ne=tuple(arr.shape[::-1]),
+        ggml_type=GGMLType.F32, offset=-1, data=raw,
+    )
+
+
+def effective_tensors(reader, cfg: ModelConfig) -> dict:
+    """Tensor index with fused tensors split into canonical names.
+
+    Covers: gpt2/phi2/starcoder/neox ``attn_qkv.{weight,bias}`` →
+    attn_{q,k,v}; phi3's fused gate||up ``ffn_up`` → ffn_gate + ffn_up
+    (split order per ggml_swiglu: first half gates — llama-graph.cpp:728)."""
+    src = dict(reader.tensors)
+    Dq = cfg.n_heads * cfg.head_dim
+    Dkv = cfg.n_kv_heads * cfg.head_dim
+    for i in range(cfg.n_layers):
+        b = f"blk.{i}."
+        qkv = src.get(b + "attn_qkv.weight")
+        if qkv is not None and b + "attn_q.weight" not in src:
+            src[b + "attn_q.weight"] = _row_slice(qkv, 0, Dq, b + "attn_q.weight")
+            src[b + "attn_k.weight"] = _row_slice(qkv, Dq, Dq + Dkv, b + "attn_k.weight")
+            src[b + "attn_v.weight"] = _row_slice(qkv, Dq + Dkv, Dq + 2 * Dkv, b + "attn_v.weight")
+        qkvb = src.get(b + "attn_qkv.bias")
+        if qkvb is not None and b + "attn_q.bias" not in src:
+            arr = qkvb.to_f32().reshape(-1)
+            src[b + "attn_q.bias"] = _const_f32(b + "attn_q.bias", arr[:Dq])
+            src[b + "attn_k.bias"] = _const_f32(b + "attn_k.bias", arr[Dq : Dq + Dkv])
+            src[b + "attn_v.bias"] = _const_f32(b + "attn_v.bias", arr[Dq + Dkv : Dq + 2 * Dkv])
+        up = src.get(b + "ffn_up.weight")
+        if (
+            up is not None
+            and cfg.ffn_gated
+            and b + "ffn_gate.weight" not in src
+            and b + "ffn_gate_inp.weight" not in src
+            and up.shape[0] == 2 * cfg.n_ff
+        ):
+            src[b + "ffn_gate.weight"] = _row_slice(up, 0, cfg.n_ff, b + "ffn_gate.weight")
+            src[b + "ffn_up.weight"] = _row_slice(up, cfg.n_ff, 2 * cfg.n_ff, b + "ffn_up.weight")
+    return src
 
 # weights consumed as x @ W — GGUF stores (out, in) row-major, so transpose
 _TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
@@ -86,9 +151,10 @@ def load_llama_params(
     placement/sharding; default is plain ``jnp.asarray``.
     """
     put = device_put_fn or (lambda arr, name: jnp.asarray(arr))
+    tensors = effective_tensors(reader, cfg)
 
     def fetch(name: str, transpose: bool, key: str = "") -> np.ndarray:
-        t = reader.tensors[name]
+        t = tensors[name]
         arr = t.to_f32()
         if key:
             arr = _orient(key, arr)
@@ -100,7 +166,14 @@ def load_llama_params(
     emb = fetch(EMBD, False)
     params["tok_emb"] = put(emb.astype(_np_dtype(dtype)), "tok_emb")
     params["out_norm"] = put(fetch(OUT_NORM, False), "out_norm")
-    if OUTPUT in reader.tensors:
+    for pkey, pname in (
+        ("out_norm_b", "output_norm.bias"),
+        ("pos_emb", "position_embd.weight"),
+        ("lm_head_b", "output.bias"),
+    ):
+        if pname in tensors:
+            params[pkey] = put(fetch(pname, False), pkey)
+    if OUTPUT in tensors:
         params["lm_head"] = put(fetch(OUTPUT, True).astype(_np_dtype(dtype)), "lm_head")
     else:  # tied embeddings
         params["lm_head"] = put(emb.T.astype(_np_dtype(dtype)).copy(), "lm_head")
@@ -108,7 +181,7 @@ def load_llama_params(
     stacked: dict[str, list[np.ndarray]] = {}
     for i in range(cfg.n_layers):
         for key, gguf_name in _layer_names(i).items():
-            if gguf_name not in reader.tensors:
+            if gguf_name not in tensors:
                 continue
             arr = fetch(gguf_name, key in _TRANSPOSED, key=key)
             if "norm" not in key:
@@ -178,14 +251,22 @@ def load_llama_params_quantized(
     """
     put_named = device_put_fn or (lambda arr, name: jnp.asarray(arr))
     qmm_ok = set(supported_qmm_types())
+    tensors = effective_tensors(reader, cfg)
 
     params: dict = {}
-    emb = reader.tensors[EMBD].to_f32().astype(_np_dtype(dtype))
+    emb = tensors[EMBD].to_f32().astype(_np_dtype(dtype))
     params["tok_emb"] = put_named(emb, "tok_emb")
-    params["out_norm"] = put_named(reader.tensors[OUT_NORM].to_f32(), "out_norm")
+    params["out_norm"] = put_named(tensors[OUT_NORM].to_f32(), "out_norm")
+    for pkey, pname in (
+        ("out_norm_b", "output_norm.bias"),
+        ("pos_emb", "position_embd.weight"),
+        ("lm_head_b", "output.bias"),
+    ):
+        if pname in tensors:
+            params[pkey] = put_named(tensors[pname].to_f32(), pkey)
 
-    if OUTPUT in reader.tensors:
-        t = reader.tensors[OUTPUT]
+    if OUTPUT in tensors:
+        t = tensors[OUTPUT]
         if t.ggml_type in qmm_ok and t.shape[-1] % 32 == 0:
             qt = pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
             params["lm_head"] = _put_qt(qt, "lm_head", put_named)
@@ -201,13 +282,13 @@ def load_llama_params_quantized(
         names = [
             _layer_names(i)[key]
             for i in range(cfg.n_layers)
-            if _layer_names(i)[key] in reader.tensors
+            if _layer_names(i)[key] in tensors
         ]
         if not names:
             continue
         if len(names) != cfg.n_layers:
             raise ValueError(f"{key}: found {len(names)}/{cfg.n_layers} tensors")
-        infos = [reader.tensors[n] for n in names]
+        infos = [tensors[n] for n in names]
         types = {t.ggml_type for t in infos}
         if key in _QUANTIZABLE and types <= qmm_ok and infos[0].shape[-1] % 32 == 0:
             if len(types) == 1:

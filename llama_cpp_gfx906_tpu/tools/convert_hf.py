@@ -137,3 +137,130 @@ def convert_hf_llama(
     if "lm_head.weight" in state:
         w.add_tensor("output.weight", state["lm_head.weight"], qt("output.weight", state["lm_head.weight"]))
     return w.write()
+
+
+def _common_header(w: GGUFWriter, hf_cfg, n_head, n_kv, head_dim, eps_key, eps):
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf_cfg.max_position_embeddings)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf_cfg.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf_cfg.num_hidden_layers)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_kv)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(eps_key, eps)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf_cfg.vocab_size)
+
+
+def _write_vocab(w: GGUFWriter, tv: dict | None):
+    if not tv:
+        return
+    w.add_string(Keys.Tokenizer.MODEL, tv.get("model", "llama"))
+    w.add_array(Keys.Tokenizer.LIST, tv["tokens"])
+    if "scores" in tv:
+        w.add_array(Keys.Tokenizer.SCORES, np.asarray(tv["scores"], np.float32))
+    if "token_types" in tv:
+        w.add_array(Keys.Tokenizer.TOKEN_TYPE, np.asarray(tv["token_types"], np.int32))
+    for key, kv_key in [("bos", Keys.Tokenizer.BOS_ID), ("eos", Keys.Tokenizer.EOS_ID)]:
+        if tv.get(key) is not None:
+            w.add_uint32(kv_key, tv[key])
+
+
+def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers GPT2LMHeadModel → GGUF (arch "gpt2").
+
+    Conv1D weights are stored (in, out) in HF — transposed here to the GGUF
+    (out, in) convention; qkv stays fused as attn_qkv (reference:
+    llm_build_gpt2 splits it at graph-build time)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    head_dim = hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "gpt2")
+    w.add_string(Keys.General.NAME, "gpt2-convert")
+    _common_header(w, hf, n_head, n_head, head_dim, Keys.Attention.LAYERNORM_EPS, hf.layer_norm_epsilon)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, 4 * hf.hidden_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, force_f32=False):
+        t = GGMLType.F32 if (force_f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F16
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["transformer.wte.weight"])
+    add("position_embd.weight", state["transformer.wpe.weight"], force_f32=True)
+    for i in range(hf.num_hidden_layers):
+        p = f"transformer.h.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "ln_1.weight"])
+        add(b + "attn_norm.bias", state[p + "ln_1.bias"])
+        add(b + "attn_qkv.weight", state[p + "attn.c_attn.weight"].T.copy())
+        add(b + "attn_qkv.bias", state[p + "attn.c_attn.bias"])
+        add(b + "attn_output.weight", state[p + "attn.c_proj.weight"].T.copy())
+        add(b + "attn_output.bias", state[p + "attn.c_proj.bias"])
+        add(b + "ffn_norm.weight", state[p + "ln_2.weight"])
+        add(b + "ffn_norm.bias", state[p + "ln_2.bias"])
+        add(b + "ffn_up.weight", state[p + "mlp.c_fc.weight"].T.copy())
+        add(b + "ffn_up.bias", state[p + "mlp.c_fc.bias"])
+        add(b + "ffn_down.weight", state[p + "mlp.c_proj.weight"].T.copy())
+        add(b + "ffn_down.bias", state[p + "mlp.c_proj.bias"])
+    add("output_norm.weight", state["transformer.ln_f.weight"])
+    add("output_norm.bias", state["transformer.ln_f.bias"])
+    return w.write()
+
+
+def convert_hf_phi(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers PhiForCausalLM (phi-2 lineage) → GGUF (arch "phi2").
+
+    Partial NEOX rotary: rope dim = partial_rotary_factor × head_dim; no
+    q/k permutation (NEOX layout matches HF)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = getattr(hf, "num_key_value_heads", None) or n_head
+    head_dim = hf.hidden_size // n_head
+    rope_dim = int(getattr(hf, "partial_rotary_factor", 1.0) * head_dim)
+
+    w = GGUFWriter(out_path, "phi2")
+    w.add_string(Keys.General.NAME, "phi-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_EPS, hf.layer_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, rope_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F16
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    pairs = [
+        ("input_layernorm.weight", "attn_norm.weight"),
+        ("input_layernorm.bias", "attn_norm.bias"),
+        ("self_attn.q_proj.weight", "attn_q.weight"),
+        ("self_attn.q_proj.bias", "attn_q.bias"),
+        ("self_attn.k_proj.weight", "attn_k.weight"),
+        ("self_attn.k_proj.bias", "attn_k.bias"),
+        ("self_attn.v_proj.weight", "attn_v.weight"),
+        ("self_attn.v_proj.bias", "attn_v.bias"),
+        ("self_attn.dense.weight", "attn_output.weight"),
+        ("self_attn.dense.bias", "attn_output.bias"),
+        ("mlp.fc1.weight", "ffn_up.weight"),
+        ("mlp.fc1.bias", "ffn_up.bias"),
+        ("mlp.fc2.weight", "ffn_down.weight"),
+        ("mlp.fc2.bias", "ffn_down.bias"),
+    ]
+    for i in range(hf.num_hidden_layers):
+        for hf_suffix, gg_suffix in pairs:
+            hf_name = f"model.layers.{i}.{hf_suffix}"
+            if hf_name in state:
+                add(f"blk.{i}.{gg_suffix}", state[hf_name])
+    add("output_norm.weight", state["model.final_layernorm.weight"])
+    add("output_norm.bias", state["model.final_layernorm.bias"])
+    add("output.weight", state["lm_head.weight"])
+    if "lm_head.bias" in state:
+        add("output.bias", state["lm_head.bias"])
+    return w.write()
