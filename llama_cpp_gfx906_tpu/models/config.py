@@ -66,6 +66,11 @@ class ModelConfig:
     pos_emb: str = "rope"  # "rope" | "learned" | "none"
     parallel_residual: bool = False  # phi2/gpt-neox/gpt-j: attn+ffn share input
     ffn_gated: bool = True  # False = classic 2-matrix MLP (gpt2/phi/bert)
+    # SSM (mamba family) hyperparameters ({arch}.ssm.* GGUF keys)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -97,9 +102,9 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         return default if v is None else v
 
     n_embd = int(g(Keys.LLM.EMBEDDING_LENGTH))
-    n_heads = int(g(Keys.Attention.HEAD_COUNT))
+    n_heads = int(g(Keys.Attention.HEAD_COUNT, 0))  # 0 for recurrent archs
     n_kv = int(g(Keys.Attention.HEAD_COUNT_KV, n_heads))
-    head_dim = int(g(Keys.Attention.KEY_LENGTH, n_embd // n_heads))
+    head_dim = int(g(Keys.Attention.KEY_LENGTH, n_embd // max(n_heads, 1)))
     n_vocab = g(Keys.LLM.VOCAB_SIZE)
     if n_vocab is None:
         n_vocab = len(get(Keys.Tokenizer.LIST) or [])
@@ -113,7 +118,7 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         n_heads=n_heads,
         n_kv_heads=n_kv,
         head_dim=head_dim,
-        n_ff=int(g(Keys.LLM.FEED_FORWARD_LENGTH)),
+        n_ff=int(g(Keys.LLM.FEED_FORWARD_LENGTH, 0)),
         n_vocab=int(n_vocab),
         n_ctx_train=int(g(Keys.LLM.CONTEXT_LENGTH, 2048)),
         rms_eps=float(g(Keys.Attention.LAYERNORM_RMS_EPS, 1e-5)),
@@ -201,5 +206,13 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             act_fn="gelu",
             rope_interleaved=False,
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "mamba":
+        cfg = cfg.with_(
+            pos_emb="none",
+            ssm_d_conv=int(g(Keys.SSM.CONV_KERNEL, 4)),
+            ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
+            ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 16)),
+            ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)),
         )
     return cfg

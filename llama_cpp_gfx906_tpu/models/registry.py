@@ -1,0 +1,73 @@
+"""Model-family registry: arch string → (forward, cache factory, loader).
+
+The TPU analog of the reference's graph dispatch (`llama_model::build_graph`
+switch at src/llama-model.cpp:18147 + `create_memory` at :18038): attention
+archs share one generalized forward (models/llama.py) with a KV-cache
+memory; recurrent archs (mamba) use the recurrent-state memory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from .config import ModelConfig
+
+# archs whose graphs the generalized attention forward covers
+ATTENTION_ARCHS = {
+    "llama", "llama2", "llama3", "mistral", "mixtral", "tinyllama",
+    "qwen2", "qwen2moe", "qwen3", "qwen3moe",
+    "gemma", "gemma2", "gemma3",
+    "gpt2", "starcoder", "phi2", "phi3", "gptneox", "stablelm", "falcon",
+    "deepseek", "olmo", "smollm", "internlm2", "granite",
+}
+
+RECURRENT_ARCHS = {"mamba"}
+
+
+@dataclass(frozen=True)
+class ModelFamily:
+    name: str
+    forward: Callable
+    make_cache: Callable  # (cfg, batch, max_seq, dtype) -> cache pytree
+    load_params: Callable  # (reader, cfg, dtype, device_put_fn, keep_quantized)
+
+
+def _llama_family() -> ModelFamily:
+    from ..runtime.weights import load_llama_params, load_llama_params_quantized
+    from .llama import KVCache, forward
+
+    def load(reader, cfg, dtype, device_put_fn=None, keep_quantized=True):
+        if keep_quantized:
+            return load_llama_params_quantized(reader, cfg, dtype, device_put_fn)
+        return load_llama_params(reader, cfg, dtype, device_put_fn)
+
+    return ModelFamily(
+        name="llama",
+        forward=forward,
+        make_cache=lambda cfg, batch, max_seq, dtype: KVCache.create(cfg, batch, max_seq, dtype),
+        load_params=load,
+    )
+
+
+def _mamba_family() -> ModelFamily:
+    from .mamba import MambaState, forward, load_params
+
+    def load(reader, cfg, dtype, device_put_fn=None, keep_quantized=True):
+        return load_params(reader, cfg, dtype, device_put_fn)
+
+    return ModelFamily(
+        name="mamba",
+        forward=forward,
+        make_cache=lambda cfg, batch, max_seq, dtype: MambaState.create(cfg, batch, max_seq, dtype),
+        load_params=load,
+    )
+
+
+def get_family(cfg: ModelConfig) -> ModelFamily:
+    if cfg.arch in RECURRENT_ARCHS:
+        return _mamba_family()
+    # default: any arch with attention tensors runs on the generalized
+    # attention forward — unknown archs get a best-effort llama treatment,
+    # matching the reference's behavior of failing at tensor-load time
+    return _llama_family()

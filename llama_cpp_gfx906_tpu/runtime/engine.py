@@ -68,10 +68,15 @@ class Engine:
     perf: PerfCounters = field(default_factory=PerfCounters)
 
     def __post_init__(self):
+        from ..models.registry import get_family
+
+        self.family = get_family(self.cfg)
         self._forward = jax.jit(
-            forward, static_argnames=("cfg", "return_hidden"), donate_argnames=("kv",)
+            self.family.forward,
+            static_argnames=("cfg", "return_hidden"),
+            donate_argnames=("kv",),
         )
-        self.kv = KVCache.create(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
+        self.kv = self.family.make_cache(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
 
     # -- construction -------------------------------------------------------
 
@@ -89,12 +94,11 @@ class Engine:
         reader = GGUFModelReader(path)
         cfg = config_from_gguf(reader)
         tok = tokenizer_from_gguf(reader.readers[0])
-        if keep_quantized:
-            from .weights import load_llama_params_quantized
+        from ..models.registry import get_family
 
-            params = load_llama_params_quantized(reader, cfg, dtype, device_put_fn)
-        else:
-            params = load_llama_params(reader, cfg, dtype, device_put_fn)
+        params = get_family(cfg).load_params(
+            reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
+        )
         eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq, batch_size=batch_size, kv_dtype=dtype)
         eng.perf.t_load_s = time.perf_counter() - t0
         return eng
@@ -102,7 +106,7 @@ class Engine:
     # -- low-level steps ----------------------------------------------------
 
     def reset(self):
-        self.kv = KVCache.create(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
+        self.kv = self.family.make_cache(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
 
     def prefill(self, token_ids: list[int]) -> np.ndarray:
         """Run the prompt through; returns last-token logits (V,)."""
@@ -156,7 +160,7 @@ class Engine:
         padded = bucket_len(n)
         toks = np.zeros((self.batch_size, padded), np.int32)
         toks[0, :n] = ids
-        kv = KVCache.create(self.cfg, self.batch_size, padded, self.kv_dtype)
+        kv = self.family.make_cache(self.cfg, self.batch_size, padded, self.kv_dtype)
         hidden, _ = self._forward(
             self.params, self.cfg, jnp.asarray(toks), kv,
             jnp.full((self.batch_size,), n, jnp.int32), return_hidden=True,

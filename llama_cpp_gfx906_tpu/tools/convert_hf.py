@@ -210,6 +210,58 @@ def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F
     return w.write()
 
 
+def convert_hf_mamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers MambaForCausalLM → GGUF (arch "mamba").
+
+    Mirrors the reference converter's transforms (convert_hf_to_gguf.py
+    MambaModel): A_log → -exp(A_log), conv1d weight squeezed to (d_inner, K)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    w = GGUFWriter(out_path, "mamba")
+    w.add_string(Keys.General.NAME, "mamba-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 2**20)  # recurrent: unbounded
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, 0)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, 0)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf.layer_norm_epsilon)
+    w.add_uint32(Keys.SSM.CONV_KERNEL, hf.conv_kernel)
+    w.add_uint32(Keys.SSM.INNER_SIZE, hf.intermediate_size)
+    w.add_uint32(Keys.SSM.STATE_SIZE, hf.state_size)
+    w.add_uint32(Keys.SSM.TIME_STEP_RANK, hf.time_step_rank)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        t = GGMLType.F32 if (f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["backbone.embeddings.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"backbone.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "norm.weight"])
+        add(b + "ssm_in.weight", state[p + "mixer.in_proj.weight"])
+        add(b + "ssm_conv1d.weight", state[p + "mixer.conv1d.weight"].squeeze(1), f32=True)
+        if p + "mixer.conv1d.bias" in state:
+            add(b + "ssm_conv1d.bias", state[p + "mixer.conv1d.bias"])
+        add(b + "ssm_x.weight", state[p + "mixer.x_proj.weight"])
+        add(b + "ssm_dt.weight", state[p + "mixer.dt_proj.weight"])
+        add(b + "ssm_dt.bias", state[p + "mixer.dt_proj.bias"])
+        add(b + "ssm_a", -np.exp(state[p + "mixer.A_log"]), f32=True)
+        add(b + "ssm_d", state[p + "mixer.D"], f32=True)
+        add(b + "ssm_out.weight", state[p + "mixer.out_proj.weight"])
+    add("output_norm.weight", state["backbone.norm_f.weight"])
+    if "lm_head.weight" in state and not np.array_equal(
+        state["lm_head.weight"], state["backbone.embeddings.weight"]
+    ):
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_phi(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers PhiForCausalLM (phi-2 lineage) → GGUF (arch "phi2").
 
