@@ -87,3 +87,20 @@ def apply_rope(
     if rest.shape[-1]:
         return jnp.concatenate([out.astype(orig_dtype), rest], axis=-1)
     return out.astype(orig_dtype)
+
+
+def rope_shift_rows(
+    k_cache: jnp.ndarray,  # (L, B, S, H, Dh) cached (already-roped) keys
+    deltas: jnp.ndarray,  # (B, S) int32 position deltas (0 = untouched)
+    inv_freq: jnp.ndarray,
+    interleaved: bool = True,
+) -> jnp.ndarray:
+    """Re-rotate cached K rows by per-row position deltas.
+
+    Rotation by (p + d) equals rotation by p then by d, so a cached key at
+    old position p moves to position p+d by one extra rope application —
+    the analog of the reference's ``build_rope_shift`` GPU graph
+    (llama-kv-cache-unified.cpp:1416) used for context shift."""
+    import jax
+
+    return jax.vmap(lambda k: apply_rope(k, deltas, inv_freq, interleaved))(k_cache)

@@ -186,6 +186,58 @@ class Engine:
         self.perf.n_decode += 1
         return out
 
+    # -- context shift (StreamingLLM-style) ----------------------------------
+
+    def context_shift(self, n_keep: int, n_discard: int):
+        """Drop ``n_discard`` tokens after the first ``n_keep`` and slide the
+        rest left, re-roping moved keys (reference: the llama-cli / server
+        context-shift path, server.cpp:3049-3090 + build_graph_shift).
+
+        Compiled once: n_keep/n_discard enter as traced scalars."""
+        if self.family.name != "llama":
+            raise ValueError("context shift requires an attention KV cache")
+        if not hasattr(self, "_ctx_shift"):
+            from functools import partial as _partial
+
+            from ..models.llama import KVCache as _KV
+            from ..ops.rope import rope_frequencies, rope_shift_rows
+
+            inv_freq = jnp.asarray(rope_frequencies(self.cfg))
+            interleaved = self.cfg.rope_interleaved
+
+            @_partial(jax.jit, donate_argnames=("k", "v"))
+            def _shift(k, v, n_past, keep, discard):
+                S = k.shape[2]
+                rows = jnp.arange(S)
+                src = jnp.where(rows < keep, rows, jnp.minimum(rows + discard, S - 1))
+                k2 = jnp.take(k, src, axis=2)
+                v2 = jnp.take(v, src, axis=2)
+                moved = (rows[None, :] >= keep) & (rows[None, :] < (n_past - discard)[:, None])
+                deltas = jnp.where(moved, -discard, 0).astype(jnp.int32)  # (B, S)
+                if self.cfg.pos_emb == "rope":
+                    k2 = rope_shift_rows(k2, deltas, inv_freq, interleaved)
+                return k2, v2, n_past - discard
+
+            self._ctx_shift = _shift
+            self._KV = _KV
+        k, v, n_past = self._ctx_shift(
+            self.kv.k, self.kv.v, self.kv.n_past,
+            jnp.asarray(n_keep, jnp.int32), jnp.asarray(n_discard, jnp.int32),
+        )
+        self.kv = self._KV(k, v, n_past)
+
+    # -- whole-context state files (llama_state_{save,load}_file analog) -----
+
+    def save_state(self, path: str, token_ids: list[int]) -> int:
+        from .state import save_state_file
+
+        return save_state_file(path, self, token_ids)
+
+    def load_state(self, path: str) -> list[int]:
+        from .state import load_state_file
+
+        return load_state_file(path, self)
+
     # -- high-level generation ---------------------------------------------
 
     def generate(

@@ -33,6 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--repeat-last-n", type=int, default=64)
     ap.add_argument("--mirostat", type=int, default=0)
     ap.add_argument("--seed", type=int, default=-1)
+    ap.add_argument("--grammar", default=None, help="GBNF grammar string")
+    ap.add_argument("--grammar-file", default=None, help="GBNF grammar file")
+    ap.add_argument("--json-schema", default=None, help="JSON schema to constrain output")
+    ap.add_argument(
+        "--prompt-cache", default=None,
+        help="session file: reuse cached prefix state and save on exit "
+        "(llama-cli --prompt-cache analog)",
+    )
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--perf", action="store_true", help="print perf counters as JSON")
     ap.add_argument(
@@ -40,6 +48,41 @@ def build_parser() -> argparse.ArgumentParser:
         help="force a JAX platform (default: let JAX pick the TPU)",
     )
     return ap
+
+
+def _generate_with_cache(eng, prompt: str, args, chain, stream):
+    """Session-file generation: reuse the cached KV prefix when the new
+    prompt extends the cached token history (tools/main session load,
+    main.cpp:236-254 + prompt-prefix matching :336-348)."""
+    import os as _os
+
+    import numpy as np
+
+    ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+    cached: list[int] = []
+    if _os.path.exists(args.prompt_cache):
+        try:
+            cached = eng.load_state(args.prompt_cache)
+        except ValueError:
+            cached = []
+    n_match = 0
+    while n_match < len(cached) and n_match < len(ids) - 1 and cached[n_match] == ids[n_match]:
+        n_match += 1
+    if n_match < len(cached):  # diverged: rewind to the shared prefix
+        eng.set_n_past(n_match) if n_match else eng.reset()
+    tail = ids[n_match:]
+    logits = eng.prefill(tail) if n_match == 0 else eng.decode_chunk(tail)[-1]
+    all_ids = list(ids)
+    eog = eng.tokenizer.vocab.special.eog_ids()
+    for _ in range(args.n_predict):
+        tok_id = chain.sample(logits, all_ids)
+        chain.accept(tok_id, is_eog=tok_id in eog)
+        if tok_id in eog:
+            break
+        all_ids.append(tok_id)
+        stream(tok_id)
+        logits = eng.decode_one(tok_id)
+    eng.save_state(args.prompt_cache, all_ids)
 
 
 def main(argv=None) -> int:
@@ -78,12 +121,31 @@ def main(argv=None) -> int:
 
     tok = eng.tokenizer
 
+    from ..sampling.samplers import SamplerChain
+
+    chain = SamplerChain(sampler, eng.cfg.n_vocab)
+    grammar_src = args.grammar
+    if args.grammar_file:
+        with open(args.grammar_file, encoding="utf-8") as f:
+            grammar_src = f.read()
+    if args.json_schema:
+        from ..grammar import json_schema_to_gbnf
+
+        grammar_src = json_schema_to_gbnf(json.loads(args.json_schema))
+    if grammar_src:
+        from ..grammar import Grammar, grammar_vocab_from_tokenizer
+
+        chain.set_grammar(Grammar.from_string(grammar_src), grammar_vocab_from_tokenizer(tok))
+
     def stream(token_id: int):
         sys.stdout.write(tok.detokenize([token_id], special=True))
         sys.stdout.flush()
 
     t0 = time.perf_counter()
-    eng.generate(prompt, n_predict=args.n_predict, sampler=sampler, stream_cb=stream)
+    if args.prompt_cache:
+        _generate_with_cache(eng, prompt, args, chain, stream)
+    else:
+        eng.generate(prompt, n_predict=args.n_predict, sampler=chain, stream_cb=stream)
     sys.stdout.write("\n")
     if args.perf:
         perf = eng.perf.summary()
