@@ -73,6 +73,10 @@ def _mlp(x, gate_w, up_w, down_w, act_fn: str):
     return linear(_act(linear(x, gate_w), act_fn) * linear(x, up_w), down_w)
 
 
+def _mlp_p(x, p: dict, act_fn: str):
+    return _lin(_act(_lin(x, p, "w_gate"), act_fn) * _lin(x, p, "w_up"), p, "w_down")
+
+
 def _mlp_plain(x, up_w, up_b, down_w, down_b, act_fn: str):
     """Ungated 2-matrix MLP (gpt2/phi/bert lineage)."""
     h = linear(x, up_w)
@@ -88,6 +92,16 @@ def _norm(x, w, b, cfg: ModelConfig):
     if cfg.norm_type == "layer":
         return layer_norm(x, w, b, cfg.rms_eps)
     return rms_norm(x, w, cfg.rms_eps)
+
+
+def _lin(x, p: dict, key: str):
+    """Matmul with optional LoRA low-rank add (build_lora_mm analog,
+    llama-graph.cpp:543): y = xW + (x·A)·B, scale folded into A."""
+    y = linear(x, p[key])
+    a = p.get(f"{key}_lora_a")
+    if a is not None:
+        y = y + (x.astype(a.dtype) @ a) @ p[f"{key}_lora_b"]
+    return y
 
 
 def forward(
@@ -121,9 +135,9 @@ def forward(
         p, k_cache_l, v_cache_l, window_l = layer
 
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
-        q = linear(h, p["wq"])
-        k = linear(h, p["wk"])
-        v = linear(h, p["wv"])
+        q = _lin(h, p, "wq")
+        k = _lin(h, p, "wk")
+        v = _lin(h, p, "wv")
         if "bq" in p:
             q = q + p["bq"]
             k = k + p["bk"]
@@ -143,7 +157,7 @@ def forward(
             sliding_window=window_l,
             logit_softcap=cfg.attn_logit_softcap,
         )
-        attn = linear(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p["wo"])
+        attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo")
         if "bo" in p:
             attn = attn + p["bo"]
         if cfg.post_attn_norm and "post_attn_norm" in p:
@@ -167,7 +181,7 @@ def forward(
             if "w_gate" in p:  # shared expert alongside routed experts
                 mlp = mlp + _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
         elif cfg.ffn_gated:
-            mlp = _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
+            mlp = _mlp_p(h, p, cfg.act_fn)
         else:
             mlp = _mlp_plain(h, p["w_up"], p.get("b_up"), p["w_down"], p.get("b_down"), cfg.act_fn)
         if cfg.post_ffn_norm and "post_ffn_norm" in p:
@@ -176,6 +190,8 @@ def forward(
             x = x + attn + mlp
         else:
             x = x + mlp
+        if "cvec" in p:  # control vector (llama_apply_adapter_cvec analog)
+            x = x + p["cvec"].astype(x.dtype)
         return (x,), (k_cache_l, v_cache_l)
 
     (x,), (k_new, v_new) = jax.lax.scan(

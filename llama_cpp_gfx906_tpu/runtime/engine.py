@@ -186,6 +186,26 @@ class Engine:
         self.perf.n_decode += 1
         return out
 
+    # -- adapters (llama_adapter_lora / cvec analogs) -------------------------
+
+    def apply_lora_file(self, path: str, scale: float = 1.0):
+        """Attach a LoRA adapter GGUF (llama_set_adapter_lora analog)."""
+        from .lora import LoraAdapter, apply_lora
+
+        self.params = apply_lora(self.params, LoraAdapter.from_gguf(path), scale)
+
+    def clear_lora(self):
+        from .lora import remove_lora
+
+        self.params = remove_lora(self.params)
+
+    def apply_control_vector_file(self, path: str, strength: float = 1.0,
+                                  layer_start: int = 0, layer_end: int | None = None):
+        from .lora import apply_control_vector, load_control_vector
+
+        cvec = load_control_vector(path, self.cfg.n_embd, self.cfg.n_layers)
+        self.params = apply_control_vector(self.params, cvec, strength, layer_start, layer_end)
+
     # -- context shift (StreamingLLM-style) ----------------------------------
 
     def context_shift(self, n_keep: int, n_discard: int):
