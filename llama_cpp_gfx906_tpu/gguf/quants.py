@@ -663,6 +663,14 @@ def dequantize(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) ->
             f"{ggml_type.name}: got {data.size} bytes for {n_elem} elements "
             f"(expected {n_blocks * bsize})"
         )
+    # hot path: the native thread-pool library (native/lcg_dequant.cpp);
+    # numpy codecs remain the oracle + fallback
+    if n_blocks >= 4096:
+        from .native import native_dequantize
+
+        out = native_dequantize(data, int(ggml_type), n_blocks, blck)
+        if out is not None:
+            return out.reshape(shape)
     out = _DEQUANT[ggml_type](data.reshape(n_blocks, bsize))
     return out.reshape(shape)
 
