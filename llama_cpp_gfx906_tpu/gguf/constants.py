@@ -143,6 +143,7 @@ class Keys:
         EXPERT_USED_COUNT = "{arch}.expert_used_count"
         EXPERT_FEED_FORWARD_LENGTH = "{arch}.expert_feed_forward_length"
         EXPERT_SHARED_COUNT = "{arch}.expert_shared_count"
+        LEADING_DENSE_BLOCK_COUNT = "{arch}.leading_dense_block_count"
         EXPERT_WEIGHTS_SCALE = "{arch}.expert_weights_scale"
         EXPERT_WEIGHTS_NORM = "{arch}.expert_weights_norm"
         EXPERT_GATING_FUNC = "{arch}.expert_gating_func"
@@ -159,6 +160,8 @@ class Keys:
         CAUSAL = "{arch}.attention.causal"
         Q_LORA_RANK = "{arch}.attention.q_lora_rank"
         KV_LORA_RANK = "{arch}.attention.kv_lora_rank"
+        KEY_LENGTH_MLA = "{arch}.attention.key_length_mla"
+        VALUE_LENGTH_MLA = "{arch}.attention.value_length_mla"
         SCALE = "{arch}.attention.scale"
 
     class Rope:
@@ -170,6 +173,7 @@ class Keys:
         SCALING_ORIG_CTX_LEN = "{arch}.rope.scaling.original_context_length"
         SCALING_LOW_FREQ_FACTOR = "{arch}.rope.scaling.low_freq_factor"
         SCALING_HIGH_FREQ_FACTOR = "{arch}.rope.scaling.high_freq_factor"
+        SCALING_YARN_LOG_MUL = "{arch}.rope.scaling.yarn_log_multiplier"
 
     class SSM:
         CONV_KERNEL = "{arch}.ssm.conv_kernel"

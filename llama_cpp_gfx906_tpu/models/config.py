@@ -71,6 +71,14 @@ class ModelConfig:
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0
+    # MLA (deepseek2 family) hyperparameters
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    v_head_dim: int = 0
+    n_layer_dense_lead: int = 0
+    n_shared_experts: int = 0
+    expert_gating_func: int = 1  # 1=softmax, 2=sigmoid (LLAMA_EXPERT_GATING_FUNC_*)
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -206,6 +214,23 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             act_fn="gelu",
             rope_interleaved=False,
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "deepseek2":
+        # MLA + fine-grained MoE (reference: llm_build_deepseek2,
+        # llama-model.cpp:12691; metadata keys per convert_hf DeepseekV2Model)
+        key_mla = int(g(Keys.Attention.KEY_LENGTH_MLA, 0))
+        val_mla = int(g("{arch}.attention.value_length_mla", 0))
+        cfg = cfg.with_(
+            rope_interleaved=True,  # HF deepseek checkpoints use paired dims
+            q_lora_rank=int(g(Keys.Attention.Q_LORA_RANK, 0)),
+            kv_lora_rank=int(g(Keys.Attention.KV_LORA_RANK, 512)),
+            qk_nope_head_dim=(key_mla - cfg.rope_dim) if key_mla else 128,
+            v_head_dim=val_mla or 128,
+            n_layer_dense_lead=int(g(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, 0)),
+            n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
+            expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
+            rope_yarn_log_mul=float(g(Keys.Rope.SCALING_YARN_LOG_MUL, 0.0)),
+            attn_scale=float(key_mla) ** -0.5 if key_mla else 0.0,
         )
     elif arch == "mamba":
         cfg = cfg.with_(

@@ -23,6 +23,7 @@ ATTENTION_ARCHS = {
 }
 
 RECURRENT_ARCHS = {"mamba"}
+MLA_ARCHS = {"deepseek2"}
 
 
 @dataclass(frozen=True)
@@ -64,9 +65,25 @@ def _mamba_family() -> ModelFamily:
     )
 
 
+def _deepseek2_family() -> ModelFamily:
+    from .deepseek2 import MLACache, forward, load_params
+
+    def load(reader, cfg, dtype, device_put_fn=None, keep_quantized=True):
+        return load_params(reader, cfg, dtype, device_put_fn)
+
+    return ModelFamily(
+        name="deepseek2",
+        forward=forward,
+        make_cache=lambda cfg, batch, max_seq, dtype: MLACache.create(cfg, batch, max_seq, dtype),
+        load_params=load,
+    )
+
+
 def get_family(cfg: ModelConfig) -> ModelFamily:
     if cfg.arch in RECURRENT_ARCHS:
         return _mamba_family()
+    if cfg.arch in MLA_ARCHS:
+        return _deepseek2_family()
     # default: any arch with attention tensors runs on the generalized
     # attention forward — unknown archs get a best-effort llama treatment,
     # matching the reference's behavior of failing at tensor-load time

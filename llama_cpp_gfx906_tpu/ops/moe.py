@@ -28,6 +28,7 @@ def moe_ffn(
     w_up: jnp.ndarray,  # (E, D, F)
     w_down: jnp.ndarray,  # (E, F, D)
     cfg: ModelConfig,
+    probs_bias: jnp.ndarray | None = None,  # (E,) selection bias (deepseek3)
 ) -> jnp.ndarray:
     B, T, D = x.shape
     E = w_gate.shape[0]
@@ -35,8 +36,17 @@ def moe_ffn(
     xt = x.reshape(B * T, D)
 
     router = (xt.astype(jnp.float32) @ gate_inp.astype(jnp.float32))  # (N, E)
-    probs = jax.nn.softmax(router, axis=-1)
-    topv, topi = jax.lax.top_k(probs, k)  # (N, k)
+    if cfg.expert_gating_func == 2:  # LLAMA_EXPERT_GATING_FUNC_TYPE_SIGMOID
+        probs = jax.nn.sigmoid(router)
+    else:
+        probs = jax.nn.softmax(router, axis=-1)
+    if probs_bias is not None:
+        # bias steers selection only; combine weights stay unbiased
+        sel = probs + probs_bias.astype(jnp.float32)
+        _, topi = jax.lax.top_k(sel, k)
+        topv = jnp.take_along_axis(probs, topi, axis=-1)
+    else:
+        topv, topi = jax.lax.top_k(probs, k)  # (N, k)
     if cfg.expert_weights_norm:  # mixtral/qwen renormalize the selected probs
         topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
     if cfg.expert_weights_scale != 1.0:

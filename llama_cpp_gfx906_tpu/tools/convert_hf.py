@@ -210,6 +210,101 @@ def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F
     return w.write()
 
 
+def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers DeepseekV2ForCausalLM → GGUF (arch "deepseek2").
+
+    Follows the reference converter's MLA transforms
+    (convert_hf_to_gguf.py DeepseekV2Model): kv_b_proj splits into
+    attn_k_b (per-head, transposed to (rank, nope)) and attn_v_b;
+    metadata key/value lengths describe the compressed MQA view."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    H = hf.num_attention_heads
+    rope_d = hf.qk_rope_head_dim
+    nope_d = hf.qk_nope_head_dim
+    v_d = hf.v_head_dim
+    rank = hf.kv_lora_rank
+
+    w = GGUFWriter(out_path, "deepseek2")
+    w.add_string(Keys.General.NAME, "deepseek2-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.max_position_embeddings)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, H)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, 1)  # MLA == MQA over the latent
+    w.add_uint32(Keys.Attention.KEY_LENGTH, rank + rope_d)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, rank)
+    w.add_uint32(Keys.Attention.KEY_LENGTH_MLA, nope_d + rope_d)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH_MLA, v_d)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    if getattr(hf, "q_lora_rank", None):
+        w.add_uint32(Keys.Attention.Q_LORA_RANK, hf.q_lora_rank)
+    w.add_uint32(Keys.Attention.KV_LORA_RANK, rank)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, rope_d)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_uint32(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, getattr(hf, "first_k_dense_replace", 0))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    n_experts = getattr(hf, "n_routed_experts", 0) or 0
+    if n_experts:
+        w.add_uint32(Keys.LLM.EXPERT_COUNT, n_experts)
+        w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+        w.add_uint32(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, hf.moe_intermediate_size)
+        w.add_uint32(Keys.LLM.EXPERT_SHARED_COUNT, getattr(hf, "n_shared_experts", 0) or 0)
+        w.add_float32(Keys.LLM.EXPERT_WEIGHTS_SCALE, getattr(hf, "routed_scaling_factor", 1.0))
+        w.add_bool(Keys.LLM.EXPERT_WEIGHTS_NORM, bool(getattr(hf, "norm_topk_prob", False)))
+        w.add_uint32(Keys.LLM.EXPERT_GATING_FUNC,
+                     2 if getattr(hf, "scoring_func", "softmax") == "sigmoid" else 1)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        if p + "self_attn.q_proj.weight" in state:  # lite
+            add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        else:
+            add(b + "attn_q_a.weight", state[p + "self_attn.q_a_proj.weight"])
+            add(b + "attn_q_a_norm.weight", state[p + "self_attn.q_a_layernorm.weight"])
+            add(b + "attn_q_b.weight", state[p + "self_attn.q_b_proj.weight"])
+        add(b + "attn_kv_a_mqa.weight", state[p + "self_attn.kv_a_proj_with_mqa.weight"])
+        add(b + "attn_kv_a_norm.weight", state[p + "self_attn.kv_a_layernorm.weight"])
+        kv_b = state[p + "self_attn.kv_b_proj.weight"].reshape(H, nope_d + v_d, rank)
+        k_b = np.ascontiguousarray(kv_b[:, :nope_d, :].transpose(0, 2, 1))  # (H, rank, nope)
+        v_b = np.ascontiguousarray(kv_b[:, nope_d:, :])  # (H, v, rank)
+        add(b + "attn_k_b.weight", k_b)
+        add(b + "attn_v_b.weight", v_b)
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        if p + "mlp.gate_proj.weight" in state:  # dense layer
+            add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+            add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+            add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+        else:  # MoE layer
+            add(b + "ffn_gate_inp.weight", state[p + "mlp.gate.weight"])
+            if p + "mlp.gate.e_score_correction_bias" in state:
+                add(b + "exp_probs_b.bias", state[p + "mlp.gate.e_score_correction_bias"])
+            for hf_n, gg in [("gate_proj", "ffn_gate_exps"), ("up_proj", "ffn_up_exps"), ("down_proj", "ffn_down_exps")]:
+                stackd = np.stack([
+                    state[f"{p}mlp.experts.{e}.{hf_n}.weight"] for e in range(n_experts)
+                ])
+                add(b + gg + ".weight", stackd)
+            add(b + "ffn_gate_shexp.weight", state[p + "mlp.shared_experts.gate_proj.weight"])
+            add(b + "ffn_up_shexp.weight", state[p + "mlp.shared_experts.up_proj.weight"])
+            add(b + "ffn_down_shexp.weight", state[p + "mlp.shared_experts.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_mamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers MambaForCausalLM → GGUF (arch "mamba").
 
