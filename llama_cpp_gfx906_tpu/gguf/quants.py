@@ -689,3 +689,79 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
         )
     flat = np.ascontiguousarray(x, np.float32).reshape(n_elem // blck, blck)
     return _QUANT[ggml_type](flat).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# importance-weighted quantization (llama-quant.cpp make_qx_quants analog)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_scale_quant(x: np.ndarray, w: np.ndarray, qmin: int, qmax: int,
+                          d0: np.ndarray, n_iter: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Alternate quantize-to-grid / weighted-least-squares-scale refinement.
+
+    x, w: (n, blck); d0: (n,) initial scales.  Returns (d, q)."""
+    d = d0.copy()
+    q = np.zeros_like(x, dtype=np.int32)
+    for _ in range(n_iter):
+        inv = _safe_inv(d)
+        q = np.rint(x * inv[:, None]).clip(qmin, qmax).astype(np.int32)
+        # optimal d given q: argmin_d Σ w (x − d q)² = Σwxq / Σwq²
+        num = (w * x * q).sum(axis=1)
+        den = (w * q * q).sum(axis=1)
+        d = np.where(den > 0, num / np.where(den > 0, den, 1.0), d)
+    return d, q
+
+
+def quantize_weighted(x: np.ndarray, ggml_type: GGMLType,
+                      weights: np.ndarray | None) -> np.ndarray:
+    """Quantize with per-input-channel importance weights (imatrix values).
+
+    ``weights`` has the length of the last tensor axis (mean squared
+    activation per channel); rows are quantized to minimize the weighted
+    reconstruction error, matching the role of make_qx_quants in
+    llama-quant.cpp.  Supported: Q4_0/Q5_0/Q8_0 (scale formats); other
+    types fall back to the unweighted encoder."""
+    ggml_type = GGMLType(ggml_type)
+    if weights is None:
+        return quantize(x, ggml_type)
+    grids = {
+        GGMLType.Q4_0: (-8, 7),
+        GGMLType.Q5_0: (-16, 15),
+        GGMLType.Q8_0: (-127, 127),
+    }
+    if ggml_type not in grids:
+        return quantize(x, ggml_type)
+    blck, _ = GGML_BLOCK_SIZES[ggml_type]
+    K = x.shape[-1]
+    w_row = np.broadcast_to(np.asarray(weights, np.float32).reshape(-1)[:K], x.shape[-1:])
+    flat = np.ascontiguousarray(x, np.float32).reshape(-1, blck)
+    wfull = np.broadcast_to(w_row, x.shape).reshape(-1, blck).astype(np.float32)
+    wfull = wfull + 1e-8  # keep zero-importance channels weakly pinned
+
+    qmin, qmax = grids[ggml_type]
+    idx = np.argmax(np.abs(flat), axis=1)
+    mx = flat[np.arange(flat.shape[0]), idx]
+    d0 = mx / float(qmin)  # max-magnitude maps to the negative end (ggml)
+    d, q = _weighted_scale_quant(flat, wfull, qmin, qmax, d0)
+
+    if ggml_type == GGMLType.Q8_0:
+        return np.concatenate(
+            [_to_f16_bytes(d[:, None]), q.astype(np.int8).view(np.uint8)], axis=1
+        ).reshape(-1)
+    if ggml_type == GGMLType.Q4_0:
+        qu = (q + 8).clip(0, 15).astype(np.uint8)
+        return np.concatenate(
+            [_to_f16_bytes(d[:, None]), qu[:, :16] | (qu[:, 16:] << 4)], axis=1
+        ).reshape(-1)
+    # Q5_0
+    qu = (q + 16).clip(0, 31).astype(np.uint8)
+    bits = np.concatenate([(qu[:, :16] >> 4) & 1, (qu[:, 16:] >> 4) & 1], axis=1)
+    return np.concatenate(
+        [
+            _to_f16_bytes(d[:, None]),
+            _pack_qh(bits),
+            (qu[:, :16] & 0x0F) | ((qu[:, 16:] & 0x0F) << 4),
+        ],
+        axis=1,
+    ).reshape(-1)

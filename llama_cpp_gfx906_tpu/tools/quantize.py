@@ -72,8 +72,14 @@ def quantize_file(
     out_path: str,
     preset: str,
     allow_requantize: bool = False,
+    imatrix_path: str | None = None,
 ) -> dict:
     reader = GGUFModelReader(in_path)
+    imatrix = None
+    if imatrix_path:
+        from .imatrix import load_imatrix
+
+        imatrix = load_imatrix(imatrix_path)
     default_t, rule = _mix_rules(preset)
     n_layers = 0
     for name in reader.tensors:
@@ -111,7 +117,15 @@ def quantize_file(
         f32 = t.to_f32()
         if target not in supported_quant_types():
             target = GGMLType.F16
-        w.add_tensor(name, f32, target)
+        iw = imatrix.get(name) if imatrix else None
+        if iw is not None and target not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+            # importance-weighted encoding (llama-quant.cpp imatrix path)
+            from ..gguf.quants import quantize_weighted
+
+            raw = quantize_weighted(f32, target, iw)
+            w.add_tensor(name, raw.view(np.uint8), target, raw_ne=t.ne)
+        else:
+            w.add_tensor(name, f32, target)
         from ..gguf.constants import type_size_bytes
 
         stats["out_bytes"] += type_size_bytes(target, t.n_elements)
@@ -125,9 +139,11 @@ def main(argv=None) -> int:
     ap.add_argument("output")
     ap.add_argument("type", help="Q4_0/Q8_0/Q4_K_M/Q5_K_M/Q6_K/MXFP4/F16/...")
     ap.add_argument("--allow-requantize", action="store_true")
+    ap.add_argument("--imatrix", default=None, help="importance matrix GGUF")
     args = ap.parse_args(argv)
     t0 = time.time()
-    stats = quantize_file(args.input, args.output, args.type, args.allow_requantize)
+    stats = quantize_file(args.input, args.output, args.type, args.allow_requantize,
+                          imatrix_path=args.imatrix)
     mb = 1024 * 1024
     print(
         f"quantized {stats['n_tensors']} tensors "
