@@ -104,18 +104,40 @@ def _logsumexp(x: np.ndarray) -> np.ndarray:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="llama-perplexity (TPU)")
     ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-f", "--file", required=True)
+    ap.add_argument("-f", "--file", default=None)
     ap.add_argument("-c", "--ctx-size", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=None)
     ap.add_argument("--no-quantized", action="store_true", help="dequantize weights to bf16")
     ap.add_argument("--save-logits", default=None)
     ap.add_argument("--kl-divergence-base", default=None)
+    # benchmark-eval modes (JSONL task files; see tools/evals.py)
+    ap.add_argument("--hellaswag", default=None)
+    ap.add_argument("--winogrande", default=None)
+    ap.add_argument("--multiple-choice", default=None)
+    ap.add_argument("--limit", type=int, default=None, help="max eval tasks")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = ap.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
+
+    if args.hellaswag or args.winogrande or args.multiple_choice:
+        from ..runtime.engine import Engine
+        from . import evals
+
+        eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
+                               keep_quantized=not args.no_quantized)
+        if args.hellaswag:
+            print(json.dumps(evals.hellaswag(eng, args.hellaswag, args.limit)))
+        if args.winogrande:
+            print(json.dumps(evals.winogrande(eng, args.winogrande, args.limit)))
+        if args.multiple_choice:
+            print(json.dumps(evals.multiple_choice(eng, args.multiple_choice, args.limit)))
+        return 0
+
+    if not args.file:
+        ap.error("-f/--file is required for perplexity mode")
     with open(args.file, encoding="utf-8") as f:
         text = f.read()
     result = evaluate(
