@@ -1,7 +1,7 @@
 """Tokenizer families (SPM, BPE, WPM) loaded from GGUF vocab metadata.
 
 Reference coverage: 6 families in ``src/llama-vocab.cpp`` (SPM :110,
-BPE :279, WPM :636, UGM :752, RWKV :1156, PLaMo2).  UGM/RWKV/PLaMo2 are
+BPE :279, WPM :636, UGM :752, RWKV :1156, PLaMo2).  RWKV/PLaMo2 are
 not yet implemented and raise at construction.
 """
 
@@ -9,10 +9,11 @@ from __future__ import annotations
 
 from .bpe import BPETokenizer
 from .spm import SPMTokenizer
+from .ugm import UGMTokenizer
 from .vocab import SpecialTokens, Vocab, vocab_from_gguf
 from .wpm import WPMTokenizer
 
-Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer
+Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer | UGMTokenizer
 
 
 def tokenizer_for_vocab(vocab: Vocab) -> Tokenizer:
@@ -22,6 +23,8 @@ def tokenizer_for_vocab(vocab: Vocab) -> Tokenizer:
         return BPETokenizer(vocab)
     if vocab.model == "bert":
         return WPMTokenizer(vocab)
+    if vocab.model == "t5":
+        return UGMTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
 
 
@@ -32,6 +35,7 @@ def tokenizer_from_gguf(reader) -> Tokenizer:
 
 __all__ = [
     "BPETokenizer",
+    "UGMTokenizer",
     "SPMTokenizer",
     "WPMTokenizer",
     "SpecialTokens",
