@@ -51,13 +51,16 @@ def save_state_file(path: str, engine, token_ids: list[int]) -> int:
         "batch_size": engine.batch_size,
     }
     buf = io.BytesIO()
+    leaf_meta = []
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
-        z.writestr("header.json", json.dumps(header))
         for i, leaf in enumerate(leaves):
             arr = np.asarray(leaf)
-            sub = io.BytesIO()
-            np.save(sub, arr, allow_pickle=False)
-            z.writestr(f"leaf_{i}.npy", sub.getvalue())
+            # raw bytes + explicit dtype tag: np.save can't round-trip
+            # ml_dtypes (bfloat16) reliably
+            leaf_meta.append({"shape": list(arr.shape), "dtype": str(arr.dtype)})
+            z.writestr(f"leaf_{i}.bin", np.ascontiguousarray(arr).tobytes())
+        header["leaves"] = leaf_meta
+        z.writestr("header.json", json.dumps(header))
     data = buf.getvalue()
     with open(path, "wb") as f:
         f.write(data)
@@ -85,14 +88,18 @@ def load_state_file(path: str, engine) -> list[int]:
         leaves, treedef = jax.tree_util.tree_flatten(fresh)
         if header["n_leaves"] != len(leaves):
             raise ValueError("cache structure mismatch")
+        import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
+
         new_leaves = []
         for i, proto in enumerate(leaves):
-            arr = np.load(io.BytesIO(z.read(f"leaf_{i}.npy")), allow_pickle=False)
+            meta = header["leaves"][i]
+            arr = np.frombuffer(z.read(f"leaf_{i}.bin"), dtype=np.dtype(meta["dtype"]))
+            arr = arr.reshape(meta["shape"])
             if tuple(arr.shape) != tuple(proto.shape):
                 raise ValueError(
                     f"leaf {i}: shape {arr.shape} != expected {tuple(proto.shape)}"
                 )
-            new_leaves.append(jnp.asarray(arr, dtype=proto.dtype))
+            new_leaves.append(jnp.asarray(arr).astype(proto.dtype))
         engine.kv = jax.tree_util.tree_unflatten(treedef, new_leaves)
         engine.max_seq = header["max_seq"]
     return list(header["tokens"])

@@ -1,0 +1,85 @@
+"""Smoke-run the examples against a tiny model (reference strategy: the
+examples double as integration tests in ci/run.sh)."""
+
+import subprocess
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType
+from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+
+VOCAB = 96
+
+
+def dummy_vocab():
+    tokens = ["<s>", "</s>", "<unk>"] + [f"<t{i}>" for i in range(VOCAB - 3)]
+    return {
+        "model": "llama",
+        "tokens": tokens,
+        "scores": [0.0] * VOCAB,
+        "token_types": [3, 3, 2] + [4] * (VOCAB - 3),
+        "bos": 0,
+        "eos": 1,
+    }
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256,
+        )
+    ).eval()
+    path = str(tmp_path_factory.mktemp("ex") / "tiny-f32.gguf")
+    convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    return path
+
+
+def _run(script, *args, timeout=300):
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, f"examples/{script}", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, (script, r.stdout[-1000:], r.stderr[-1500:])
+    return r.stdout
+
+
+@pytest.mark.parametrize(
+    "script,extra",
+    [
+        ("simple.py", ["-p", "<t1><t2>", "-n", "8"]),
+        ("batched.py", ["-p", "<t1><t2>", "-np", "2", "-n", "6"]),
+        ("parallel.py", ["-ns", "3", "-np", "2", "-n", "4"]),
+        ("save_load_state.py", ["-p", "<t1><t2>"]),
+        ("embedding.py", ["-p", "<t1>", "-p", "<t2>"]),
+        ("lookup.py", ["-p", "<t1><t2><t1><t2>", "-n", "8"]),
+    ],
+)
+def test_example_runs(model_path, script, extra):
+    out = _run(script, "-m", model_path, *extra)
+    assert out.strip()
+
+
+def test_finetune_example(model_path, tmp_path):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("<t1><t2><t3> " * 200)
+    out = _run("finetune.py", "-m", model_path, "-f", str(corpus), "--ctx", "16", "--epochs", "1")
+    assert "mean loss" in out
+
+
+def test_retrieval_example(model_path, tmp_path):
+    corpus = tmp_path / "docs.txt"
+    corpus.write_text("<t1> alpha text. <t2> beta text. <t3> gamma text. " * 5)
+    out = _run("retrieval.py", "-m", model_path, "-f", str(corpus), "-q", "<t2>")
+    assert "[" in out
