@@ -476,6 +476,60 @@ def build_app(srv: InferenceServer) -> web.Application:
              "usage": {"prompt_tokens": 0, "total_tokens": 0}}
         )
 
+    async def infill(request):
+        """Fill-in-the-middle completion (reference server.cpp:4492):
+        builds <fim_pre>prefix<fim_suf>suffix<fim_mid> from the vocab's FIM
+        specials and runs a normal completion on it."""
+        body = await request.json()
+        sp = tok.vocab.special
+        if sp.fim_pre is None or sp.fim_suf is None or sp.fim_mid is None:
+            raise web.HTTPNotImplemented(text="model has no FIM tokens")
+        prefix = body.get("input_prefix", body.get("prompt", ""))
+        suffix = body.get("input_suffix", "")
+        ids = (
+            [sp.fim_pre]
+            + tok.tokenize(prefix, add_special=False, parse_special=False)
+            + [sp.fim_suf]
+            + tok.tokenize(suffix, add_special=False, parse_special=False)
+            + [sp.fim_mid]
+        )
+        req_obj = _make_req(ids, body)
+        stream = bool(body.get("stream", False))
+
+        def fmt(delta, finished, reason):
+            return {"content": delta, "stop": finished}
+
+        result = await collect_or_stream(req_obj, stream, fmt, request)
+        if stream:
+            return result
+        text, pieces, reason = result
+        return web.json_response({"content": text, "stop_type": reason,
+                                  "tokens_predicted": len(pieces)})
+
+    async def rerank(request):
+        """Query-document relevance ranking (reference server.cpp:4810).
+        Uses pooled-embedding cosine scores; rank-head cross-encoders can
+        plug in once BERT-rerank models land."""
+        import numpy as np
+
+        body = await request.json()
+        query = body.get("query", "")
+        docs = body.get("documents", [])
+        loop = asyncio.get_event_loop()
+        qv = await loop.run_in_executor(None, srv.embed, query)
+        results = []
+        for i, d in enumerate(docs):
+            dv = await loop.run_in_executor(None, srv.embed, d)
+            results.append({
+                "index": i,
+                "relevance_score": float(np.dot(np.asarray(qv), np.asarray(dv))),
+            })
+        results.sort(key=lambda r: -r["relevance_score"])
+        top_n = body.get("top_n")
+        if top_n:
+            results = results[: int(top_n)]
+        return web.json_response({"model": srv.model_name, "results": results})
+
     _saved_states: dict[int, dict] = {}
 
     async def slot_action(request):
@@ -510,6 +564,10 @@ def build_app(srv: InferenceServer) -> web.Application:
     app.router.add_post("/embeddings", embeddings)
     app.router.add_post("/v1/embeddings", embeddings)
     app.router.add_post("/slots/{slot_id}", slot_action)
+    app.router.add_post("/infill", infill)
+    app.router.add_post("/rerank", rerank)
+    app.router.add_post("/v1/rerank", rerank)
+    app.router.add_post("/reranking", rerank)
     return app
 
 

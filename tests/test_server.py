@@ -222,3 +222,53 @@ def test_http_embeddings(server_client):
         assert abs(np.linalg.norm(v) - 1.0) < 1e-4
 
     loop.run_until_complete(run())
+
+
+def test_http_rerank(server_client):
+    client, loop = server_client
+
+    async def run():
+        r = await client.post(
+            "/v1/rerank",
+            json={"query": "<t1><t2>", "documents": ["<t1><t2>", "<t50><t60>"], "top_n": 2},
+        )
+        body = await r.json()
+        assert len(body["results"]) == 2
+        # the identical document must rank first
+        assert body["results"][0]["index"] == 0
+        assert body["results"][0]["relevance_score"] >= body["results"][1]["relevance_score"]
+
+    loop.run_until_complete(run())
+
+
+def test_http_infill_no_fim_tokens(server_client):
+    """tiny vocab has no FIM specials -> clean 501, not a crash."""
+    client, loop = server_client
+
+    async def run():
+        r = await client.post("/infill", json={"input_prefix": "a", "input_suffix": "b"})
+        assert r.status == 501
+
+    loop.run_until_complete(run())
+
+
+def test_http_grammar_constrained(server_client):
+    client, loop = server_client
+
+    async def run():
+        # constrain output to tokens <t1>/<t2> only
+        r = await client.post(
+            "/v1/completions",
+            json={
+                "prompt": "<t9>",
+                "max_tokens": 4,
+                "temperature": 0.0,
+                "grammar": 'root ::= ("<t1>" | "<t2>")+',
+            },
+        )
+        body = await r.json()
+        text = body["choices"][0]["text"]
+        import re
+        assert re.fullmatch(r"(<t1>|<t2>)+", text), text
+
+    loop.run_until_complete(run())

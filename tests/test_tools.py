@@ -106,3 +106,22 @@ def test_bench_tool(f16_gguf):
     md = format_rows(rows, "md")
     assert "pp8" in md and "tg4" in md
     json.loads(format_rows(rows, "json"))
+
+
+def test_tokenize_cli(f16_gguf, capsys):
+    from llama_cpp_gfx906_tpu.tools import tokenize as tokenize_tool
+
+    rc = tokenize_tool.main(["-m", f16_gguf, "-p", "<t1><t2>", "--ids"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert json.loads(out) == [0, 4, 5]  # bos + user-defined markers
+
+
+def test_batched_bench(f16_gguf, capsys):
+    from llama_cpp_gfx906_tpu.tools import batched_bench
+
+    rc = batched_bench.main(["-m", f16_gguf, "-npp", "8", "-ntg", "4", "-npl", "1,2", "--json"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 2
+    assert all(r["s_tg"] > 0 for r in rows)
