@@ -40,6 +40,14 @@ class KVCache:
         cls, cfg: ModelConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
     ) -> "KVCache":
         shape = (cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        if dtype in ("q8", "q8_0"):  # quantized KV (llama.h type_k/type_v)
+            from ..ops.kv_quant import QuantKV
+
+            return cls(
+                k=QuantKV.zeros(shape),
+                v=QuantKV.zeros(shape),
+                n_past=jnp.zeros((batch,), jnp.int32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),

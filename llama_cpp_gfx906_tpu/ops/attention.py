@@ -44,14 +44,28 @@ def mha_with_cache(
     sliding_window=0,  # int or traced int32 scalar; <= 0 disables
     logit_softcap: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache')."""
+    """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache').
+
+    ``k_cache``/``v_cache`` may be plain arrays or ops.kv_quant.QuantKV
+    (q8 KV storage, llama.h type_k/type_v analog) — quantized caches
+    update in int8 and dequantize into the compute below."""
+    from .kv_quant import QuantKV, dequantize_rows, insert_quant
+
     B, T, Hq, Dh = q.shape
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
     G = Hq // Hkv
 
-    k_cache = insert_kv(k_cache, k_new, n_past)
-    v_cache = insert_kv(v_cache, v_new, n_past)
+    quantized = isinstance(k_cache, QuantKV)
+    if quantized:
+        k_store = insert_quant(k_cache, k_new, n_past)
+        v_store = insert_quant(v_cache, v_new, n_past)
+        k_cache = dequantize_rows(k_store, q.dtype)
+        v_cache = dequantize_rows(v_store, q.dtype)
+    else:
+        k_cache = insert_kv(k_cache, k_new, n_past)
+        v_cache = insert_kv(v_cache, v_new, n_past)
+        k_store, v_store = k_cache, v_cache
 
     # long-enough prefill on TPU → blockwise flash kernel (never builds the
     # (T, S) score matrix); decode and CPU runs use the einsum path below
@@ -62,7 +76,7 @@ def mha_with_cache(
             q, k_cache, v_cache, n_past, scale,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
         )
-        return out.astype(q.dtype), k_cache, v_cache
+        return out.astype(q.dtype), k_store, v_store
 
     # scores: group the query heads over their shared KV head
     qg = q.reshape(B, T, Hkv, G, Dh)
@@ -86,4 +100,4 @@ def mha_with_cache(
         "bhgts,bshd->bthgd", probs.astype(v_cache.dtype), v_cache,
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(B, T, Hq, Dh).astype(q.dtype), k_cache, v_cache
+    return out.reshape(B, T, Hq, Dh).astype(q.dtype), k_store, v_store

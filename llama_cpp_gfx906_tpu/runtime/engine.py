@@ -89,6 +89,7 @@ class Engine:
         dtype=jnp.bfloat16,
         device_put_fn=None,
         keep_quantized: bool = True,
+        kv_cache_dtype=None,  # None → dtype; "q8" → int8 KV (type_k/type_v)
     ) -> "Engine":
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
@@ -99,7 +100,8 @@ class Engine:
         params = get_family(cfg).load_params(
             reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
         )
-        eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq, batch_size=batch_size, kv_dtype=dtype)
+        eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq,
+                  batch_size=batch_size, kv_dtype=kv_cache_dtype or dtype)
         eng.perf.t_load_s = time.perf_counter() - t0
         return eng
 
