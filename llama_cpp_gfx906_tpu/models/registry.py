@@ -79,11 +79,19 @@ def _deepseek2_family() -> ModelFamily:
     )
 
 
+ENC_DEC_ARCHS = {"t5", "t5encoder"}
+
+
 def get_family(cfg: ModelConfig) -> ModelFamily:
     if cfg.arch in RECURRENT_ARCHS:
         return _mamba_family()
     if cfg.arch in MLA_ARCHS:
         return _deepseek2_family()
+    if cfg.arch in ENC_DEC_ARCHS:
+        raise ValueError(
+            "encoder-decoder models don't fit the causal Engine; use "
+            "llama_cpp_gfx906_tpu.models.t5.T5Model.from_gguf instead"
+        )
     # default: any arch with attention tensors runs on the generalized
     # attention forward — unknown archs get a best-effort llama treatment,
     # matching the reference's behavior of failing at tensor-load time

@@ -210,6 +210,75 @@ def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F
     return w.write()
 
 
+def convert_hf_t5(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers T5ForConditionalGeneration → GGUF (arch "t5").
+
+    Tensor naming per the reference T5 table (llama-arch.cpp:1452-1489);
+    the relative-attention-bias table lives on block 0 only (shared)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    w = GGUFWriter(out_path, "t5")
+    w.add_string(Keys.General.NAME, "t5-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 512)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.d_model)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.d_ff)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, hf.num_heads)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, hf.d_kv)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, hf.d_kv)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf.layer_norm_epsilon)
+    w.add_uint32("{arch}.attention.relative_buckets_count", hf.relative_attention_num_buckets)
+    w.add_uint32("{arch}.decoder_start_token_id", getattr(hf, "decoder_start_token_id", 0) or 0)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name or "rel_b" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["shared.weight"])
+
+    def block(side, hf_side):
+        for i in range(hf.num_layers):
+            p = f"{hf_side}.block.{i}.layer."
+            b = f"{side}.blk.{i}."
+            sa = "SelfAttention"
+            add(b + "attn_q.weight", state[p + f"0.{sa}.q.weight"])
+            add(b + "attn_k.weight", state[p + f"0.{sa}.k.weight"])
+            add(b + "attn_v.weight", state[p + f"0.{sa}.v.weight"])
+            add(b + "attn_o.weight", state[p + f"0.{sa}.o.weight"])
+            add(b + "attn_norm.weight", state[p + "0.layer_norm.weight"])
+            if p + f"0.{sa}.relative_attention_bias.weight" in state:
+                add(b + "attn_rel_b.weight", state[p + f"0.{sa}.relative_attention_bias.weight"])
+            fl = "1" if side == "enc" else "2"
+            ff = p + fl + ".DenseReluDense."
+            if ff + "wi_0.weight" in state:  # v1.1 gated
+                add(b + "ffn_gate.weight", state[ff + "wi_0.weight"])
+                add(b + "ffn_up.weight", state[ff + "wi_1.weight"])
+            else:
+                add(b + "ffn_up.weight", state[ff + "wi.weight"])
+            add(b + "ffn_down.weight", state[ff + "wo.weight"])
+            add(b + "ffn_norm.weight", state[p + fl + ".layer_norm.weight"])
+            if side == "dec":
+                ca = "EncDecAttention"
+                add(b + "cross_attn_q.weight", state[p + f"1.{ca}.q.weight"])
+                add(b + "cross_attn_k.weight", state[p + f"1.{ca}.k.weight"])
+                add(b + "cross_attn_v.weight", state[p + f"1.{ca}.v.weight"])
+                add(b + "cross_attn_o.weight", state[p + f"1.{ca}.o.weight"])
+                add(b + "cross_attn_norm.weight", state[p + "1.layer_norm.weight"])
+
+    block("enc", "encoder")
+    block("dec", "decoder")
+    add("enc.output_norm.weight", state["encoder.final_layer_norm.weight"])
+    add("dec.output_norm.weight", state["decoder.final_layer_norm.weight"])
+    if "lm_head.weight" in state and not np.array_equal(state["lm_head.weight"], state["shared.weight"]):
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers DeepseekV2ForCausalLM → GGUF (arch "deepseek2").
 
