@@ -79,6 +79,8 @@ class ModelConfig:
     n_layer_dense_lead: int = 0
     n_shared_experts: int = 0
     expert_gating_func: int = 1  # 1=softmax, 2=sigmoid (LLAMA_EXPERT_GATING_FUNC_*)
+    moe_topk_softmax: bool = False  # gpt-oss: softmax over selected logits
+    swiglu_limit: float = 7.0  # ggml_swiglu_oai clamp
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -214,6 +216,15 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             act_fn="gelu",
             rope_interleaved=False,
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "gpt-oss":
+        # iSWA (alternating), attention sinks, swiglu_oai MoE with biases
+        # (reference: llm_build_openai_moe_iswa, llama-model.cpp:17610)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            swa_pattern=2,
+            moe_topk_softmax=True,
+            act_fn="swiglu_oai",
         )
     elif arch == "deepseek2":
         # MLA + fine-grained MoE (reference: llm_build_deepseek2,

@@ -164,6 +164,7 @@ def forward(
             q, k, v, k_cache_l, v_cache_l, kv.n_past, scale,
             sliding_window=window_l,
             logit_softcap=cfg.attn_logit_softcap,
+            sinks=p.get("sinks"),
         )
         attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo")
         if "bo" in p:
@@ -184,7 +185,10 @@ def forward(
             from ..ops.moe import moe_ffn
 
             mlp = moe_ffn(
-                h, p["moe_gate_inp"], p["moe_gate"], p["moe_up"], p["moe_down"], cfg
+                h, p["moe_gate_inp"], p["moe_gate"], p["moe_up"], p["moe_down"], cfg,
+                router_b=p.get("moe_gate_inp_b"),
+                gate_b=p.get("moe_gate_b"), up_b=p.get("moe_up_b"),
+                down_b=p.get("moe_down_b"),
             )
             if "w_gate" in p:  # shared expert alongside routed experts
                 mlp = mlp + _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)

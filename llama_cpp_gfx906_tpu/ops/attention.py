@@ -43,6 +43,7 @@ def mha_with_cache(
     scale: float,
     sliding_window=0,  # int or traced int32 scalar; <= 0 disables
     logit_softcap: float = 0.0,
+    sinks: jnp.ndarray | None = None,  # (Hq,) attention-sink logits (gpt-oss)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache').
 
@@ -69,7 +70,8 @@ def mha_with_cache(
 
     # long-enough prefill on TPU → blockwise flash kernel (never builds the
     # (T, S) score matrix); decode and CPU runs use the einsum path below
-    if T >= 64 and jax.default_backend() == "tpu":
+    # (sinks change the softmax denominator — einsum path handles them)
+    if T >= 64 and sinks is None and jax.default_backend() == "tpu":
         from .flash_attention import flash_attention
 
         out = flash_attention(
@@ -95,7 +97,17 @@ def mha_with_cache(
     mask &= jnp.logical_or(window <= 0, s_pos[:, None, :] > q_pos[:, :, None] - window)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # gpt-oss attention sinks (soft_max_ext_add_sinks analog): one extra
+        # per-head logit joins the softmax denominator, its probability mass
+        # is discarded (llm_build_openai_moe_iswa path)
+        sk = sinks.reshape(Hkv, G).astype(jnp.float32)  # (Hkv, G)
+        m = jnp.maximum(scores.max(axis=-1), sk[None, :, :, None])  # (B,Hkv,G,T)
+        e = jnp.exp(scores - m[..., None])
+        denom = e.sum(axis=-1) + jnp.exp(sk[None, :, :, None] - m)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhgts,bshd->bthgd", probs.astype(v_cache.dtype), v_cache,
         preferred_element_type=jnp.float32,

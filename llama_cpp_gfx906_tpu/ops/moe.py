@@ -29,6 +29,10 @@ def moe_ffn(
     w_down: jnp.ndarray,  # (E, F, D)
     cfg: ModelConfig,
     probs_bias: jnp.ndarray | None = None,  # (E,) selection bias (deepseek3)
+    router_b: jnp.ndarray | None = None,  # (E,) router logit bias (gpt-oss)
+    gate_b: jnp.ndarray | None = None,  # (E, F) expert biases (gpt-oss)
+    up_b: jnp.ndarray | None = None,
+    down_b: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     B, T, D = x.shape
     E = w_gate.shape[0]
@@ -36,45 +40,71 @@ def moe_ffn(
     xt = x.reshape(B * T, D)
 
     router = (xt.astype(jnp.float32) @ gate_inp.astype(jnp.float32))  # (N, E)
-    if cfg.expert_gating_func == 2:  # LLAMA_EXPERT_GATING_FUNC_TYPE_SIGMOID
-        probs = jax.nn.sigmoid(router)
+    if router_b is not None:
+        router = router + router_b.astype(jnp.float32)
+    if cfg.moe_topk_softmax:
+        # gpt-oss router: softmax over the selected top-k logits only
+        topl, topi = jax.lax.top_k(router, k)
+        topv = jax.nn.softmax(topl, axis=-1)
     else:
-        probs = jax.nn.softmax(router, axis=-1)
-    if probs_bias is not None:
-        # bias steers selection only; combine weights stay unbiased
-        sel = probs + probs_bias.astype(jnp.float32)
-        _, topi = jax.lax.top_k(sel, k)
-        topv = jnp.take_along_axis(probs, topi, axis=-1)
-    else:
-        topv, topi = jax.lax.top_k(probs, k)  # (N, k)
-    if cfg.expert_weights_norm:  # mixtral/qwen renormalize the selected probs
-        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
-    if cfg.expert_weights_scale != 1.0:
-        topv = topv * cfg.expert_weights_scale
+        if cfg.expert_gating_func == 2:  # LLAMA_EXPERT_GATING_FUNC_TYPE_SIGMOID
+            probs = jax.nn.sigmoid(router)
+        else:
+            probs = jax.nn.softmax(router, axis=-1)
+        if probs_bias is not None:
+            # bias steers selection only; combine weights stay unbiased
+            sel = probs + probs_bias.astype(jnp.float32)
+            _, topi = jax.lax.top_k(sel, k)
+            topv = jnp.take_along_axis(probs, topi, axis=-1)
+        else:
+            topv, topi = jax.lax.top_k(probs, k)  # (N, k)
+        if cfg.expert_weights_norm:  # mixtral/qwen renormalize selected probs
+            topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
+        if cfg.expert_weights_scale != 1.0:
+            topv = topv * cfg.expert_weights_scale
     topv = topv.astype(x.dtype)
 
-    def act(g):
+    def act_mix(g, u):
+        """Combine gate/up streams per the configured GLU variant."""
+        gf = g.astype(jnp.float32)
+        uf = u.astype(jnp.float32)
+        if cfg.act_fn == "swiglu_oai":  # ggml_swiglu_oai: clamp + (up+1)·glu
+            gf = jnp.minimum(gf, cfg.swiglu_limit)
+            uf = jnp.clip(uf, -cfg.swiglu_limit, cfg.swiglu_limit)
+            return ((uf + 1.0) * gf * jax.nn.sigmoid(1.702 * gf)).astype(x.dtype)
         if cfg.act_fn == "gelu":
-            return jax.nn.gelu(g.astype(jnp.float32), approximate=True).astype(x.dtype)
-        return jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+            return (jax.nn.gelu(gf, approximate=True) * uf).astype(x.dtype)
+        return (jax.nn.silu(gf) * uf).astype(x.dtype)
 
     if B * T <= _GATHER_MAX_TOKENS:
         # gather path: (N, k, D, F) expert slices
         wg = w_gate[topi]  # (N, k, D, F)
         wu = w_up[topi]
         wd = w_down[topi]  # (N, k, F, D)
-        g = jnp.einsum("nd,nkdf->nkf", xt, wg, preferred_element_type=jnp.float32).astype(x.dtype)
-        u = jnp.einsum("nd,nkdf->nkf", xt, wu, preferred_element_type=jnp.float32).astype(x.dtype)
-        h = act(g) * u
+        g = jnp.einsum("nd,nkdf->nkf", xt, wg, preferred_element_type=jnp.float32)
+        u = jnp.einsum("nd,nkdf->nkf", xt, wu, preferred_element_type=jnp.float32)
+        if gate_b is not None:
+            g = g + gate_b[topi]
+        if up_b is not None:
+            u = u + up_b[topi]
+        h = act_mix(g.astype(x.dtype), u.astype(x.dtype))
         out = jnp.einsum("nkf,nkfd->nkd", h, wd, preferred_element_type=jnp.float32)
+        if down_b is not None:
+            out = out + down_b[topi]
         out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
     else:
         # dense path: run all experts, mask with dispatch weights
         combine = jnp.zeros((B * T, E), x.dtype)
         combine = jax.vmap(lambda c, i, v: c.at[i].set(v))(combine, topi, topv)  # (N, E)
-        g = jnp.einsum("nd,edf->enf", xt, w_gate, preferred_element_type=jnp.float32).astype(x.dtype)
-        u = jnp.einsum("nd,edf->enf", xt, w_up, preferred_element_type=jnp.float32).astype(x.dtype)
-        h = act(g) * u  # (E, N, F)
+        g = jnp.einsum("nd,edf->enf", xt, w_gate, preferred_element_type=jnp.float32)
+        u = jnp.einsum("nd,edf->enf", xt, w_up, preferred_element_type=jnp.float32)
+        if gate_b is not None:
+            g = g + gate_b[:, None, :]
+        if up_b is not None:
+            u = u + up_b[:, None, :]
+        h = act_mix(g.astype(x.dtype), u.astype(x.dtype))  # (E, N, F)
         out_e = jnp.einsum("enf,efd->end", h, w_down, preferred_element_type=jnp.float32)
+        if down_b is not None:
+            out_e = out_e + down_b[:, None, :]
         out = jnp.einsum("end,ne->nd", out_e, combine.astype(jnp.float32))
     return out.astype(x.dtype).reshape(B, T, D)

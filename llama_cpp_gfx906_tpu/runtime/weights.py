@@ -61,9 +61,15 @@ def _layer_names(i: int) -> dict[str, str]:
         "b_down": b + "ffn_down.bias",
         # MoE (stacked-expert tensors; reference arch tables LLM_TENSOR_FFN_*_EXPS)
         "moe_gate_inp": b + "ffn_gate_inp.weight",
+        "moe_gate_inp_b": b + "ffn_gate_inp.bias",
         "moe_gate": b + "ffn_gate_exps.weight",
         "moe_up": b + "ffn_up_exps.weight",
         "moe_down": b + "ffn_down_exps.weight",
+        "moe_gate_b": b + "ffn_gate_exps.bias",
+        "moe_up_b": b + "ffn_up_exps.bias",
+        "moe_down_b": b + "ffn_down_exps.bias",
+        # gpt-oss attention sinks (LLM_TENSOR_ATTN_SINKS)
+        "sinks": b + "attn_sinks.weight",
     }
 
 
@@ -114,6 +120,10 @@ def effective_tensors(reader, cfg: ModelConfig) -> dict:
             src[b + "attn_q.bias"] = _const_f32(b + "attn_q.bias", arr[:Dq])
             src[b + "attn_k.bias"] = _const_f32(b + "attn_k.bias", arr[Dq : Dq + Dkv])
             src[b + "attn_v.bias"] = _const_f32(b + "attn_v.bias", arr[Dq + Dkv : Dq + 2 * Dkv])
+        # gpt-oss GGUFs name the FFN pre-norm "post_attention_norm"
+        if b + "ffn_norm.weight" not in src and b + "post_attention_norm.weight" in src \
+                and b + "ffn_gate_inp.weight" in src:
+            src[b + "ffn_norm.weight"] = src[b + "post_attention_norm.weight"]
         up = src.get(b + "ffn_up.weight")
         if (
             up is not None

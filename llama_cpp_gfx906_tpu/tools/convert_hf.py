@@ -210,6 +210,66 @@ def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F
     return w.write()
 
 
+def convert_hf_gpt_oss(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers GptOssForCausalLM → GGUF (arch "gpt-oss").
+
+    Fused interleaved gate_up expert weights are de-interleaved into
+    ffn_gate_exps/ffn_up_exps (+ biases); attention sinks land in
+    attn_sinks (reference table: llama-arch.cpp:1976-1993)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", hf.hidden_size // n_head)
+
+    w = GGUFWriter(out_path, "gpt-oss")
+    w.add_string(Keys.General.NAME, "gpt-oss-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.LLM.EXPERT_COUNT, hf.num_local_experts)
+    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+    w.add_uint32(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Attention.SLIDING_WINDOW, hf.sliding_window or 0)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name or "sinks" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "post_attention_norm.weight", state[p + "post_attention_layernorm.weight"])
+        for hf_n, gg in [("q_proj", "attn_q"), ("k_proj", "attn_k"), ("v_proj", "attn_v"), ("o_proj", "attn_output")]:
+            add(b + f"{gg}.weight", state[p + f"self_attn.{hf_n}.weight"])
+            if p + f"self_attn.{hf_n}.bias" in state:
+                add(b + f"{gg}.bias", state[p + f"self_attn.{hf_n}.bias"])
+        add(b + "attn_sinks.weight", state[p + "self_attn.sinks"])
+        add(b + "ffn_gate_inp.weight", state[p + "mlp.router.weight"])
+        add(b + "ffn_gate_inp.bias", state[p + "mlp.router.bias"])
+        gu = state[p + "mlp.experts.gate_up_proj"]  # (E, D, 2F) input-major
+        gub = state[p + "mlp.experts.gate_up_proj_bias"]  # (E, 2F)
+        gate = np.ascontiguousarray(gu[:, :, 0::2].transpose(0, 2, 1))  # (E, F, D)
+        up = np.ascontiguousarray(gu[:, :, 1::2].transpose(0, 2, 1))
+        add(b + "ffn_gate_exps.weight", gate)
+        add(b + "ffn_up_exps.weight", up)
+        add(b + "ffn_gate_exps.bias", np.ascontiguousarray(gub[:, 0::2]))
+        add(b + "ffn_up_exps.bias", np.ascontiguousarray(gub[:, 1::2]))
+        down = state[p + "mlp.experts.down_proj"]  # (E, F, D) input-major
+        add(b + "ffn_down_exps.weight", np.ascontiguousarray(down.transpose(0, 2, 1)))
+        add(b + "ffn_down_exps.bias", state[p + "mlp.experts.down_proj_bias"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_t5(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers T5ForConditionalGeneration → GGUF (arch "t5").
 
