@@ -1,0 +1,158 @@
+"""CLIP/SigLIP-style ViT vision encoder + LLaVA projector (mtmd path).
+
+Reference: tools/mtmd/clip.cpp (vision graph; tensor names per
+clip-impl.h:57-88, metadata keys clip.vision.*).  The TPU build runs the
+whole encoder as one jitted function: patch embedding as an unfolded
+matmul (MXU instead of a conv kernel), standard pre-LN ViT blocks, and
+the llava MLP projector mapping vision features into the LM embedding
+space.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.norms import layer_norm
+
+
+@dataclass(frozen=True)
+class ClipConfig:
+    image_size: int
+    patch_size: int
+    n_embd: int
+    n_layers: int
+    n_heads: int
+    n_ff: int
+    proj_dim: int  # LM embedding size after the mm projector
+    eps: float = 1e-5
+    feature_layer: int = -2  # llava: hidden states from the n-2'th layer
+    use_class_token: bool = True
+
+    @property
+    def n_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+def _attn(x, p, cfg: ClipConfig):
+    B, N, D = x.shape
+    H = cfg.n_heads
+    Dh = D // H
+    q = (x @ p["wq"] + p["bq"]).reshape(B, N, H, Dh)
+    k = (x @ p["wk"] + p["bk"]).reshape(B, N, H, Dh)
+    v = (x @ p["wv"] + p["bv"]).reshape(B, N, H, Dh)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * Dh**-0.5, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(B, N, D) @ p["wo"] + p["bo"]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels (B, 3, H, W) normalized → projected features (B, N, proj_dim).
+
+    Mirrors the llava path: run the ViT, take the ``feature_layer`` hidden
+    states, drop CLS, apply the mm projector."""
+    B = pixels.shape[0]
+    ps = cfg.patch_size
+    g = cfg.image_size // ps
+    # unfold into patches: (B, 3, g, ps, g, ps) -> (B, g*g, 3*ps*ps)
+    x = pixels.reshape(B, 3, g, ps, g, ps).transpose(0, 2, 4, 1, 3, 5).reshape(B, g * g, 3 * ps * ps)
+    x = x @ params["patch_w"]  # (B, N, D); conv bias if present
+    if "patch_b" in params:
+        x = x + params["patch_b"]
+    if cfg.use_class_token:
+        cls = jnp.broadcast_to(params["class_embd"], (B, 1, cfg.n_embd))
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embd"][None, : x.shape[1]]
+    if "pre_ln" in params:
+        x = layer_norm(x, params["pre_ln"], params.get("pre_ln_b"), cfg.eps)
+
+    n_run = cfg.n_layers + cfg.feature_layer + 1 if cfg.feature_layer < 0 else cfg.feature_layer
+    hidden = x
+    for il, p in enumerate(params["layers"]):
+        if il >= n_run:
+            break
+        h = layer_norm(hidden, p["ln1"], p.get("ln1_b"), cfg.eps)
+        hidden = hidden + _attn(h, p, cfg)
+        h = layer_norm(hidden, p["ln2"], p.get("ln2_b"), cfg.eps)
+        h = jax.nn.gelu((h @ p["ffn_up"] + p["b_up"]).astype(jnp.float32), approximate=False).astype(h.dtype)
+        hidden = hidden + (h @ p["ffn_down"] + p["b_down"])
+
+    feats = hidden[:, 1:] if cfg.use_class_token else hidden  # drop CLS
+    # llava 2-layer MLP projector (mm.0 / mm.2)
+    y = feats @ params["mm0_w"] + params["mm0_b"]
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
+    return y @ params["mm2_w"] + params["mm2_b"]
+
+
+# ---------------------------------------------------------------------------
+# mmproj GGUF loading (names: clip-impl.h TN_*)
+# ---------------------------------------------------------------------------
+
+
+def config_from_mmproj(reader) -> ClipConfig:
+    g = lambda k, d=None: reader.get(k) if reader.get(k) is not None else d
+    return ClipConfig(
+        image_size=int(g("clip.vision.image_size")),
+        patch_size=int(g("clip.vision.patch_size")),
+        n_embd=int(g("clip.vision.embedding_length")),
+        n_layers=int(g("clip.vision.block_count")),
+        n_heads=int(g("clip.vision.attention.head_count")),
+        n_ff=int(g("clip.vision.feed_forward_length")),
+        proj_dim=int(g("clip.vision.projection_dim")),
+        eps=float(g("clip.vision.attention.layer_norm_epsilon", 1e-5)),
+        feature_layer=int(g("clip.vision.feature_layer", -2)),
+    )
+
+
+def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
+    cfg = config_from_mmproj(reader)
+    t = reader.tensors
+
+    def w(name, transpose=False):
+        a = t[name].to_f32()
+        if transpose:
+            a = np.ascontiguousarray(a.T)
+        return jnp.asarray(a.astype(dtype))
+
+    params: dict = {
+        # conv weight (D, 3, ps, ps) -> unfold layout (3*ps*ps, D)
+        "patch_w": jnp.asarray(
+            np.ascontiguousarray(
+                t["v.patch_embd.weight"].to_f32().reshape(cfg.n_embd, -1).T
+            ).astype(dtype)
+        ),
+        "pos_embd": w("v.position_embd.weight"),
+        "mm0_w": w("mm.0.weight", True),
+        "mm0_b": w("mm.0.bias"),
+        "mm2_w": w("mm.2.weight", True),
+        "mm2_b": w("mm.2.bias"),
+    }
+    if "v.patch_embd.bias" in t:
+        params["patch_b"] = w("v.patch_embd.bias")
+    if "v.class_embd" in t:
+        params["class_embd"] = w("v.class_embd")
+    if "v.pre_ln.weight" in t:
+        params["pre_ln"] = w("v.pre_ln.weight")
+        params["pre_ln_b"] = w("v.pre_ln.bias")
+    layers = []
+    for i in range(cfg.n_layers):
+        b = f"v.blk.{i}."
+        layers.append({
+            "ln1": w(b + "ln1.weight"), "ln1_b": w(b + "ln1.bias"),
+            "ln2": w(b + "ln2.weight"), "ln2_b": w(b + "ln2.bias"),
+            "wq": w(b + "attn_q.weight", True), "bq": w(b + "attn_q.bias"),
+            "wk": w(b + "attn_k.weight", True), "bk": w(b + "attn_k.bias"),
+            "wv": w(b + "attn_v.weight", True), "bv": w(b + "attn_v.bias"),
+            "wo": w(b + "attn_out.weight", True), "bo": w(b + "attn_out.bias"),
+            "ffn_up": w(b + "ffn_up.weight", True), "b_up": w(b + "ffn_up.bias"),
+            "ffn_down": w(b + "ffn_down.weight", True), "b_down": w(b + "ffn_down.bias"),
+        })
+    params["layers"] = layers
+    return cfg, params

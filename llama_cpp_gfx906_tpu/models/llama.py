@@ -119,13 +119,16 @@ def forward(
     kv: KVCache,
     n_tokens: jnp.ndarray | None = None,  # (B,) valid length within T (padding)
     return_hidden: bool = False,  # return final-norm hidden states, not logits
+    embeds: jnp.ndarray | None = None,  # (B, T, D) input embeddings (mtmd path)
 ) -> tuple[jnp.ndarray, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), kv')."""
     B, T = tokens.shape
     inv_freq = jnp.asarray(rope_frequencies(cfg))
     positions = kv.n_past[:, None] + jnp.arange(T)[None, :]
 
-    x = params["tok_emb"][tokens]  # (B, T, D)
+    # multimodal prefill passes pre-built embeddings (image features spliced
+    # into token embeddings — the mtmd chunk-injection analog)
+    x = embeds.astype(params["tok_emb"].dtype) if embeds is not None else params["tok_emb"][tokens]
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
     if cfg.pos_emb == "learned":

@@ -210,6 +210,102 @@ def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F
     return w.write()
 
 
+def convert_hf_clip_vision(vision_state: dict, vision_cfg, projector: dict,
+                           out_path: str, quant_type=GGMLType.F16,
+                           feature_layer: int = -2, proj_dim: int = 0) -> str:
+    """CLIP vision tower + llava projector → mmproj GGUF (names per
+    tools/mtmd/clip-impl.h TN_*; keys clip.vision.*)."""
+    w = GGUFWriter(out_path, "clip")
+    w.add_string(Keys.General.NAME, "mmproj-convert")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_string("clip.projector_type", "mlp")
+    w.add_uint32("clip.vision.image_size", vision_cfg.image_size)
+    w.add_uint32("clip.vision.patch_size", vision_cfg.patch_size)
+    w.add_uint32("clip.vision.embedding_length", vision_cfg.hidden_size)
+    w.add_uint32("clip.vision.block_count", vision_cfg.num_hidden_layers)
+    w.add_uint32("clip.vision.attention.head_count", vision_cfg.num_attention_heads)
+    w.add_uint32("clip.vision.feed_forward_length", vision_cfg.intermediate_size)
+    w.add_uint32("clip.vision.projection_dim", proj_dim)
+    w.add_float32("clip.vision.attention.layer_norm_epsilon", vision_cfg.layer_norm_eps)
+    w.add_kv("clip.vision.feature_layer", feature_layer)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim <= 1 or "ln" in name or arr.shape[-1] % 32 else quant_type
+        w.add_tensor(name, np.ascontiguousarray(arr), t)
+
+    vm = "vision_model."
+    add("v.patch_embd.weight", vision_state[vm + "embeddings.patch_embedding.weight"])
+    add("v.class_embd", vision_state[vm + "embeddings.class_embedding"])
+    add("v.position_embd.weight", vision_state[vm + "embeddings.position_embedding.weight"])
+    add("v.pre_ln.weight", vision_state[vm + "pre_layrnorm.weight"])
+    add("v.pre_ln.bias", vision_state[vm + "pre_layrnorm.bias"])
+    pairs = [
+        ("layer_norm1.weight", "ln1.weight"), ("layer_norm1.bias", "ln1.bias"),
+        ("layer_norm2.weight", "ln2.weight"), ("layer_norm2.bias", "ln2.bias"),
+        ("self_attn.q_proj.weight", "attn_q.weight"), ("self_attn.q_proj.bias", "attn_q.bias"),
+        ("self_attn.k_proj.weight", "attn_k.weight"), ("self_attn.k_proj.bias", "attn_k.bias"),
+        ("self_attn.v_proj.weight", "attn_v.weight"), ("self_attn.v_proj.bias", "attn_v.bias"),
+        ("self_attn.out_proj.weight", "attn_out.weight"), ("self_attn.out_proj.bias", "attn_out.bias"),
+        ("mlp.fc1.weight", "ffn_up.weight"), ("mlp.fc1.bias", "ffn_up.bias"),
+        ("mlp.fc2.weight", "ffn_down.weight"), ("mlp.fc2.bias", "ffn_down.bias"),
+    ]
+    for i in range(vision_cfg.num_hidden_layers):
+        for hf_s, gg_s in pairs:
+            add(f"v.blk.{i}.{gg_s}", vision_state[f"{vm}encoder.layers.{i}.{hf_s}"])
+    for k, name in [("linear_1.weight", "mm.0.weight"), ("linear_1.bias", "mm.0.bias"),
+                    ("linear_2.weight", "mm.2.weight"), ("linear_2.bias", "mm.2.bias")]:
+        add(name, projector[k])
+    return w.write()
+
+
+def convert_hf_llava(llava_model, tokenizer_vocab, lm_path: str, mmproj_path: str,
+                     quant_type=GGMLType.F16) -> tuple[str, str]:
+    """transformers LlavaForConditionalGeneration → (LM GGUF, mmproj GGUF)."""
+    import re
+
+    full = {k: v.detach().cpu().float().numpy() for k, v in llava_model.state_dict().items()}
+    # language model: strip the llava prefix so convert_hf_llama's names match
+    lm_state = {}
+    for k, v in full.items():
+        m = re.match(r"^(?:model\.)?language_model\.(?:model\.)?(.+)$", k)
+        if m:
+            lm_state["model." + m.group(1)] = v
+        elif k in ("lm_head.weight", "language_model.lm_head.weight"):
+            lm_state["lm_head.weight"] = v
+
+    class _FakeLM:
+        config = llava_model.config.text_config
+
+        @staticmethod
+        def state_dict():
+            import torch as _t
+
+            return {k: _t.from_numpy(v) for k, v in lm_state.items()}
+
+    convert_hf_llama(_FakeLM, tokenizer_vocab, lm_path, quant_type=quant_type)
+
+    vision_state = {
+        re.sub(r"^(?:model\.)?vision_tower\.", "", k): v
+        for k, v in full.items()
+        if "vision_tower." in k
+    }
+    projector = {
+        re.sub(r"^(?:model\.)?multi_modal_projector\.", "", k): v
+        for k, v in full.items()
+        if "multi_modal_projector." in k
+    }
+    convert_hf_clip_vision(
+        vision_state,
+        llava_model.config.vision_config,
+        projector,
+        mmproj_path,
+        quant_type=quant_type,
+        feature_layer=getattr(llava_model.config, "vision_feature_layer", -2),
+        proj_dim=llava_model.config.text_config.hidden_size,
+    )
+    return lm_path, mmproj_path
+
+
 def convert_hf_gpt_oss(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers GptOssForCausalLM → GGUF (arch "gpt-oss").
 
