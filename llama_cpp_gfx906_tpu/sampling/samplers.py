@@ -55,6 +55,9 @@ class SamplerParams:
     # top-n-sigma (llama-sampling.cpp:1810); < 0 disables
     top_n_sigma: float = -1.0
     min_keep: int = 1
+    # infill/FIM sampler (llama-sampling.cpp:2504): needs eog ids via
+    # SamplerChain.set_eog_ids
+    infill: bool = False
 
 
 def apply_logit_bias(logits: np.ndarray, bias: dict[int, float]) -> np.ndarray:
@@ -223,6 +226,25 @@ def apply_dry(
     return logits
 
 
+def apply_infill(logits: np.ndarray, eog_ids: frozenset[int]) -> np.ndarray:
+    """Infill/FIM sampler (llama-sampling.cpp:2504 semantics): when the
+    combined end-of-generation probability dominates the text tokens,
+    force EOG; otherwise suppress EOG so the middle keeps filling."""
+    if not eog_ids:
+        return logits
+    probs = _softmax(logits)
+    eog = np.asarray(sorted(t for t in eog_ids if 0 <= t < logits.size))
+    p_eog = probs[eog].sum()
+    p_txt = 1.0 - p_eog
+    if p_txt <= 0 or 3.0 * p_eog > p_txt:
+        mask = np.ones(logits.size, bool)
+        mask[eog] = False
+        logits[mask] = -np.inf
+    else:
+        logits[eog] = -np.inf
+    return logits
+
+
 def apply_top_n_sigma(logits: np.ndarray, n_sigma: float) -> np.ndarray:
     """llama-sampling.cpp:1810 — keep logits within n·σ of the max."""
     if n_sigma < 0:
@@ -248,6 +270,10 @@ class SamplerChain:
         # optional grammar constraint (grammar.gbnf); set via set_grammar()
         self.grammar = None
         self.grammar_vocab = None
+        self.eog_ids: frozenset[int] = frozenset()  # for the infill sampler
+
+    def set_eog_ids(self, eog_ids):
+        self.eog_ids = frozenset(eog_ids)
 
     def set_grammar(self, grammar, grammar_vocab):
         """Attach a Grammar + GrammarVocab for constrained decoding
@@ -296,6 +322,8 @@ class SamplerChain:
             p.dry_allowed_length, p.dry_penalty_last_n,
             frozenset(p.dry_sequence_breakers),
         )
+        if p.infill:
+            logits = apply_infill(logits, self.eog_ids)
         if p.greedy or p.temp <= 0:
             return int(np.argmax(logits))
         if p.mirostat == 1:
