@@ -243,6 +243,15 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             rope_yarn_log_mul=float(g(Keys.Rope.SCALING_YARN_LOG_MUL, 0.0)),
             attn_scale=float(key_mla) ** -0.5 if key_mla else 0.0,
         )
+    elif arch == "jamba":
+        cfg = cfg.with_(
+            pos_emb="none",
+            expert_weights_norm=False,
+            ssm_d_conv=int(g(Keys.SSM.CONV_KERNEL, 4)),
+            ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
+            ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 16)),
+            ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)),
+        )
     elif arch == "mamba":
         cfg = cfg.with_(
             pos_emb="none",

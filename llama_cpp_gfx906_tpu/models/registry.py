@@ -23,6 +23,7 @@ ATTENTION_ARCHS = {
 }
 
 RECURRENT_ARCHS = {"mamba"}
+HYBRID_ARCHS = {"jamba"}
 MLA_ARCHS = {"deepseek2"}
 
 
@@ -82,9 +83,25 @@ def _deepseek2_family() -> ModelFamily:
 ENC_DEC_ARCHS = {"t5", "t5encoder"}
 
 
+def _jamba_family() -> ModelFamily:
+    from .jamba import HybridState, forward, load_params
+
+    def load(reader, cfg, dtype, device_put_fn=None, keep_quantized=True):
+        return load_params(reader, cfg, dtype, device_put_fn)
+
+    return ModelFamily(
+        name="jamba",
+        forward=forward,
+        make_cache=lambda cfg, batch, max_seq, dtype: HybridState.create(cfg, batch, max_seq, dtype),
+        load_params=load,
+    )
+
+
 def get_family(cfg: ModelConfig) -> ModelFamily:
     if cfg.arch in RECURRENT_ARCHS:
         return _mamba_family()
+    if cfg.arch in HYBRID_ARCHS:
+        return _jamba_family()
     if cfg.arch in MLA_ARCHS:
         return _deepseek2_family()
     if cfg.arch in ENC_DEC_ARCHS:

@@ -530,6 +530,86 @@ def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLT
     return w.write()
 
 
+def convert_hf_jamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers JambaForCausalLM → GGUF (arch "jamba").
+
+    Hybrid layers: mamba blocks (with dt/B/C norms) interleaved with
+    rope-less attention; dense or MoE FFN per layer (tensor table:
+    llama-arch.cpp:1075-1100)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "jamba")
+    w.add_string(Keys.General.NAME, "jamba-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, getattr(hf, "max_position_embeddings", 4096))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_kv)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_uint32(Keys.SSM.CONV_KERNEL, hf.mamba_d_conv)
+    w.add_uint32(Keys.SSM.INNER_SIZE, hf.mamba_expand * hf.hidden_size)
+    w.add_uint32(Keys.SSM.STATE_SIZE, hf.mamba_d_state)
+    w.add_uint32(Keys.SSM.TIME_STEP_RANK, hf.mamba_dt_rank)
+    if getattr(hf, "num_experts", 1) > 1:
+        w.add_uint32(Keys.LLM.EXPERT_COUNT, hf.num_experts)
+        w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        t = GGMLType.F32 if (f32 or arr.ndim == 1 or "norm" in name) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "pre_ff_layernorm.weight"])
+        if p + "mamba.in_proj.weight" in state:
+            add(b + "ssm_in.weight", state[p + "mamba.in_proj.weight"])
+            add(b + "ssm_conv1d.weight", state[p + "mamba.conv1d.weight"].squeeze(1), f32=True)
+            if p + "mamba.conv1d.bias" in state:
+                add(b + "ssm_conv1d.bias", state[p + "mamba.conv1d.bias"])
+            add(b + "ssm_x.weight", state[p + "mamba.x_proj.weight"])
+            add(b + "ssm_dt.weight", state[p + "mamba.dt_proj.weight"])
+            add(b + "ssm_dt.bias", state[p + "mamba.dt_proj.bias"])
+            add(b + "ssm_a", -np.exp(state[p + "mamba.A_log"]), f32=True)
+            add(b + "ssm_d", state[p + "mamba.D"], f32=True)
+            add(b + "ssm_out.weight", state[p + "mamba.out_proj.weight"])
+            add(b + "ssm_dt_norm.weight", state[p + "mamba.dt_layernorm.weight"])
+            add(b + "ssm_b_norm.weight", state[p + "mamba.b_layernorm.weight"])
+            add(b + "ssm_c_norm.weight", state[p + "mamba.c_layernorm.weight"])
+        else:
+            add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+            add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+            add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+            add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        if p + "feed_forward.router.weight" in state:  # MoE layer
+            add(b + "ffn_gate_inp.weight", state[p + "feed_forward.router.weight"])
+            n_exp = hf.num_experts
+            for hf_n, gg in [("gate_proj", "ffn_gate_exps"), ("up_proj", "ffn_up_exps"), ("down_proj", "ffn_down_exps")]:
+                stackd = np.stack([
+                    state[f"{p}feed_forward.experts.{e}.{hf_n}.weight"] for e in range(n_exp)
+                ])
+                add(b + gg + ".weight", stackd)
+        else:
+            add(b + "ffn_gate.weight", state[p + "feed_forward.gate_proj.weight"])
+            add(b + "ffn_up.weight", state[p + "feed_forward.up_proj.weight"])
+            add(b + "ffn_down.weight", state[p + "feed_forward.down_proj.weight"])
+    add("output_norm.weight", state["model.final_layernorm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_mamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers MambaForCausalLM → GGUF (arch "mamba").
 
