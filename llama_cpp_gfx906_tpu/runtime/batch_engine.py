@@ -68,10 +68,14 @@ class Slot:
     t_start: float = 0.0
     t_first_token: float = 0.0
     chain: object | None = None  # persistent SamplerChain for grammar slots
+    # prompt cache: tokens whose K/V rows survive in this slot after release
+    # (reference: server prompt caching w/ common-prefix reuse, server.cpp:3248)
+    cache_tokens: list[int] = field(default_factory=list)
 
     def reset(self):
         self.state = SlotState.IDLE
         self.request_id = ""
+        self.cache_tokens = self.prompt_ids + self.generated
         self.prompt_ids = []
         self.generated = []
         self.n_past = 0
@@ -103,6 +107,7 @@ class BatchedEngine:
         self.rng_key = jax.random.PRNGKey(seed)
         self.metrics = {
             "n_prompt_tokens": 0,
+            "n_prompt_tokens_cached": 0,
             "n_generated_tokens": 0,
             "t_prefill_s": 0.0,
             "t_decode_s": 0.0,
@@ -138,10 +143,23 @@ class BatchedEngine:
             logits, kv = forward(params, cfg, tokens, kv)
             return logits[:, -1].astype(jnp.float32), kv
 
+        @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
+        def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match):
+            """Prefix-cache path: run only the prompt suffix through the
+            slot's existing KV rows (positions offset by n_match)."""
+            k1 = jax.lax.dynamic_slice_in_dim(kv_k, slot, 1, axis=1)
+            v1 = jax.lax.dynamic_slice_in_dim(kv_v, slot, 1, axis=1)
+            kv1 = KVCache(k1, v1, jnp.full((1,), n_match, jnp.int32))
+            logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens)
+            k = jax.lax.dynamic_update_slice_in_dim(kv_k, kv1.k, slot, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(kv_v, kv1.v, slot, axis=1)
+            return logits[0, n_tokens[0] - 1], k, v
+
         self._prefill = _prefill
         self._insert = _insert
         self._decode = _decode
         self._decode_logits = _decode_logits
+        self._prefill_suffix = _prefill_suffix
 
     # -- slot management ------------------------------------------------------
 
@@ -150,6 +168,21 @@ class BatchedEngine:
             if s.state == SlotState.IDLE:
                 return s
         return None
+
+    def _pick_slot(self, prompt_ids: list[int]) -> tuple[Slot | None, int]:
+        """Idle slot with the longest cached common prefix (server.cpp
+        prompt-cache slot selection)."""
+        best, best_m = None, -1
+        for s in self.slots:
+            if s.state != SlotState.IDLE:
+                continue
+            m = 0
+            limit = min(len(s.cache_tokens), len(prompt_ids) - 1)
+            while m < limit and s.cache_tokens[m] == prompt_ids[m]:
+                m += 1
+            if m > best_m:
+                best, best_m = s, m
+        return best, max(best_m, 0)
 
     @property
     def n_active(self) -> int:
@@ -162,8 +195,12 @@ class BatchedEngine:
         sampler: SamplerConfig | None = None,
         request_id: str = "",
     ) -> Slot | None:
-        """Prefill a prompt into a free slot; returns None when saturated."""
-        slot = self.free_slot()
+        """Prefill a prompt into a free slot; returns None when saturated.
+
+        Reuses the slot's cached KV prefix when the new prompt extends a
+        previous one (reference: update_slots prompt-cache reuse,
+        server.cpp:3248-3266)."""
+        slot, n_match = self._pick_slot(prompt_ids)
         if slot is None:
             return None
         if len(prompt_ids) + n_predict > self.max_seq:
@@ -173,16 +210,30 @@ class BatchedEngine:
         sampler = sampler or SamplerConfig()
         t0 = time.perf_counter()
         n = len(prompt_ids)
-        padded = min(bucket_len(n), self.max_seq)
-        toks = np.zeros((1, padded), np.int32)
-        toks[0, :n] = prompt_ids
-        last_logits, new_k, new_v = self._prefill(
-            self.params, self.cfg, jnp.asarray(toks), jnp.asarray([n], jnp.int32)
-        )
-        self.kv = KVCache(
-            *self._insert(self.kv.k, self.kv.v, new_k, new_v, slot.id),
-            n_past=self.kv.n_past,
-        )
+        if n_match > 0:
+            suffix = prompt_ids[n_match:]
+            ns = len(suffix)
+            padded = min(bucket_len(ns), self.max_seq)
+            toks = np.zeros((1, padded), np.int32)
+            toks[0, :ns] = suffix
+            last_logits, k, v = self._prefill_suffix(
+                self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(toks),
+                jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
+                jnp.asarray(n_match, jnp.int32),
+            )
+            self.kv = KVCache(k, v, n_past=self.kv.n_past)
+            self.metrics["n_prompt_tokens_cached"] += n_match
+        else:
+            padded = min(bucket_len(n), self.max_seq)
+            toks = np.zeros((1, padded), np.int32)
+            toks[0, :n] = prompt_ids
+            last_logits, new_k, new_v = self._prefill(
+                self.params, self.cfg, jnp.asarray(toks), jnp.asarray([n], jnp.int32)
+            )
+            self.kv = KVCache(
+                *self._insert(self.kv.k, self.kv.v, new_k, new_v, slot.id),
+                n_past=self.kv.n_past,
+            )
         # first token sampled on host (single logits vector, full chain OK)
         chain = self._make_chain(sampler)
         if chain is not None:

@@ -272,3 +272,43 @@ def test_http_grammar_constrained(server_client):
         assert re.fullmatch(r"(<t1>|<t2>)+", text), text
 
     loop.run_until_complete(run())
+
+
+def test_prefix_cache_reuse(batched, tiny_gguf):
+    """A prompt extending a previous one must reuse the slot's KV prefix
+    and produce identical greedy output to an uncached run."""
+    import llama_cpp_gfx906_tpu.runtime.batch_engine as BE
+
+    eng = Engine.from_gguf(tiny_gguf, max_seq=64, dtype=jnp.float32, keep_quantized=False)
+    reader = GGUFReader(tiny_gguf)
+    cfg = config_from_gguf(reader)
+    tok = tokenizer_from_gguf(reader)
+    params = load_llama_params(reader, cfg, jnp.float32)
+    be = BE.BatchedEngine(cfg, params, tok, n_slots=2, max_seq=64, dtype=jnp.float32)
+
+    base = [3, 17, 42, 9, 7, 25]
+    greedy = BE.SamplerConfig(temp=0.0)
+    slot = be.add_request(base, 4, greedy)
+    while slot.stop_reason is None:
+        be.step()
+    first_out = list(slot.generated)
+    be.release(slot)
+    assert be.metrics["n_prompt_tokens_cached"] == 0
+
+    # extended prompt → prefix reuse fires
+    ext = base + first_out[:-1] + [11, 40]
+    slot2 = be.add_request(ext, 4, greedy)
+    assert be.metrics["n_prompt_tokens_cached"] > 0
+    while slot2.stop_reason is None:
+        be.step()
+    cached_out = list(slot2.generated)
+    be.release(slot2)
+
+    # oracle: plain single-stream greedy on the extended prompt
+    logits = eng.prefill(ext)
+    ref = []
+    for _ in range(4):
+        t = int(np.argmax(logits))
+        ref.append(t)
+        logits = eng.decode_one(t)
+    assert cached_out == ref
