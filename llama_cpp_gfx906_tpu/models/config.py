@@ -81,6 +81,7 @@ class ModelConfig:
     expert_gating_func: int = 1  # 1=softmax, 2=sigmoid (LLAMA_EXPERT_GATING_FUNC_*)
     moe_topk_softmax: bool = False  # gpt-oss: softmax over selected logits
     swiglu_limit: float = 7.0  # ggml_swiglu_oai clamp
+    wkv_head_size: int = 0  # rwkv6/7 ({arch}.wkv.head_size)
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -242,6 +243,13 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
             rope_yarn_log_mul=float(g(Keys.Rope.SCALING_YARN_LOG_MUL, 0.0)),
             attn_scale=float(key_mla) ** -0.5 if key_mla else 0.0,
+        )
+    elif arch in ("rwkv6", "rwkv6qwen2"):
+        cfg = cfg.with_(
+            pos_emb="none",
+            norm_type="layer",
+            wkv_head_size=int(g("{arch}.wkv.head_size", 64)),
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
         )
     elif arch == "jamba":
         cfg = cfg.with_(

@@ -1,19 +1,20 @@
 """Tokenizer families (SPM, BPE, WPM) loaded from GGUF vocab metadata.
 
 Reference coverage: 6 families in ``src/llama-vocab.cpp`` (SPM :110,
-BPE :279, WPM :636, UGM :752, RWKV :1156, PLaMo2).  RWKV/PLaMo2 are
-not yet implemented and raise at construction.
+BPE :279, WPM :636, UGM :752, RWKV :1156, PLaMo2).  PLaMo2 is not yet
+implemented and raises at construction.
 """
 
 from __future__ import annotations
 
 from .bpe import BPETokenizer
+from .rwkv import RWKVTokenizer
 from .spm import SPMTokenizer
 from .ugm import UGMTokenizer
 from .vocab import SpecialTokens, Vocab, vocab_from_gguf
 from .wpm import WPMTokenizer
 
-Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer | UGMTokenizer
+Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer | UGMTokenizer | RWKVTokenizer
 
 
 def tokenizer_for_vocab(vocab: Vocab) -> Tokenizer:
@@ -25,6 +26,8 @@ def tokenizer_for_vocab(vocab: Vocab) -> Tokenizer:
         return WPMTokenizer(vocab)
     if vocab.model == "t5":
         return UGMTokenizer(vocab)
+    if vocab.model == "rwkv":
+        return RWKVTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
 
 
@@ -35,6 +38,7 @@ def tokenizer_from_gguf(reader) -> Tokenizer:
 
 __all__ = [
     "BPETokenizer",
+    "RWKVTokenizer",
     "UGMTokenizer",
     "SPMTokenizer",
     "WPMTokenizer",
