@@ -80,7 +80,7 @@ def main() -> None:
     fwd = jax.jit(forward, static_argnames=("cfg",), donate_argnames=("kv",))
     kv = KVCache.create(cfg, batch=1, max_seq=512, dtype=jnp.bfloat16)
 
-    # TPU-native decode: greedy feedback stays on device, 16 steps fused
+    # TPU-native decode: greedy feedback stays on device, 32 steps fused
     # into one scan program per dispatch (the reference's CPU sampling would
     # serialize every token on the tunnel RTT here).
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("kv",))
@@ -100,14 +100,14 @@ def main() -> None:
 
     # warmup: compile + once more for the donated-buffer steady state
     for _ in range(2):
-        toks, kv = decode_steps(params, tok, kv, 16)
+        toks, kv = decode_steps(params, tok, kv, 32)
         tok = toks[-1:].reshape(1, 1)
     np.asarray(tok)  # hard sync (block_until_ready is unreliable over axon)
 
     n_decode = 128
     t0 = time.perf_counter()
-    for _ in range(n_decode // 16):
-        toks, kv = decode_steps(params, tok, kv, 16)
+    for _ in range(n_decode // 32):
+        toks, kv = decode_steps(params, tok, kv, 32)
         tok = toks[-1:].reshape(1, 1)
     np.asarray(tok)
     dt = time.perf_counter() - t0
