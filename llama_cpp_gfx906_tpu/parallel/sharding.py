@@ -77,6 +77,17 @@ def param_pspecs(cfg: ModelConfig, n_model: int) -> dict:
         "w_up": col(ff_ok),
         "w_down": row(ff_ok),
     }
+    # expert parallelism: shard the expert axis of stacked MoE tensors over
+    # "model" (the reference has no cross-device EP — SURVEY §2.3; here the
+    # routed einsum's combine step becomes a GSPMD all-reduce over ICI)
+    ep_ok = cfg.n_experts > 0 and div(cfg.n_experts)
+    exp_spec = P(None, "model", None, None) if ep_ok else P()
+    layers.update({
+        "moe_gate_inp": P(),
+        "moe_gate": exp_spec,
+        "moe_up": exp_spec,
+        "moe_down": exp_spec,
+    })
     return {
         "tok_emb": P("model", None) if vocab_ok else P(),
         "out_norm": P(),
