@@ -548,7 +548,13 @@ def build_app(srv: InferenceServer) -> web.Application:
             return web.json_response({"erased": True})
         raise web.HTTPBadRequest(text="unknown action")
 
+    async def index(request):
+        from .webui import WEBUI_HTML
+
+        return web.Response(text=WEBUI_HTML, content_type="text/html")
+
     app = web.Application()
+    app.router.add_get("/", index)
     app.router.add_get("/health", health)
     app.router.add_get("/props", props)
     app.router.add_get("/metrics", metrics)

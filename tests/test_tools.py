@@ -125,3 +125,36 @@ def test_batched_bench(f16_gguf, capsys):
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rows) == 2
     assert all(r["s_tg"] > 0 for r in rows)
+
+
+def test_gguf_new_metadata(f16_gguf, tmp_path, capsys):
+    from llama_cpp_gfx906_tpu.tools.gguf_new_metadata import rewrite_metadata
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader as GR
+
+    out = str(tmp_path / "edited.gguf")
+    rewrite_metadata(f16_gguf, out, set_kv={"general.name": "renamed"},
+                     chat_template="{{ messages }}")
+    r = GR(out)
+    assert r.get("general.name") == "renamed"
+    assert r.get("tokenizer.chat_template") == "{{ messages }}"
+    # tensor data untouched
+    from llama_cpp_gfx906_tpu.tools.gguf_hash import hash_tensors
+
+    h_in = hash_tensors(f16_gguf)
+    h_out = hash_tensors(out)
+    assert h_in["__overall__"] == h_out["__overall__"]
+
+
+def test_gguf_hash_detects_difference(f16_gguf, tmp_path):
+    from llama_cpp_gfx906_tpu.tools.gguf_hash import hash_tensors
+    from llama_cpp_gfx906_tpu.tools.quantize import quantize_file
+
+    out = str(tmp_path / "q8.gguf")
+    quantize_file(f16_gguf, out, "Q8_0")
+    assert hash_tensors(f16_gguf)["__overall__"] != hash_tensors(out)["__overall__"]
+
+
+def test_server_webui_served():
+    from llama_cpp_gfx906_tpu.server.webui import WEBUI_HTML
+
+    assert "/v1/chat/completions" in WEBUI_HTML
