@@ -93,6 +93,8 @@ class BatchedEngine:
         max_seq: int = 2048,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        spec_ngram: bool = False,  # ngram-lookup speculation for greedy slots
+        n_draft: int = 4,
     ):
         self.cfg = cfg
         self.params = params
@@ -101,6 +103,12 @@ class BatchedEngine:
         self.max_seq = max_seq
         self.dtype = dtype
         self.slots = [Slot(i) for i in range(n_slots)]
+        self.spec_ngram = spec_ngram
+        self.n_draft = n_draft
+        if spec_ngram:
+            from .ngram_cache import NgramCache
+
+            self.ngram_caches = [NgramCache() for _ in range(n_slots)]
         self.kv = KVCache.create(cfg, n_slots, max_seq, dtype)
         self.n_past_host = np.zeros(n_slots, np.int32)
         self.recent = np.full((n_slots, RECENT), -1, np.int32)
@@ -108,6 +116,8 @@ class BatchedEngine:
         self.metrics = {
             "n_prompt_tokens": 0,
             "n_prompt_tokens_cached": 0,
+            "n_spec_drafted": 0,
+            "n_spec_accepted": 0,
             "n_generated_tokens": 0,
             "t_prefill_s": 0.0,
             "t_decode_s": 0.0,
@@ -143,6 +153,12 @@ class BatchedEngine:
             logits, kv = forward(params, cfg, tokens, kv)
             return logits[:, -1].astype(jnp.float32), kv
 
+        @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
+        def _decode_logits_chunk(params, cfg, tokens, kv):
+            """Speculative verify: all per-position logits for a (B, 1+K) chunk."""
+            logits, kv = forward(params, cfg, tokens, kv)
+            return logits.astype(jnp.float32), kv
+
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
         def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match):
             """Prefix-cache path: run only the prompt suffix through the
@@ -159,6 +175,7 @@ class BatchedEngine:
         self._insert = _insert
         self._decode = _decode
         self._decode_logits = _decode_logits
+        self._decode_logits_chunk = _decode_logits_chunk
         self._prefill_suffix = _prefill_suffix
 
     # -- slot management ------------------------------------------------------
@@ -255,6 +272,8 @@ class BatchedEngine:
         slot.sampler = sampler
         slot.chain = chain
         slot.t_start = t0
+        if self.spec_ngram:
+            self.ngram_caches[slot.id].update(prompt_ids + [first])
         slot.t_first_token = time.perf_counter()
         self.n_past_host[slot.id] = n
         self.recent[slot.id] = -1
@@ -322,6 +341,12 @@ class BatchedEngine:
             return []
         if any(s.chain is not None for s in active):
             return self._step_host_sampled(active)
+        if (
+            self.spec_ngram
+            and all(s.sampler.temp <= 0 for s in active)
+            and all(s.n_past + 1 + self.n_draft < self.max_seq for s in active)
+        ):
+            return self._step_speculative(active)
         t0 = time.perf_counter()
 
         tokens = np.zeros((self.n_slots, 1), np.int32)
@@ -361,6 +386,73 @@ class BatchedEngine:
             results.append((s, tok, finished))
         self.metrics["t_decode_s"] += time.perf_counter() - t0
         self.metrics["n_generated_tokens"] += len(active)
+        return results
+
+    def _step_speculative(self, active: list[Slot]) -> list[tuple[Slot, int, bool]]:
+        """Ngram-lookup speculation across slots (reference: the server's
+        per-slot speculative branch, server.cpp:3656, with ngram drafts —
+        examples/lookup — instead of a draft model).
+
+        All slots run a fixed (B, 1+n_draft) verify forward; per-slot
+        acceptance rewinds n_past (greedy slots only, so verification is
+        exact argmax matching)."""
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        K = self.n_draft
+        tokens = np.zeros((self.n_slots, 1 + K), np.int32)
+        drafts: dict[int, list[int]] = {}
+        for s in active:
+            hist = s.prompt_ids + s.generated
+            d = self.ngram_caches[s.id].draft(hist, K)
+            drafts[s.id] = d
+            row = [s.current_token] + d + [s.current_token] * (K - len(d))
+            tokens[s.id] = row
+
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        logits_dev, kv = self._decode_logits_chunk(
+            self.params, self.cfg, jnp.asarray(tokens), kv
+        )
+        self.kv = kv
+        logits = np.asarray(logits_dev)  # (B, 1+K, V)
+        eog = self.tokenizer.vocab.special.eog_ids()
+
+        results = []
+        for s in active:
+            d = drafts[s.id]
+            # greedy acceptance walk: draft[i] is kept iff it equals the
+            # argmax after consuming [cur] + draft[:i]
+            accepted = 0
+            for i, dt in enumerate(d):
+                if int(np.argmax(logits[s.id, i])) == dt:
+                    accepted += 1
+                else:
+                    break
+            toks_out = d[:accepted] + [int(np.argmax(logits[s.id, accepted]))]
+            # respect n_predict and stop at the first EOG
+            limit = max(1, s.n_predict - len(s.generated))
+            toks_out = toks_out[:limit]
+            for i, t_new in enumerate(toks_out):
+                if t_new in eog:
+                    toks_out = toks_out[: i + 1]
+                    break
+            self.metrics["n_spec_drafted"] += len(d)
+            self.metrics["n_spec_accepted"] += max(len(toks_out) - 1, 0)
+
+            s.n_past += len(toks_out)
+            self.n_past_host[s.id] = s.n_past
+            for t_new in toks_out:
+                s.generated.append(t_new)
+                self.recent[s.id] = np.roll(self.recent[s.id], -1)
+                self.recent[s.id, -1] = t_new
+            s.current_token = toks_out[-1]
+            self.ngram_caches[s.id].update((s.prompt_ids + s.generated)[-16:])
+            finished = self._check_finished(slot=s, token=toks_out[-1])
+            for t_new in toks_out[:-1]:
+                results.append((s, t_new, False))
+            results.append((s, toks_out[-1], finished))
+        self.metrics["t_decode_s"] += time.perf_counter() - t0
+        self.metrics["n_generated_tokens"] += len(results)
         return results
 
     def _step_host_sampled(self, active: list[Slot]) -> list[tuple[Slot, int, bool]]:

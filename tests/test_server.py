@@ -312,3 +312,35 @@ def test_prefix_cache_reuse(batched, tiny_gguf):
         ref.append(t)
         logits = eng.decode_one(t)
     assert cached_out == ref
+
+
+def test_spec_ngram_matches_plain_greedy(tiny_gguf):
+    """Ngram-speculative batched decode must be token-identical to the
+    plain greedy batched path (reference invariant: speculation never
+    changes greedy output)."""
+    import llama_cpp_gfx906_tpu.runtime.batch_engine as BE
+
+    reader = GGUFReader(tiny_gguf)
+    cfg = config_from_gguf(reader)
+    tok = tokenizer_from_gguf(reader)
+    params = load_llama_params(reader, cfg, jnp.float32)
+
+    # repetitive prompt so the ngram cache actually fires
+    prompt = [3, 7, 9, 3, 7, 9, 3, 7, 9]
+    greedy = BE.SamplerConfig(temp=0.0)
+
+    plain = BE.BatchedEngine(cfg, params, tok, n_slots=2, max_seq=64, dtype=jnp.float32)
+    s1 = plain.add_request(prompt, 16, greedy)
+    while s1.stop_reason is None:
+        plain.step()
+
+    spec = BE.BatchedEngine(cfg, params, tok, n_slots=2, max_seq=64,
+                            dtype=jnp.float32, spec_ngram=True, n_draft=4)
+    s2 = spec.add_request(prompt, 16, greedy)
+    steps = 0
+    while s2.stop_reason is None:
+        spec.step()
+        steps += 1
+    assert s2.generated == s1.generated
+    # with a repetitive generation, speculation should finish in fewer steps
+    assert steps <= 16
