@@ -204,19 +204,163 @@ def apply_builtin_template(
         if add_generation_prompt:
             out.append("<|assistant|>\n")
     elif d == "openai_moe":
-        # gpt-oss harmony-style (simplified: no channels in builtin path)
+        # gpt-oss harmony-style (assistant turns close with <|return|>)
         for m in messages:
-            out.append(f"<|start|>{m['role']}<|message|>{m.get('content') or ''}<|end|>")
+            end = "<|return|>" if m["role"] == "assistant" else "<|end|>"
+            out.append(f"<|start|>{m['role']}<|message|>{m.get('content') or ''}{end}")
         if add_generation_prompt:
             out.append("<|start|>assistant")
+    elif d == "deepseek":
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(c)
+            elif m["role"] == "user":
+                out.append(f"### Instruction:\n{c}\n")
+            else:
+                out.append(f"### Response:\n{c}\n<|EOT|>\n")
+        if add_generation_prompt:
+            out.append("### Response:\n")
+    elif d == "deepseek2":
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(f"{c}\n\n")
+            elif m["role"] == "user":
+                out.append(f"User: {c}\n\n")
+            else:
+                out.append(f"Assistant: {c}<｜end▁of▁sentence｜>")
+        if add_generation_prompt:
+            out.append("Assistant:")
+    elif d == "chatglm3":
+        out.append("[gMASK]sop")
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n {m.get('content') or ''}")
+        if add_generation_prompt:
+            out.append("<|assistant|>")
+    elif d == "glmedge":
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n{m.get('content') or ''}")
+        if add_generation_prompt:
+            out.append("<|assistant|>")
+    elif d == "minicpm":
+        for m in messages:
+            c = (m.get("content") or "").strip()
+            if m["role"] == "user":
+                out.append(f"<用户>{c}<AI>")
+            else:
+                out.append(c)
+    elif d in ("exaone3", "exaone4"):
+        for m in messages:
+            c = (m.get("content") or "").strip()
+            if m["role"] == "system":
+                out.append(f"[|system|]{c}[|endofturn|]\n")
+            elif m["role"] == "user":
+                out.append(f"[|user|]{c}\n")
+            elif m["role"] == "tool" and d == "exaone4":
+                out.append(f"[|tool|]{c}[|endofturn|]\n")
+            else:
+                out.append(f"[|assistant|]{c}[|endofturn|]\n")
+        if add_generation_prompt:
+            out.append("[|assistant|]")
+    elif d == "rwkv_world":
+        for i, m in enumerate(messages):
+            c = (m.get("content") or "").strip()
+            if m["role"] == "system":
+                out.append(f"System: {c}\n\n")
+            elif m["role"] == "user":
+                out.append(f"User: {c}\n\n")
+                if i == len(messages) - 1:
+                    out.append("Assistant:")
+            else:
+                out.append(f"Assistant: {c}\n\n")
+    elif d == "gigachat":
+        msgs = list(messages)
+        if msgs and msgs[0]["role"] == "system":
+            out.append(f"<s>{msgs[0].get('content') or ''}<|message_sep|>")
+            msgs = msgs[1:]
+        else:
+            out.append("<s>")
+        for m in msgs:
+            c = m.get("content") or ""
+            if m["role"] == "user":
+                out.append(
+                    f"user<|role_sep|>{c}<|message_sep|>"
+                    "available functions<|role_sep|>[]<|message_sep|>"
+                )
+            elif m["role"] == "assistant":
+                out.append(f"assistant<|role_sep|>{c}<|message_sep|>")
+        if add_generation_prompt:
+            out.append("assistant<|role_sep|>")
+    elif d == "megrez":
+        for m in messages:
+            out.append(f"<|role_start|>{m['role']}<|role_end|>{m.get('content') or ''}<|turn_end|>")
+        if add_generation_prompt:
+            out.append("<|role_start|>assistant<|role_end|>")
+    elif d == "yandex":
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "user":
+                out.append(f" Пользователь: {c}\n\n")
+            elif m["role"] == "assistant":
+                out.append(f" Ассистент: {c}\n\n")
+        if add_generation_prompt:
+            out.append(" Ассистент:[SEP]")
+    elif d == "bailing":
+        for m in messages:
+            role = "HUMAN" if m["role"] == "user" else m["role"].upper()
+            out.append(f"<role>{role}</role>{m.get('content') or ''}")
+        if add_generation_prompt:
+            out.append("<role>ASSISTANT</role>")
+    elif d == "llama4":
+        for m in messages:
+            c = (m.get("content") or "").strip()
+            out.append(f"<|header_start|>{m['role']}<|header_end|>\n\n{c}<|eot|>")
+        if add_generation_prompt:
+            out.append("<|header_start|>assistant<|header_end|>\n\n")
+    elif d == "smolvlm":
+        out.append("<|im_start|>")
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(f"{c}\n\n")
+            elif m["role"] == "user":
+                out.append(f"User: {c}<end_of_utterance>\n")
+            else:
+                out.append(f"Assistant: {c}<end_of_utterance>\n")
+        if add_generation_prompt:
+            out.append("Assistant:")
+    elif d == "dots1":
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(f"<|system|>{c}<|endofsystem|>")
+            elif m["role"] == "user":
+                out.append(f"<|userprompt|>{c}<|endofuserprompt|>")
+            else:
+                out.append(f"<|response|>{c}<|endofresponse|>")
+        if add_generation_prompt:
+            out.append("<|response|>")
+    elif d == "hunyuan_moe":
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(f"<|startoftext|>{c}<|extra_4|>")
+            elif m["role"] == "assistant":
+                out.append(f"{c}<|eos|>")
+            else:
+                out.append(f"<|startoftext|>{c}<|extra_0|>")
     else:
         raise ValueError(f"unsupported builtin chat dialect: {dialect}")
     return "".join(out)
 
 
 BUILTIN_DIALECTS = (
-    "chatml", "llama2", "llama2_sys", "llama3", "mistral_v1", "mistral_v3",
-    "mistral_v7", "phi3", "phi4", "zephyr", "monarch", "gemma", "orion",
-    "openchat", "vicuna", "vicuna_orca", "deepseek3", "command_r",
-    "chatglm4", "granite", "falcon3", "openai_moe",
+    "chatml", "llama2", "llama2_sys", "llama3", "llama4", "mistral_v1",
+    "mistral_v3", "mistral_v7", "phi3", "phi4", "zephyr", "monarch", "gemma",
+    "orion", "openchat", "vicuna", "vicuna_orca", "deepseek", "deepseek2",
+    "deepseek3", "command_r", "chatglm3", "chatglm4", "glmedge", "granite",
+    "falcon3", "openai_moe", "minicpm", "exaone3", "exaone4", "rwkv_world",
+    "gigachat", "megrez", "yandex", "bailing", "smolvlm", "dots1",
+    "hunyuan_moe",
 )

@@ -61,7 +61,13 @@ def test_phi3():
     assert out.endswith("<|assistant|>\n")
 
 
-@pytest.mark.parametrize("dialect", ["vicuna", "command_r", "deepseek3", "granite", "zephyr", "openchat", "chatglm4", "monarch", "falcon3", "openai_moe"])
+@pytest.mark.parametrize("dialect", [
+    "vicuna", "command_r", "deepseek", "deepseek2", "deepseek3", "granite",
+    "zephyr", "openchat", "chatglm3", "chatglm4", "glmedge", "monarch",
+    "falcon3", "openai_moe", "minicpm", "exaone3", "exaone4", "rwkv_world",
+    "gigachat", "megrez", "yandex", "bailing", "llama4", "smolvlm", "dots1",
+    "hunyuan_moe",
+])
 def test_dialect_renders(dialect):
     out = apply_builtin_template(dialect, MSGS)
     assert "Hi" in out and len(out) > 20
@@ -106,6 +112,24 @@ def test_jinja_fallback_on_error():
 # ---------------------------------------------------------------------------
 # reasoning + tool-call parsing
 # ---------------------------------------------------------------------------
+
+
+def test_llama4_format():
+    out = apply_builtin_template("llama4", MSGS[:2])
+    assert "<|header_start|>user<|header_end|>\n\nHi<|eot|>" in out
+    assert out.endswith("<|header_start|>assistant<|header_end|>\n\n")
+
+
+def test_deepseek2_format():
+    out = apply_builtin_template("deepseek2", MSGS)
+    assert "User: Hi\n\n" in out and "Assistant: Hello!<｜end▁of▁sentence｜>" in out
+    assert out.endswith("Assistant:")
+
+
+def test_gigachat_system_handling():
+    out = apply_builtin_template("gigachat", MSGS)
+    assert out.startswith("<s>You are helpful.<|message_sep|>")
+    assert "available functions<|role_sep|>[]" in out
 
 
 def test_extract_reasoning():
