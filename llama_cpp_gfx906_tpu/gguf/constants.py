@@ -144,6 +144,10 @@ class Keys:
         EXPERT_FEED_FORWARD_LENGTH = "{arch}.expert_feed_forward_length"
         EXPERT_SHARED_COUNT = "{arch}.expert_shared_count"
         LEADING_DENSE_BLOCK_COUNT = "{arch}.leading_dense_block_count"
+        LOGIT_SCALE = "{arch}.logit_scale"
+        EMBEDDING_SCALE = "{arch}.embedding_scale"
+        RESIDUAL_SCALE = "{arch}.residual_scale"
+        ATTENTION_SCALE = "{arch}.attention.scale"
         EXPERT_WEIGHTS_SCALE = "{arch}.expert_weights_scale"
         EXPERT_WEIGHTS_NORM = "{arch}.expert_weights_norm"
         EXPERT_GATING_FUNC = "{arch}.expert_gating_func"

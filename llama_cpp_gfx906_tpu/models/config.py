@@ -82,6 +82,8 @@ class ModelConfig:
     moe_topk_softmax: bool = False  # gpt-oss: softmax over selected logits
     swiglu_limit: float = 7.0  # ggml_swiglu_oai clamp
     wkv_head_size: int = 0  # rwkv6/7 ({arch}.wkv.head_size)
+    logit_scale: float = 1.0  # command-r / granite final-logit multiplier
+    residual_scale: float = 1.0  # granite residual_multiplier
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -243,6 +245,24 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
             rope_yarn_log_mul=float(g(Keys.Rope.SCALING_YARN_LOG_MUL, 0.0)),
             attn_scale=float(key_mla) ** -0.5 if key_mla else 0.0,
+        )
+    elif arch == "command-r":
+        # shared-norm parallel residual, LayerNorm (no bias), logit scale,
+        # interleaved rope (reference: llm_build_command_r)
+        cfg = cfg.with_(
+            norm_type="layer",
+            parallel_residual=True,
+            rope_interleaved=True,
+            logit_scale=float(g(Keys.LLM.LOGIT_SCALE, 1.0)),
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch == "granite":
+        # llama graph + 4 scale factors (reference: llm_build_granite)
+        cfg = cfg.with_(
+            embedding_scale=float(g(Keys.LLM.EMBEDDING_SCALE, 1.0)),
+            attn_scale=float(g(Keys.LLM.ATTENTION_SCALE, 0.0)),
+            residual_scale=float(g(Keys.LLM.RESIDUAL_SCALE, 1.0)),
+            logit_scale=1.0 / float(g(Keys.LLM.LOGIT_SCALE, 1.0)),
         )
     elif arch in ("rwkv6", "rwkv6qwen2"):
         cfg = cfg.with_(

@@ -177,7 +177,7 @@ def forward(
 
         ffn_in = x if cfg.parallel_residual else None
         if not cfg.parallel_residual:
-            x = x + attn
+            x = x + attn * cfg.residual_scale if cfg.residual_scale != 1.0 else x + attn
             h = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
         else:
             # phi2/gpt-j: attention and FFN both read the attn_norm output
@@ -202,9 +202,9 @@ def forward(
         if cfg.post_ffn_norm and "post_ffn_norm" in p:
             mlp = rms_norm(mlp, p["post_ffn_norm"], cfg.rms_eps)
         if cfg.parallel_residual:
-            x = x + attn + mlp
+            x = x + (attn + mlp) * cfg.residual_scale if cfg.residual_scale != 1.0 else x + attn + mlp
         else:
-            x = x + mlp
+            x = x + mlp * cfg.residual_scale if cfg.residual_scale != 1.0 else x + mlp
         if "cvec" in p:  # control vector (llama_apply_adapter_cvec analog)
             x = x + p["cvec"].astype(x.dtype)
         return (x,), (k_cache_l, v_cache_l)
@@ -226,6 +226,8 @@ def forward(
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
     if "lm_head_b" in params:
         logits = logits + params["lm_head_b"].astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits, new_kv

@@ -49,6 +49,7 @@ def convert_hf_llama(
     out_path: str,
     quant_type: GGMLType = GGMLType.F16,
     arch: str = "llama",
+    extra_kv: dict | None = None,
 ) -> str:
     """Write a transformers *LlamaForCausalLM-style* model to GGUF.
 
@@ -82,6 +83,8 @@ def convert_hf_llama(
     if n_experts:
         w.add_uint32(Keys.LLM.EXPERT_COUNT, n_experts)
         w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf_cfg.num_experts_per_tok)
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(k, v)
 
     if tokenizer_vocab:
         tv = tokenizer_vocab
@@ -524,6 +527,50 @@ def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLT
             add(b + "ffn_gate_shexp.weight", state[p + "mlp.shared_experts.gate_proj.weight"])
             add(b + "ffn_up_shexp.weight", state[p + "mlp.shared_experts.up_proj.weight"])
             add(b + "ffn_down_shexp.weight", state[p + "mlp.shared_experts.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_cohere(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers CohereForCausalLM → GGUF (arch "command-r").
+
+    Shared-norm parallel residual; interleaved rope (no q/k permutation
+    needed — Cohere's checkpoint layout matches ggml NORM mode)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "command-r")
+    w.add_string(Keys.General.NAME, "commandr-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_EPS, hf.layer_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_float32(Keys.LLM.LOGIT_SCALE, hf.logit_scale)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
     add("output_norm.weight", state["model.norm.weight"])
     if "lm_head.weight" in state:
         add("output.weight", state["lm_head.weight"])

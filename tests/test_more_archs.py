@@ -1,0 +1,105 @@
+"""Command-R (Cohere) and Granite parity vs HF transformers
+(reference builders: llm_build_command_r, llm_build_granite)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType
+from llama_cpp_gfx906_tpu.runtime.engine import Engine
+from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_cohere, convert_hf_llama
+
+VOCAB = 96
+
+
+def dummy_vocab(model="gpt2"):
+    tokens = ["<s>", "</s>", "<unk>"] + [f"<t{i}>" for i in range(VOCAB - 3)]
+    d = {"model": model, "tokens": tokens,
+         "token_types": [3, 3, 2] + [4] * (VOCAB - 3), "bos": 0, "eos": 1}
+    if model == "llama":
+        d["scores"] = [0.0] * VOCAB
+    return d
+
+
+def _greedy_check(eng, hf, prompt=(3, 17, 42, 9), n_steps=8):
+    ids = list(prompt)
+    with torch.no_grad():
+        for _ in range(n_steps):
+            logits = hf(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(torch.argmax(logits)))
+    ref = ids[len(prompt):]
+    eng.reset()
+    logits = eng.prefill(list(prompt))
+    got = []
+    for _ in range(n_steps):
+        t = int(np.argmax(logits))
+        got.append(t)
+        logits = eng.decode_one(t)
+    assert got == ref
+
+
+def test_cohere_command_r(tmp_path):
+    from transformers import CohereConfig, CohereForCausalLM
+
+    torch.manual_seed(0)
+    hf = CohereForCausalLM(
+        CohereConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, logit_scale=0.25,
+            tie_word_embeddings=True, use_qk_norm=False,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-cmdr-f32.gguf")
+    convert_hf_cohere(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.parallel_residual and eng.cfg.logit_scale == 0.25
+
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+    _greedy_check(eng, hf)
+
+
+def test_granite(tmp_path):
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    torch.manual_seed(1)
+    hf = GraniteForCausalLM(
+        GraniteConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128,
+            embedding_multiplier=2.0, attention_multiplier=0.1,
+            residual_multiplier=0.5, logits_scaling=4.0,
+            tie_word_embeddings=False,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-granite-f32.gguf")
+    convert_hf_llama(
+        hf, dummy_vocab("llama"), path, quant_type=GGMLType.F32, arch="granite",
+        extra_kv={
+            "granite.embedding_scale": 2.0,
+            "granite.attention.scale": 0.1,
+            "granite.residual_scale": 0.5,
+            "granite.logit_scale": 4.0,
+        },
+    )
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.residual_scale == 0.5 and eng.cfg.logit_scale == 0.25
+
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+    _greedy_check(eng, hf)
