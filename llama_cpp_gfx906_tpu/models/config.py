@@ -84,6 +84,8 @@ class ModelConfig:
     wkv_head_size: int = 0  # rwkv6/7 ({arch}.wkv.head_size)
     logit_scale: float = 1.0  # command-r / granite final-logit multiplier
     residual_scale: float = 1.0  # granite residual_multiplier
+    pre_norm: bool = True  # False = olmo2-style post-norm blocks
+    qk_norm_full: bool = False  # olmo2: q/k norms over the full projection
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -245,6 +247,15 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
             rope_yarn_log_mul=float(g(Keys.Rope.SCALING_YARN_LOG_MUL, 0.0)),
             attn_scale=float(key_mla) ** -0.5 if key_mla else 0.0,
+        )
+    elif arch == "olmo2":
+        # post-norm blocks + full-width q/k norms (reference: llm_build_olmo2)
+        cfg = cfg.with_(
+            pre_norm=False,
+            post_attn_norm=True,
+            post_ffn_norm=True,
+            qk_norm_full=True,
+            rope_interleaved=False,
         )
     elif arch == "command-r":
         # shared-norm parallel residual, LayerNorm (no bias), logit scale,

@@ -145,7 +145,7 @@ def forward(
         x, = carry
         p, k_cache_l, v_cache_l, window_l = layer
 
-        h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
+        h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg) if cfg.pre_norm else x
         q = _lin(h, p, "wq")
         k = _lin(h, p, "wk")
         v = _lin(h, p, "wv")
@@ -153,6 +153,9 @@ def forward(
             q = q + p["bq"]
             k = k + p["bk"]
             v = v + p["bv"]
+        if cfg.qk_norm_full:  # olmo2: norm the whole projection pre-reshape
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -178,7 +181,7 @@ def forward(
         ffn_in = x if cfg.parallel_residual else None
         if not cfg.parallel_residual:
             x = x + attn * cfg.residual_scale if cfg.residual_scale != 1.0 else x + attn
-            h = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+            h = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg) if cfg.pre_norm else x
         else:
             # phi2/gpt-j: attention and FFN both read the attn_norm output
             h = _norm(ffn_in, p["attn_norm"], p.get("attn_norm_b"), cfg) \

@@ -103,3 +103,31 @@ def test_granite(tmp_path):
     got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
     np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
     _greedy_check(eng, hf)
+
+
+def test_olmo2(tmp_path):
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_olmo2
+
+    torch.manual_seed(2)
+    hf = Olmo2ForCausalLM(
+        Olmo2Config(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-olmo2-f32.gguf")
+    convert_hf_olmo2(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert not eng.cfg.pre_norm and eng.cfg.qk_norm_full
+
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+    _greedy_check(eng, hf)
