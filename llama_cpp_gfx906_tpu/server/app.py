@@ -584,6 +584,9 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("-c", "--ctx-size", type=int, default=2048)
     ap.add_argument("-np", "--n-slots", type=int, default=4)
+    ap.add_argument("--spec-ngram", action="store_true",
+                    help="ngram-lookup speculation for greedy requests")
+    ap.add_argument("--draft-max", type=int, default=4)
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = ap.parse_args(argv)
 
@@ -601,7 +604,9 @@ def main(argv=None) -> int:
     cfg = config_from_gguf(reader)
     tokenizer = tokenizer_from_gguf(reader.readers[0])
     params = load_llama_params_quantized(reader, cfg)
-    engine = BatchedEngine(cfg, params, tokenizer, n_slots=args.n_slots, max_seq=args.ctx_size)
+    engine = BatchedEngine(cfg, params, tokenizer, n_slots=args.n_slots,
+                           max_seq=args.ctx_size, spec_ngram=args.spec_ngram,
+                           n_draft=args.draft_max)
     srv = InferenceServer(engine, model_name=args.model.rsplit("/", 1)[-1])
     srv.start()
     app = build_app(srv)

@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="session file: reuse cached prefix state and save on exit "
         "(llama-cli --prompt-cache analog)",
     )
+    ap.add_argument("--lora", action="append", default=[], help="LoRA adapter GGUF")
+    ap.add_argument("--lora-scale", type=float, default=1.0)
+    ap.add_argument("--control-vector", action="append", default=[])
+    ap.add_argument("--control-vector-scale", type=float, default=1.0)
+    ap.add_argument("--cache-type-k", default=None, choices=("f32", "bf16", "q8"),
+                    help="KV cache storage type (q8 halves KV memory)")
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--perf", action="store_true", help="print perf counters as JSON")
     ap.add_argument(
@@ -101,7 +107,18 @@ def main(argv=None) -> int:
         with open(args.file, encoding="utf-8") as f:
             prompt = f.read()
 
-    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    kv_dtype = None
+    if args.cache_type_k == "q8":
+        kv_dtype = "q8"
+    elif args.cache_type_k == "f32":
+        import jax.numpy as jnp
+
+        kv_dtype = jnp.float32
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size, kv_cache_dtype=kv_dtype)
+    for lora_path in args.lora:
+        eng.apply_lora_file(lora_path, args.lora_scale)
+    for cv_path in args.control_vector:
+        eng.apply_control_vector_file(cv_path, args.control_vector_scale)
     sampler = SamplerParams(
         temp=args.temp,
         top_k=args.top_k,
