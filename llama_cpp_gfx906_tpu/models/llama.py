@@ -196,7 +196,13 @@ def forward(
                 gate_b=p.get("moe_gate_b"), up_b=p.get("moe_up_b"),
                 down_b=p.get("moe_down_b"),
             )
-            if "w_gate" in p:  # shared expert alongside routed experts
+            if "shexp_gate" in p:  # shared expert (qwen2moe: sigmoid-gated)
+                shexp = _mlp(h, p["shexp_gate"], p["shexp_up"], p["shexp_down"], cfg.act_fn)
+                if "shexp_gate_inp" in p:
+                    gate = jax.nn.sigmoid((h @ p["shexp_gate_inp"]).astype(jnp.float32))
+                    shexp = shexp * gate.astype(shexp.dtype)
+                mlp = mlp + shexp
+            elif "w_gate" in p:  # shared expert alongside routed experts
                 mlp = mlp + _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
         elif cfg.ffn_gated:
             mlp = _mlp_p(h, p, cfg.act_fn)

@@ -70,6 +70,12 @@ def _layer_names(i: int) -> dict[str, str]:
         "moe_down_b": b + "ffn_down_exps.bias",
         # gpt-oss attention sinks (LLM_TENSOR_ATTN_SINKS)
         "sinks": b + "attn_sinks.weight",
+        # shared expert (qwen2moe/deepseek2-style; gate_inp_shexp is the
+        # per-token sigmoid gate, llm_build_qwen2moe)
+        "shexp_gate_inp": b + "ffn_gate_inp_shexp.weight",
+        "shexp_gate": b + "ffn_gate_shexp.weight",
+        "shexp_up": b + "ffn_up_shexp.weight",
+        "shexp_down": b + "ffn_down_shexp.weight",
     }
 
 
@@ -137,7 +143,8 @@ def effective_tensors(reader, cfg: ModelConfig) -> dict:
     return src
 
 # weights consumed as x @ W — GGUF stores (out, in) row-major, so transpose
-_TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
+_TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+               "shexp_gate", "shexp_up", "shexp_down", "shexp_gate_inp"}
 
 
 def _orient(key: str, arr: np.ndarray) -> np.ndarray:

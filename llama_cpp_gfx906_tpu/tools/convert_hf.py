@@ -79,10 +79,13 @@ def convert_hf_llama(
     w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf_cfg, "rope_theta", 10000.0))
     w.add_uint32(Keys.LLM.VOCAB_SIZE, hf_cfg.vocab_size)
 
-    n_experts = getattr(hf_cfg, "num_local_experts", 0)
+    n_experts = getattr(hf_cfg, "num_local_experts", 0) or getattr(hf_cfg, "num_experts", 0)
     if n_experts:
         w.add_uint32(Keys.LLM.EXPERT_COUNT, n_experts)
         w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf_cfg.num_experts_per_tok)
+        if getattr(hf_cfg, "moe_intermediate_size", 0):
+            w.add_uint32(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, hf_cfg.moe_intermediate_size)
+        w.add_bool(Keys.LLM.EXPERT_WEIGHTS_NORM, bool(getattr(hf_cfg, "norm_topk_prob", True)))
     for k, v in (extra_kv or {}).items():
         w.add_kv(k, v)
 
@@ -123,6 +126,27 @@ def convert_hf_llama(
                 arr = permute_qk(arr, n_kv)
             name = f"blk.{i}.{gg_suffix}"
             w.add_tensor(name, arr, qt(name, arr))
+        # Qwen2MoE-style block: mlp.gate router + mlp.experts.* + shared expert
+        q_gate = f"model.layers.{i}.mlp.gate.weight"
+        if q_gate in state:
+            w.add_tensor(f"blk.{i}.ffn_gate_inp.weight", state[q_gate], GGMLType.F32)
+            n_exp = getattr(hf_cfg, "num_experts", 0)
+            for hf_w, gg in [("gate_proj", "ffn_gate_exps"), ("up_proj", "ffn_up_exps"), ("down_proj", "ffn_down_exps")]:
+                stackd = np.stack([
+                    state[f"model.layers.{i}.mlp.experts.{e}.{hf_w}.weight"]
+                    for e in range(n_exp)
+                ])
+                name = f"blk.{i}.{gg}.weight"
+                w.add_tensor(name, stackd, qt(name, stackd))
+            sh = f"model.layers.{i}.mlp.shared_expert."
+            if sh + "gate_proj.weight" in state:
+                w.add_tensor(f"blk.{i}.ffn_gate_shexp.weight", state[sh + "gate_proj.weight"], qt("x", state[sh + "gate_proj.weight"]))
+                w.add_tensor(f"blk.{i}.ffn_up_shexp.weight", state[sh + "up_proj.weight"], qt("x", state[sh + "up_proj.weight"]))
+                w.add_tensor(f"blk.{i}.ffn_down_shexp.weight", state[sh + "down_proj.weight"], qt("x", state[sh + "down_proj.weight"]))
+            shg = f"model.layers.{i}.mlp.shared_expert_gate.weight"
+            if shg in state:
+                w.add_tensor(f"blk.{i}.ffn_gate_inp_shexp.weight", state[shg], GGMLType.F32)
+
         # Mixtral-style sparse MoE block → stacked *_exps tensors
         gate_name = f"model.layers.{i}.block_sparse_moe.gate.weight"
         if gate_name in state:

@@ -24,21 +24,22 @@ def dummy_vocab(model="gpt2"):
     return d
 
 
-def _greedy_check(eng, hf, prompt=(3, 17, 42, 9), n_steps=8):
+def _greedy_check(eng, hf, prompt=(3, 17, 42, 9), n_steps=8, tie_tol=0.02):
+    """Step-wise greedy comparison; near-ties (top-2 gap < tie_tol on a
+    random tiny model) follow the reference's pick to keep paths aligned."""
     ids = list(prompt)
-    with torch.no_grad():
-        for _ in range(n_steps):
-            logits = hf(torch.tensor([ids])).logits[0, -1]
-            ids.append(int(torch.argmax(logits)))
-    ref = ids[len(prompt):]
     eng.reset()
     logits = eng.prefill(list(prompt))
-    got = []
     for _ in range(n_steps):
-        t = int(np.argmax(logits))
-        got.append(t)
-        logits = eng.decode_one(t)
-    assert got == ref
+        with torch.no_grad():
+            ref = hf(torch.tensor([ids])).logits[0, -1].float().numpy()
+        np.testing.assert_allclose(logits, ref, rtol=2e-2, atol=2e-2)
+        t_ref = int(np.argmax(ref))
+        gap = np.sort(ref)[-1] - np.sort(ref)[-2]
+        if gap > tie_tol:
+            assert int(np.argmax(logits)) == t_ref
+        ids.append(t_ref)
+        logits = eng.decode_one(t_ref)
 
 
 def test_cohere_command_r(tmp_path):
@@ -122,6 +123,36 @@ def test_olmo2(tmp_path):
     convert_hf_olmo2(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
     eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
     assert not eng.cfg.pre_norm and eng.cfg.qk_norm_full
+
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+    _greedy_check(eng, hf)
+
+
+def test_qwen2moe(tmp_path):
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    torch.manual_seed(3)
+    hf = Qwen2MoeForCausalLM(
+        Qwen2MoeConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            moe_intermediate_size=48, shared_expert_intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+            decoder_sparse_step=1, max_position_embeddings=128,
+            tie_word_embeddings=False, mlp_only_layers=[],
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-qwen2moe-f32.gguf")
+    convert_hf_llama(hf, dummy_vocab("llama"), path, quant_type=GGMLType.F32, arch="qwen2moe")
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert "shexp_gate" in eng.params["layers"]
+    assert not eng.cfg.expert_weights_norm
 
     ids = [3, 17, 42, 9, 88]
     with torch.no_grad():
