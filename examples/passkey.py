@@ -1,6 +1,5 @@
-"""Long-context passkey retrieval using context shift (reference:
-examples/passkey — the reference uses grouped self-extend; this framework
-demonstrates the StreamingLLM-style shift path)."""
+"""Long-context passkey retrieval via grouped self-extend (reference:
+examples/passkey.cpp — llama_memory_seq_div position compression)."""
 # run standalone from a repo checkout without installing the package
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -15,15 +14,21 @@ ap.add_argument("-m", "--model", required=True)
 ap.add_argument("--junk", type=int, default=50, help="filler repetitions")
 args = ap.parse_args()
 
+import numpy as np
+
 eng = Engine.from_gguf(args.model, max_seq=4096)
 passkey = "7342"
 junk = "The grass is green. The sky is blue. The sun is yellow. " * args.junk
 prompt = f"The pass key is {passkey}. Remember it. {junk} What is the pass key? The pass key is"
 ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
 print(f"prompt: {len(ids)} tokens")
-if len(ids) > eng.max_seq - 64:
-    # shift out middle junk, keeping the head (with the passkey) pinned
-    eng.prefill(ids[: eng.max_seq - 64])
-    eng.context_shift(n_keep=64, n_discard=len(ids) - (eng.max_seq - 64))
-text, _ = eng.generate(prompt[-2000:], n_predict=8, sampler=SamplerParams(greedy=True))
-print("model answer:", text.strip()[:20])
+grp = 4  # grouped-attention factor (passkey.cpp --grp-attn-n)
+logits = eng.prefill(ids)
+# compress all positions by grp: the model now "sees" a 4x shorter context
+eng.seq_div(0, len(ids), grp)
+out = []
+for _ in range(8):
+    tok = int(np.argmax(logits))
+    out.append(tok)
+    logits = eng.decode_one(tok)
+print("model answer:", eng.tokenizer.detokenize(out).strip()[:20])

@@ -29,11 +29,18 @@ from .config import ModelConfig
 
 @dataclass
 class KVCache:
-    """Static ring-buffer KV cache: (L, B, S, Hkv, Dh) + per-seq fill level."""
+    """Static ring-buffer KV cache: (L, B, S, Hkv, Dh) + per-seq fill level.
+
+    ``pos``/``pos_next`` (optional) decouple logical token positions from
+    row indices — the analog of the reference's per-cell pos bookkeeping
+    (llama-kv-cells.h) used by self-extend/grouped attention
+    (llama_memory_seq_div, examples/passkey.cpp:138)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
-    n_past: jnp.ndarray  # (B,) int32
+    n_past: jnp.ndarray  # (B,) int32 — row fill level
+    pos: jnp.ndarray | None = None  # (B, S) int32 logical positions per row
+    pos_next: jnp.ndarray | None = None  # (B,) next query position
 
     @classmethod
     def create(
@@ -59,7 +66,7 @@ class KVCache:
         return self.k.shape[2]
 
 
-jax.tree_util.register_dataclass(KVCache, ["k", "v", "n_past"], [])
+jax.tree_util.register_dataclass(KVCache, ["k", "v", "n_past", "pos", "pos_next"], [])
 
 
 def _act(x, act_fn: str):
@@ -124,7 +131,8 @@ def forward(
     """One forward step (prefill or decode). Returns (logits (B,T,V), kv')."""
     B, T = tokens.shape
     inv_freq = jnp.asarray(rope_frequencies(cfg))
-    positions = kv.n_past[:, None] + jnp.arange(T)[None, :]
+    q_start = kv.pos_next if kv.pos_next is not None else kv.n_past
+    positions = q_start[:, None] + jnp.arange(T)[None, :]
 
     # multimodal prefill passes pre-built embeddings (image features spliced
     # into token embeddings — the mtmd chunk-injection analog)
@@ -171,6 +179,7 @@ def forward(
             sliding_window=window_l,
             logit_softcap=cfg.attn_logit_softcap,
             sinks=p.get("sinks"),
+            kv_pos=kv.pos, q_pos=positions if kv.pos is not None else None,
         )
         attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo")
         if "bo" in p:
@@ -228,7 +237,20 @@ def forward(
         advance = jnp.full((B,), T, jnp.int32)
     else:
         advance = n_tokens.astype(jnp.int32)
-    new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance)
+    if kv.pos is not None:
+        # record the logical positions of the freshly written rows; padded
+        # rows get a +inf sentinel so the causal mask never attends them
+        def write_pos(pos_row, start, vals):
+            return jax.lax.dynamic_update_slice(pos_row, vals, (start,))
+
+        pos_vals = jnp.where(
+            jnp.arange(T)[None, :] < advance[:, None], positions, 1 << 30
+        ).astype(jnp.int32)
+        new_pos = jax.vmap(write_pos)(kv.pos, kv.n_past, pos_vals)
+        new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance,
+                         pos=new_pos, pos_next=q_start + advance)
+    else:
+        new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance)
 
     if return_hidden:
         return x.astype(jnp.float32), new_kv

@@ -44,6 +44,8 @@ def mha_with_cache(
     sliding_window=0,  # int or traced int32 scalar; <= 0 disables
     logit_softcap: float = 0.0,
     sinks: jnp.ndarray | None = None,  # (Hq,) attention-sink logits (gpt-oss)
+    kv_pos: jnp.ndarray | None = None,  # (B, S) logical positions (self-extend)
+    q_pos: jnp.ndarray | None = None,  # (B, T) query positions when kv_pos set
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache').
 
@@ -70,8 +72,8 @@ def mha_with_cache(
 
     # long-enough prefill on TPU → blockwise flash kernel (never builds the
     # (T, S) score matrix); decode and CPU runs use the einsum path below
-    # (sinks change the softmax denominator — einsum path handles them)
-    if T >= 64 and sinks is None and jax.default_backend() == "tpu":
+    # (sinks/explicit positions change masking — einsum handles them)
+    if T >= 64 and sinks is None and kv_pos is None and jax.default_backend() == "tpu":
         from .flash_attention import flash_attention
 
         out = flash_attention(
@@ -89,12 +91,23 @@ def mha_with_cache(
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
 
-    # causal mask against absolute cache-slot positions
-    q_pos = n_past[:, None] + jnp.arange(T)[None, :]  # (B, T)
-    s_pos = jnp.arange(S)[None, :]  # (1, S)
-    mask = s_pos[:, None, :] <= q_pos[:, :, None]  # (B, T, S)
-    window = jnp.asarray(sliding_window, jnp.int32)
-    mask &= jnp.logical_or(window <= 0, s_pos[:, None, :] > q_pos[:, :, None] - window)
+    # causal mask: row index == position in the default layout; with
+    # explicit kv_pos (self-extend) mask on logical positions and hide
+    # rows beyond the fill level
+    if kv_pos is not None:
+        qp = q_pos  # (B, T)
+        sp = kv_pos  # (B, S)
+        mask = sp[:, None, :] <= qp[:, :, None]
+        row_live = jnp.arange(S)[None, :] < (n_past[:, None] + T)
+        mask &= row_live[:, None, :]
+        window = jnp.asarray(sliding_window, jnp.int32)
+        mask &= jnp.logical_or(window <= 0, sp[:, None, :] > qp[:, :, None] - window)
+    else:
+        q_pos = n_past[:, None] + jnp.arange(T)[None, :]  # (B, T)
+        s_pos = jnp.arange(S)[None, :]  # (1, S)
+        mask = s_pos[:, None, :] <= q_pos[:, :, None]  # (B, T, S)
+        window = jnp.asarray(sliding_window, jnp.int32)
+        mask &= jnp.logical_or(window <= 0, s_pos[:, None, :] > q_pos[:, :, None] - window)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
     if sinks is not None:

@@ -248,6 +248,61 @@ class Engine:
         )
         self.kv = self._KV(k, v, n_past)
 
+    # -- self-extend / grouped attention (llama_memory_seq_div/add) ----------
+
+    def _ensure_pos(self):
+        from ..models.llama import KVCache as _KV
+
+        if self.kv.pos is None:
+            S = self.kv.max_seq
+            rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (self.batch_size, S))
+            # rows beyond the fill level get the +inf sentinel
+            live = rows < self.kv.n_past[:, None]
+            pos = jnp.where(live, rows, 1 << 30)
+            self.kv = _KV(self.kv.k, self.kv.v, self.kv.n_past,
+                          pos=pos, pos_next=self.kv.n_past)
+
+    def seq_div(self, p0: int, p1: int, g: int):
+        """Compress logical positions in [p0, p1) by factor ``g`` —
+        self-extend / grouped attention (reference: llama_memory_seq_div,
+        examples/passkey.cpp:171).  Cached keys are re-roped by their
+        position delta; row contents stay put (duplicate positions allowed,
+        like the reference's KV cells)."""
+        if self.family.name != "llama" or self.cfg.pos_emb != "rope":
+            raise ValueError("seq_div requires a rope attention cache")
+        self._ensure_pos()
+        from ..models.llama import KVCache as _KV
+        from ..ops.rope import rope_frequencies, rope_shift_rows
+
+        inv_freq = jnp.asarray(rope_frequencies(self.cfg))
+        pos = self.kv.pos
+        in_range = (pos >= p0) & (pos < p1)
+        new_pos = jnp.where(in_range, p0 + (pos - p0) // g, pos).astype(jnp.int32)
+        deltas = jnp.where(in_range, new_pos - pos, 0).astype(jnp.int32)
+        k2 = rope_shift_rows(self.kv.k, deltas, inv_freq, self.cfg.rope_interleaved)
+        live = jnp.arange(self.kv.max_seq)[None, :] < self.kv.n_past[:, None]
+        pos_next = jnp.max(jnp.where(live, new_pos, -1), axis=1) + 1
+        self.kv = _KV(k2, self.kv.v, self.kv.n_past, pos=new_pos, pos_next=pos_next)
+
+    def seq_add(self, p0: int, p1: int, delta: int):
+        """Shift logical positions in [p0, p1) by ``delta``
+        (llama_memory_seq_add analog)."""
+        if self.family.name != "llama" or self.cfg.pos_emb != "rope":
+            raise ValueError("seq_add requires a rope attention cache")
+        self._ensure_pos()
+        from ..models.llama import KVCache as _KV
+        from ..ops.rope import rope_frequencies, rope_shift_rows
+
+        inv_freq = jnp.asarray(rope_frequencies(self.cfg))
+        pos = self.kv.pos
+        in_range = (pos >= p0) & (pos < p1)
+        new_pos = jnp.where(in_range, pos + delta, pos).astype(jnp.int32)
+        deltas = jnp.where(in_range, delta, 0).astype(jnp.int32)
+        k2 = rope_shift_rows(self.kv.k, deltas, inv_freq, self.cfg.rope_interleaved)
+        live = jnp.arange(self.kv.max_seq)[None, :] < self.kv.n_past[:, None]
+        pos_next = jnp.max(jnp.where(live, new_pos, -1), axis=1) + 1
+        self.kv = _KV(k2, self.kv.v, self.kv.n_past, pos=new_pos, pos_next=pos_next)
+
     # -- whole-context state files (llama_state_{save,load}_file analog) -----
 
     def save_state(self, path: str, token_ids: list[int]) -> int:

@@ -151,3 +151,51 @@ def test_seq_state_file_roundtrip(model_path, tmp_path):
     back = load_seq_state_file(f, eng.cfg)
     np.testing.assert_array_equal(back["k"], state["k"])
     assert back["n_past"] == 5 and back["generated"] == [4, 5]
+
+
+def test_seq_div_self_extend(model_path):
+    """Grouped self-extend (passkey recipe): dividing positions by g must
+    equal a fresh prefill at the grouped positions for layer-0 keys, and
+    decoding continues at the compressed position."""
+    eng = Engine.from_gguf(model_path, max_seq=64, dtype=jnp.float32)
+    tokens = [3, 17, 42, 9, 7, 25, 33, 11]
+    eng.prefill(tokens)
+    eng.seq_div(0, 8, 2)  # positions 0..7 -> 0,0,1,1,2,2,3,3
+    assert int(eng.kv.pos_next[0]) == 4
+    want_pos = [0, 0, 1, 1, 2, 2, 3, 3]
+    np.testing.assert_array_equal(np.asarray(eng.kv.pos[0, :8]), want_pos)
+
+    # layer-0 K rows must equal raw keys roped at the grouped positions
+    import jax.numpy as jnp2
+
+    from llama_cpp_gfx906_tpu.models.llama import forward
+    from llama_cpp_gfx906_tpu.ops.rope import apply_rope, rope_frequencies
+
+    layers = eng.params["layers"]
+    emb = np.asarray(eng.params["tok_emb"], np.float32)[tokens][None]
+    from llama_cpp_gfx906_tpu.models.llama import _norm
+
+    h = _norm(jnp2.asarray(emb), layers["attn_norm"][0], None, eng.cfg)
+    k_raw = (h @ layers["wk"][0]).reshape(1, 8, eng.cfg.n_kv_heads, eng.cfg.head_dim)
+    inv = jnp2.asarray(rope_frequencies(eng.cfg))
+    k_want = apply_rope(k_raw, jnp2.asarray([want_pos]), inv, eng.cfg.rope_interleaved)
+    np.testing.assert_allclose(
+        np.asarray(eng.kv.k)[0, 0, :8], np.asarray(k_want[0]), rtol=2e-4, atol=2e-4
+    )
+
+    # decoding still works and uses position 4 next
+    logits = eng.decode_one(50)
+    assert np.isfinite(logits).all()
+    assert int(eng.kv.pos[0, 8]) == 4
+    assert int(eng.kv.pos_next[0]) == 5
+
+
+def test_seq_add_shift(model_path):
+    eng = Engine.from_gguf(model_path, max_seq=64, dtype=jnp.float32)
+    tokens = [3, 17, 42, 9, 7, 25]
+    eng.prefill(tokens)
+    eng.seq_add(2, 6, -2)  # drop-like reposition of the tail
+    np.testing.assert_array_equal(np.asarray(eng.kv.pos[0, :6]), [0, 1, 0, 1, 2, 3])
+    assert int(eng.kv.pos_next[0]) == 4
+    logits = eng.decode_one(50)
+    assert np.isfinite(logits).all()
