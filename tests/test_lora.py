@@ -158,3 +158,42 @@ def test_control_vector(base_and_lora, tmp_path):
     eng.apply_control_vector_file(cpath, strength=1.0)
     cv_logits = eng.prefill(ids)
     assert not np.allclose(base_logits, cv_logits)
+
+
+def test_peft_adapter_conversion(base_and_lora, tmp_path):
+    """PEFT LoRA adapter → GGUF → runtime application equals torch PEFT."""
+    peft = pytest.importorskip("peft")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_lora import convert_peft_model
+
+    base_path, _, _ = base_and_lora
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256,
+        )
+    ).eval()
+    # convert the base FIRST: get_peft_model wraps modules in place
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+
+    base2 = str(tmp_path / "base2.gguf")
+    convert_hf_llama(hf, dummy_vocab(), base2, quant_type=GGMLType.F32)
+
+    lora_cfg = peft.LoraConfig(r=4, lora_alpha=8, target_modules=["q_proj", "v_proj"],
+                               init_lora_weights=False)
+    pm = peft.get_peft_model(hf, lora_cfg).eval()
+    gguf_lora = str(tmp_path / "peft.gguf")
+    convert_peft_model(pm, gguf_lora)
+    eng = Engine.from_gguf(base2, max_seq=32, dtype=jnp.float32, keep_quantized=False)
+    eng.apply_lora_file(gguf_lora, scale=1.0)
+
+    ids = [3, 17, 42, 9]
+    with torch.no_grad():
+        ref = pm(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
