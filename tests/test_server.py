@@ -344,3 +344,35 @@ def test_spec_ngram_matches_plain_greedy(tiny_gguf):
     assert s2.generated == s1.generated
     # with a repetitive generation, speculation should finish in fewer steps
     assert steps <= 16
+
+
+def test_concurrent_requests_thread_safety(server_client):
+    """Many simultaneous requests through the queue + slots (reference:
+    tests/test-thread-safety.cpp — parallel decode must not corrupt)."""
+    client, loop = server_client
+
+    async def one(i):
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": f"<t{i + 3}>", "max_tokens": 6, "temperature": 0.0},
+        )
+        body = await r.json()
+        assert body["choices"][0]["finish_reason"] in ("length", "stop")
+        return body["choices"][0]["text"]
+
+    async def run():
+        import asyncio as aio
+
+        texts = await aio.gather(*[one(i) for i in range(8)])
+        assert len(texts) == 8
+
+    loop.run_until_complete(run())
+
+    # determinism under concurrency: same prompt twice -> same output
+    async def run2():
+        import asyncio as aio
+
+        a, b = await aio.gather(one(1), one(1))
+        assert a == b
+
+    loop.run_until_complete(run2())
