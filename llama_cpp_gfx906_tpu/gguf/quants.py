@@ -725,6 +725,8 @@ def quantize_weighted(x: np.ndarray, ggml_type: GGMLType,
     ggml_type = GGMLType(ggml_type)
     if weights is None:
         return quantize(x, ggml_type)
+    if ggml_type == GGMLType.Q4_K:
+        return _quantize_weighted_q4_k(x, weights)
     grids = {
         GGMLType.Q4_0: (-8, 7),
         GGMLType.Q5_0: (-16, 15),
@@ -762,6 +764,67 @@ def quantize_weighted(x: np.ndarray, ggml_type: GGMLType,
             _to_f16_bytes(d[:, None]),
             _pack_qh(bits),
             (qu[:, :16] & 0x0F) | ((qu[:, 16:] & 0x0F) << 4),
+        ],
+        axis=1,
+    ).reshape(-1)
+
+
+def _quantize_weighted_q4_k(x: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Importance-weighted Q4_K (llama-quant.cpp make_qkx3_quants role):
+    per-32-sub-block (scale, min) refined by weighted least squares, then
+    packed into the 6-bit scale/min grid."""
+    K = x.shape[-1]
+    w_row = np.asarray(weights, np.float32).reshape(-1)[:K]
+    flat = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    wfull = np.broadcast_to(np.broadcast_to(w_row, x.shape).reshape(-1, QK_K), flat.shape)
+    wfull = (wfull + 1e-8).astype(np.float32)
+    n = flat.shape[0]
+    x32 = flat.reshape(n, 8, 32)
+    w32 = wfull.reshape(n, 8, 32)
+
+    # init from the unweighted asymmetric fit
+    mn = x32.min(axis=2)
+    mn = np.minimum(mn, 0.0)
+    dl = (x32.max(axis=2) - mn) / 15.0  # (n, 8) sub-block scales
+    ml = -mn  # dequant is dl*q - ml
+
+    for _ in range(3):
+        inv = _safe_inv(dl)
+        q = np.clip(np.rint((x32 + ml[:, :, None]) * inv[:, :, None]), 0, 15)
+        # weighted least squares for (dl, ml) given q: x ≈ dl*q - ml
+        sw = w32.sum(axis=2)
+        swq = (w32 * q).sum(axis=2)
+        swx = (w32 * x32).sum(axis=2)
+        swqq = (w32 * q * q).sum(axis=2)
+        swqx = (w32 * q * x32).sum(axis=2)
+        det = sw * swqq - swq * swq
+        ok = det > 1e-12
+        new_dl = np.where(ok, (sw * swqx - swq * swx) / np.where(ok, det, 1.0), dl)
+        new_ml = np.where(ok, -(swqq * swx - swq * swqx) / np.where(ok, det, 1.0), ml)
+        # Q4_K requires non-negative scale/min (6-bit unsigned grid)
+        dl = np.maximum(new_dl, 1e-12)
+        ml = np.maximum(new_ml, 0.0)
+
+    d = dl.max(axis=1) / 63.0
+    dmin = ml.max(axis=1) / 63.0
+    sc = np.clip(np.rint(dl * _safe_inv(d)[:, None]), 0, 63).astype(np.uint8)
+    m = np.clip(np.rint(ml * _safe_inv(dmin)[:, None]), 0, 63).astype(np.uint8)
+    dl_q = d[:, None] * sc
+    ml_q = dmin[:, None] * m
+    q = np.clip(
+        np.rint((x32 + ml_q[:, :, None]) * _safe_inv(dl_q)[:, :, None]), 0, 15
+    ).astype(np.uint8)
+
+    qs = np.empty((n, 128), np.uint8)
+    for j in range(4):
+        lo, hi = q[:, 2 * j], q[:, 2 * j + 1]
+        qs[:, 32 * j : 32 * (j + 1)] = lo | (hi << 4)
+    return np.concatenate(
+        [
+            _to_f16_bytes(d[:, None]),
+            _to_f16_bytes(dmin[:, None]),
+            _pack_k4_scales(sc, m),
+            qs,
         ],
         axis=1,
     ).reshape(-1)
