@@ -19,6 +19,8 @@ echo "== multi-chip dry run (8 virtual devices) =="
 python __graft_entry__.py
 
 if [ "$MODE" = "bench" ]; then
+    echo "== on-chip smoke (flash attention, fused dequant, q8 KV) =="
+    python ci/tpu_smoke.py
     echo "== headline bench (real chip) =="
     python bench.py
 fi
