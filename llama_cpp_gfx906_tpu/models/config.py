@@ -86,6 +86,7 @@ class ModelConfig:
     residual_scale: float = 1.0  # granite residual_multiplier
     pre_norm: bool = True  # False = olmo2-style post-norm blocks
     qk_norm_full: bool = False  # olmo2: q/k norms over the full projection
+    rope_local_base: float = 0.0  # gemma3: separate rope base for SWA layers
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -168,7 +169,10 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             post_ffn_norm=arch in ("gemma2", "gemma3"),
             qk_norm=arch == "gemma3",
             swa_pattern={"gemma2": 2, "gemma3": 6}.get(arch, 1),
+            attn_scale=float(g(Keys.Attention.SCALE, 0.0)),
         )
+        if arch == "gemma3":
+            cfg = cfg.with_(rope_local_base=float(g("{arch}.rope.local_freq_base", 10000.0)))
         if arch == "gemma2":
             cfg = cfg.with_(attn_logit_softcap=50.0, final_logit_softcap=30.0)
     elif arch == "mixtral" or (arch == "llama" and cfg.n_experts > 0):

@@ -130,7 +130,22 @@ def forward(
 ) -> tuple[jnp.ndarray, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), kv')."""
     B, T = tokens.shape
-    inv_freq = jnp.asarray(rope_frequencies(cfg))
+    inv_freq_global = rope_frequencies(cfg)
+    if cfg.rope_local_base > 0:
+        # gemma3: SWA layers rotate with the local base, full-attention
+        # layers with the (possibly scaled) global base
+        from ..gguf.constants import RopeScalingType
+
+        local_cfg = cfg.with_(rope_base=cfg.rope_local_base,
+                              rope_scaling=RopeScalingType.NONE)
+        inv_freq_local = rope_frequencies(local_cfg)
+        inv_freq_layers = jnp.asarray(
+            [inv_freq_local if swa else inv_freq_global for swa in cfg.swa_layers]
+        )
+    else:
+        inv_freq_layers = jnp.broadcast_to(
+            jnp.asarray(inv_freq_global), (cfg.n_layers, len(inv_freq_global))
+        )
     q_start = kv.pos_next if kv.pos_next is not None else kv.n_past
     positions = q_start[:, None] + jnp.arange(T)[None, :]
 
@@ -151,7 +166,7 @@ def forward(
 
     def layer_step(carry, layer):
         x, = carry
-        p, k_cache_l, v_cache_l, window_l = layer
+        p, k_cache_l, v_cache_l, window_l, inv_freq = layer
 
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg) if cfg.pre_norm else x
         q = _lin(h, p, "wq")
@@ -228,7 +243,7 @@ def forward(
         return (x,), (k_cache_l, v_cache_l)
 
     (x,), (k_new, v_new) = jax.lax.scan(
-        layer_step, (x,), (params["layers"], kv.k, kv.v, windows)
+        layer_step, (x,), (params["layers"], kv.k, kv.v, windows, inv_freq_layers)
     )
 
     x = _norm(x, params["out_norm"], params.get("out_norm_b"), cfg)

@@ -557,6 +557,70 @@ def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLT
     return w.write()
 
 
+def convert_hf_gemma(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16,
+                     arch: str = "gemma2") -> str:
+    """transformers Gemma2/Gemma3 → GGUF.
+
+    Gemma RMSNorms compute (1 + w): the converter adds 1 to every norm
+    weight (same transform as the reference's GemmaModel.modify_tensors);
+    NEOX rope — no q/k permutation."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", hf.hidden_size // n_head)
+
+    w = GGUFWriter(out_path, arch)
+    w.add_string(Keys.General.NAME, f"{arch}-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_uint32(Keys.Attention.SLIDING_WINDOW, hf.sliding_window or 0)
+    w.add_float32(Keys.Attention.SCALE, float(hf.query_pre_attn_scalar) ** -0.5)
+    if arch == "gemma3":
+        w.add_float32("{arch}.rope.local_freq_base", getattr(hf, "rope_local_base_freq", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        if "norm" in name:
+            arr = arr + 1.0  # gemma (1 + w) convention
+            w.add_tensor(name, arr, GGMLType.F32)
+            return
+        t = GGMLType.F32 if arr.ndim == 1 else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    pairs = [
+        ("input_layernorm.weight", "attn_norm.weight"),
+        ("post_attention_layernorm.weight", "post_attention_norm.weight"),
+        ("pre_feedforward_layernorm.weight", "ffn_norm.weight"),
+        ("post_feedforward_layernorm.weight", "post_ffw_norm.weight"),
+        ("self_attn.q_proj.weight", "attn_q.weight"),
+        ("self_attn.k_proj.weight", "attn_k.weight"),
+        ("self_attn.v_proj.weight", "attn_v.weight"),
+        ("self_attn.o_proj.weight", "attn_output.weight"),
+        ("self_attn.q_norm.weight", "attn_q_norm.weight"),
+        ("self_attn.k_norm.weight", "attn_k_norm.weight"),
+        ("mlp.gate_proj.weight", "ffn_gate.weight"),
+        ("mlp.up_proj.weight", "ffn_up.weight"),
+        ("mlp.down_proj.weight", "ffn_down.weight"),
+    ]
+    for i in range(hf.num_hidden_layers):
+        for hf_s, gg_s in pairs:
+            name = f"model.layers.{i}.{hf_s}"
+            if name in state:
+                add(f"blk.{i}.{gg_s}", state[name])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state and not np.array_equal(
+        state["lm_head.weight"], state["model.embed_tokens.weight"]
+    ):
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_olmo2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers Olmo2ForCausalLM → GGUF (arch "olmo2"):
     post-norm blocks, full-width q/k norms, NEOX rope (no permutation)."""

@@ -162,3 +162,72 @@ def test_qwen2moe(tmp_path):
     got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
     np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
     _greedy_check(eng, hf)
+
+
+def test_gemma2(tmp_path):
+    """Validates iSWA alternation, attn/final softcaps, (1+w) norms,
+    pre+post norm pairs (reference: llm_build_gemma2_iswa)."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_gemma
+
+    torch.manual_seed(4)
+    hf = Gemma2ForCausalLM(
+        Gemma2Config(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            max_position_embeddings=128, tie_word_embeddings=True,
+            layer_types=["sliding_attention", "full_attention"] * 2,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-gemma2-f32.gguf")
+    convert_hf_gemma(hf, dummy_vocab(), path, quant_type=GGMLType.F32, arch="gemma2")
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.swa_layers == (True, False, True, False)
+    assert eng.cfg.attn_logit_softcap == 50.0
+
+    ids = [3, 17, 42, 9, 88, 5, 63, 21, 40, 6, 28, 13]  # > window
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=4e-3, atol=4e-3)
+    _greedy_check(eng, hf)
+
+
+def test_gemma3(tmp_path):
+    """Validates dual rope bases (local vs global), qk-norm, 5:1 iSWA
+    (reference: llm_build_gemma3_iswa)."""
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_gemma
+
+    torch.manual_seed(5)
+    hf = Gemma3ForCausalLM(
+        Gemma3TextConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+            max_position_embeddings=128, tie_word_embeddings=True,
+            rope_scaling=None,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-gemma3-f32.gguf")
+    convert_hf_gemma(hf, dummy_vocab(), path, quant_type=GGMLType.F32, arch="gemma3")
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.rope_local_base == 10000.0
+    assert eng.cfg.qk_norm
+    assert eng.cfg.swa_layers == (True,) * 5 + (False,)
+
+    ids = [3, 17, 42, 9, 88, 5, 63, 21, 40, 6, 28, 13]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=4e-3, atol=4e-3)
+    _greedy_check(eng, hf)
