@@ -50,6 +50,7 @@ def convert_hf_llama(
     quant_type: GGMLType = GGMLType.F16,
     arch: str = "llama",
     extra_kv: dict | None = None,
+    permute: bool | None = None,  # q/k rope-layout permutation; default by arch
 ) -> str:
     """Write a transformers *LlamaForCausalLM-style* model to GGUF.
 
@@ -59,6 +60,10 @@ def convert_hf_llama(
     """
     hf_cfg = model.config
     state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    if permute is None:
+        # NEOX-rope archs keep the HF layout; llama-family permutes to the
+        # interleaved (ggml NORM) layout
+        permute = not arch.startswith(("qwen", "stablelm", "olmo", "gemma"))
 
     n_head = hf_cfg.num_attention_heads
     n_kv = getattr(hf_cfg, "num_key_value_heads", n_head)
@@ -120,9 +125,9 @@ def convert_hf_llama(
             if hf_name not in state:
                 continue
             arr = state[hf_name]
-            if gg_suffix == "attn_q.weight":
+            if permute and gg_suffix == "attn_q.weight":
                 arr = permute_qk(arr, n_head)
-            elif gg_suffix == "attn_k.weight":
+            elif permute and gg_suffix == "attn_k.weight":
                 arr = permute_qk(arr, n_kv)
             name = f"blk.{i}.{gg_suffix}"
             w.add_tensor(name, arr, qt(name, arr))

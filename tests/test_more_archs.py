@@ -231,3 +231,84 @@ def test_gemma3(tmp_path):
     got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
     np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=4e-3, atol=4e-3)
     _greedy_check(eng, hf)
+
+
+def test_qwen2(tmp_path):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(6)
+    hf = Qwen2ForCausalLM(
+        Qwen2Config(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-qwen2-f32.gguf")
+    convert_hf_llama(hf, dummy_vocab("llama"), path, quant_type=GGMLType.F32, arch="qwen2")
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert not eng.cfg.rope_interleaved
+
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+    _greedy_check(eng, hf)
+
+
+def test_qwen3(tmp_path):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(7)
+    hf = Qwen3ForCausalLM(
+        Qwen3Config(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, tie_word_embeddings=False,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-qwen3-f32.gguf")
+    convert_hf_llama(hf, dummy_vocab("llama"), path, quant_type=GGMLType.F32, arch="qwen3")
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.qk_norm
+
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+    _greedy_check(eng, hf)
+
+
+def test_qwen3_moe(tmp_path):
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    torch.manual_seed(8)
+    hf = Qwen3MoeForCausalLM(
+        Qwen3MoeConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            moe_intermediate_size=48, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+            decoder_sparse_step=1, mlp_only_layers=[],
+            max_position_embeddings=128, tie_word_embeddings=False,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-qwen3moe-f32.gguf")
+    convert_hf_llama(hf, dummy_vocab("llama"), path, quant_type=GGMLType.F32, arch="qwen3moe")
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.qk_norm and eng.cfg.expert_weights_norm
+
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+    _greedy_check(eng, hf)
