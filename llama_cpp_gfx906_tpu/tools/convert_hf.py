@@ -562,6 +562,46 @@ def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLT
     return w.write()
 
 
+def convert_hf_phi3(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Phi3ForCausalLM → GGUF (arch "phi3") keeping the fused
+    attn_qkv and gate||up ffn_up tensors (the official phi-3 GGUF layout;
+    runtime/weights.effective_tensors splits them at load)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "phi3")
+    w.add_string(Keys.General.NAME, "phi3-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "attn_qkv.weight", state[p + "self_attn.qkv_proj.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.gate_up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_gemma(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16,
                      arch: str = "gemma2") -> str:
     """transformers Gemma2/Gemma3 → GGUF.

@@ -134,3 +134,52 @@ def test_gpt2_quantized(gpt2_pair, tmp_path):
         ref = hf(torch.tensor([ids])).logits[0, -1].float().numpy()
     got = eng.prefill(ids)
     assert int(np.argmax(got)) == int(np.argmax(ref))
+
+
+@pytest.fixture(scope="module")
+def phi3_pair(tmp_path_factory):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_phi3
+
+    torch.manual_seed(2)
+    hf = Phi3ForCausalLM(
+        Phi3Config(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+            pad_token_id=0, bos_token_id=0, eos_token_id=1,
+        )
+    ).eval()
+    path = str(tmp_path_factory.mktemp("phi3") / "tiny-phi3-f32.gguf")
+    convert_hf_phi3(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    return path, hf
+
+
+def test_phi3_fused_tensor_parity(phi3_pair):
+    """Exercises effective_tensors: fused attn_qkv + gate||up ffn_up split
+    at load (reference: llm_build_phi3 views)."""
+    path, hf = phi3_pair
+    eng = _check_parity(path, hf)
+    assert "wq" in eng.params["layers"] and "w_gate" in eng.params["layers"]
+
+
+def test_phi3_greedy(phi3_pair):
+    path, hf = phi3_pair
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    _check_greedy(eng, hf)
+
+
+def test_phi3_quantized_fused_split(phi3_pair, tmp_path):
+    """Row-slicing of QUANTIZED fused tensors must stay bit-exact."""
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_phi3
+
+    _, hf = phi3_pair
+    q = str(tmp_path / "tiny-phi3-q8.gguf")
+    convert_hf_phi3(hf, dummy_vocab(), q, quant_type=GGMLType.Q8_0)
+    eng = Engine.from_gguf(q, max_seq=64, dtype=jnp.float32)
+    ids = [3, 17, 42, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0, -1].float().numpy()
+    got = eng.prefill(ids)
+    assert int(np.argmax(got)) == int(np.argmax(ref))
