@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.config import ModelConfig
+from .quant_matmul import QuantTensor, qt_expert, quant_matmul, routed_quant_matmul
 
 _GATHER_MAX_TOKENS = 8  # below this, per-token expert gather beats dense
 
@@ -35,7 +36,9 @@ def moe_ffn(
     down_b: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     B, T, D = x.shape
-    E = w_gate.shape[0]
+    # stacked QuantTensor leaves carry the expert axis on q; plain arrays
+    # are (E, D, F)
+    E = w_gate.q.shape[0] if isinstance(w_gate, QuantTensor) else w_gate.shape[0]
     k = cfg.n_experts_used
     xt = x.reshape(B * T, D)
 
@@ -76,35 +79,79 @@ def moe_ffn(
             return (jax.nn.gelu(gf, approximate=True) * uf).astype(x.dtype)
         return (jax.nn.silu(gf) * uf).astype(x.dtype)
 
+    quantized = isinstance(w_gate, QuantTensor)
     if B * T <= _GATHER_MAX_TOKENS:
-        # gather path: (N, k, D, F) expert slices
-        wg = w_gate[topi]  # (N, k, D, F)
-        wu = w_up[topi]
-        wd = w_down[topi]  # (N, k, F, D)
-        g = jnp.einsum("nd,nkdf->nkf", xt, wg, preferred_element_type=jnp.float32)
-        u = jnp.einsum("nd,nkdf->nkf", xt, wu, preferred_element_type=jnp.float32)
-        if gate_b is not None:
-            g = g + gate_b[topi]
-        if up_b is not None:
-            u = u + up_b[topi]
-        h = act_mix(g.astype(x.dtype), u.astype(x.dtype))
-        out = jnp.einsum("nkf,nkfd->nkd", h, wd, preferred_element_type=jnp.float32)
-        if down_b is not None:
-            out = out + down_b[topi]
-        out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
+        if quantized:
+            # routed quantized matmul (mul_mat_id analog): experts stay
+            # block-quantized in HBM; each (token, expert) pair streams only
+            # its expert's quantized bytes through the kernel
+            N = B * T
+            F = w_gate.shape[1]
+            idx = topi.reshape(N * k)
+            xp = jnp.repeat(xt, k, axis=0)  # (N·k, D) pair rows
+            g = routed_quant_matmul(xp, w_gate, idx).reshape(N, k, F)
+            u = routed_quant_matmul(xp, w_up, idx).reshape(N, k, F)
+            if gate_b is not None:
+                g = g + gate_b[topi]
+            if up_b is not None:
+                u = u + up_b[topi]
+            h = act_mix(g.astype(x.dtype), u.astype(x.dtype))
+            out = routed_quant_matmul(h.reshape(N * k, F), w_down, idx)
+            out = out.reshape(N, k, D).astype(jnp.float32)
+            if down_b is not None:
+                out = out + down_b[topi]
+            out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
+        else:
+            # gather path: (N, k, D, F) expert slices
+            wg = w_gate[topi]  # (N, k, D, F)
+            wu = w_up[topi]
+            wd = w_down[topi]  # (N, k, F, D)
+            g = jnp.einsum("nd,nkdf->nkf", xt, wg, preferred_element_type=jnp.float32)
+            u = jnp.einsum("nd,nkdf->nkf", xt, wu, preferred_element_type=jnp.float32)
+            if gate_b is not None:
+                g = g + gate_b[topi]
+            if up_b is not None:
+                u = u + up_b[topi]
+            h = act_mix(g.astype(x.dtype), u.astype(x.dtype))
+            out = jnp.einsum("nkf,nkfd->nkd", h, wd, preferred_element_type=jnp.float32)
+            if down_b is not None:
+                out = out + down_b[topi]
+            out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
     else:
         # dense path: run all experts, mask with dispatch weights
         combine = jnp.zeros((B * T, E), x.dtype)
         combine = jax.vmap(lambda c, i, v: c.at[i].set(v))(combine, topi, topv)  # (N, E)
-        g = jnp.einsum("nd,edf->enf", xt, w_gate, preferred_element_type=jnp.float32)
-        u = jnp.einsum("nd,edf->enf", xt, w_up, preferred_element_type=jnp.float32)
-        if gate_b is not None:
-            g = g + gate_b[:, None, :]
-        if up_b is not None:
-            u = u + up_b[:, None, :]
-        h = act_mix(g.astype(x.dtype), u.astype(x.dtype))  # (E, N, F)
-        out_e = jnp.einsum("enf,efd->end", h, w_down, preferred_element_type=jnp.float32)
-        if down_b is not None:
-            out_e = out_e + down_b[:, None, :]
-        out = jnp.einsum("end,ne->nd", out_e, combine.astype(jnp.float32))
+        if quantized:
+            # scan over experts: every expert streams once (quantized) and
+            # runs a full-token fused dequant-matmul — the MXU-dense analog
+            # of the bf16 all-experts einsum below
+            def one_expert(acc, e):
+                ge = quant_matmul(xt, qt_expert(w_gate, e))
+                ue = quant_matmul(xt, qt_expert(w_up, e))
+                gf, uf = ge.astype(jnp.float32), ue.astype(jnp.float32)
+                if gate_b is not None:
+                    gf = gf + gate_b[e]
+                if up_b is not None:
+                    uf = uf + up_b[e]
+                h = act_mix(gf.astype(x.dtype), uf.astype(x.dtype))
+                oe = quant_matmul(h, qt_expert(w_down, e)).astype(jnp.float32)
+                if down_b is not None:
+                    oe = oe + down_b[e]
+                return acc + oe * combine[:, e, None].astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(
+                one_expert, jnp.zeros((B * T, D), jnp.float32), jnp.arange(E)
+            )
+        else:
+            g = jnp.einsum("nd,edf->enf", xt, w_gate, preferred_element_type=jnp.float32)
+            u = jnp.einsum("nd,edf->enf", xt, w_up, preferred_element_type=jnp.float32)
+            if gate_b is not None:
+                g = g + gate_b[:, None, :]
+            if up_b is not None:
+                u = u + up_b[:, None, :]
+            h = act_mix(g.astype(x.dtype), u.astype(x.dtype))  # (E, N, F)
+            out_e = jnp.einsum("enf,efd->end", h, w_down, preferred_element_type=jnp.float32)
+            if down_b is not None:
+                out_e = out_e + down_b[:, None, :]
+            out = jnp.einsum("end,ne->nd", out_e, combine.astype(jnp.float32))
     return out.astype(x.dtype).reshape(B, T, D)

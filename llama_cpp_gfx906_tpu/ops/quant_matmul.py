@@ -239,6 +239,76 @@ def supported_qmm_types() -> list[GGMLType]:
     return sorted(_GRID_DECODERS)
 
 
+def pack_gguf_experts(
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int, int], put=jnp.asarray
+) -> QuantTensor:
+    """Decode a stacked-expert GGUF tensor (E, N, K) into a QuantTensor whose
+    leaves carry a leading expert axis: q (E, K, N) int8 or (E, K/2, N)
+    nib4-packed, s/m (E, K/g, N).
+
+    This is the storage side of the ``ggml_mul_mat_id`` analog (reference
+    ``build_moe_ffn``, src/llama-graph.cpp:776-1024): experts stay
+    block-quantized in HBM and are gathered/dequantized per token inside
+    :func:`routed_quant_matmul`.
+    """
+    E, N, K = int(shape[0]), int(shape[1]), int(shape[2])
+    ggml_type = GGMLType(ggml_type)
+    blck, bsize = GGML_BLOCK_SIZES[ggml_type]
+    q, s, m, g = _GRID_DECODERS[ggml_type](raw.reshape(-1, bsize))
+    q = q.reshape(E, N, K).transpose(0, 2, 1)  # (E, K, N)
+    s = s.reshape(E, N, K // g).transpose(0, 2, 1)
+    m = m.reshape(E, N, K // g).transpose(0, 2, 1) if m is not None else None
+
+    if ggml_type in _NIB4_TYPES and K % (2 * g) == 0:
+        qu = q.astype(np.uint8)
+        packed = (qu[:, : K // 2] | (qu[:, K // 2 :] << 4)).view(np.int8)
+        return QuantTensor(
+            q=put(np.ascontiguousarray(packed)),
+            s=put(np.ascontiguousarray(s, np.float32)),
+            m=put(np.ascontiguousarray(m, np.float32)) if m is not None else None,
+            fmt="nib4",
+            group=g,
+            shape=(K, N),
+        )
+    return QuantTensor(
+        q=put(np.ascontiguousarray(q)),
+        s=put(np.ascontiguousarray(s, np.float32)),
+        m=put(np.ascontiguousarray(m, np.float32)) if m is not None else None,
+        fmt="int8",
+        group=g,
+        shape=(K, N),
+    )
+
+
+def pack_experts_int8_g16(
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int, int], put=jnp.asarray
+) -> QuantTensor:
+    """Stacked-expert analog of ``_pack_int8_g16`` (runtime/weights.py):
+    unify mixed per-layer quant types to int8 values + group-16 scales so
+    stacked ``lax.scan`` layouts stay homogeneous."""
+    E, N, K = int(shape[0]), int(shape[1]), int(shape[2])
+    blck, bsize = GGML_BLOCK_SIZES[GGMLType(ggml_type)]
+    q, s, m, g = _GRID_DECODERS[GGMLType(ggml_type)](raw.reshape(-1, bsize))
+    q = q.reshape(E, N, K).transpose(0, 2, 1)
+    s = s.reshape(E, N, K // g).transpose(0, 2, 1)
+    m = (
+        m.reshape(E, N, K // g).transpose(0, 2, 1)
+        if m is not None
+        else np.zeros_like(s)
+    )
+    if g != 16:
+        s = np.repeat(s, g // 16, axis=1)
+        m = np.repeat(m, g // 16, axis=1)
+    return QuantTensor(
+        q=put(np.ascontiguousarray(q)),
+        s=put(np.ascontiguousarray(s, np.float32)),
+        m=put(np.ascontiguousarray(m, np.float32)),
+        fmt="int8",
+        group=16,
+        shape=(K, N),
+    )
+
+
 def pack_gguf_tensor(
     raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...], put=jnp.asarray
 ) -> QuantTensor:
@@ -474,3 +544,218 @@ def linear(x: jnp.ndarray, w) -> jnp.ndarray:
     if isinstance(w, QuantTensor):
         return quant_matmul(x, w)
     return x @ w
+
+
+# ---------------------------------------------------------------------------
+# Routed (expert-indexed) quantized matmul — the ggml_mul_mat_id analog
+# ---------------------------------------------------------------------------
+# Experts stay block-quantized in HBM; each (token, expert) pair streams only
+# its selected expert's quantized bytes through VMEM (reference:
+# build_moe_ffn over quantized experts, src/llama-graph.cpp:776-1024).
+
+
+def qt_expert(qt: QuantTensor, e) -> QuantTensor:
+    """Select one expert from a stacked QuantTensor (leading E axis)."""
+    take = lambda a: jax.lax.dynamic_index_in_dim(a, e, 0, keepdims=False)
+    return QuantTensor(
+        q=take(qt.q), s=take(qt.s), m=take(qt.m) if qt.m is not None else None,
+        fmt=qt.fmt, group=qt.group, shape=qt.shape,
+    )
+
+
+def dequantize_qt_experts(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Materialize all experts (E, K, N) — oracle / load-time fallback."""
+    if qt.fmt == "nib4":
+        p32 = qt.q.astype(jnp.int32) & 255
+        vals = jnp.concatenate(
+            [(p32 & 0x0F).astype(jnp.int8), (p32 >> 4).astype(jnp.int8)], axis=1
+        )
+    else:
+        vals = qt.q
+    s = jnp.repeat(qt.s, qt.group, axis=1)
+    w = vals.astype(jnp.float32) * s
+    if qt.m is not None:
+        w = w - jnp.repeat(qt.m, qt.group, axis=1)
+    return w.astype(dtype)
+
+
+def routed_quant_matmul_xla(
+    x: jnp.ndarray, qt: QuantTensor, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Oracle: out[p] = x[p] @ dequant(experts[idx[p]]).
+
+    Gathers *quantized* expert slices (int8 / packed nibbles) so HBM reads
+    stay at quantized width, then dequantizes per pair.  Used on CPU and as
+    the golden reference for the Pallas kernel."""
+    K, N = qt.shape
+    q_sel = qt.q[idx]  # (P, Kq, N) quantized gather
+    s_sel = qt.s[idx]  # (P, K/g, N)
+    if qt.fmt == "nib4":
+        p32 = q_sel.astype(jnp.int32) & 255
+        vals = jnp.concatenate(
+            [(p32 & 0x0F).astype(jnp.int8), (p32 >> 4).astype(jnp.int8)], axis=1
+        )
+    else:
+        vals = q_sel
+    w = vals.astype(jnp.float32) * jnp.repeat(s_sel, qt.group, axis=1)
+    if qt.m is not None:
+        w = w - jnp.repeat(qt.m[idx], qt.group, axis=1)
+    out = jnp.einsum(
+        "pk,pkn->pn", x.astype(jnp.float32), w, preferred_element_type=jnp.float32
+    )
+    return out.astype(x.dtype)
+
+
+def _rqmm_int8_kernel(idx_ref, *refs, group, n_k, has_m):
+    """One (pair, N-tile) output block; grid dim 2 accumulates over K tiles.
+    x rows are replicated 8× (sublane alignment) — row 0 is the token.
+    The subtractive term folds into the dequantized tile (w = q·s − m)."""
+    from jax.experimental import pallas as pl
+
+    if has_m:
+        x_ref, q_ref, s_ref, m_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, q_ref, s_ref, o_ref, acc_ref = refs
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[0].astype(jnp.float32) * jnp.repeat(s_ref[0], group, axis=0)
+    if has_m:
+        w = w - jnp.repeat(m_ref[0], group, axis=0)
+    acc_ref[:] += jax.lax.dot(
+        x_ref[0], w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _rqmm_nib4_kernel(idx_ref, *refs, group, n_k, has_m):
+    """nib4 split-K: low nibbles = K-half 0, high nibbles = K-half 1."""
+    from jax.experimental import pallas as pl
+
+    if has_m:
+        (xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref,
+         mlo_ref, mhi_ref, o_ref, acc_ref) = refs
+    else:
+        xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref = refs
+        mlo_ref = mhi_ref = None
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = q_ref[0].astype(jnp.int32) & 255
+    wlo = (p32 & 0x0F).astype(jnp.float32) * jnp.repeat(slo_ref[0], group, axis=0)
+    whi = (p32 >> 4).astype(jnp.float32) * jnp.repeat(shi_ref[0], group, axis=0)
+    if has_m:
+        wlo = wlo - jnp.repeat(mlo_ref[0], group, axis=0)
+        whi = whi - jnp.repeat(mhi_ref[0], group, axis=0)
+    acc_ref[:] += jax.lax.dot(
+        xlo_ref[0], wlo.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    acc_ref[:] += jax.lax.dot(
+        xhi_ref[0], whi.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fmt", "group", "shape", "has_m", "interpret")
+)
+def _routed_qmm_pallas(x, q, s, m, idx, *, fmt, group, shape, has_m, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, N = shape
+    P = x.shape[0]
+    # replicate each pair's activation row to an (8, K) tile: Mosaic wants
+    # sublane-aligned blocks; the 8× redundant FLOPs are free (bandwidth-bound)
+    x8 = jnp.broadcast_to(x.astype(jnp.bfloat16)[:, None, :], (P, 8, K))
+    TN = next((t for t in (2048, 1024, 512, 256, 128) if N % t == 0), 128)
+    idx = idx.astype(jnp.int32)
+
+    def spec(block, index_map):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((P, 8, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    out_spec = spec((1, 8, TN), lambda p, j, k, idx_ref: (p, 0, j))
+
+    if fmt == "nib4":
+        Kh = K // 2
+        TKh = next((t for t in (512, 256) if Kh % t == 0 and t >= 8 * group), Kh)
+        n_k = Kh // TKh
+        Gh = Kh // group
+        TG = max(TKh // group, 1)
+        x_lo, x_hi = x8[:, :, :Kh], x8[:, :, Kh:]
+        s_lo, s_hi = s[:, :Gh], s[:, Gh:]
+        x_spec = spec((1, 8, TKh), lambda p, j, k, idx_ref: (p, 0, k))
+        q_spec = spec((1, TKh, TN), lambda p, j, k, idx_ref: (idx_ref[p], k, j))
+        s_spec = spec((1, TG, TN), lambda p, j, k, idx_ref: (idx_ref[p], k, j))
+        operands = [x_lo, x_hi, q, s_lo, s_hi]
+        in_specs = [x_spec, x_spec, q_spec, s_spec, s_spec]
+        if has_m:
+            operands += [m[:, :Gh], m[:, Gh:]]
+            in_specs += [s_spec, s_spec]
+        kernel = _rqmm_nib4_kernel
+    else:
+        TK = next((t for t in (512, 256) if K % t == 0 and t >= 8 * group), K)
+        n_k = K // TK
+        TG = max(TK // group, 1)
+        x_spec = spec((1, 8, TK), lambda p, j, k, idx_ref: (p, 0, k))
+        q_spec = spec((1, TK, TN), lambda p, j, k, idx_ref: (idx_ref[p], k, j))
+        s_spec = spec((1, TG, TN), lambda p, j, k, idx_ref: (idx_ref[p], k, j))
+        operands = [x8, q, s]
+        in_specs = [x_spec, q_spec, s_spec]
+        if has_m:
+            operands.append(m)
+            in_specs.append(s_spec)
+        kernel = _rqmm_int8_kernel
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, N // TN, n_k),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=common.pop("scratch_shapes"),
+    )
+    out = pl.pallas_call(
+        functools.partial(kernel, group=group, n_k=n_k, has_m=has_m),
+        grid_spec=grid_spec,
+        **common,
+    )(idx, *operands)
+    return out[:, 0, :].astype(x.dtype)
+
+
+def routed_quant_matmul(
+    x: jnp.ndarray,  # (P, K) one activation row per (token, expert) pair
+    qt: QuantTensor,  # stacked experts: q (E, K[/2], N), s/m (E, K/g, N)
+    idx: jnp.ndarray,  # (P,) int32 expert ids
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """out[p] = x[p] @ experts[idx[p]] with experts resident in quantized
+    form — Pallas on TPU (scalar-prefetched expert indices drive the weight
+    block DMAs), gather-dequant XLA path elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if not use_pallas:
+        return routed_quant_matmul_xla(x, qt, idx)
+    return _routed_qmm_pallas(
+        x, qt.q, qt.s, qt.m, idx,
+        fmt=qt.fmt, group=qt.group, shape=qt.shape, has_m=qt.m is not None,
+    )

@@ -75,7 +75,10 @@ class Slot:
     def reset(self):
         self.state = SlotState.IDLE
         self.request_id = ""
-        self.cache_tokens = self.prompt_ids + self.generated
+        # only rows [0, n_past) actually hold K/V (the final sampled token
+        # was never forwarded) — trim so prefix matching can't reuse a row
+        # that was never written
+        self.cache_tokens = (self.prompt_ids + self.generated)[: self.n_past]
         self.prompt_ids = []
         self.generated = []
         self.n_past = 0
@@ -343,7 +346,13 @@ class BatchedEngine:
             return self._step_host_sampled(active)
         if (
             self.spec_ngram
-            and all(s.sampler.temp <= 0 for s in active)
+            # drafts are verified by raw argmax, which matches the sampler
+            # chain only when no logit transforms apply (greedy + no
+            # repetition penalty); reference verifies through the full chain
+            and all(
+                s.sampler.temp <= 0 and s.sampler.penalty_repeat == 1.0
+                for s in active
+            )
             and all(s.n_past + 1 + self.n_draft < self.max_seq for s in active)
         ):
             return self._step_speculative(active)
@@ -490,8 +499,16 @@ class BatchedEngine:
         return results
 
     def release(self, slot: Slot):
-        self.n_past_host[slot.id] = 0
         slot.reset()
+        # Idle slots still ride every batched forward as dummy rows: each
+        # decode step writes 1 (or 1+n_draft) garbage K/V rows at the idle
+        # slot's n_past.  Park n_past just past the cached prefix — far
+        # enough from max_seq that dynamic_update_slice can't clamp back
+        # into rows the prompt cache may later reuse.
+        guard = 1 + (self.n_draft if self.spec_ngram else 0)
+        keep = min(len(slot.cache_tokens), self.max_seq - guard)
+        slot.cache_tokens = slot.cache_tokens[:keep]
+        self.n_past_host[slot.id] = keep
 
     # -- state save/restore (llama_state_seq_* analog) ------------------------
 

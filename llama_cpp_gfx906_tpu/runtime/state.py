@@ -82,6 +82,14 @@ def load_state_file(path: str, engine) -> list[int]:
             raise ValueError(f"unsupported state version {header.get('version')}")
         if header["config"] != _cfg_fingerprint(engine.cfg):
             raise ValueError("state file belongs to a different model")
+        # cache dims are baked into the engine's compiled step functions —
+        # reject mismatches up front (reference: hparams check on session
+        # load) instead of failing later with an opaque XLA shape error
+        if header["batch_size"] != engine.batch_size or header["max_seq"] != engine.max_seq:
+            raise ValueError(
+                f"state dims (batch={header['batch_size']}, max_seq={header['max_seq']}) "
+                f"!= engine dims (batch={engine.batch_size}, max_seq={engine.max_seq})"
+            )
         fresh = engine.family.make_cache(
             engine.cfg, header["batch_size"], header["max_seq"], engine.kv_dtype
         )
@@ -101,7 +109,6 @@ def load_state_file(path: str, engine) -> list[int]:
                 )
             new_leaves.append(jnp.asarray(arr).astype(proto.dtype))
         engine.kv = jax.tree_util.tree_unflatten(treedef, new_leaves)
-        engine.max_seq = header["max_seq"]
     return list(header["tokens"])
 
 

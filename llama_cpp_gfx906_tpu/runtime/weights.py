@@ -25,6 +25,8 @@ from ..models.config import ModelConfig
 from ..ops.quant_matmul import (
     QuantTensor,
     _GRID_DECODERS,
+    pack_experts_int8_g16,
+    pack_gguf_experts,
     pack_gguf_tensor,
     supported_qmm_types,
 )
@@ -224,7 +226,12 @@ def _np_dtype(jdtype):
 # -- quantized-on-device loading --------------------------------------------
 
 # layer weights that flow through ops.quant_matmul.linear
-_QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                "shexp_gate", "shexp_up", "shexp_down")
+# stacked-expert weights that flow through ops.quant_matmul.routed_quant_matmul
+# (quantized-resident MoE: the capacity + bandwidth fix — a Mixtral-class
+# model must NOT balloon to bf16 at load)
+_MOE_QUANTIZABLE = ("moe_gate", "moe_up", "moe_down")
 
 
 def _pack_int8_g16(raw: np.ndarray, ggml_type: GGMLType, shape, put) -> QuantTensor:
@@ -307,8 +314,25 @@ def load_llama_params_quantized(
             raise ValueError(f"{key}: found {len(names)}/{cfg.n_layers} tensors")
         infos = [tensors[n] for n in names]
         types = {t.ggml_type for t in infos}
-        if key in _QUANTIZABLE and types <= qmm_ok and infos[0].shape[-1] % 32 == 0:
-            if len(types) == 1:
+        quantizable_2d = key in _QUANTIZABLE and len(infos[0].shape) == 2
+        quantizable_moe = key in _MOE_QUANTIZABLE and len(infos[0].shape) == 3
+        if (
+            (quantizable_2d or quantizable_moe)
+            and types <= qmm_ok
+            and infos[0].shape[-1] % 32 == 0
+        ):
+            if quantizable_moe:
+                if len(types) == 1:
+                    qts = [
+                        pack_gguf_experts(np.asarray(t.data), t.ggml_type, t.shape)
+                        for t in infos
+                    ]
+                else:  # mixed types across layers: unify to int8/g16
+                    qts = [
+                        pack_experts_int8_g16(np.asarray(t.data), t.ggml_type, t.shape)
+                        for t in infos
+                    ]
+            elif len(types) == 1:
                 qts = [
                     pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
                     for t in infos

@@ -125,9 +125,11 @@ def convert_hf_llama(
             if hf_name not in state:
                 continue
             arr = state[hf_name]
-            if permute and gg_suffix == "attn_q.weight":
+            # biases permute with their projections (convert_hf_to_gguf.py
+            # permutes q_proj/k_proj weight AND bias for NORM-rope archs)
+            if permute and gg_suffix in ("attn_q.weight", "attn_q.bias"):
                 arr = permute_qk(arr, n_head)
-            elif permute and gg_suffix == "attn_k.weight":
+            elif permute and gg_suffix in ("attn_k.weight", "attn_k.bias"):
                 arr = permute_qk(arr, n_kv)
             name = f"blk.{i}.{gg_suffix}"
             w.add_tensor(name, arr, qt(name, arr))

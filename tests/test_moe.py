@@ -52,6 +52,46 @@ def test_mixtral_logits_parity(mixtral_gguf):
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
 
 
+@pytest.fixture(scope="module")
+def mixtral_q8_gguf(tmp_path_factory):
+    model = tiny_mixtral()
+    path = str(tmp_path_factory.mktemp("mq") / "tiny-mixtral-q8.gguf")
+    convert_hf_llama(model, dummy_vocab(), path, quant_type=GGMLType.Q8_0)
+    return path, model
+
+
+def test_moe_experts_stay_quantized(mixtral_q8_gguf):
+    """Capacity contract: with keep_quantized, expert tensors must be
+    QuantTensor (int8/nib4) on device, never dequantized bf16 (reference
+    runs MoE fully quantized via ggml_mul_mat_id)."""
+    from llama_cpp_gfx906_tpu.ops.quant_matmul import QuantTensor
+
+    path, _ = mixtral_q8_gguf
+    eng = Engine.from_gguf(path, max_seq=64, keep_quantized=True)
+    layers = eng.params["layers"]
+    for key in ("moe_gate", "moe_up", "moe_down"):
+        assert isinstance(layers[key], QuantTensor), key
+        assert layers[key].q.dtype == jnp.int8
+
+
+def test_moe_quantized_matches_dequantized(mixtral_q8_gguf):
+    """Quantized-resident experts give the same results as load-time
+    dequantization, on both the dense (prefill) and gather (decode) paths."""
+    path, _ = mixtral_q8_gguf
+    eng_q = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32, keep_quantized=True)
+    eng_d = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32, keep_quantized=False)
+    prompt = [3, 17, 42, 9, 88, 5, 11, 2, 7]  # bucket 16 → dense scan path
+    lq = eng_q.prefill(prompt)
+    ld = eng_d.prefill(prompt)
+    assert np.abs(lq - ld).max() < 0.05 * (np.abs(ld).max() + 1)
+    # decode (T=1 → routed gather path)
+    t = int(np.argmax(ld))
+    dq = eng_q.decode_one(t)
+    dd = eng_d.decode_one(t)
+    assert int(np.argmax(dq)) == int(np.argmax(dd))
+    assert np.abs(dq - dd).max() < 0.05 * (np.abs(dd).max() + 1)
+
+
 def test_mixtral_decode_gather_path(mixtral_gguf):
     """Incremental decode (T=1 → expert-gather path) matches HF greedy."""
     path, hf = mixtral_gguf

@@ -72,6 +72,59 @@ def test_linear_dispatch():
     )
 
 
+def make_experts(qtype, E=4, N=128, K=256):
+    w = RNG.standard_normal((E, N, K)).astype(np.float32)
+    raw = quantize(w.reshape(E * N, K), qtype)
+    qt = qmm.pack_gguf_experts(raw, qtype, (E, N, K))
+    ref = dequantize(raw, qtype, (E * N, K)).reshape(E, N, K).transpose(0, 2, 1)
+    return qt, ref  # ref (E, K, N)
+
+
+@pytest.mark.parametrize(
+    "qtype",
+    [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.MXFP4],
+)
+def test_experts_decode_bit_exact(qtype):
+    qt, ref = make_experts(qtype)
+    got = np.asarray(qmm.dequantize_qt_experts(qt, jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "qtype",
+    [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.MXFP4],
+)
+def test_routed_xla_matches_dense(qtype):
+    qt, ref = make_experts(qtype)
+    P, K = 6, 256
+    x = (RNG.standard_normal((P, K)) * 0.5).astype(np.float32)
+    idx = RNG.integers(0, 4, size=P).astype(np.int32)
+    got = np.asarray(qmm.routed_quant_matmul_xla(jnp.asarray(x), qt, jnp.asarray(idx)))
+    ref_out = np.stack([x[p] @ ref[idx[p]] for p in range(P)])
+    scale = np.abs(ref_out).max() + 1e-6
+    assert np.abs(got - ref_out).max() / scale < 0.02, qtype.name
+
+
+@pytest.mark.parametrize(
+    "qtype", [GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q4_1]
+)
+def test_routed_pallas_interpret(qtype):
+    qt, _ = make_experts(qtype, E=4, N=128, K=512)
+    P, K = 5, 512
+    x = (RNG.standard_normal((P, K)) * 0.5).astype(np.float32)
+    idx = RNG.integers(0, 4, size=P).astype(np.int32)
+    got = np.asarray(
+        qmm._routed_qmm_pallas(
+            jnp.asarray(x), qt.q, qt.s, qt.m, jnp.asarray(idx),
+            fmt=qt.fmt, group=qt.group, shape=qt.shape,
+            has_m=qt.m is not None, interpret=True,
+        )
+    )
+    ref = np.asarray(qmm.routed_quant_matmul_xla(jnp.asarray(x), qt, jnp.asarray(idx)))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02, qtype.name
+
+
 def test_quantized_engine_end_to_end(tmp_path):
     """Engine with keep_quantized=True matches the dequantized engine."""
     pytest.importorskip("torch")
