@@ -50,5 +50,63 @@ def main():
     assert int(np.argmax(got)) == int(np.argmax(ref)), "flash-path top1 mismatch"
     print("flash-path parity OK")
 
+    # flash-decode kernel paths: bf16 / q8 / sinks / window vs einsum oracle
+    import jax.numpy as jnp
+    from llama_cpp_gfx906_tpu.ops.attention import mha_with_cache
+    from llama_cpp_gfx906_tpu.ops.flash_decode import flash_decode
+    from llama_cpp_gfx906_tpu.ops.kv_quant import quantize_rows
+
+    rng = np.random.default_rng(1)
+    B, T, Hq, Hkv, D, S = 4, 1, 8, 4, 128, 512
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)) * 0.3, jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, T, Hkv, D)) * 0.3, jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, T, Hkv, D)) * 0.3, jnp.float32)
+    n_past = jnp.asarray(rng.integers(10, S - 4, size=B), jnp.int32)
+    sinks = jnp.asarray(rng.standard_normal(Hq), jnp.float32)
+    for quant in (False, True):
+        kc = rng.standard_normal((B, S, Hkv, D)).astype(np.float32) * 0.3
+        vc = rng.standard_normal((B, S, Hkv, D)).astype(np.float32) * 0.3
+        k_cache = quantize_rows(jnp.asarray(kc)) if quant else jnp.asarray(kc)
+        v_cache = quantize_rows(jnp.asarray(vc)) if quant else jnp.asarray(vc)
+        for kw in ({}, {"sinks": sinks}, {"sliding_window": 64}):
+            from llama_cpp_gfx906_tpu.ops.attention import insert_kv
+            from llama_cpp_gfx906_tpu.ops.kv_quant import (
+                dequantize_rows, insert_quant,
+            )
+            if quant:
+                k_st = insert_quant(k_cache, kn, n_past)
+                v_st = insert_quant(v_cache, vn, n_past)
+                kd = dequantize_rows(k_st, jnp.float32)
+                vd = dequantize_rows(v_st, jnp.float32)
+            else:
+                k_st = insert_kv(k_cache, kn, n_past)
+                v_st = insert_kv(v_cache, vn, n_past)
+                kd, vd = k_st, v_st
+            got = flash_decode(q, k_st, v_st, n_past, D**-0.5, **kw)
+            # einsum oracle over the dequantized store
+            G = Hq // Hkv
+            qg = q.reshape(B, T, Hkv, G, D)
+            s = jnp.einsum("bthgd,bshd->bhgts", qg, kd,
+                           preferred_element_type=jnp.float32) * D**-0.5
+            qp = n_past[:, None] + jnp.arange(T)[None, :]
+            mask = jnp.arange(S)[None, None, :] <= qp[:, :, None]
+            w = kw.get("sliding_window", 0)
+            if w:
+                mask &= jnp.arange(S)[None, None, :] > qp[:, :, None] - w
+            s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+            if "sinks" in kw:
+                sk = sinks.reshape(Hkv, G)
+                m = jnp.maximum(s.max(-1), sk[None, :, :, None])
+                e = jnp.exp(s - m[..., None])
+                p = e / (e.sum(-1) + jnp.exp(sk[None, :, :, None] - m))[..., None]
+            else:
+                p = jax.nn.softmax(s, -1)
+            refo = jnp.einsum("bhgts,bshd->bthgd", p, vd).reshape(B, T, Hq, D)
+            err = float(np.abs(np.asarray(got, np.float32) - np.asarray(refo, np.float32)).max()
+                        / (np.abs(np.asarray(refo)).max() + 1e-6))
+            assert err < 0.03, (quant, kw, err)
+        print(f"flash-decode OK quant={quant}")
+
+
 if __name__ == "__main__":
     main()

@@ -24,7 +24,7 @@ eng = BatchedEngine(base.cfg, base.params, base.tokenizer, n_slots=args.n_parall
 ids = base.tokenizer.tokenize(args.prompt, add_special=True, parse_special=True)
 for i in range(args.n_parallel):
     eng.add_request(ids, args.n_predict, SamplerConfig(temp=0.8, seed=i), request_id=str(i))
-while eng.n_active:
+while eng.busy:  # prompts prefill in chunks inside step()
     for slot, tok, finished in eng.step():
         if finished:
             print(f"[seq {slot.request_id}] {base.tokenizer.detokenize(slot.generated)}")

@@ -152,6 +152,7 @@ class Keys:
         EXPERT_WEIGHTS_NORM = "{arch}.expert_weights_norm"
         EXPERT_GATING_FUNC = "{arch}.expert_gating_func"
         VOCAB_SIZE = "{arch}.vocab_size"
+        POOLING_TYPE = "{arch}.pooling_type"
 
     class Attention:
         HEAD_COUNT = "{arch}.attention.head_count"

@@ -295,6 +295,23 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 16)),
             ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)),
         )
+    elif arch in ("bert", "jina-bert-v2"):
+        cfg = cfg.with_(
+            norm_type="layer",
+            pos_emb="learned",
+            act_fn="gelu_erf",
+            ffn_gated=False,
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-12)),
+        )
+    elif arch == "nomic-bert":
+        cfg = cfg.with_(
+            norm_type="layer",
+            pos_emb="rope",
+            rope_interleaved=False,  # NEOX
+            act_fn="silu",
+            ffn_gated=True,
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-12)),
+        )
     elif arch == "mamba":
         cfg = cfg.with_(
             pos_emb="none",

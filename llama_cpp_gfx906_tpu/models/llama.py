@@ -189,12 +189,15 @@ def forward(
             q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
             k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
 
+        from ..ops.quant_matmul import QuantTensor
+
         attn, k_cache_l, v_cache_l = mha_with_cache(
             q, k, v, k_cache_l, v_cache_l, kv.n_past, scale,
             sliding_window=window_l,
             logit_softcap=cfg.attn_logit_softcap,
             sinks=p.get("sinks"),
             kv_pos=kv.pos, q_pos=positions if kv.pos is not None else None,
+            quant_weights=isinstance(p.get("wq"), QuantTensor),
         )
         attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo")
         if "bo" in p:

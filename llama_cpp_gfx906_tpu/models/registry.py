@@ -82,6 +82,9 @@ def _deepseek2_family() -> ModelFamily:
 
 
 ENC_DEC_ARCHS = {"t5", "t5encoder"}
+# bidirectional encoders (embeddings / rerank) — served by
+# runtime.encoder.EncoderEngine, not the causal Engine
+ENCODER_ARCHS = {"bert", "nomic-bert", "jina-bert-v2"}
 
 
 def _jamba_family() -> ModelFamily:
@@ -125,6 +128,11 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         raise ValueError(
             "encoder-decoder models don't fit the causal Engine; use "
             "llama_cpp_gfx906_tpu.models.t5.T5Model.from_gguf instead"
+        )
+    if cfg.arch in ENCODER_ARCHS:
+        raise ValueError(
+            "bidirectional encoders don't fit the causal Engine; use "
+            "llama_cpp_gfx906_tpu.runtime.encoder.EncoderEngine.from_gguf"
         )
     # default: any arch with attention tensors runs on the generalized
     # attention forward — unknown archs get a best-effort llama treatment,

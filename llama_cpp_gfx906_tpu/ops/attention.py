@@ -16,10 +16,28 @@ Shapes (all static under jit):
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# trace-time switch: Pallas kernels have no JVP rule, so anything that
+# differentiates through attention (runtime/training.py) traces inside
+# this context to pin the einsum path
+_FORCE_EINSUM = False
+
+
+@contextlib.contextmanager
+def force_einsum():
+    global _FORCE_EINSUM
+    prev = _FORCE_EINSUM
+    _FORCE_EINSUM = True
+    try:
+        yield
+    finally:
+        _FORCE_EINSUM = prev
 
 
 def insert_kv(
@@ -46,6 +64,7 @@ def mha_with_cache(
     sinks: jnp.ndarray | None = None,  # (Hq,) attention-sink logits (gpt-oss)
     kv_pos: jnp.ndarray | None = None,  # (B, S) logical positions (self-extend)
     q_pos: jnp.ndarray | None = None,  # (B, T) query positions when kv_pos set
+    quant_weights: bool = False,  # True when the model's matmuls run Pallas qmm
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache').
 
@@ -60,27 +79,61 @@ def mha_with_cache(
     G = Hq // Hkv
 
     quantized = isinstance(k_cache, QuantKV)
+    on_tpu = jax.default_backend() == "tpu"
     if quantized:
         k_store = insert_quant(k_cache, k_new, n_past)
         v_store = insert_quant(v_cache, v_new, n_past)
-        k_cache = dequantize_rows(k_store, q.dtype)
-        v_cache = dequantize_rows(v_store, q.dtype)
     else:
         k_cache = insert_kv(k_cache, k_new, n_past)
         v_cache = insert_kv(v_cache, v_new, n_past)
         k_store, v_store = k_cache, v_cache
 
-    # long-enough prefill on TPU → blockwise flash kernel (never builds the
-    # (T, S) score matrix); decode and CPU runs use the einsum path below
-    # (sinks/explicit positions change masking — einsum handles them)
-    if T >= 64 and sinks is None and kv_pos is None and jax.default_backend() == "tpu":
-        from .flash_attention import flash_attention
+    # Pallas dispatch on TPU (self-extend's explicit kv_pos stays on the
+    # einsum path — position remapping doesn't fit the blockwise mask):
+    # - prefill (T >= 64): blockwise flash, never builds the (T, S) score
+    #   matrix; consumes int8 KV + per-row scales directly when quantized
+    # - decode / short verify chunks: flash_decode — reads only live KV
+    #   blocks, dequantizes int8 tiles in-kernel, folds sinks into the
+    #   softmax denominator
+    #
+    # Platform workaround: combining Pallas quant-matmul weights with an
+    # int8 KV scan carry AND any Pallas attention kernel nondeterministically
+    # corrupts unrelated buffers on the axon TPU runtime (observed 2026-08;
+    # each pairing works alone, all three together miscompile).  That combo
+    # takes the einsum path below — q8 KV with dense weights, and bf16 KV
+    # with quantized weights, both keep the fast kernels.
+    quant_combo_broken = quantized and quant_weights
+    if kv_pos is None and on_tpu and not quant_combo_broken and not _FORCE_EINSUM:
+        if T >= 64:
+            from .flash_attention import flash_attention
 
-        out = flash_attention(
-            q, k_cache, v_cache, n_past, scale,
-            sliding_window=sliding_window, logit_softcap=logit_softcap,
-        )
-        return out.astype(q.dtype), k_store, v_store
+            if quantized:
+                out = flash_attention(
+                    q, k_store.q, v_store.q, n_past, scale,
+                    sliding_window=sliding_window, logit_softcap=logit_softcap,
+                    sinks=sinks,
+                    k_scales=k_store.s[..., 0], v_scales=v_store.s[..., 0],
+                )
+            else:
+                out = flash_attention(
+                    q, k_cache, v_cache, n_past, scale,
+                    sliding_window=sliding_window, logit_softcap=logit_softcap,
+                    sinks=sinks,
+                )
+            return out.astype(q.dtype), k_store, v_store
+        if T * G <= 128:
+            from .flash_decode import flash_decode
+
+            out = flash_decode(
+                q, k_store, v_store, n_past, scale,
+                sliding_window=sliding_window, logit_softcap=logit_softcap,
+                sinks=sinks,
+            )
+            return out.astype(q.dtype), k_store, v_store
+
+    if quantized:
+        k_cache = dequantize_rows(k_store, q.dtype)
+        v_cache = dequantize_rows(v_store, q.dtype)
 
     # scores: group the query heads over their shared KV head
     qg = q.reshape(B, T, Hkv, G, Dh)

@@ -27,24 +27,40 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref,  # (1, 1, BQ, D)
-    k_ref,  # (1, 1, BK, D)
-    v_ref,  # (1, 1, BK, D)
-    npast_ref,  # (1, 1) int32 in SMEM
-    window_ref,  # (1, 1) int32 in SMEM; <= 0 disables the sliding window
-    o_ref,  # (1, 1, BQ, D)
-    acc_ref,  # (BQ, D) f32 scratch
-    m_ref,  # (BQ, 128) f32 scratch (running max, col-broadcast)
-    l_ref,  # (BQ, 128) f32 scratch (running denom)
-    *,
+    *refs,
     scale: float,
     block_q: int,
     block_k: int,
     n_k: int,
     logit_softcap: float,
+    kv_quant: bool,
+    has_sinks: bool,
 ):
+    # ref layout: q (1,1,BQ,D), k (1,1,BK,D), v (1,1,BK,D),
+    #   [ks (1,1,8,BK), vs (1,1,8,BK) when kv_quant]  per-key/value scales
+    #   npast (B,1) SMEM (full), window (1,1) SMEM,
+    #   [sinks (Hq,1) SMEM (full) when has_sinks]
+    #   o (1,1,BQ,D); scratch acc (BQ,D), m (BQ,128), l (BQ,128)
     from jax.experimental import pallas as pl
 
+    q_ref, k_ref, v_ref = refs[:3]
+    rest = refs[3:]
+    if kv_quant:
+        ks_ref, vs_ref = rest[:2]
+        rest = rest[2:]
+    else:
+        ks_ref = vs_ref = None
+    npast_ref, window_ref = rest[:2]
+    rest = rest[2:]
+    if has_sinks:
+        sink_ref = rest[0]
+        rest = rest[1:]
+    else:
+        sink_ref = None
+    o_ref, acc_ref, m_ref, l_ref = rest
+
+    b_id = pl.program_id(0)
+    h_id = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -54,7 +70,7 @@ def _flash_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    n_past = npast_ref[0, 0]
+    n_past = npast_ref[b_id, 0]
     window = window_ref[0, 0]  # traced: one compiled kernel serves iSWA models
     q_pos = n_past + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -71,8 +87,11 @@ def _flash_kernel(
         q = q_ref[0, 0]  # (BQ, D)
         k = k_ref[0, 0]  # (BK, D)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k.astype(q.dtype) if kv_quant else k,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )  # (BQ, BK)
+        if kv_quant:
+            s = s * ks_ref[0, 0, 0:1, :]  # per-key dequant scale (1, BK)
         s = s * scale
         if logit_softcap > 0.0:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
@@ -87,14 +106,26 @@ def _flash_kernel(
         l_new = l_ref[:, 0:1] * alpha + p.sum(axis=-1, keepdims=True)
 
         v = v_ref[0, 0]  # (BK, D)
-        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        if kv_quant:
+            p = p * vs_ref[0, 0, 0:1, :]  # per-value dequant scale
+            pv = jax.lax.dot(
+                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(ki == n_k - 1)
     def _():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        denom = l_ref[:, 0:1]
+        if has_sinks:
+            # gpt-oss sinks: the per-head sink logit joins the softmax
+            # denominator (flash_attn_ext_add_sinks analog)
+            denom = denom + jnp.exp(sink_ref[h_id, 0] - m_ref[:, 0:1])
+        denom = jnp.maximum(denom, 1e-30)
         o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
@@ -104,12 +135,15 @@ def _flash_kernel(
 )
 def flash_attention(
     q: jnp.ndarray,  # (B, T, Hq, D)
-    k_cache: jnp.ndarray,  # (B, S, Hkv, D)
+    k_cache: jnp.ndarray,  # (B, S, Hkv, D) bf16, or int8 when scales given
     v_cache: jnp.ndarray,
     n_past: jnp.ndarray,  # (B,) int32
     scale: float,
     sliding_window=0,  # int or traced int32 scalar; <= 0 disables
     logit_softcap: float = 0.0,
+    sinks: jnp.ndarray | None = None,  # (Hq,) attention-sink logits
+    k_scales: jnp.ndarray | None = None,  # (B, S, Hkv) f32 per-row scales
+    v_scales: jnp.ndarray | None = None,
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
@@ -121,6 +155,7 @@ def flash_attention(
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
     G = Hq // Hkv
+    kv_quant = k_scales is not None
 
     block_q = max(8, min(block_q, T))
     block_k = min(block_k, S)
@@ -141,6 +176,55 @@ def flash_attention(
     npast2 = n_past.reshape(B, 1).astype(jnp.int32)
     window2 = jnp.reshape(jnp.asarray(sliding_window, jnp.int32), (1, 1))
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, D),
+            lambda b, h, i, j, _g=G: (b, h // _g, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, D),
+            lambda b, h, i, j, _g=G: (b, h // _g, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [qh, kh, vh]
+    if kv_quant:
+        # scales ride as (B, Hkv, 8, Sp) sublane-replicated tiles so the
+        # (1, 1, 8, BK) block stays Mosaic-aligned; kernel reads row 0
+        def prep_scales(sc):
+            st = sc.transpose(0, 2, 1)  # (B, Hkv, S)
+            if Sp != S:
+                st = jnp.pad(st, ((0, 0), (0, 0), (0, Sp - S)))
+            return jnp.broadcast_to(st[:, :, None, :], (B, Hkv, 8, Sp)).astype(
+                jnp.float32
+            )
+
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, 8, block_k),
+                lambda b, h, i, j, _g=G: (b, h // _g, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 2
+        operands += [prep_scales(k_scales), prep_scales(v_scales)]
+    # SMEM scalars ride as full arrays (a (1,1) block over a (B,1) array
+    # violates Mosaic's last-two-dims rule for B > 1); kernels index by
+    # their grid ids instead
+    in_specs += [
+        pl.BlockSpec((B, 1), lambda b, h, i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands += [npast2, window2]
+    if sinks is not None:
+        in_specs.append(
+            pl.BlockSpec((Hq, 1), lambda b, h, i, j: (0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(sinks.reshape(Hq, 1).astype(jnp.float32))
+
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel,
@@ -149,29 +233,15 @@ def flash_attention(
             block_k=block_k,
             n_k=n_k,
             logit_softcap=logit_softcap,
+            kv_quant=kv_quant,
+            has_sinks=sinks is not None,
         ),
         grid=(B, Hq, n_q, n_k),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, D),
-                lambda b, h, i, j, _g=G: (b, h // _g, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, D),
-                lambda b, h, i, j, _g=G: (b, h // _g, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Tp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Tp, D), jnp.bfloat16 if kv_quant else q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -182,9 +252,9 @@ def flash_attention(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * Tp * Sp * D,
-            bytes_accessed=B * (Tp * Hq * D * 2 + 2 * Sp * Hkv * D * 2),
+            bytes_accessed=B * (Tp * Hq * D * 2 + 2 * Sp * Hkv * D * (1 if kv_quant else 2)),
             transcendentals=B * Hq * Tp * Sp,
         ),
         interpret=interpret,
-    )(qh, kh, vh, npast2, window2)
-    return out[:, :, :T].transpose(0, 2, 1, 3)
+    )(*operands)
+    return out[:, :, :T].transpose(0, 2, 1, 3).astype(q.dtype)

@@ -36,6 +36,7 @@ RECENT = 64  # repetition-penalty window kept on device
 class SlotState(enum.Enum):
     IDLE = 0
     GENERATING = 1
+    PREFILLING = 2  # prompt chunks still streaming in (server.cpp:3132-3476)
 
 
 @dataclass
@@ -71,17 +72,29 @@ class Slot:
     # prompt cache: tokens whose K/V rows survive in this slot after release
     # (reference: server prompt caching w/ common-prefix reuse, server.cpp:3248)
     cache_tokens: list[int] = field(default_factory=list)
+    # chunked prefill progress: prompt tokens not yet run, and the slot's
+    # current KV fill while PREFILLING
+    pending: list[int] = field(default_factory=list)
+    n_keep: int = 0  # context-shift anchor (reference n_keep)
+    n_shifted: int = 0  # total tokens discarded by context shifts
 
     def reset(self):
         self.state = SlotState.IDLE
         self.request_id = ""
         # only rows [0, n_past) actually hold K/V (the final sampled token
         # was never forwarded) — trim so prefix matching can't reuse a row
-        # that was never written
-        self.cache_tokens = (self.prompt_ids + self.generated)[: self.n_past]
+        # that was never written; a shifted context no longer maps rows to
+        # token history, so it is not reusable at all
+        if self.n_shifted:
+            self.cache_tokens = []
+        else:
+            self.cache_tokens = (self.prompt_ids + self.generated)[: self.n_past]
         self.prompt_ids = []
         self.generated = []
+        self.pending = []
         self.n_past = 0
+        self.n_keep = 0
+        self.n_shifted = 0
         self.stop_reason = None
         self.chain = None
 
@@ -98,6 +111,8 @@ class BatchedEngine:
         seed: int = 0,
         spec_ngram: bool = False,  # ngram-lookup speculation for greedy slots
         n_draft: int = 4,
+        n_chunk: int = 256,  # prompt tokens prefill per engine step (n_batch)
+        ctx_shift: bool = True,  # StreamingLLM shift instead of "length" stop
     ):
         self.cfg = cfg
         self.params = params
@@ -108,6 +123,9 @@ class BatchedEngine:
         self.slots = [Slot(i) for i in range(n_slots)]
         self.spec_ngram = spec_ngram
         self.n_draft = n_draft
+        self.n_chunk = n_chunk
+        self.ctx_shift = ctx_shift
+        self._prefill_rr = 0  # round-robin cursor over PREFILLING slots
         if spec_ngram:
             from .ngram_cache import NgramCache
 
@@ -164,8 +182,9 @@ class BatchedEngine:
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
         def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match):
-            """Prefix-cache path: run only the prompt suffix through the
-            slot's existing KV rows (positions offset by n_match)."""
+            """Chunked-prefill step: run one prompt chunk through the slot's
+            existing KV rows (positions offset by the fill level n_match).
+            Also serves the prefix-cache path (server.cpp:3248)."""
             k1 = jax.lax.dynamic_slice_in_dim(kv_k, slot, 1, axis=1)
             v1 = jax.lax.dynamic_slice_in_dim(kv_v, slot, 1, axis=1)
             kv1 = KVCache(k1, v1, jnp.full((1,), n_match, jnp.int32))
@@ -174,12 +193,51 @@ class BatchedEngine:
             v = jax.lax.dynamic_update_slice_in_dim(kv_v, kv1.v, slot, axis=1)
             return logits[0, n_tokens[0] - 1], k, v
 
+        @partial(jax.jit, static_argnames=("cfg", "n_sel"), donate_argnames=("kv",))
+        def _decode_mixed(params, cfg, tokens, kv, key, temp, top_k, top_p,
+                          min_p, pen, recent, sel, n_sel):
+            """Decode with per-slot sampling isolation: every slot samples on
+            device; additionally the ``n_sel`` slots listed in ``sel`` get
+            their full logits rows shipped to host (grammar-constrained
+            slots re-sample there through their persistent chain).  Keeps
+            the on-device sampling win for unconstrained slots
+            (reference: per-slot sampler chains, server.cpp:3616)."""
+            logits, kv = forward(params, cfg, tokens, kv)
+            last = logits[:, -1].astype(jnp.float32)
+            toks = sample_tokens(last, key, temp, top_k, top_p, min_p, pen, recent)
+            return toks, last[sel], kv
+
+        @partial(jax.jit, donate_argnames=("k", "v"))
+        def _shift_slot(k, v, slot, n_past, keep, discard):
+            """Per-slot context shift inside the batched cache: drop
+            ``discard`` rows after the first ``keep`` for one slot, slide
+            the tail left, and re-rope moved keys (server.cpp:3049-3090)."""
+            from ..ops.rope import rope_frequencies, rope_shift_rows
+
+            S = k.shape[2]
+            rows = jnp.arange(S)
+            src = jnp.where(rows < keep, rows, jnp.minimum(rows + discard, S - 1))
+            k1 = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=1)  # (L,1,S,H,D)
+            v1 = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
+            k2 = jnp.take(k1, src, axis=2)
+            v2 = jnp.take(v1, src, axis=2)
+            moved = (rows >= keep) & (rows < n_past - discard)
+            deltas = jnp.where(moved, -discard, 0).astype(jnp.int32)[None, :]
+            if self.cfg.pos_emb == "rope":
+                inv_freq = jnp.asarray(rope_frequencies(self.cfg))
+                k2 = rope_shift_rows(k2, deltas, inv_freq, self.cfg.rope_interleaved)
+            k = jax.lax.dynamic_update_slice_in_dim(k, k2, slot, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(v, v2, slot, axis=1)
+            return k, v
+
         self._prefill = _prefill
         self._insert = _insert
         self._decode = _decode
         self._decode_logits = _decode_logits
         self._decode_logits_chunk = _decode_logits_chunk
         self._prefill_suffix = _prefill_suffix
+        self._decode_mixed = _decode_mixed
+        self._shift_slot = _shift_slot
 
     # -- slot management ------------------------------------------------------
 
@@ -208,6 +266,11 @@ class BatchedEngine:
     def n_active(self) -> int:
         return sum(s.state == SlotState.GENERATING for s in self.slots)
 
+    @property
+    def busy(self) -> bool:
+        """Any slot still prefilling or generating."""
+        return any(s.state != SlotState.IDLE for s in self.slots)
+
     def add_request(
         self,
         prompt_ids: list[int],
@@ -215,75 +278,116 @@ class BatchedEngine:
         sampler: SamplerConfig | None = None,
         request_id: str = "",
     ) -> Slot | None:
-        """Prefill a prompt into a free slot; returns None when saturated.
+        """Assign a prompt to a free slot; returns None when saturated.
 
-        Reuses the slot's cached KV prefix when the new prompt extends a
-        previous one (reference: update_slots prompt-cache reuse,
-        server.cpp:3248-3266)."""
+        The prompt does NOT prefill here: it streams in ``n_chunk``-token
+        chunks from :meth:`step`, interleaved with decode, so one long
+        prompt never stalls the other slots' token cadence (reference:
+        update_slots prompt chunking, server.cpp:3104-3476).  Reuses the
+        slot's cached KV prefix when the new prompt extends a previous one
+        (server.cpp:3248-3266)."""
         slot, n_match = self._pick_slot(prompt_ids)
         if slot is None:
             return None
-        if len(prompt_ids) + n_predict > self.max_seq:
+        if len(prompt_ids) + n_predict > self.max_seq and not self.ctx_shift:
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) + n_predict ({n_predict}) > max_seq {self.max_seq}"
             )
+        if len(prompt_ids) >= self.max_seq:
+            raise ValueError(f"prompt ({len(prompt_ids)}) >= max_seq {self.max_seq}")
         sampler = sampler or SamplerConfig()
-        t0 = time.perf_counter()
-        n = len(prompt_ids)
-        if n_match > 0:
-            suffix = prompt_ids[n_match:]
-            ns = len(suffix)
-            padded = min(bucket_len(ns), self.max_seq)
-            toks = np.zeros((1, padded), np.int32)
-            toks[0, :ns] = suffix
-            last_logits, k, v = self._prefill_suffix(
-                self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(toks),
-                jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
-                jnp.asarray(n_match, jnp.int32),
-            )
-            self.kv = KVCache(k, v, n_past=self.kv.n_past)
-            self.metrics["n_prompt_tokens_cached"] += n_match
-        else:
-            padded = min(bucket_len(n), self.max_seq)
-            toks = np.zeros((1, padded), np.int32)
-            toks[0, :n] = prompt_ids
-            last_logits, new_k, new_v = self._prefill(
-                self.params, self.cfg, jnp.asarray(toks), jnp.asarray([n], jnp.int32)
-            )
-            self.kv = KVCache(
-                *self._insert(self.kv.k, self.kv.v, new_k, new_v, slot.id),
-                n_past=self.kv.n_past,
-            )
-        # first token sampled on host (single logits vector, full chain OK)
-        chain = self._make_chain(sampler)
-        if chain is not None:
-            first = chain.sample(np.asarray(last_logits), prompt_ids)
-            chain.accept(first, is_eog=first in self.tokenizer.vocab.special.eog_ids())
-        else:
-            first = self._sample_host(np.asarray(last_logits), prompt_ids, sampler)
-        self.metrics["t_prefill_s"] += time.perf_counter() - t0
-        self.metrics["n_prompt_tokens"] += n
-        self.metrics["n_requests"] += 1
-
-        slot.state = SlotState.GENERATING
+        slot.state = SlotState.PREFILLING
         slot.request_id = request_id
         slot.prompt_ids = list(prompt_ids)
-        slot.generated = [first]
+        slot.generated = []
+        slot.pending = prompt_ids[n_match:]
         slot.n_predict = n_predict
-        slot.n_past = n
-        slot.current_token = first
+        slot.n_past = n_match
+        slot.n_keep = 0
+        slot.n_shifted = 0
         slot.sampler = sampler
-        slot.chain = chain
-        slot.t_start = t0
-        if self.spec_ngram:
-            self.ngram_caches[slot.id].update(prompt_ids + [first])
-        slot.t_first_token = time.perf_counter()
-        self.n_past_host[slot.id] = n
-        self.recent[slot.id] = -1
-        self.recent[slot.id, -min(RECENT, n + 1):] = (prompt_ids + [first])[-RECENT:]
-        self.metrics["n_generated_tokens"] += 1
-        self._check_finished(slot, first)
+        slot.chain = self._make_chain(sampler)
+        slot.stop_reason = None
+        slot.t_start = time.perf_counter()
+        self.n_past_host[slot.id] = n_match
+        self.metrics["n_prompt_tokens_cached"] += n_match
+        self.metrics["n_prompt_tokens"] += len(prompt_ids)
+        self.metrics["n_requests"] += 1
         return slot
+
+    def _advance_prefill(self) -> list[tuple[Slot, int, bool]]:
+        """Run ONE prompt chunk for one PREFILLING slot (round-robin).
+        When a slot's prompt completes, sample its first token and flip it
+        to GENERATING — the returned triple streams that token out."""
+        slots = [s for s in self.slots if s.state == SlotState.PREFILLING]
+        if not slots:
+            return []
+        slot = slots[self._prefill_rr % len(slots)]
+        self._prefill_rr += 1
+        t0 = time.perf_counter()
+        # align n_past to the chunk grid after the first (prefix-cache) chunk:
+        # padded writes then always end ≤ max_seq (no dynamic_update_slice
+        # clamping over live rows) and pad sizes stay on the bucket grid
+        # (bounded compile count)
+        take = min(self.n_chunk - slot.n_past % self.n_chunk, len(slot.pending))
+        chunk = slot.pending[:take]
+        ns = len(chunk)
+        padded = min(max(bucket_len(ns), 1), self.max_seq - slot.n_past)
+        toks = np.zeros((1, padded), np.int32)
+        toks[0, :ns] = chunk
+        last_logits, k, v = self._prefill_suffix(
+            self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(toks),
+            jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
+            jnp.asarray(slot.n_past, jnp.int32),
+        )
+        self.kv = KVCache(k, v, n_past=self.kv.n_past)
+        slot.pending = slot.pending[ns:]
+        slot.n_past += ns
+        self.n_past_host[slot.id] = slot.n_past
+        self.metrics["t_prefill_s"] += time.perf_counter() - t0
+        if slot.pending:
+            return []
+
+        # prompt complete → sample the first token on host (single row)
+        if slot.chain is not None:
+            first = slot.chain.sample(np.asarray(last_logits), slot.prompt_ids)
+            slot.chain.accept(
+                first, is_eog=first in self.tokenizer.vocab.special.eog_ids()
+            )
+        else:
+            first = self._sample_host(np.asarray(last_logits), slot.prompt_ids, slot.sampler)
+        slot.state = SlotState.GENERATING
+        slot.generated = [first]
+        slot.current_token = first
+        slot.t_first_token = time.perf_counter()
+        if self.spec_ngram:
+            self.ngram_caches[slot.id].update(slot.prompt_ids + [first])
+        n = len(slot.prompt_ids)
+        self.recent[slot.id] = -1
+        self.recent[slot.id, -min(RECENT, n + 1):] = (slot.prompt_ids + [first])[-RECENT:]
+        self.metrics["n_generated_tokens"] += 1
+        finished = self._check_finished(slot, first)
+        return [(slot, first, finished)]
+
+    def _maybe_shift(self, slot: Slot):
+        """StreamingLLM context shift when the slot is about to overflow
+        (reference: server.cpp:3049-3090 — keep n_keep, drop half the rest)."""
+        from ..ops.kv_quant import QuantKV
+
+        if isinstance(self.kv.k, QuantKV):
+            return  # shift needs re-rope on bf16 rows; not supported for q8
+        n_left = slot.n_past - slot.n_keep
+        n_discard = max(n_left // 2, 1)
+        k, v = self._shift_slot(
+            self.kv.k, self.kv.v, jnp.asarray(slot.id, jnp.int32),
+            jnp.asarray(slot.n_past, jnp.int32),
+            jnp.asarray(slot.n_keep, jnp.int32),
+            jnp.asarray(n_discard, jnp.int32),
+        )
+        self.kv = KVCache(k, v, n_past=self.kv.n_past)
+        slot.n_past -= n_discard
+        slot.n_shifted += n_discard
+        self.n_past_host[slot.id] = slot.n_past
 
     def _make_chain(self, sc: SamplerConfig):
         """Persistent sampler chain — needed when the slot carries grammar
@@ -328,22 +432,32 @@ class BatchedEngine:
             slot.stop_reason = "stop"
         elif len(slot.generated) >= slot.n_predict:
             slot.stop_reason = "length"
-        elif slot.n_past + 1 >= self.max_seq:
+        elif slot.n_past + 1 >= self.max_seq and not self.ctx_shift:
             slot.stop_reason = "length"
         return slot.stop_reason is not None
 
     # -- decode ---------------------------------------------------------------
 
     def step(self) -> list[tuple[Slot, int, bool]]:
-        """One decode step for every generating slot.
+        """One engine iteration: a decode step for every generating slot,
+        interleaved with one prompt chunk for one prefilling slot
+        (reference update_slots ordering: decode tokens share the batch
+        with prompt chunks, server.cpp:3104-3476).
 
         Returns [(slot, new_token, finished)] for slots that produced a
-        token this step."""
-        active = [s for s in self.slots if s.state == SlotState.GENERATING]
+        token this step (including first tokens of freshly-completed
+        prompts)."""
+        results = self._advance_prefill()
+        active = [s for s in self.slots if s.state == SlotState.GENERATING
+                  and s.stop_reason is None]
         if not active:
-            return []
+            return results
+        if self.ctx_shift:
+            for s in active:
+                if s.n_past + 1 + (self.n_draft if self.spec_ngram else 0) >= self.max_seq:
+                    self._maybe_shift(s)
         if any(s.chain is not None for s in active):
-            return self._step_host_sampled(active)
+            return results + self._step_mixed(active)
         if (
             self.spec_ngram
             # drafts are verified by raw argmax, which matches the sampler
@@ -355,7 +469,7 @@ class BatchedEngine:
             )
             and all(s.n_past + 1 + self.n_draft < self.max_seq for s in active)
         ):
-            return self._step_speculative(active)
+            return results + self._step_speculative(active)
         t0 = time.perf_counter()
 
         tokens = np.zeros((self.n_slots, 1), np.int32)
@@ -382,7 +496,6 @@ class BatchedEngine:
         self.kv = kv
         new_tokens = np.asarray(toks_dev)
 
-        results = []
         for s in active:
             tok = int(new_tokens[s.id])
             s.n_past += 1
@@ -464,28 +577,59 @@ class BatchedEngine:
         self.metrics["n_generated_tokens"] += len(results)
         return results
 
-    def _step_host_sampled(self, active: list[Slot]) -> list[tuple[Slot, int, bool]]:
-        """Decode step when at least one slot is grammar-constrained: the
-        forward returns full logits and every active slot samples on host
-        (its persistent chain when present, else the stateless config)."""
+    def _step_mixed(self, active: list[Slot]) -> list[tuple[Slot, int, bool]]:
+        """Decode step with per-slot sampling isolation: grammar-constrained
+        slots receive their logits row on host (chain sampling with PDA
+        state), every other slot keeps on-device sampling.  One grammar
+        request no longer drags the whole batch onto the host path
+        (reference: per-slot sampler chains, server.cpp:3616-3652)."""
         t0 = time.perf_counter()
+        grammar_slots = [s for s in active if s.chain is not None]
+        # bucket the gather size to bound compiled variants
+        n_sel = 1
+        while n_sel < len(grammar_slots):
+            n_sel *= 2
+        n_sel = min(n_sel, self.n_slots)
+        sel = np.zeros(n_sel, np.int32)
+        for i, s in enumerate(grammar_slots):
+            sel[i] = s.id
+
         tokens = np.zeros((self.n_slots, 1), np.int32)
+        temp = np.zeros(self.n_slots, np.float32)
+        top_k = np.full(self.n_slots, CAND, np.int32)
+        top_p = np.ones(self.n_slots, np.float32)
+        min_p = np.zeros(self.n_slots, np.float32)
+        pen = np.ones(self.n_slots, np.float32)
         for s in active:
             tokens[s.id, 0] = s.current_token
+            temp[s.id] = s.sampler.temp
+            top_k[s.id] = min(s.sampler.top_k, CAND) if s.sampler.top_k > 0 else CAND
+            top_p[s.id] = s.sampler.top_p
+            min_p[s.id] = s.sampler.min_p
+            pen[s.id] = s.sampler.penalty_repeat
+
+        self.rng_key, sub = jax.random.split(self.rng_key)
         kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
-        logits_dev, kv = self._decode_logits(self.params, self.cfg, jnp.asarray(tokens), kv)
+        toks_dev, sel_logits, kv = self._decode_mixed(
+            self.params, self.cfg, jnp.asarray(tokens), kv, sub,
+            jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
+            jnp.asarray(min_p), jnp.asarray(pen), jnp.asarray(self.recent),
+            jnp.asarray(sel), n_sel,
+        )
         self.kv = kv
-        logits = np.asarray(logits_dev)
+        new_tokens = np.asarray(toks_dev)
+        sel_logits = np.asarray(sel_logits)
         eog = self.tokenizer.vocab.special.eog_ids()
 
         results = []
         for s in active:
-            prev = (s.prompt_ids + s.generated)[-RECENT:]
             if s.chain is not None:
-                tok = s.chain.sample(logits[s.id], prev)
+                row = grammar_slots.index(s)
+                prev = (s.prompt_ids + s.generated)[-RECENT:]
+                tok = s.chain.sample(sel_logits[row], prev)
                 s.chain.accept(tok, is_eog=tok in eog)
             else:
-                tok = self._sample_host(logits[s.id], prev, s.sampler)
+                tok = int(new_tokens[s.id])
             s.n_past += 1
             self.n_past_host[s.id] = s.n_past
             s.generated.append(tok)

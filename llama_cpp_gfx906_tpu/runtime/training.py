@@ -21,9 +21,12 @@ from ..models.llama import KVCache, forward
 
 def cross_entropy_loss(params, cfg: ModelConfig, tokens, targets, mask):
     """Mean next-token cross entropy; mask marks valid target positions."""
+    from ..ops.attention import force_einsum
+
     B, T = tokens.shape
     kv = KVCache.create(cfg, B, T, jnp.bfloat16)
-    logits, _ = forward(params, cfg, tokens, kv)
+    with force_einsum():  # Pallas attention has no JVP; grad needs einsum
+        logits, _ = forward(params, cfg, tokens, kv)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(mask.sum(), 1)

@@ -44,9 +44,13 @@ class PendingRequest:
 class InferenceServer:
     """Owns the engine thread and the task queue (server_queue analog)."""
 
-    def __init__(self, engine: BatchedEngine, model_name: str = "model"):
+    def __init__(self, engine: BatchedEngine, model_name: str = "model",
+                 encoder=None):
         self.engine = engine
         self.model_name = model_name
+        # optional EncoderEngine (BERT family): real pooled embeddings and
+        # rank-head rerank (reference: --embedding / rerank models)
+        self.encoder = encoder
         self.tasks: queue.Queue[PendingRequest] = queue.Queue()
         self.by_slot: dict[int, PendingRequest] = {}
         self.running = False
@@ -98,7 +102,12 @@ class InferenceServer:
     # -- inference thread -----------------------------------------------------
 
     def _admit(self):
-        """Move queued requests into free slots (launch_slot_with_task)."""
+        """Move queued requests into free slots (launch_slot_with_task).
+
+        Admission only ASSIGNS the slot — the prompt prefills in chunks
+        inside engine.step(), interleaved with decode, so a long prompt
+        never stalls the other slots' token cadence (reference:
+        server.cpp:3104-3476)."""
         pending = self.deferred
         self.deferred = []
         while True:
@@ -123,10 +132,6 @@ class InferenceServer:
                 self.deferred.extend(pending)
                 break
             self.by_slot[slot.id] = req
-            # add_request already produced the first token
-            req.emit(("token", slot.generated[-1]))
-            if slot.stop_reason is not None:
-                self._finish(slot)
 
     def _finish(self, slot: Slot):
         req = self.by_slot.pop(slot.id, None)
@@ -137,6 +142,10 @@ class InferenceServer:
     def _loop(self):
         while self.running:
             self._admit()
+            # client-disconnect cancellation, including mid-prefill
+            for slot_id, req in list(self.by_slot.items()):
+                if req.cancelled:
+                    self._finish(self.engine.slots[slot_id])
             results = self.engine.step()
             if not results and not self.by_slot:
                 time.sleep(0.005)
@@ -466,11 +475,17 @@ def build_app(srv: InferenceServer) -> web.Application:
             inputs = [inputs]
         loop = asyncio.get_event_loop()
         data = []
-        for i, text in enumerate(inputs):
-            vec = await loop.run_in_executor(None, srv.embed, text)
-            data.append(
-                {"object": "embedding", "index": i, "embedding": np.asarray(vec).tolist()}
-            )
+        if srv.encoder is not None:
+            vecs = await loop.run_in_executor(None, srv.encoder.embed, list(inputs))
+            for i, vec in enumerate(vecs):
+                data.append({"object": "embedding", "index": i,
+                             "embedding": np.asarray(vec).tolist()})
+        else:
+            for i, text in enumerate(inputs):
+                vec = await loop.run_in_executor(None, srv.embed, text)
+                data.append(
+                    {"object": "embedding", "index": i, "embedding": np.asarray(vec).tolist()}
+                )
         return web.json_response(
             {"object": "list", "data": data, "model": srv.model_name,
              "usage": {"prompt_tokens": 0, "total_tokens": 0}}
@@ -508,22 +523,32 @@ def build_app(srv: InferenceServer) -> web.Application:
 
     async def rerank(request):
         """Query-document relevance ranking (reference server.cpp:4810).
-        Uses pooled-embedding cosine scores; rank-head cross-encoders can
-        plug in once BERT-rerank models land."""
+        With a BERT-family encoder model the scores come from a real
+        rank-head cross-encoder; otherwise falls back to pooled-embedding
+        cosine over the causal LM."""
         import numpy as np
 
         body = await request.json()
         query = body.get("query", "")
         docs = body.get("documents", [])
         loop = asyncio.get_event_loop()
-        qv = await loop.run_in_executor(None, srv.embed, query)
-        results = []
-        for i, d in enumerate(docs):
-            dv = await loop.run_in_executor(None, srv.embed, d)
-            results.append({
-                "index": i,
-                "relevance_score": float(np.dot(np.asarray(qv), np.asarray(dv))),
-            })
+        if srv.encoder is not None:
+            scores = await loop.run_in_executor(
+                None, srv.encoder.rerank, query, list(docs)
+            )
+            results = [
+                {"index": i, "relevance_score": float(s)}
+                for i, s in enumerate(scores)
+            ]
+        else:
+            qv = await loop.run_in_executor(None, srv.embed, query)
+            results = []
+            for i, d in enumerate(docs):
+                dv = await loop.run_in_executor(None, srv.embed, d)
+                results.append({
+                    "index": i,
+                    "relevance_score": float(np.dot(np.asarray(qv), np.asarray(dv))),
+                })
         results.sort(key=lambda r: -r["relevance_score"])
         top_n = body.get("top_n")
         if top_n:
@@ -587,6 +612,14 @@ def main(argv=None) -> int:
     ap.add_argument("--spec-ngram", action="store_true",
                     help="ngram-lookup speculation for greedy requests")
     ap.add_argument("--draft-max", type=int, default=4)
+    ap.add_argument("--rerank-model", default=None,
+                    help="BERT-family GGUF for /rerank and /embeddings "
+                         "(rank-head cross-encoder)")
+    ap.add_argument("--n-batch", type=int, default=256,
+                    help="prompt tokens prefilled per engine step")
+    ap.add_argument("--no-ctx-shift", action="store_true",
+                    help="stop with 'length' at the context limit instead "
+                         "of StreamingLLM shifting")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = ap.parse_args(argv)
 
@@ -606,8 +639,15 @@ def main(argv=None) -> int:
     params = load_llama_params_quantized(reader, cfg)
     engine = BatchedEngine(cfg, params, tokenizer, n_slots=args.n_slots,
                            max_seq=args.ctx_size, spec_ngram=args.spec_ngram,
-                           n_draft=args.draft_max)
-    srv = InferenceServer(engine, model_name=args.model.rsplit("/", 1)[-1])
+                           n_draft=args.draft_max, n_chunk=args.n_batch,
+                           ctx_shift=not args.no_ctx_shift)
+    encoder = None
+    if args.rerank_model:
+        from ..runtime.encoder import EncoderEngine
+
+        encoder = EncoderEngine.from_gguf(args.rerank_model)
+    srv = InferenceServer(engine, model_name=args.model.rsplit("/", 1)[-1],
+                          encoder=encoder)
     srv.start()
     app = build_app(srv)
     web.run_app(app, host=args.host, port=args.port)

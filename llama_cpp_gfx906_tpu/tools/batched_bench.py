@@ -23,9 +23,15 @@ def run_case(base, npp: int, ntg: int, npl: int) -> dict:
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(3, base.cfg.n_vocab, npp)]
 
+    from ..runtime.batch_engine import SlotState
+
     t0 = time.perf_counter()
     for i in range(npl):
         eng.add_request(prompt, ntg, SamplerConfig(temp=0.0), request_id=str(i))
+    # prompts stream in chunks from step() (chunked prefill); drive until
+    # every slot has flipped to GENERATING
+    while any(s.state == SlotState.PREFILLING for s in eng.slots):
+        eng.step()
     t_pp = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -194,7 +194,13 @@ def _write_vocab(w: GGUFWriter, tv: dict | None):
         w.add_array(Keys.Tokenizer.SCORES, np.asarray(tv["scores"], np.float32))
     if "token_types" in tv:
         w.add_array(Keys.Tokenizer.TOKEN_TYPE, np.asarray(tv["token_types"], np.int32))
-    for key, kv_key in [("bos", Keys.Tokenizer.BOS_ID), ("eos", Keys.Tokenizer.EOS_ID)]:
+    for key, kv_key in [
+        ("bos", Keys.Tokenizer.BOS_ID),
+        ("eos", Keys.Tokenizer.EOS_ID),
+        ("sep", Keys.Tokenizer.SEP_ID),
+        ("pad", Keys.Tokenizer.PAD_ID),
+        ("unk", Keys.Tokenizer.UNK_ID),
+    ]:
         if tv.get(key) is not None:
             w.add_uint32(kv_key, tv[key])
 
@@ -241,6 +247,82 @@ def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F
         add(b + "ffn_down.bias", state[p + "mlp.c_proj.bias"])
     add("output_norm.weight", state["transformer.ln_f.weight"])
     add("output_norm.bias", state["transformer.ln_f.bias"])
+    return w.write()
+
+
+def convert_hf_bert(model, tokenizer_vocab, out_path: str,
+                    quant_type=GGMLType.F16, pooling: int = 1) -> str:
+    """transformers BertModel / BertForSequenceClassification → GGUF
+    (arch "bert", reference: BertModel in convert_hf_to_gguf.py + the
+    LLM_ARCH_BERT tensor table).
+
+    Sequence-classification heads map to the rank-head tensors the rerank
+    endpoint consumes: ``classifier.dense``→cls, ``classifier(.out_proj)``→
+    cls.output; a plain BertModel pooler maps to cls.
+    ``pooling``: 1=mean, 2=cls, 3=last ({arch}.pooling_type).
+    """
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    # strip the task-model prefix (BertForSequenceClassification → "bert.")
+    state = {k[5:] if k.startswith("bert.") else k: v for k, v in state.items()}
+    n_head = hf.num_attention_heads
+    head_dim = hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "bert")
+    w.add_string(Keys.General.NAME, "bert-convert")
+    _common_header(w, hf, n_head, n_head, head_dim,
+                   Keys.Attention.LAYERNORM_EPS, hf.layer_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.LLM.POOLING_TYPE, pooling)
+    w.add_bool(Keys.Attention.CAUSAL, False)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, force_f32=False):
+        t = GGMLType.F32 if (force_f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F16
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["embeddings.word_embeddings.weight"])
+    add("position_embd.weight", state["embeddings.position_embeddings.weight"], force_f32=True)
+    add("token_types.weight", state["embeddings.token_type_embeddings.weight"], force_f32=True)
+    add("token_embd_norm.weight", state["embeddings.LayerNorm.weight"])
+    add("token_embd_norm.bias", state["embeddings.LayerNorm.bias"])
+    for i in range(hf.num_hidden_layers):
+        p = f"encoder.layer.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_q.weight", state[p + "attention.self.query.weight"])
+        add(b + "attn_q.bias", state[p + "attention.self.query.bias"])
+        add(b + "attn_k.weight", state[p + "attention.self.key.weight"])
+        add(b + "attn_k.bias", state[p + "attention.self.key.bias"])
+        add(b + "attn_v.weight", state[p + "attention.self.value.weight"])
+        add(b + "attn_v.bias", state[p + "attention.self.value.bias"])
+        add(b + "attn_output.weight", state[p + "attention.output.dense.weight"])
+        add(b + "attn_output.bias", state[p + "attention.output.dense.bias"])
+        add(b + "attn_output_norm.weight", state[p + "attention.output.LayerNorm.weight"])
+        add(b + "attn_output_norm.bias", state[p + "attention.output.LayerNorm.bias"])
+        add(b + "ffn_up.weight", state[p + "intermediate.dense.weight"])
+        add(b + "ffn_up.bias", state[p + "intermediate.dense.bias"])
+        add(b + "ffn_down.weight", state[p + "output.dense.weight"])
+        add(b + "ffn_down.bias", state[p + "output.dense.bias"])
+        add(b + "layer_output_norm.weight", state[p + "output.LayerNorm.weight"])
+        add(b + "layer_output_norm.bias", state[p + "output.LayerNorm.bias"])
+    # rank / pooler heads
+    if "classifier.dense.weight" in state:  # roberta-style two-stage head
+        add("cls.weight", state["classifier.dense.weight"])
+        add("cls.bias", state["classifier.dense.bias"])
+        if "classifier.out_proj.weight" in state:
+            add("cls.output.weight", state["classifier.out_proj.weight"])
+            add("cls.output.bias", state["classifier.out_proj.bias"])
+    elif "classifier.weight" in state:  # BertForSequenceClassification
+        if "pooler.dense.weight" in state:
+            add("cls.weight", state["pooler.dense.weight"])
+            add("cls.bias", state["pooler.dense.bias"])
+        add("cls.output.weight", state["classifier.weight"])
+        add("cls.output.bias", state["classifier.bias"])
+    elif "pooler.dense.weight" in state:
+        add("cls.weight", state["pooler.dense.weight"])
+        add("cls.bias", state["pooler.dense.bias"])
     return w.write()
 
 

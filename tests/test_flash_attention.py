@@ -88,3 +88,72 @@ def test_mha_with_cache_einsum_path_unchanged():
     out, kc2, vc2 = mha_with_cache(q, kn, vn, kc, vc, n_past, 0.25)
     assert out.shape == (B, T, Hq, D)
     np.testing.assert_allclose(np.asarray(kc2[:, :T]), np.asarray(kn), rtol=1e-6)
+
+
+def test_flash_sinks():
+    """Sink logit joins the softmax denominator (gpt-oss prefill path)."""
+    from llama_cpp_gfx906_tpu.ops.kv_quant import quantize_rows
+
+    q, k, v, n_past = make_case()
+    Hq = q.shape[2]
+    sinks = jnp.asarray(RNG.standard_normal(Hq), jnp.float32)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    # oracle with sinks: extra denominator term per head
+    ref_plain = oracle(q, k, v, n_past, scale)
+    # recompute via mha semantics (einsum path handles sinks)
+    ref, _, _ = mha_with_cache(
+        q, q[:, :0, :2], q[:, :0, :2],  # no new rows: T=0 inserts
+        k, v, n_past, scale, sinks=sinks,
+    )
+    got = np.asarray(
+        flash_attention(q, k, v, n_past, scale, sinks=sinks,
+                        block_q=64, block_k=64, interpret=True)
+    )
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-3, atol=2e-3)
+    assert np.abs(got - np.asarray(ref_plain)).max() > 1e-3  # sinks changed it
+
+
+def test_flash_quantized_kv():
+    """int8 KV + per-row scales consumed in-kernel match the dequantized run."""
+    from llama_cpp_gfx906_tpu.ops.kv_quant import dequantize_rows, quantize_rows
+
+    q, k, v, n_past = make_case()
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    kq = quantize_rows(k)
+    vq = quantize_rows(v)
+    ref = np.asarray(
+        oracle(q, dequantize_rows(kq, jnp.float32), dequantize_rows(vq, jnp.float32),
+               n_past, scale)
+    )
+    got = np.asarray(
+        flash_attention(
+            q, kq.q, vq.q, n_past, scale,
+            k_scales=kq.s[..., 0], v_scales=vq.s[..., 0],
+            block_q=64, block_k=64, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_quantized_kv_window_sinks():
+    from llama_cpp_gfx906_tpu.ops.kv_quant import dequantize_rows, quantize_rows
+
+    q, k, v, n_past = make_case(S=320)
+    Hq = q.shape[2]
+    sinks = jnp.asarray(RNG.standard_normal(Hq), jnp.float32)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    kq = quantize_rows(k)
+    vq = quantize_rows(v)
+    ref, _, _ = mha_with_cache(
+        q, q[:, :0, :2], q[:, :0, :2],
+        dequantize_rows(kq, jnp.float32), dequantize_rows(vq, jnp.float32),
+        n_past, scale, sliding_window=64, sinks=sinks,
+    )
+    got = np.asarray(
+        flash_attention(
+            q, kq.q, vq.q, n_past, scale, sliding_window=64, sinks=sinks,
+            k_scales=kq.s[..., 0], v_scales=vq.s[..., 0],
+            block_q=64, block_k=64, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-2, atol=2e-2)

@@ -1,0 +1,127 @@
+"""Decode flash kernel vs the jnp einsum oracle (ops/attention.py).
+
+Covers: GQA/MHA, per-sequence n_past, sliding window, logit softcap,
+attention sinks, quantized (int8) KV consumed in-kernel, multi-token
+verify chunks (T > 1).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.ops.attention import mha_with_cache
+from llama_cpp_gfx906_tpu.ops.flash_decode import flash_decode
+from llama_cpp_gfx906_tpu.ops.kv_quant import QuantKV, insert_quant, quantize_rows
+
+RNG = np.random.default_rng(11)
+
+
+def make_case(B=2, T=1, Hq=4, Hkv=2, D=64, S=256, quant=False):
+    q = jnp.asarray(RNG.standard_normal((B, T, Hq, D)) * 0.3, jnp.float32)
+    k_new = jnp.asarray(RNG.standard_normal((B, T, Hkv, D)) * 0.3, jnp.float32)
+    v_new = jnp.asarray(RNG.standard_normal((B, T, Hkv, D)) * 0.3, jnp.float32)
+    n_past = jnp.asarray(RNG.integers(3, S - T - 1, size=B), jnp.int32)
+    kv = RNG.standard_normal((2, B, S, Hkv, D)).astype(np.float32) * 0.3
+    if quant:
+        k_cache = quantize_rows(jnp.asarray(kv[0]))
+        v_cache = quantize_rows(jnp.asarray(kv[1]))
+    else:
+        k_cache = jnp.asarray(kv[0])
+        v_cache = jnp.asarray(kv[1])
+    return q, k_new, v_new, k_cache, v_cache, n_past
+
+
+def oracle_and_kernel(q, k_new, v_new, k_cache, v_cache, n_past,
+                      window=0, softcap=0.0, sinks=None):
+    scale = q.shape[-1] ** -0.5
+    # oracle: the einsum reference path (never takes the flash branch on CPU)
+    ref, k_store, v_store = mha_with_cache(
+        q, k_new, v_new, k_cache, v_cache, n_past, scale,
+        sliding_window=window, logit_softcap=softcap, sinks=sinks,
+    )
+    got = flash_decode(
+        q, k_store, v_store, n_past, scale,
+        sliding_window=window, logit_softcap=softcap, sinks=sinks,
+        interpret=True,
+    )
+    return np.asarray(ref, np.float32), np.asarray(got, np.float32)
+
+
+def assert_close(ref, got, tol=2e-2):
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < tol
+
+
+def test_decode_basic():
+    ref, got = oracle_and_kernel(*make_case())
+    assert_close(ref, got)
+
+
+def test_decode_t_greater_one():
+    ref, got = oracle_and_kernel(*make_case(T=5))
+    assert_close(ref, got)
+
+
+def test_decode_mha():
+    ref, got = oracle_and_kernel(*make_case(Hq=4, Hkv=4))
+    assert_close(ref, got)
+
+
+def test_decode_sliding_window():
+    ref, got = oracle_and_kernel(*make_case(S=384), window=64)
+    assert_close(ref, got)
+
+
+def test_decode_softcap():
+    ref, got = oracle_and_kernel(*make_case(), softcap=30.0)
+    assert_close(ref, got)
+
+
+def test_decode_sinks():
+    sinks = jnp.asarray(RNG.standard_normal(4), jnp.float32)
+    ref, got = oracle_and_kernel(*make_case(), sinks=sinks)
+    assert_close(ref, got)
+
+
+def test_decode_sinks_with_window():
+    sinks = jnp.asarray(RNG.standard_normal(4), jnp.float32)
+    ref, got = oracle_and_kernel(*make_case(S=384), window=96, sinks=sinks)
+    assert_close(ref, got)
+
+
+def test_decode_quant_kv():
+    ref, got = oracle_and_kernel(*make_case(quant=True))
+    assert_close(ref, got, tol=3e-2)
+
+
+def test_decode_quant_kv_t4():
+    ref, got = oracle_and_kernel(*make_case(T=4, quant=True))
+    assert_close(ref, got, tol=3e-2)
+
+
+def test_decode_quant_kv_sinks_window():
+    sinks = jnp.asarray(RNG.standard_normal(4), jnp.float32)
+    ref, got = oracle_and_kernel(
+        *make_case(S=384, quant=True), window=128, sinks=sinks
+    )
+    assert_close(ref, got, tol=3e-2)
+
+
+def test_decode_respects_n_past_isolation():
+    """Rows beyond n_past+T must not influence the output."""
+    q, k_new, v_new, k_cache, v_cache, n_past = make_case(B=1, S=256)
+    scale = q.shape[-1] ** -0.5
+    _, k_store, v_store = mha_with_cache(
+        q, k_new, v_new, k_cache, v_cache, n_past, scale
+    )
+    out1 = flash_decode(q, k_store, v_store, n_past, scale, interpret=True)
+    # poison dead rows
+    live = int(n_past[0]) + 1
+    k_bad = k_store.at[:, live:].set(1e4)
+    v_bad = v_store.at[:, live:].set(1e4)
+    out2 = flash_decode(q, k_bad, v_bad, n_past, scale, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out1, np.float32), np.asarray(out2, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
