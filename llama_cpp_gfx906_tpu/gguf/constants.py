@@ -163,6 +163,7 @@ class Keys:
         LAYERNORM_RMS_EPS = "{arch}.attention.layer_norm_rms_epsilon"
         SLIDING_WINDOW = "{arch}.attention.sliding_window"
         CAUSAL = "{arch}.attention.causal"
+        CLAMP_KQV = "{arch}.attention.clamp_kqv"
         Q_LORA_RANK = "{arch}.attention.q_lora_rank"
         KV_LORA_RANK = "{arch}.attention.kv_lora_rank"
         KEY_LENGTH_MLA = "{arch}.attention.key_length_mla"

@@ -87,7 +87,32 @@ class ModelConfig:
     pre_norm: bool = True  # False = olmo2-style post-norm blocks
     qk_norm_full: bool = False  # olmo2: q/k norms over the full projection
     rope_local_base: float = 0.0  # gemma3: separate rope base for SWA layers
+    # per-layer rope skipping (reference n_no_rope_layer_step): every n-th
+    # layer (1-indexed) is NoPE — llama4/smollm3; 0 disables
+    nope_interval: int = 0
+    rope_swa_only: bool = False  # cohere2: rope only on sliding-window layers
+    qk_norm_l2: bool = False  # llama4: weightless L2 qk norm
+    # llama4 attn_temperature_tuning on NoPE layers:
+    # q *= log1p(floor(pos / floor_scale)) * scale + 1
+    attn_temp_scale: float = 0.0
+    attn_temp_floor: float = 8192.0
+    clamp_kqv: float = 0.0  # dbrx: clamp qkv projections to ±clamp_kqv
+    moe_scale_input: bool = False  # llama4: gate scales the expert INPUT
     # NOTE: must stay hashable — it is a static jit argument
+
+    @property
+    def rope_layers(self) -> tuple[bool, ...]:
+        """Per-layer rope flags: True = apply rope.  Mirrors the reference's
+        ``(il + 1) % n_no_rope_layer_step != 0`` NoPE pattern (llama4/
+        smollm3, llama-model.cpp:6153/:17497) and cohere2's rope-on-SWA-only
+        rule (llm_build_cohere2_iswa)."""
+        flags = [True] * self.n_layers
+        if self.nope_interval > 0:
+            flags = [(il + 1) % self.nope_interval != 0 for il in range(self.n_layers)]
+        if self.rope_swa_only:
+            swa = self.swa_layers
+            flags = [f and swa[il] for il, f in enumerate(flags)]
+        return tuple(flags)
 
     @property
     def swa_layers(self) -> tuple[bool, ...]:
@@ -295,6 +320,64 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 16)),
             ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)),
         )
+    elif arch == "olmoe":
+        # NEOX rope, full-projection q/k norms, softmax-normalized top-k
+        # (reference llm_build_olmoe)
+        cfg = cfg.with_(rope_interleaved=False, qk_norm_full=True,
+                        expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, False)))
+    elif arch == "glm4":
+        # partial NORM rope + post-attention/post-ffn norms (llm_build_glm4)
+        cfg = cfg.with_(post_attn_norm=True, post_ffn_norm=True,
+                        attn_bias=True)
+    elif arch == "dbrx":
+        # fused qkv with clamp, NEOX rope, LayerNorm, MoE (llm_build_dbrx)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            clamp_kqv=float(g(Keys.Attention.CLAMP_KQV, 0.0)),
+        )
+    elif arch == "cohere2":
+        # command-r parallel-residual blocks; iSWA pattern 4 with rope only
+        # on the sliding layers (llm_build_cohere2_iswa)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            parallel_residual=True,
+            logit_scale=float(g(Keys.LLM.LOGIT_SCALE, 1.0)),
+            swa_pattern=4,
+            rope_swa_only=True,
+            tie_embeddings=True,
+        )
+    elif arch == "smollm3":
+        # llama with every 4th layer NoPE (llm_build_smollm3)
+        cfg = cfg.with_(nope_interval=4)
+    elif arch == "llama4":
+        # iSWA (chunked in the reference; standard window approximation
+        # here), NoPE every 4th layer with attn-temperature tuning, L2 qk
+        # norm on rope layers, sigmoid-gated MoE + always-on shared expert
+        # (llm_build_llama_iswa)
+        cfg = cfg.with_(
+            nope_interval=4,
+            swa_pattern=4 if cfg.sliding_window > 0 else 1,
+            # reference hardcodes these (llama-hparams.h:148-149)
+            qk_norm_l2=True,
+            attn_temp_scale=0.1,
+            attn_temp_floor=8192.0,
+            expert_gating_func=2,  # sigmoid
+            expert_weights_norm=False,
+            moe_scale_input=True,
+        )
+    elif arch == "granitemoe":
+        cfg = cfg.with_(
+            embedding_scale=float(g(Keys.LLM.EMBEDDING_SCALE, 1.0)),
+            residual_scale=float(g(Keys.LLM.RESIDUAL_SCALE, 1.0)),
+            logit_scale=float(g(Keys.LLM.LOGIT_SCALE, 1.0)),
+            attn_scale=float(g(Keys.LLM.ATTENTION_SCALE, 0.0)),
+            expert_weights_norm=True,
+        )
+    elif arch == "ernie4_5":
+        pass  # plain llama graph with NORM rope (llm_build_ernie4_5)
     elif arch in ("bert", "jina-bert-v2"):
         cfg = cfg.with_(
             norm_type="layer",

@@ -163,10 +163,12 @@ def forward(
     windows = jnp.asarray(
         [cfg.sliding_window if swa else 0 for swa in cfg.swa_layers], jnp.int32
     )
+    # per-layer rope flags (NoPE layers: llama4/smollm3/cohere2)
+    rope_on = jnp.asarray(cfg.rope_layers, jnp.bool_)
 
     def layer_step(carry, layer):
         x, = carry
-        p, k_cache_l, v_cache_l, window_l, inv_freq = layer
+        p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l = layer
 
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg) if cfg.pre_norm else x
         q = _lin(h, p, "wq")
@@ -176,6 +178,10 @@ def forward(
             q = q + p["bq"]
             k = k + p["bk"]
             v = v + p["bv"]
+        if cfg.clamp_kqv > 0.0:  # dbrx clip_qkv
+            q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+            k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+            v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
         if cfg.qk_norm_full:  # olmo2: norm the whole projection pre-reshape
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
@@ -186,8 +192,28 @@ def forward(
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         if cfg.pos_emb == "rope":
-            q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
-            k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+            qr = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
+            kr = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+            # NoPE layers keep the unrotated projections; the flag rides the
+            # scan so one compiled program serves both layer kinds
+            q = jnp.where(rope_l, qr, q)
+            k = jnp.where(rope_l, kr, k)
+            if cfg.qk_norm_l2:  # llama4: weightless L2 norm on rope layers
+                ql = rms_norm(q, jnp.ones(cfg.head_dim, q.dtype), cfg.rms_eps)
+                kl = rms_norm(k, jnp.ones(cfg.head_dim, k.dtype), cfg.rms_eps)
+                q = jnp.where(rope_l, ql, q)
+                k = jnp.where(rope_l, kl, k)
+            if cfg.attn_temp_scale > 0.0:
+                # llama4 attn_temperature_tuning — NoPE layers scale q by a
+                # position-dependent temperature (llm_build_llama_iswa)
+                att = (
+                    jnp.log1p(jnp.floor(
+                        (positions.astype(jnp.float32) + 1.0) / cfg.attn_temp_floor
+                    )) * cfg.attn_temp_scale + 1.0
+                )
+                q = jnp.where(
+                    rope_l, q, (q.astype(jnp.float32) * att[:, :, None, None]).astype(q.dtype)
+                )
 
         from ..ops.quant_matmul import QuantTensor
 
@@ -246,7 +272,7 @@ def forward(
         return (x,), (k_cache_l, v_cache_l)
 
     (x,), (k_new, v_new) = jax.lax.scan(
-        layer_step, (x,), (params["layers"], kv.k, kv.v, windows, inv_freq_layers)
+        layer_step, (x,), (params["layers"], kv.k, kv.v, windows, inv_freq_layers, rope_on)
     )
 
     x = _norm(x, params["out_norm"], params.get("out_norm_b"), cfg)

@@ -15,11 +15,13 @@ from .config import ModelConfig
 
 # archs whose graphs the generalized attention forward covers
 ATTENTION_ARCHS = {
-    "llama", "llama2", "llama3", "mistral", "mixtral", "tinyllama",
+    "llama", "llama2", "llama3", "llama4", "mistral", "mixtral", "tinyllama",
     "qwen2", "qwen2moe", "qwen3", "qwen3moe",
     "gemma", "gemma2", "gemma3",
     "gpt2", "starcoder", "phi2", "phi3", "gptneox", "stablelm", "falcon",
-    "deepseek", "olmo", "smollm", "internlm2", "granite",
+    "deepseek", "olmo", "olmoe", "smollm", "smollm3", "internlm2",
+    "granite", "granitemoe", "glm4", "dbrx", "cohere2", "command-r",
+    "ernie4_5", "gpt-oss", "olmo2",
 }
 
 RECURRENT_ARCHS = {"mamba"}

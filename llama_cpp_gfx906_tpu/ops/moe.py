@@ -79,6 +79,9 @@ def moe_ffn(
             return (jax.nn.gelu(gf, approximate=True) * uf).astype(x.dtype)
         return (jax.nn.silu(gf) * uf).astype(x.dtype)
 
+    # llama4 applies the (sigmoid) gate to the expert INPUT, not the output
+    # (Llama4TextMoe; the expert nonlinearity makes the two inequivalent)
+    scale_input = cfg.moe_scale_input
     quantized = isinstance(w_gate, QuantTensor)
     if B * T <= _GATHER_MAX_TOKENS:
         if quantized:
@@ -89,6 +92,8 @@ def moe_ffn(
             F = w_gate.shape[1]
             idx = topi.reshape(N * k)
             xp = jnp.repeat(xt, k, axis=0)  # (N·k, D) pair rows
+            if scale_input:
+                xp = xp * topv.reshape(N * k, 1)
             g = routed_quant_matmul(xp, w_gate, idx).reshape(N, k, F)
             u = routed_quant_matmul(xp, w_up, idx).reshape(N, k, F)
             if gate_b is not None:
@@ -100,14 +105,21 @@ def moe_ffn(
             out = out.reshape(N, k, D).astype(jnp.float32)
             if down_b is not None:
                 out = out + down_b[topi]
-            out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
+            if scale_input:
+                out = out.sum(axis=1)
+            else:
+                out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
         else:
             # gather path: (N, k, D, F) expert slices
             wg = w_gate[topi]  # (N, k, D, F)
             wu = w_up[topi]
             wd = w_down[topi]  # (N, k, F, D)
-            g = jnp.einsum("nd,nkdf->nkf", xt, wg, preferred_element_type=jnp.float32)
-            u = jnp.einsum("nd,nkdf->nkf", xt, wu, preferred_element_type=jnp.float32)
+            if scale_input:
+                xk = xt[:, None, :] * topv[:, :, None]  # (N, k, D)
+            else:
+                xk = jnp.broadcast_to(xt[:, None, :], (xt.shape[0], k, xt.shape[1]))
+            g = jnp.einsum("nkd,nkdf->nkf", xk, wg, preferred_element_type=jnp.float32)
+            u = jnp.einsum("nkd,nkdf->nkf", xk, wu, preferred_element_type=jnp.float32)
             if gate_b is not None:
                 g = g + gate_b[topi]
             if up_b is not None:
@@ -116,7 +128,10 @@ def moe_ffn(
             out = jnp.einsum("nkf,nkfd->nkd", h, wd, preferred_element_type=jnp.float32)
             if down_b is not None:
                 out = out + down_b[topi]
-            out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
+            if scale_input:
+                out = out.sum(axis=1)
+            else:
+                out = (out * topv[:, :, None].astype(jnp.float32)).sum(axis=1)
     else:
         # dense path: run all experts, mask with dispatch weights
         combine = jnp.zeros((B * T, E), x.dtype)
@@ -126,8 +141,9 @@ def moe_ffn(
             # runs a full-token fused dequant-matmul — the MXU-dense analog
             # of the bf16 all-experts einsum below
             def one_expert(acc, e):
-                ge = quant_matmul(xt, qt_expert(w_gate, e))
-                ue = quant_matmul(xt, qt_expert(w_up, e))
+                xe = xt * combine[:, e, None] if scale_input else xt
+                ge = quant_matmul(xe, qt_expert(w_gate, e))
+                ue = quant_matmul(xe, qt_expert(w_up, e))
                 gf, uf = ge.astype(jnp.float32), ue.astype(jnp.float32)
                 if gate_b is not None:
                     gf = gf + gate_b[e]
@@ -137,14 +153,20 @@ def moe_ffn(
                 oe = quant_matmul(h, qt_expert(w_down, e)).astype(jnp.float32)
                 if down_b is not None:
                     oe = oe + down_b[e]
-                return acc + oe * combine[:, e, None].astype(jnp.float32), None
+                wgt = 1.0 if scale_input else combine[:, e, None].astype(jnp.float32)
+                return acc + oe * wgt, None
 
             out, _ = jax.lax.scan(
                 one_expert, jnp.zeros((B * T, D), jnp.float32), jnp.arange(E)
             )
         else:
-            g = jnp.einsum("nd,edf->enf", xt, w_gate, preferred_element_type=jnp.float32)
-            u = jnp.einsum("nd,edf->enf", xt, w_up, preferred_element_type=jnp.float32)
+            if scale_input:
+                xe = xt[None, :, :] * combine.T[:, :, None].astype(xt.dtype)  # (E,N,D)
+                g = jnp.einsum("end,edf->enf", xe, w_gate, preferred_element_type=jnp.float32)
+                u = jnp.einsum("end,edf->enf", xe, w_up, preferred_element_type=jnp.float32)
+            else:
+                g = jnp.einsum("nd,edf->enf", xt, w_gate, preferred_element_type=jnp.float32)
+                u = jnp.einsum("nd,edf->enf", xt, w_up, preferred_element_type=jnp.float32)
             if gate_b is not None:
                 g = g + gate_b[:, None, :]
             if up_b is not None:
@@ -153,5 +175,9 @@ def moe_ffn(
             out_e = jnp.einsum("enf,efd->end", h, w_down, preferred_element_type=jnp.float32)
             if down_b is not None:
                 out_e = out_e + down_b[:, None, :]
-            out = jnp.einsum("end,ne->nd", out_e, combine.astype(jnp.float32))
+            if scale_input:
+                # selection already zeroed non-chosen experts' inputs
+                out = out_e.sum(axis=0)
+            else:
+                out = jnp.einsum("end,ne->nd", out_e, combine.astype(jnp.float32))
     return out.astype(x.dtype).reshape(B, T, D)

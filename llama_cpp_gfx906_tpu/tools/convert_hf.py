@@ -1028,3 +1028,289 @@ def convert_hf_phi(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F1
     if "lm_head.bias" in state:
         add("output.bias", state["lm_head.bias"])
     return w.write()
+
+
+def convert_hf_glm4(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Glm4ForCausalLM → GGUF (arch "glm4").
+
+    Partial NORM rope (partial_rotary_factor), fused gate_up split into
+    ffn_gate/ffn_up, post-attention + post-ffn RMS norms
+    (reference: llm_build_glm4, src/llama-model.cpp:13613)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    rot = int(head_dim * getattr(hf, "partial_rotary_factor", 0.5))
+
+    w = GGUFWriter(out_path, "glm4")
+    w.add_string(Keys.General.NAME, "glm4-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, rot)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    F = hf.intermediate_size
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        if p + "self_attn.q_proj.bias" in state:
+            add(b + "attn_q.bias", state[p + "self_attn.q_proj.bias"])
+            add(b + "attn_k.bias", state[p + "self_attn.k_proj.bias"])
+            add(b + "attn_v.bias", state[p + "self_attn.v_proj.bias"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "post_attention_norm.weight", state[p + "post_self_attn_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        gu = state[p + "mlp.gate_up_proj.weight"]  # (2F, D): gate rows first
+        add(b + "ffn_gate.weight", gu[:F])
+        add(b + "ffn_up.weight", gu[F:])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+        add(b + "post_ffw_norm.weight", state[p + "post_mlp_layernorm.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_dbrx(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers DbrxForCausalLM → GGUF (arch "dbrx").
+
+    Fused Wqkv stays fused (attn_qkv; the forward splits it), clamp_kqv
+    metadata, fused expert mats w1/v1/w2 unstacked into
+    ffn_{gate,up,down}_exps (reference: llm_build_dbrx)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    D = hf.d_model
+    n_head = hf.n_heads
+    n_kv = hf.attn_config.kv_n_heads
+    head_dim = D // n_head
+    E = hf.ffn_config.moe_num_experts
+    F = hf.ffn_config.ffn_hidden_size
+
+    w = GGUFWriter(out_path, "dbrx")
+    w.add_string(Keys.General.NAME, "dbrx-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.max_seq_len)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.n_layers)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_kv)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(Keys.Attention.LAYERNORM_EPS, 1e-5)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, F)
+    w.add_uint32(Keys.LLM.EXPERT_COUNT, E)
+    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.ffn_config.moe_top_k)
+    w.add_bool(Keys.LLM.EXPERT_WEIGHTS_NORM, True)  # dbrx renormalizes top-k
+    if hf.attn_config.clip_qkv:
+        w.add_float32(Keys.Attention.CLAMP_KQV, hf.attn_config.clip_qkv)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, hf.attn_config.rope_theta)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["transformer.wte.weight"])
+    for i in range(hf.n_layers):
+        p = f"transformer.blocks.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "norm_attn_norm.norm_1.weight"])
+        add(b + "attn_qkv.weight", state[p + "norm_attn_norm.attn.Wqkv.weight"])
+        add(b + "attn_output.weight", state[p + "norm_attn_norm.attn.out_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "norm_attn_norm.norm_2.weight"])
+        add(b + "ffn_gate_inp.weight", state[p + "ffn.router.layer.weight"])
+        # fused experts: w1/v1 are (E·F, D); w2 is (E·F, D) with down being
+        # the transpose per expert
+        w1 = state[p + "ffn.experts.mlp.w1"].reshape(E, F, D)
+        v1 = state[p + "ffn.experts.mlp.v1"].reshape(E, F, D)
+        w2 = state[p + "ffn.experts.mlp.w2"].reshape(E, F, D).transpose(0, 2, 1)
+        add(b + "ffn_gate_exps.weight", np.ascontiguousarray(w1))
+        add(b + "ffn_up_exps.weight", np.ascontiguousarray(v1))
+        add(b + "ffn_down_exps.weight", np.ascontiguousarray(w2))
+    add("output_norm.weight", state["transformer.norm_f.weight"])
+    add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_cohere2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Cohere2ForCausalLM → GGUF (arch "cohere2"):
+    command-r parallel blocks + iSWA pattern 4, rope only on sliding layers
+    (reference: llm_build_cohere2_iswa)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "cohere2")
+    w.add_string(Keys.General.NAME, "cohere2-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_EPS, hf.layer_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_float32(Keys.LLM.LOGIT_SCALE, hf.logit_scale)
+    w.add_uint32(Keys.Attention.SLIDING_WINDOW, hf.sliding_window)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_llama4(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Llama4ForCausalLM (text) → GGUF (arch "llama4").
+
+    Interleaved rope natively (no q/k permutation); fused expert
+    gate_up_proj (E, D, 2F) split and transposed to GGUF (E, out, in);
+    shared expert → *_shexp tensors (reference: llm_build_llama_iswa)."""
+    hf = model.config
+    if hasattr(hf, "text_config"):
+        hf = hf.text_config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    state = {k[len("language_model."):] if k.startswith("language_model.") else k: v
+             for k, v in state.items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    E = hf.num_local_experts
+    Fe = hf.intermediate_size
+
+    w = GGUFWriter(out_path, "llama4")
+    w.add_string(Keys.General.NAME, "llama4-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size_mlp)
+    w.add_uint32(Keys.LLM.EXPERT_COUNT, E)
+    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+    w.add_uint32(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, Fe)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 500000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        if p + "feed_forward.router.weight" in state:
+            add(b + "ffn_gate_inp.weight", state[p + "feed_forward.router.weight"])
+            gu = state[p + "feed_forward.experts.gate_up_proj"]  # (E, D, 2F)
+            gate = gu[:, :, :Fe].transpose(0, 2, 1)  # → (E, F, D)
+            up = gu[:, :, Fe:].transpose(0, 2, 1)
+            down = state[p + "feed_forward.experts.down_proj"].transpose(0, 2, 1)  # (E,F,D)→(E,D,F)
+            add(b + "ffn_gate_exps.weight", np.ascontiguousarray(gate))
+            add(b + "ffn_up_exps.weight", np.ascontiguousarray(up))
+            add(b + "ffn_down_exps.weight", np.ascontiguousarray(down))
+            sh = p + "feed_forward.shared_expert."
+            add(b + "ffn_gate_shexp.weight", state[sh + "gate_proj.weight"])
+            add(b + "ffn_up_shexp.weight", state[sh + "up_proj.weight"])
+            add(b + "ffn_down_shexp.weight", state[sh + "down_proj.weight"])
+        else:  # dense layer (interleave_moe_layer_step > 1)
+            add(b + "ffn_gate.weight", state[p + "feed_forward.gate_proj.weight"])
+            add(b + "ffn_up.weight", state[p + "feed_forward.up_proj.weight"])
+            add(b + "ffn_down.weight", state[p + "feed_forward.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_granitemoe(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers GraniteMoeForCausalLM → GGUF (arch "granitemoe"):
+    granite scaling factors + fused input_linear (E, 2F, D) split into
+    gate/up expert stacks (reference: llm_build_granite with MoE)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = hf.hidden_size // n_head
+    E = hf.num_local_experts
+    F = hf.intermediate_size
+
+    w = GGUFWriter(out_path, "granitemoe")
+    w.add_string(Keys.General.NAME, "granitemoe-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, F)
+    w.add_uint32(Keys.LLM.EXPERT_COUNT, E)
+    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+    w.add_float32(Keys.LLM.EMBEDDING_SCALE, hf.embedding_multiplier)
+    w.add_float32(Keys.LLM.LOGIT_SCALE, 1.0 / hf.logits_scaling)
+    w.add_float32(Keys.LLM.RESIDUAL_SCALE, hf.residual_multiplier)
+    w.add_float32(Keys.LLM.ATTENTION_SCALE, hf.attention_multiplier)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, permute_heads=0):
+        if permute_heads:
+            arr = permute_qk(arr, permute_heads)
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"], permute_heads=n_head)
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"], permute_heads=n_kv)
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_gate_inp.weight", state[p + "block_sparse_moe.router.layer.weight"])
+        il = state[p + "block_sparse_moe.input_linear.weight"]  # (E, 2F, D)
+        add(b + "ffn_gate_exps.weight", np.ascontiguousarray(il[:, :F]))
+        add(b + "ffn_up_exps.weight", np.ascontiguousarray(il[:, F:]))
+        add(b + "ffn_down_exps.weight",
+            np.ascontiguousarray(state[p + "block_sparse_moe.output_linear.weight"]))
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
