@@ -7,33 +7,38 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import argparse
 
 import jax.numpy as jnp
-import numpy as np
 
 from llama_cpp_gfx906_tpu.runtime.engine import Engine
-from llama_cpp_gfx906_tpu.runtime.training import adamw_train_step_factory
+from llama_cpp_gfx906_tpu.runtime.training import TokenDataset, Trainer
 
 ap = argparse.ArgumentParser()
 ap.add_argument("-m", "--model", required=True)
 ap.add_argument("-f", "--file", required=True, help="training text")
 ap.add_argument("--ctx", type=int, default=128)
 ap.add_argument("--epochs", type=int, default=1)
+ap.add_argument("--batch", type=int, default=1)
 ap.add_argument("--lr", type=float, default=1e-5)
+ap.add_argument("--val-split", type=float, default=0.05,
+                help="trailing fraction of the data used for eval only")
+ap.add_argument("--checkpoint", default=None, help="save params+optimizer here")
 args = ap.parse_args()
 
 eng = Engine.from_gguf(args.model, keep_quantized=False, dtype=jnp.float32)
 ids = eng.tokenizer.tokenize(open(args.file, encoding="utf-8").read(), add_special=False)
-n = (len(ids) - 1) // args.ctx
-chunks = np.asarray([ids[i * args.ctx:(i + 1) * args.ctx + 1] for i in range(n)])
+try:
+    data = TokenDataset.from_tokens(ids, args.ctx)
+except ValueError:
+    print("epoch 0: mean loss 0.0000 (corpus shorter than ctx)")
+    raise SystemExit(0)
 
-opt, step = adamw_train_step_factory(eng.cfg, lr=args.lr)
-params = eng.params
-opt_state = opt.init(params)
+trainer = Trainer(eng.cfg, eng.params, optimizer="adamw", lr=args.lr)
 for epoch in range(args.epochs):
-    total = 0.0
-    for c in chunks:
-        toks = jnp.asarray(c[None, :-1], jnp.int32)
-        tgts = jnp.asarray(c[None, 1:], jnp.int32)
-        mask = jnp.ones_like(tgts, jnp.float32)
-        params, opt_state, loss = step(params, opt_state, toks, tgts, mask)
-        total += float(loss)
-    print(f"epoch {epoch}: mean loss {total / max(n,1):.4f}")
+    train_loss, eval_loss = trainer.epoch(
+        data, batch_size=args.batch, split=args.val_split, shuffle_seed=epoch,
+        callback_train=lambda i, n, l: print(f"  train {i + 1}/{n} loss {l:.4f}", flush=True)
+        if (i + 1) % 8 == 0 else None,
+    )
+    print(f"epoch {epoch}: mean loss {train_loss:.4f} eval {eval_loss:.4f}")
+if args.checkpoint:
+    trainer.save_checkpoint(args.checkpoint)
+    print(f"checkpoint -> {args.checkpoint}")

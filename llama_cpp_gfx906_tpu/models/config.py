@@ -304,6 +304,13 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             residual_scale=float(g(Keys.LLM.RESIDUAL_SCALE, 1.0)),
             logit_scale=1.0 / float(g(Keys.LLM.LOGIT_SCALE, 1.0)),
         )
+    elif arch == "rwkv7":
+        cfg = cfg.with_(
+            pos_emb="none",
+            norm_type="layer",
+            wkv_head_size=int(g("{arch}.wkv.head_size", 64)),
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
     elif arch in ("rwkv6", "rwkv6qwen2"):
         cfg = cfg.with_(
             pos_emb="none",

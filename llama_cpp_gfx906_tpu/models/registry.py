@@ -27,6 +27,7 @@ ATTENTION_ARCHS = {
 RECURRENT_ARCHS = {"mamba"}
 HYBRID_ARCHS = {"jamba"}
 RWKV_ARCHS = {"rwkv6"}
+RWKV7_ARCHS = {"rwkv7"}
 MLA_ARCHS = {"deepseek2"}
 
 
@@ -117,11 +118,28 @@ def _rwkv6_family() -> ModelFamily:
     )
 
 
+def _rwkv7_family() -> ModelFamily:
+    from .rwkv6 import RWKVState
+    from .rwkv7 import forward, load_params
+
+    def load(reader, cfg, dtype, device_put_fn=None, keep_quantized=True):
+        return load_params(reader, cfg, dtype, device_put_fn)
+
+    return ModelFamily(
+        name="rwkv7",
+        forward=forward,
+        make_cache=lambda cfg, batch, max_seq, dtype: RWKVState.create(cfg, batch, max_seq, dtype),
+        load_params=load,
+    )
+
+
 def get_family(cfg: ModelConfig) -> ModelFamily:
     if cfg.arch in RECURRENT_ARCHS:
         return _mamba_family()
     if cfg.arch in RWKV_ARCHS:
         return _rwkv6_family()
+    if cfg.arch in RWKV7_ARCHS:
+        return _rwkv7_family()
     if cfg.arch in HYBRID_ARCHS:
         return _jamba_family()
     if cfg.arch in MLA_ARCHS:

@@ -1,21 +1,29 @@
-"""Performance matrix benchmark (reference: ``tools/llama-bench`` — pp512 /
-tg128 defaults, mean ± stdev over repetitions, markdown/json/csv output)."""
+"""Performance matrix benchmark (reference: ``tools/llama-bench`` —
+cross-product of parameters (``cmd_params``, llama-bench.cpp:238), pp512 /
+tg128 defaults (:277-278), mean ± stdev over repetitions, and
+MARKDOWN/CSV/JSON/JSONL/SQL output (:139)).
+
+The TPU-relevant parameter axes replace the reference's CPU/GPU knobs:
+models × n_prompt × n_gen × batch size (parallel decode streams) ×
+KV-cache type (bf16/q8) × weight residency (quantized/bf16)."""
 
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import statistics
 import time
 
 
-def run_bench(
+def bench_combo(
     model_path: str,
     pp_list: list[int],
     tg_list: list[int],
+    batch: int = 1,
+    kv_type: str = "bf16",
+    weights: str = "quant",
     reps: int = 3,
-    max_seq: int = 2048,
-    keep_quantized: bool = True,
 ) -> list[dict]:
     import jax
     import jax.numpy as jnp
@@ -31,8 +39,9 @@ def run_bench(
     reader = GGUFModelReader(model_path)
     cfg = config_from_gguf(reader)
     tokenizer_from_gguf(reader.readers[0])  # validates tokenizer metadata
-    loader = load_llama_params_quantized if keep_quantized else load_llama_params
+    loader = load_llama_params_quantized if weights == "quant" else load_llama_params
     params = loader(reader, cfg)
+    kv_dtype = "q8" if kv_type == "q8" else jnp.bfloat16
 
     fwd = jax.jit(forward, static_argnames=("cfg",), donate_argnames=("kv",))
 
@@ -47,29 +56,30 @@ def run_bench(
         (tok, kv), _ = jax.lax.scan(body, (tok, kv), None, length=n_steps)
         return tok, kv
 
+    meta = {"batch": batch, "kv": kv_type, "weights": weights}
     rows = []
     rng = np.random.default_rng(0)
     for pp in pp_list:
         if pp <= 0:
             continue
-        toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, pp)), jnp.int32)
         samples = []
-        for _ in range(reps + 1):  # first is warmup
-            kv = KVCache.create(cfg, 1, max(pp + 8, 64))
+        for r in range(reps + 1):  # first is warmup; fresh prompts defeat
+            # the axon runtime's whole-call memoization
+            toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, pp)), jnp.int32)
+            kv = KVCache.create(cfg, batch, max(pp + 8, 64), kv_dtype)
             t0 = time.perf_counter()
             logits, kv = fwd(params, cfg, toks, kv)
             _ = np.asarray(logits[0, -1, :8])  # hard sync, tiny fetch
-            samples.append(pp / (time.perf_counter() - t0))
-        samples = samples[1:]
-        rows.append(_row(model_path, cfg, f"pp{pp}", samples))
+            samples.append(batch * pp / (time.perf_counter() - t0))
+        rows.append(_row(model_path, cfg, f"pp{pp}", samples[1:], meta))
     for tg in tg_list:
         if tg <= 0:
             continue
         chunk = 16
         samples = []
-        for _ in range(reps + 1):
-            kv = KVCache.create(cfg, 1, tg + chunk + 8)
-            tok = jnp.zeros((1, 1), jnp.int32)
+        for r in range(reps + 1):
+            kv = KVCache.create(cfg, batch, tg + chunk + 8, kv_dtype)
+            tok = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, 1)), jnp.int32)
             tok, kv = decode_steps(params, tok, kv, chunk)  # warm/compile
             np.asarray(tok)
             t0 = time.perf_counter()
@@ -78,18 +88,48 @@ def run_bench(
                 tok, kv = decode_steps(params, tok, kv, chunk)
                 done += chunk
             np.asarray(tok)
-            samples.append(done / (time.perf_counter() - t0))
-        samples = samples[1:]
-        rows.append(_row(model_path, cfg, f"tg{tg}", samples))
+            samples.append(batch * done / (time.perf_counter() - t0))
+        rows.append(_row(model_path, cfg, f"tg{tg}", samples[1:], meta))
     return rows
 
 
-def _row(model_path, cfg, test, samples) -> dict:
+def run_bench(
+    model_path: str,
+    pp_list: list[int],
+    tg_list: list[int],
+    reps: int = 3,
+    max_seq: int = 2048,
+    keep_quantized: bool = True,
+) -> list[dict]:
+    """Single-combination entry point (backwards compatible)."""
+    return bench_combo(
+        model_path, pp_list, tg_list, batch=1, kv_type="bf16",
+        weights="quant" if keep_quantized else "bf16", reps=reps,
+    )
+
+
+def run_matrix(
+    models: list[str],
+    pp_list: list[int],
+    tg_list: list[int],
+    batches: list[int],
+    kv_types: list[str],
+    weights_list: list[str],
+    reps: int = 3,
+) -> list[dict]:
+    """Cross product over every parameter axis (cmd_params analog)."""
+    rows = []
+    for m, b, kv, wt in itertools.product(models, batches, kv_types, weights_list):
+        rows.extend(bench_combo(m, pp_list, tg_list, b, kv, wt, reps))
+    return rows
+
+
+def _row(model_path, cfg, test, samples, meta) -> dict:
     return {
         "model": model_path.rsplit("/", 1)[-1],
         "arch": cfg.arch,
-        "n_params_m": None,
         "test": test,
+        **meta,
         "t/s": round(statistics.mean(samples), 2),
         "stdev": round(statistics.stdev(samples) if len(samples) > 1 else 0.0, 2),
     }
@@ -103,27 +143,57 @@ def format_rows(rows: list[dict], fmt: str) -> str:
     if fmt == "csv":
         header = ",".join(rows[0].keys())
         return header + "\n" + "\n".join(",".join(str(v) for v in r.values()) for r in rows)
+    if fmt == "sql":
+        # llama-bench SQL dialect: one CREATE TABLE + INSERTs
+        cols = list(rows[0].keys())
+        defs = ", ".join(
+            f'"{c.replace("/", "_")}" '
+            + ("REAL" if isinstance(rows[0][c], float) else
+               "INTEGER" if isinstance(rows[0][c], int) else "TEXT")
+            for c in cols
+        )
+        out = [f"CREATE TABLE IF NOT EXISTS bench ({defs});"]
+        for r in rows:
+            vals = ", ".join(
+                f"'{v}'" if isinstance(v, str) else str(v) for v in r.values()
+            )
+            out.append(f"INSERT INTO bench VALUES ({vals});")
+        return "\n".join(out)
     # markdown
-    out = ["| model | test | t/s |", "| --- | --- | --- |"]
+    keys = [k for k in rows[0] if k not in ("t/s", "stdev")]
+    out = ["| " + " | ".join(keys + ["t/s"]) + " |",
+           "| " + " | ".join("---" for _ in range(len(keys) + 1)) + " |"]
     for r in rows:
-        out.append(f"| {r['model']} | {r['test']} | {r['t/s']} ± {r['stdev']} |")
+        cells = [str(r[k]) for k in keys] + [f"{r['t/s']} ± {r['stdev']}"]
+        out.append("| " + " | ".join(cells) + " |")
     return "\n".join(out)
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="llama-bench (TPU)")
-    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-m", "--model", required=True, nargs="+",
+                    help="one or more GGUF models (cross-product axis)")
     ap.add_argument("-p", "--n-prompt", type=int, nargs="*", default=[512])
     ap.add_argument("-n", "--n-gen", type=int, nargs="*", default=[128])
+    ap.add_argument("-b", "--batch-size", type=int, nargs="*", default=[1],
+                    help="parallel decode streams (cross-product axis)")
+    ap.add_argument("-ctk", "--cache-type-k", nargs="*", default=["bf16"],
+                    choices=("bf16", "q8"), help="KV cache type (axis)")
+    ap.add_argument("--weights", nargs="*", default=["quant"],
+                    choices=("quant", "bf16"), help="weight residency (axis)")
     ap.add_argument("-r", "--repetitions", type=int, default=3)
-    ap.add_argument("-o", "--output", default="md", choices=("md", "json", "jsonl", "csv"))
+    ap.add_argument("-o", "--output", default="md",
+                    choices=("md", "json", "jsonl", "csv", "sql"))
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = ap.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
-    rows = run_bench(args.model, args.n_prompt, args.n_gen, args.repetitions)
+    rows = run_matrix(
+        args.model, args.n_prompt, args.n_gen, args.batch_size,
+        args.cache_type_k, args.weights, args.repetitions,
+    )
     print(format_rows(rows, args.output))
     return 0
 
