@@ -113,6 +113,8 @@ class BatchedEngine:
         n_draft: int = 4,
         n_chunk: int = 256,  # prompt tokens prefill per engine step (n_batch)
         ctx_shift: bool = True,  # StreamingLLM shift instead of "length" stop
+        draft: tuple | None = None,  # (draft_cfg, draft_params) — draft-model
+        # speculation (reference: server.cpp:3656-3755); must share the vocab
     ):
         self.cfg = cfg
         self.params = params
@@ -126,6 +128,18 @@ class BatchedEngine:
         self.n_chunk = n_chunk
         self.ctx_shift = ctx_shift
         self._prefill_rr = 0  # round-robin cursor over PREFILLING slots
+        self.draft = draft
+        if draft is not None:
+            d_cfg, d_params = draft
+            if d_cfg.n_vocab != cfg.n_vocab:
+                raise ValueError(
+                    "draft model must share the target's vocabulary "
+                    "(reference: common_speculative_are_compatible)"
+                )
+            self.draft_cfg, self.draft_params = d_cfg, d_params
+            self.draft_kv = KVCache.create(d_cfg, n_slots, max_seq, dtype)
+            # tokens whose K/V rows exist in each slot's draft cache
+            self.draft_ctx: list[list[int]] = [[] for _ in range(n_slots)]
         if spec_ngram:
             from .ngram_cache import NgramCache
 
@@ -230,6 +244,13 @@ class BatchedEngine:
             v = jax.lax.dynamic_update_slice_in_dim(v, v2, slot, axis=1)
             return k, v
 
+        @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
+        def _decode_argmax(params, cfg, tokens, kv):
+            """Greedy batched decode step (the draft model's proposal loop)."""
+            logits, kv = forward(params, cfg, tokens, kv)
+            return logits[:, -1].argmax(-1).astype(jnp.int32), kv
+
+        self._decode_argmax = _decode_argmax
         self._prefill = _prefill
         self._insert = _insert
         self._decode = _decode
@@ -388,6 +409,9 @@ class BatchedEngine:
         slot.n_past -= n_discard
         slot.n_shifted += n_discard
         self.n_past_host[slot.id] = slot.n_past
+        if self.draft is not None:
+            # row/position mapping changed: force a full draft resync
+            self.draft_ctx[slot.id] = []
 
     def _make_chain(self, sc: SamplerConfig):
         """Persistent sampler chain — needed when the slot carries grammar
@@ -452,12 +476,21 @@ class BatchedEngine:
                   and s.stop_reason is None]
         if not active:
             return results
+        spec_room = self.n_draft if (self.spec_ngram or self.draft is not None) else 0
         if self.ctx_shift:
             for s in active:
-                if s.n_past + 1 + (self.n_draft if self.spec_ngram else 0) >= self.max_seq:
+                if s.n_past + 1 + spec_room >= self.max_seq:
                     self._maybe_shift(s)
         if any(s.chain is not None for s in active):
             return results + self._step_mixed(active)
+        if (
+            self.draft is not None
+            and all(
+                s.n_past + 1 + self.n_draft < self.max_seq and s.n_shifted == 0
+                for s in active
+            )
+        ):
+            return results + self._step_spec_draft(active)
         if (
             self.spec_ngram
             # drafts are verified by raw argmax, which matches the sampler
@@ -508,6 +541,121 @@ class BatchedEngine:
             results.append((s, tok, finished))
         self.metrics["t_decode_s"] += time.perf_counter() - t0
         self.metrics["n_generated_tokens"] += len(active)
+        return results
+
+    def _sync_draft(self, slot: Slot, required: list[int]):
+        """Replay the draft model's KV so rows cover exactly ``required``
+        (common-prefix reuse, the analog of the reference's draft-context
+        shift/reuse in common_speculative.cpp:232-279)."""
+        ctx = self.draft_ctx[slot.id]
+        m = 0
+        limit = min(len(ctx), len(required))
+        while m < limit and ctx[m] == required[m]:
+            m += 1
+        pos = m
+        while pos < len(required):
+            take = min(self.n_chunk - pos % self.n_chunk, len(required) - pos)
+            chunk = required[pos : pos + take]
+            padded = min(max(bucket_len(take), 1), self.max_seq - pos)
+            toks = np.zeros((1, padded), np.int32)
+            toks[0, :take] = chunk
+            _, k, v = self._prefill_suffix(
+                self.draft_params, self.draft_cfg, self.draft_kv.k, self.draft_kv.v,
+                jnp.asarray(toks), jnp.asarray([take], jnp.int32),
+                jnp.asarray(slot.id, jnp.int32), jnp.asarray(pos, jnp.int32),
+            )
+            self.draft_kv = KVCache(k, v, n_past=self.draft_kv.n_past)
+            pos += take
+        self.draft_ctx[slot.id] = list(required)
+
+    def _step_spec_draft(self, active: list[Slot]) -> list[tuple[Slot, int, bool]]:
+        """Draft-model speculation across slots (reference: the server's
+        speculative branch, server.cpp:3656-3755).
+
+        The draft proposes K tokens per slot with a batched greedy loop;
+        the target verifies all slots in one (B, 1+K) forward; acceptance
+        is stochastic — each position re-samples through the slot's own
+        sampler and keeps the draft token only on agreement
+        (common_sampler_sample_and_accept_n), so any sampler config is
+        eligible, not just greedy."""
+        t0 = time.perf_counter()
+        K = self.n_draft
+        for s in active:
+            hist = s.prompt_ids + s.generated
+            self._sync_draft(s, hist[:-1])
+
+        draft_n_past = np.zeros(self.n_slots, np.int32)
+        cur = np.zeros((self.n_slots, 1), np.int32)
+        for s in active:
+            draft_n_past[s.id] = len(self.draft_ctx[s.id])
+            cur[s.id, 0] = s.current_token
+        dkv = KVCache(self.draft_kv.k, self.draft_kv.v, jnp.asarray(draft_n_past))
+        drafts: dict[int, list[int]] = {s.id: [] for s in active}
+        toks = jnp.asarray(cur)
+        for _ in range(K):
+            nxt, dkv = self._decode_argmax(self.draft_params, self.draft_cfg, toks, dkv)
+            nxt_h = np.asarray(nxt)
+            for s in active:
+                drafts[s.id].append(int(nxt_h[s.id]))
+            toks = nxt.reshape(self.n_slots, 1)
+        self.draft_kv = KVCache(dkv.k, dkv.v, n_past=self.draft_kv.n_past)
+        for s in active:  # rows now hold hist + drafts[:-1]
+            self.draft_ctx[s.id] = (
+                s.prompt_ids + s.generated + drafts[s.id][:-1]
+            )
+
+        # target verifies [cur] + drafts in one chunk
+        tokens = np.zeros((self.n_slots, 1 + K), np.int32)
+        for s in active:
+            tokens[s.id] = [s.current_token] + drafts[s.id]
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        logits_dev, kv = self._decode_logits_chunk(
+            self.params, self.cfg, jnp.asarray(tokens), kv
+        )
+        self.kv = kv
+        logits = np.asarray(logits_dev)  # (B, 1+K, V)
+        eog = self.tokenizer.vocab.special.eog_ids()
+
+        results = []
+        for s in active:
+            d = drafts[s.id]
+            prev = s.prompt_ids + s.generated
+            accepted: list[int] = []
+            for i, dt in enumerate(d):
+                tok_i = self._sample_host(
+                    logits[s.id, i], (prev + accepted)[-RECENT:], s.sampler
+                )
+                if tok_i != dt:
+                    accepted.append(tok_i)  # target's correction, always kept
+                    break
+                accepted.append(dt)
+                self.metrics["n_spec_accepted"] += 1
+            else:
+                accepted.append(
+                    self._sample_host(
+                        logits[s.id, K], (prev + accepted)[-RECENT:], s.sampler
+                    )
+                )
+            self.metrics["n_spec_drafted"] += len(d)
+            final: list[int] = []
+            limit = max(1, s.n_predict - len(s.generated))
+            for t_new in accepted[:limit]:
+                final.append(t_new)
+                if t_new in eog:
+                    break
+            s.n_past += len(final)
+            self.n_past_host[s.id] = s.n_past
+            for t_new in final:
+                s.generated.append(t_new)
+                self.recent[s.id] = np.roll(self.recent[s.id], -1)
+                self.recent[s.id, -1] = t_new
+            s.current_token = final[-1]
+            finished = self._check_finished(slot=s, token=final[-1])
+            for t_new in final[:-1]:
+                results.append((s, t_new, False))
+            results.append((s, final[-1], finished))
+        self.metrics["t_decode_s"] += time.perf_counter() - t0
+        self.metrics["n_generated_tokens"] += len(results)
         return results
 
     def _step_speculative(self, active: list[Slot]) -> list[tuple[Slot, int, bool]]:
@@ -649,7 +797,7 @@ class BatchedEngine:
         # slot's n_past.  Park n_past just past the cached prefix — far
         # enough from max_seq that dynamic_update_slice can't clamp back
         # into rows the prompt cache may later reuse.
-        guard = 1 + (self.n_draft if self.spec_ngram else 0)
+        guard = 1 + (self.n_draft if (self.spec_ngram or self.draft is not None) else 0)
         keep = min(len(slot.cache_tokens), self.max_seq - guard)
         slot.cache_tokens = slot.cache_tokens[:keep]
         self.n_past_host[slot.id] = keep

@@ -40,30 +40,60 @@ class SpeculativeEngine:
     """Couples a small draft model with the target model."""
 
     def __init__(self, target: Engine, draft: Engine, spec: SpeculativeConfig | None = None):
-        if target.tokenizer.vocab.n_tokens != draft.tokenizer.vocab.n_tokens:
-            # cross-vocab translation (speculative.cpp:204-226) not yet built
-            raise ValueError("draft and target must share a vocabulary")
         self.target = target
         self.draft = draft
         self.spec = spec or SpeculativeConfig()
         self.stats = SpecStats()
+        # cross-vocab mode (common/speculative.cpp:204-226): when the draft
+        # uses a different vocabulary, its proposals round-trip through text
+        # and the draft context is kept in its own token space
+        tv, dv = target.tokenizer.vocab, draft.tokenizer.vocab
+        self.translate = tv.n_tokens != dv.n_tokens or tv.tokens[: min(64, tv.n_tokens)] != dv.tokens[: min(64, dv.n_tokens)]
 
-    def _draft_tokens(self, last_token: int) -> list[int]:
-        """Greedy draft continuation with p_min cutoff."""
-        out = []
-        logits = self.draft.decode_one(last_token)
+    def _to_target_tokens(self, draft_ids: list[int]) -> list[int]:
+        """Draft-space tokens → target-space via detokenize/retokenize."""
+        text = self.draft.tokenizer.detokenize(draft_ids)
+        if not text:
+            return []
+        return self.target.tokenizer.tokenize(text, add_special=False, parse_special=False)
+
+    def _propose(self, all_ids: list[int]) -> list[int]:
+        """Draft a continuation of ``all_ids`` (target-space tokens).
+
+        The draft context lives in the draft's own token space; its KV is
+        resynced by longest-common-prefix each round (the reference's
+        prefix reuse with KV shift, speculative.cpp:232-279), which also
+        realizes cross-vocab translation: the history round-trips through
+        text and the proposals are retokenized for the target."""
+        if self.translate:
+            text = self.target.tokenizer.detokenize(all_ids)
+            drf_ids = self.draft.tokenizer.tokenize(text, add_special=True, parse_special=True)
+        else:
+            drf_ids = list(all_ids)
+        cache = getattr(self, "_drf_cache", [])
+        m = 0
+        limit = min(len(cache), len(drf_ids) - 1)
+        while m < limit and cache[m] == drf_ids[m]:
+            m += 1
+        self.draft.set_n_past(m)
+        if m < len(drf_ids) - 1:
+            self.draft.decode_chunk(drf_ids[m:-1])
+        logits = self.draft.decode_one(drf_ids[-1])
+
+        out_d: list[int] = []
         for _ in range(self.spec.n_draft):
             probs = _softmax(logits)
             tok = int(np.argmax(probs))
-            if probs[tok] < self.spec.p_min:
-                if not out:
-                    out.append(tok)  # always propose at least one
+            if probs[tok] < self.spec.p_min and out_d:
                 break
-            out.append(tok)
-            if len(out) >= self.spec.n_draft:
+            out_d.append(tok)
+            if len(out_d) >= self.spec.n_draft:
                 break
             logits = self.draft.decode_one(tok)
-        return out
+        self._drf_cache = drf_ids + out_d[:-1]  # rows actually present
+        if self.translate:
+            return self._to_target_tokens(out_d)[: self.spec.n_draft]
+        return out_d
 
     def generate(
         self,
@@ -79,8 +109,8 @@ class SpeculativeEngine:
 
         tgt.reset()
         drf.reset()
+        self._drf_cache = []
         logits = tgt.prefill(ids)
-        drf.prefill(ids)
 
         all_ids = list(ids)
         out: list[int] = []
@@ -90,7 +120,14 @@ class SpeculativeEngine:
         all_ids.append(cur)
 
         while len(out) < n_predict and (not stop_on_eog or cur not in eog):
-            draft = self._draft_tokens(cur)
+            draft = self._propose(all_ids)
+            if not draft:
+                # translation produced nothing usable — plain decode step
+                logits = tgt.decode_one(cur)
+                cur = chain.sample(logits, all_ids)
+                out.append(cur)
+                all_ids.append(cur)
+                continue
             self.stats.n_rounds += 1
             self.stats.n_drafted += len(draft)
             # target scores [cur, d0, d1, ...] in one pass; its logits at
@@ -120,16 +157,12 @@ class SpeculativeEngine:
 
             out.extend(final)
             all_ids.extend(final)
-            replay = [cur] + final[:-1]  # tokens whose KV rows must exist
             cur = final[-1]
             # target KV already holds [cur, draft...]; the accepted prefix
             # rows are correct, so rewinding n_past drops the rejected tail
-            # (llama_memory_seq_rm analog)
+            # (llama_memory_seq_rm analog).  The draft resyncs by prefix in
+            # the next _propose.
             tgt.set_n_past(base_n_past + len(final))
-            # draft KV may miss the last accepted row and may hold stale
-            # speculation — rewind and replay the accepted prefix
-            drf.set_n_past(base_n_past)
-            drf.decode_chunk(replay)
 
         text = tgt.tokenizer.detokenize(out)
         return text, out, self.stats

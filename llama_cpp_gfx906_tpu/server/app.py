@@ -611,6 +611,9 @@ def main(argv=None) -> int:
     ap.add_argument("-np", "--n-slots", type=int, default=4)
     ap.add_argument("--spec-ngram", action="store_true",
                     help="ngram-lookup speculation for greedy requests")
+    ap.add_argument("-md", "--draft-model", dest="draft_model", default=None,
+                    help="draft GGUF for speculative decoding (must share "
+                         "the target vocabulary; reference server.cpp:3656)")
     ap.add_argument("--draft-max", type=int, default=4)
     ap.add_argument("--rerank-model", default=None,
                     help="BERT-family GGUF for /rerank and /embeddings "
@@ -637,10 +640,15 @@ def main(argv=None) -> int:
     cfg = config_from_gguf(reader)
     tokenizer = tokenizer_from_gguf(reader.readers[0])
     params = load_llama_params_quantized(reader, cfg)
+    draft = None
+    if args.draft_model:
+        d_reader = GGUFModelReader(args.draft_model)
+        d_cfg = config_from_gguf(d_reader)
+        draft = (d_cfg, load_llama_params_quantized(d_reader, d_cfg))
     engine = BatchedEngine(cfg, params, tokenizer, n_slots=args.n_slots,
                            max_seq=args.ctx_size, spec_ngram=args.spec_ngram,
                            n_draft=args.draft_max, n_chunk=args.n_batch,
-                           ctx_shift=not args.no_ctx_shift)
+                           ctx_shift=not args.no_ctx_shift, draft=draft)
     encoder = None
     if args.rerank_model:
         from ..runtime.encoder import EncoderEngine
