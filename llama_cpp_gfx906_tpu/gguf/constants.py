@@ -106,6 +106,14 @@ GGML_BLOCK_SIZES: dict[GGMLType, tuple[int, int]] = {
     GGMLType.TQ2_0: (QK_K, 2 + 64),
     GGMLType.IQ4_NL: (32, 2 + 16),
     GGMLType.IQ4_XS: (QK_K, 2 + 2 + QK_K // 64 + QK_K // 2),
+    # codebook i-quants (sizes: reference gguf-py constants.py:2854-2869)
+    GGMLType.IQ2_XXS: (QK_K, 2 + QK_K // 4),
+    GGMLType.IQ2_XS: (QK_K, 2 + QK_K // 4 + QK_K // 32),
+    GGMLType.IQ2_S: (QK_K, 2 + QK_K // 4 + QK_K // 16),
+    GGMLType.IQ3_XXS: (QK_K, 2 + QK_K // 4 + QK_K // 8),
+    GGMLType.IQ3_S: (QK_K, 2 + QK_K // 4 + QK_K // 32 + QK_K // 8 + QK_K // 64),
+    GGMLType.IQ1_S: (QK_K, 2 + QK_K // 8 + QK_K // 16),
+    GGMLType.IQ1_M: (QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32),
 }
 
 

@@ -595,6 +595,181 @@ def quant_bf16(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# codebook i-quants (IQ1/IQ2/IQ3/IQ4_XS) — decode-only, like the reference's
+# Python stack.  Codebooks are format-defined data (gguf/iq_grids.py);
+# decoding math per the GGUF spec: per-superblock f16 scale, sub-block
+# scale nibbles, grid indices into the codebook, packed sign bits.
+# ---------------------------------------------------------------------------
+
+from . import iq_grids as _IQG  # noqa: E402
+
+
+def _iq_grid(name):
+    return _IQG.decode_grid(
+        getattr(_IQG, f"{name}_HEX"),
+        getattr(_IQG, f"{name}_SHAPE"),
+        getattr(_IQG, f"{name}_MAP"),
+    )
+
+
+class _IQLazy:
+    """Grids decode on first use (import stays cheap)."""
+
+    _cache: dict = {}
+
+    @classmethod
+    def get(cls, name):
+        if name not in cls._cache:
+            cls._cache[name] = _iq_grid(name)
+        return cls._cache[name]
+
+
+# 7-bit sign codes + odd-parity bit 7 (the format's ksigns table, derived)
+_KSIGNS = np.asarray(
+    [i | ((bin(i).count("1") & 1) << 7) for i in range(128)], np.uint8
+)
+
+
+def _expand_sign_codes(codes):
+    """(..., ) 7-bit sign codes → (..., 8) ±1 floats via the parity table."""
+    s = _KSIGNS[codes & 0x7F]
+    bits = (s[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits == 0, np.float32(1), np.float32(-1))
+
+
+def _expand_sign_bytes(raw):
+    """(..., ) raw sign bytes → (..., 8) ±1 floats (iq2_s/iq3_s store full bytes)."""
+    bits = (raw[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits == 0, np.float32(1), np.float32(-1))
+
+
+def dequant_iq2_xxs(b):
+    n = b.shape[0]
+    d = _f16(b[:, 0:2])
+    q32 = b[:, 2:].copy().view(np.uint32).reshape(n, -1, 2)  # (n, 8, 2)
+    db = d * (0.5 + (q32[..., 1] >> 28).astype(np.float32)) * 0.25  # (n, 8)
+    codes = q32[..., 0].copy().view(np.uint8).reshape(n, -1, 4)  # grid idx
+    grid = _IQLazy.get("IQ2_XXS")[codes.reshape(n, -1)]  # (n, 32, 8)
+    sign_codes = (q32[..., 1][..., None] >> np.asarray([0, 7, 14, 21], np.uint32)) & 0x7F
+    signs = _expand_sign_codes(sign_codes.reshape(n, -1).astype(np.uint8))
+    return (db[..., None, None] * grid.reshape(n, -1, 4, 8) * signs.reshape(n, -1, 4, 8)).reshape(n, QK_K)
+
+
+def dequant_iq2_xs(b):
+    n = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2 : 2 + QK_K // 4].copy().view(np.uint16)  # (n, 32)
+    sc = b[:, 2 + QK_K // 4 :]  # (n, 8) nibble pairs
+    sub = ((sc[..., None] >> np.asarray([0, 4], np.uint8)) & 0x0F).reshape(n, -1)
+    db = d * (0.5 + sub.astype(np.float32)) * 0.25  # (n, 16)
+    grid = _IQLazy.get("IQ2_XS")[qs & 511]  # (n, 32, 8)
+    signs = _expand_sign_codes((qs >> 9).astype(np.uint8))  # (n, 32, 8)
+    vals = grid * signs
+    return (db[..., None, None] * vals.reshape(n, -1, 2, 8)).reshape(n, QK_K)
+
+
+def dequant_iq2_s(b):
+    n = b.shape[0]
+    d = _f16(b[:, 0:2])
+    o = 2
+    qs = b[:, o : o + QK_K // 8]; o += QK_K // 8
+    sb = b[:, o : o + QK_K // 8]; o += QK_K // 8
+    qh = b[:, o : o + QK_K // 32]; o += QK_K // 32
+    sc = b[:, o:]
+    sub = ((sc[..., None] >> np.asarray([0, 4], np.uint8)) & 0x0F).reshape(n, -1)
+    db = d * (0.5 + sub.astype(np.float32)) * 0.25
+    hi = (qh[..., None] >> np.asarray([0, 2, 4, 6], np.uint8)) & 0x03
+    idx = qs.astype(np.uint16) | (hi.reshape(n, -1).astype(np.uint16) << 8)
+    grid = _IQLazy.get("IQ2_S")[idx]  # (n, 32, 8)
+    signs = _expand_sign_bytes(sb)  # (n, 32, 8)
+    return (db[..., None, None] * (grid * signs).reshape(n, -1, 2, 8)).reshape(n, QK_K)
+
+
+def dequant_iq3_xxs(b):
+    n = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2 : 2 + QK_K // 4]  # (n, 64) grid byte indices
+    sc = b[:, 2 + QK_K // 4 :].copy().view(np.uint32)  # (n, 8)
+    db = d * (0.5 + (sc >> 28).astype(np.float32)) * 0.5
+    grid = _IQLazy.get("IQ3_XXS")[qs]  # (n, 64, 4)
+    sign_codes = (sc[..., None] >> np.asarray([0, 7, 14, 21], np.uint32)) & 0x7F
+    signs = _expand_sign_codes(sign_codes.reshape(n, -1).astype(np.uint8))  # (n,32,8)
+    return (db[..., None, None] * grid.reshape(n, -1, 4, 8) * signs.reshape(n, -1, 4, 8)).reshape(n, QK_K)
+
+
+def dequant_iq3_s(b):
+    n = b.shape[0]
+    d = _f16(b[:, 0:2])
+    o = 2
+    qs = b[:, o : o + QK_K // 4]; o += QK_K // 4
+    qh = b[:, o : o + QK_K // 32]; o += QK_K // 32
+    sb = b[:, o : o + QK_K // 8]; o += QK_K // 8
+    sc = b[:, o:]
+    sub = ((sc[..., None] >> np.asarray([0, 4], np.uint8)) & 0x0F).reshape(n, -1)
+    db = d * (1.0 + 2.0 * sub.astype(np.float32))  # (n, 8)
+    hi = (qh[..., None] >> np.arange(8, dtype=np.uint8)) & 0x01
+    idx = qs.astype(np.uint16) | (hi.reshape(n, -1).astype(np.uint16) << 8)
+    grid = _IQLazy.get("IQ3_S")[idx]  # (n, 64, 4)
+    signs = _expand_sign_bytes(sb)  # (n, 32, 8)
+    return (db[..., None, None] * grid.reshape(n, -1, 4, 8) * signs.reshape(n, -1, 4, 8)).reshape(n, QK_K)
+
+
+_IQ1_DELTA = np.float32(0.125)
+
+
+def dequant_iq1_s(b):
+    n = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2 : 2 + QK_K // 8]  # (n, 32)
+    qh = b[:, 2 + QK_K // 8 :].copy().view(np.uint16)  # (n, 16)
+    dl = d * (2 * ((qh >> 12) & 7).astype(np.float32) + 1)  # (n, 16)
+    delta = np.where((qh & 0x8000) == 0, _IQ1_DELTA, -_IQ1_DELTA)  # (n, 16)
+    hi = (qh[..., None] >> np.asarray([0, 3, 6, 9], np.uint16)) & 7
+    idx = qs.astype(np.uint16) | (hi.reshape(n, -1).astype(np.uint16) << 8)
+    grid = _IQLazy.get("IQ1_S")[idx]  # (n, 32, 8)
+    out = dl[..., None, None] * (grid.reshape(n, -1, 4, 8) + delta[..., None, None])
+    return out.reshape(n, QK_K)
+
+
+def dequant_iq1_m(b):
+    n = b.shape[0]
+    qs = b[:, : QK_K // 8]
+    qh = b[:, QK_K // 8 : QK_K // 8 + QK_K // 16]
+    sc = b[:, QK_K // 8 + QK_K // 16 :].copy().view(np.uint16)  # (n, 4)
+    # the f16 superblock scale hides in the top nibbles of the 4 scale words
+    dbits = (sc & np.uint16(0xF000)) >> np.asarray([12, 8, 4, 0], np.uint16)
+    d = (dbits[:, 0] | dbits[:, 1] | dbits[:, 2] | dbits[:, 3]).copy().view(np.float16).astype(np.float32)
+    sub = ((sc[..., None] >> np.asarray([0, 3, 6, 9], np.uint16)) & 0x07).reshape(n, -1)
+    dl = d[:, None] * (2 * sub.astype(np.float32) + 1)  # (n, 16)
+    hi = (qh[..., None] >> np.asarray([0, 4], np.uint8)) & 0x0F
+    hi = hi.reshape(n, -1)
+    idx = qs.astype(np.uint16) | ((hi & 0x07).astype(np.uint16) << 8)
+    delta = np.where((hi & 0x08) == 0, _IQ1_DELTA, -_IQ1_DELTA)  # (n, 32)
+    grid = _IQLazy.get("IQ1_M")[idx]  # (n, 32, 8)
+    out = dl.reshape(n, -1, 2, 1, 1) * (
+        grid.reshape(n, -1, 2, 2, 8) + delta.reshape(n, -1, 2, 2, 1)
+    )
+    return out.reshape(n, QK_K)
+
+
+def dequant_iq4_xs(b):
+    n = b.shape[0]
+    d = _f16(b[:, 0:2])
+    sh = b[:, 2:4].copy().view(np.uint16)  # (n, 1) scale high bits
+    sl = b[:, 4 : 4 + QK_K // 64]  # (n, 4) scale low nibbles
+    qs = b[:, 4 + QK_K // 64 :]  # (n, 128) value nibbles
+    lo = ((sl[..., None] >> np.asarray([0, 4], np.uint8)) & 0x0F).reshape(n, -1)
+    hi = ((sh[..., None] >> np.arange(0, 16, 2, dtype=np.uint16)) & 0x03).reshape(n, -1)
+    scales = ((lo | (hi << 4)).astype(np.int8) - 32).astype(np.float32)  # (n, 8)
+    db = d * scales  # per 32 values
+    qlo = (qs & 0x0F).reshape(n, -1, 16)
+    qhi = (qs >> 4).reshape(n, -1, 16)
+    q = np.concatenate([qlo, qhi], axis=-1).reshape(n, -1)  # (n, 256)
+    vals = IQ4_NL_KVALUES[q].astype(np.float32).reshape(n, -1, 32)
+    return (db[..., None] * vals).reshape(n, QK_K)
+
+
+# ---------------------------------------------------------------------------
 # registry + public API
 # ---------------------------------------------------------------------------
 
@@ -615,6 +790,14 @@ _DEQUANT = {
     GGMLType.Q8_K: dequant_q8_k,
     GGMLType.MXFP4: dequant_mxfp4,
     GGMLType.IQ4_NL: dequant_iq4_nl,
+    GGMLType.IQ4_XS: dequant_iq4_xs,
+    GGMLType.IQ2_XXS: dequant_iq2_xxs,
+    GGMLType.IQ2_XS: dequant_iq2_xs,
+    GGMLType.IQ2_S: dequant_iq2_s,
+    GGMLType.IQ3_XXS: dequant_iq3_xxs,
+    GGMLType.IQ3_S: dequant_iq3_s,
+    GGMLType.IQ1_S: dequant_iq1_s,
+    GGMLType.IQ1_M: dequant_iq1_m,
 }
 
 _QUANT = {
