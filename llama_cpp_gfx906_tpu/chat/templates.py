@@ -43,8 +43,21 @@ def detect_template(tmpl: str | None) -> str:
         return "vicuna"
     if "[INST]" in t:
         if "<<SYS>>" in t:
+            # llama2 sys variants (llama-chat.cpp:116-124)
+            if "content.strip()" in t:
+                return "llama2_sys_strip"
+            if "bos_token + '[INST]" in t:
+                return "llama2_sys_bos"
             return "llama2_sys"
+        if "[SYSTEM_PROMPT]" in t:
+            return "mistral_v7" if "[SYSTEM_PROMPT] " in t else "mistral_v7_tekken"
+        if "\" [INST] \"" in t or "' [INST] '" in t:
+            return "mistral_v1"
         return "mistral_v3" if "[/INST]" in t else "llama2"
+    if "<｜hy_Assistant｜>" in t:
+        return "hunyuan_dense" if "hy_place" in t else "hunyuan_moe"
+    if "<|im_assistant|>assistant<|im_middle|>" in t:
+        return "kimi_k2"
     if "<|startoftext|>" in t and "<|endoftext|>" in t:
         return "granite" if "<|start_of_role|>" in t else "orion"
     if "<|start_of_role|>" in t:
@@ -87,6 +100,68 @@ def apply_builtin_template(
             )
         if add_generation_prompt:
             out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    elif d in ("llama2_sys_bos", "llama2_sys_strip"):
+        # reference llama2 variant algorithm (llama-chat.cpp, is_inside_turn)
+        strip_msg = d == "llama2_sys_strip"
+        bos_hist = d == "llama2_sys_bos"
+        out.append("[INST] ")
+        inside = True
+        for m in messages:
+            c = (m.get("content") or "")
+            if strip_msg:
+                c = c.strip()
+            if not inside:
+                inside = True
+                out.append("<s>[INST] " if bos_hist else "[INST] ")
+            if m["role"] == "system":
+                out.append(f"<<SYS>>\n{c}\n<</SYS>>\n\n")
+            elif m["role"] == "user":
+                out.append(f"{c} [/INST]")
+            else:
+                out.append(f"{c}</s>")
+                inside = False
+    elif d == "mistral_v3_tekken":
+        # v3-tekken: no leading/trailing spaces, assistant not trimmed
+        inside = False
+        for m in messages:
+            c = m.get("content") or ""
+            if not inside:
+                out.append("[INST]")
+                inside = True
+            if m["role"] == "system":
+                out.append(f"{c}\n\n")
+            elif m["role"] == "user":
+                out.append(f"{c}[/INST]")
+            else:
+                out.append(f"{c}</s>")
+                inside = False
+    elif d == "mistral_v7_tekken":
+        for m in messages:
+            c = m.get("content") or ""
+            if m["role"] == "system":
+                out.append(f"[SYSTEM_PROMPT]{c}[/SYSTEM_PROMPT]")
+            elif m["role"] == "user":
+                out.append(f"[INST]{c}[/INST]")
+            else:
+                out.append(f"{c}</s>")
+    elif d == "hunyuan_dense":
+        for i, m in enumerate(messages):
+            c = m.get("content") or ""
+            if i == 0 and m["role"] == "system":
+                out.append(f"{c}<｜hy_place▁holder▁no▁3｜>")
+            if m["role"] == "assistant":
+                out.append(f"<｜hy_Assistant｜>{c}<｜hy_place▁holder▁no▁2｜>")
+            elif m["role"] == "user":
+                out.append(f"<｜hy_User｜>{c}<｜hy_Assistant｜>")
+    elif d == "kimi_k2":
+        tags = {"system": "<|im_system|>system<|im_middle|>",
+                "user": "<|im_user|>user<|im_middle|>",
+                "assistant": "<|im_assistant|>assistant<|im_middle|>",
+                "tool": "<|im_system|>tool<|im_middle|>"}
+        for m in messages:
+            out.append(tags.get(m["role"], "") + (m.get("content") or "") + "<|im_end|>")
+        if add_generation_prompt:
+            out.append("<|im_assistant|>assistant<|im_middle|>")
     elif d in ("llama2", "llama2_sys", "mistral_v1", "mistral_v3"):
         system, rest = _sys_merge(messages)
         pending_sys = system
@@ -356,11 +431,12 @@ def apply_builtin_template(
 
 
 BUILTIN_DIALECTS = (
-    "chatml", "llama2", "llama2_sys", "llama3", "llama4", "mistral_v1",
-    "mistral_v3", "mistral_v7", "phi3", "phi4", "zephyr", "monarch", "gemma",
-    "orion", "openchat", "vicuna", "vicuna_orca", "deepseek", "deepseek2",
-    "deepseek3", "command_r", "chatglm3", "chatglm4", "glmedge", "granite",
-    "falcon3", "openai_moe", "minicpm", "exaone3", "exaone4", "rwkv_world",
-    "gigachat", "megrez", "yandex", "bailing", "smolvlm", "dots1",
-    "hunyuan_moe",
+    "chatml", "llama2", "llama2_sys", "llama2_sys_bos", "llama2_sys_strip",
+    "llama3", "llama4", "mistral_v1", "mistral_v3", "mistral_v3_tekken",
+    "mistral_v7", "mistral_v7_tekken", "phi3", "phi4", "zephyr", "monarch",
+    "gemma", "orion", "openchat", "vicuna", "vicuna_orca", "deepseek",
+    "deepseek2", "deepseek3", "command_r", "chatglm3", "chatglm4", "glmedge",
+    "granite", "falcon3", "openai_moe", "minicpm", "exaone3", "exaone4",
+    "rwkv_world", "gigachat", "megrez", "yandex", "bailing", "smolvlm",
+    "dots1", "hunyuan_moe", "hunyuan_dense", "kimi_k2",
 )

@@ -1,20 +1,24 @@
-"""Tokenizer families (SPM, BPE, WPM) loaded from GGUF vocab metadata.
+"""Tokenizer families (SPM, BPE, WPM, UGM, RWKV, PLaMo2) loaded from GGUF
+vocab metadata.
 
-Reference coverage: 6 families in ``src/llama-vocab.cpp`` (SPM :110,
-BPE :279, WPM :636, UGM :752, RWKV :1156, PLaMo2).  PLaMo2 is not yet
-implemented and raises at construction.
+Reference coverage: all 6 families in ``src/llama-vocab.cpp`` (SPM :110,
+BPE :279, WPM :636, UGM :752, RWKV :1156, PLaMo2 :1208).
 """
 
 from __future__ import annotations
 
 from .bpe import BPETokenizer
+from .plamo2 import PLaMo2Tokenizer
 from .rwkv import RWKVTokenizer
 from .spm import SPMTokenizer
 from .ugm import UGMTokenizer
 from .vocab import SpecialTokens, Vocab, vocab_from_gguf
 from .wpm import WPMTokenizer
 
-Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer | UGMTokenizer | RWKVTokenizer
+Tokenizer = (
+    SPMTokenizer | BPETokenizer | WPMTokenizer | UGMTokenizer | RWKVTokenizer
+    | PLaMo2Tokenizer
+)
 
 
 def tokenizer_for_vocab(vocab: Vocab) -> Tokenizer:
@@ -28,6 +32,8 @@ def tokenizer_for_vocab(vocab: Vocab) -> Tokenizer:
         return UGMTokenizer(vocab)
     if vocab.model == "rwkv":
         return RWKVTokenizer(vocab)
+    if vocab.model == "plamo2":
+        return PLaMo2Tokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
 
 
