@@ -83,3 +83,13 @@ def test_retrieval_example(model_path, tmp_path):
     corpus.write_text("<t1> alpha text. <t2> beta text. <t3> gamma text. " * 5)
     out = _run("retrieval.py", "-m", model_path, "-f", str(corpus), "-q", "<t2>")
     assert "[" in out
+
+
+def test_lookahead_example(model_path):
+    out = _run("lookahead.py", "-m", model_path, "-p", "<t1><t2><t1><t2>", "-n", "12", "-W", "4")
+    assert "accept-rate" in out
+
+
+def test_gritlm_example(model_path):
+    out = _run("gritlm.py", "-m", model_path, "-q", "<t1>", "-d", "<t1> <t2>", "-d", "<t3>")
+    assert "[embed] ranking" in out and "[generate]" in out

@@ -171,3 +171,20 @@ def test_server_draft_speculation_with_sampling(paths):
     assert len(s.generated) == 12 or s.stop_reason == "stop"
     assert all(0 <= t < cfg.n_vocab for t in s.generated)
     assert eng.metrics["n_spec_drafted"] > 0
+
+
+def test_lookahead_matches_greedy(paths):
+    """Jacobi lookahead must be output-identical to plain greedy decoding."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))), "examples"))
+    from lookahead import lookahead_generate
+
+    tgt_path, _ = paths
+    prompt = "<t1><t2><t3>"
+    n = 14
+    _, ref_ids = _greedy_reference(tgt_path, prompt, n)
+    eng = Engine.from_gguf(tgt_path, max_seq=128, dtype=jnp.float32)
+    ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+    out, stats = lookahead_generate(eng, ids, n_predict=n, W=4, stop_on_eog=False)
+    assert out == ref_ids, (out, ref_ids)
+    assert stats["rounds"] <= n  # lookahead never does worse than 1 tok/round

@@ -158,3 +158,20 @@ def test_server_webui_served():
     from llama_cpp_gfx906_tpu.server.webui import WEBUI_HTML
 
     assert "/v1/chat/completions" in WEBUI_HTML
+
+
+def test_eval_callback_trace(f16_gguf, capsys):
+    """eval-callback analog: per-node stats for every layer intermediate."""
+    import jax.numpy as jnp
+
+    from llama_cpp_gfx906_tpu.runtime.engine import Engine
+    from llama_cpp_gfx906_tpu.tools.eval_callback import trace_forward
+
+    eng = Engine.from_gguf(f16_gguf, max_seq=32, dtype=jnp.float32, keep_quantized=False)
+    lines = []
+    rec = trace_forward(eng, [3, 7, 11], out=lambda s: lines.append(s))
+    text = "\n".join(lines)
+    for il in range(eng.cfg.n_layers):
+        assert f"blk.{il}.Qcur" in text and f"blk.{il}.attn_out" in text
+    assert "result_output" in text
+    assert rec["logits"].shape == (1, 3, eng.cfg.n_vocab)
