@@ -52,6 +52,9 @@ class SamplerConfig:
     # params_from_json_cmpl -> sampling grammar)
     grammar: str | None = None
     json_schema: dict | None = None
+    # per-token logprobs (OpenAI `logprobs` / reference `n_probs`); slots
+    # requesting them ride the host-logits path
+    n_probs: int = 0
 
 
 @dataclass
@@ -77,6 +80,9 @@ class Slot:
     pending: list[int] = field(default_factory=list)
     n_keep: int = 0  # context-shift anchor (reference n_keep)
     n_shifted: int = 0  # total tokens discarded by context shifts
+    n_truncated: int = 0  # prompt tokens dropped at admission
+    # per generated token: {"token", "logprob", "top": [(tok, lp), ...]}
+    logprobs: list = field(default_factory=list)
 
     def reset(self):
         self.state = SlotState.IDLE
@@ -95,6 +101,8 @@ class Slot:
         self.n_past = 0
         self.n_keep = 0
         self.n_shifted = 0
+        self.n_truncated = 0
+        self.logprobs = []
         self.stop_reason = None
         self.chain = None
 
@@ -298,6 +306,8 @@ class BatchedEngine:
         n_predict: int,
         sampler: SamplerConfig | None = None,
         request_id: str = "",
+        n_keep: int = 0,
+        truncate: bool = True,
     ) -> Slot | None:
         """Assign a prompt to a free slot; returns None when saturated.
 
@@ -310,12 +320,24 @@ class BatchedEngine:
         slot, n_match = self._pick_slot(prompt_ids)
         if slot is None:
             return None
-        if len(prompt_ids) + n_predict > self.max_seq and not self.ctx_shift:
+        n_truncated = 0
+        if len(prompt_ids) >= self.max_seq:
+            if not truncate:
+                raise ValueError(f"prompt ({len(prompt_ids)}) >= max_seq {self.max_seq}")
+            # middle truncation (reference server.cpp prompt truncation):
+            # keep n_keep head tokens + the newest tail, leaving room to
+            # generate
+            room = max(1, min(n_predict, self.max_seq // 4))
+            target = self.max_seq - room
+            head = prompt_ids[:n_keep]
+            tail = prompt_ids[-(target - n_keep):]
+            n_truncated = len(prompt_ids) - len(head) - len(tail)
+            prompt_ids = head + tail
+            n_match = min(n_match, n_keep)
+        elif len(prompt_ids) + n_predict > self.max_seq and not self.ctx_shift:
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) + n_predict ({n_predict}) > max_seq {self.max_seq}"
             )
-        if len(prompt_ids) >= self.max_seq:
-            raise ValueError(f"prompt ({len(prompt_ids)}) >= max_seq {self.max_seq}")
         sampler = sampler or SamplerConfig()
         slot.state = SlotState.PREFILLING
         slot.request_id = request_id
@@ -324,8 +346,10 @@ class BatchedEngine:
         slot.pending = prompt_ids[n_match:]
         slot.n_predict = n_predict
         slot.n_past = n_match
-        slot.n_keep = 0
+        slot.n_keep = n_keep
         slot.n_shifted = 0
+        slot.n_truncated = n_truncated
+        slot.logprobs = []
         slot.sampler = sampler
         slot.chain = self._make_chain(sampler)
         slot.stop_reason = None
@@ -377,6 +401,7 @@ class BatchedEngine:
             )
         else:
             first = self._sample_host(np.asarray(last_logits), slot.prompt_ids, slot.sampler)
+        self._record_logprobs(slot, np.asarray(last_logits), first)
         slot.state = SlotState.GENERATING
         slot.generated = [first]
         slot.current_token = first
@@ -433,6 +458,23 @@ class BatchedEngine:
         chain.set_grammar(Grammar.from_string(src), grammar_vocab_from_tokenizer(self.tokenizer))
         return chain
 
+    @staticmethod
+    def _record_logprobs(slot: Slot, logits: np.ndarray, token: int):
+        """OpenAI-style logprob record from a raw logits row."""
+        n = slot.sampler.n_probs
+        if n <= 0:
+            return
+        lf = logits.astype(np.float64)
+        lf = lf - lf.max()
+        logp = lf - np.log(np.exp(lf).sum())
+        top_idx = np.argpartition(-logp, min(n, len(logp) - 1))[:n]
+        top_idx = top_idx[np.argsort(-logp[top_idx])]
+        slot.logprobs.append({
+            "token": int(token),
+            "logprob": float(logp[token]),
+            "top": [(int(t), float(logp[t])) for t in top_idx],
+        })
+
     def _sample_host(self, logits: np.ndarray, prev: list[int], sc: SamplerConfig) -> int:
         from ..sampling.samplers import SamplerChain, SamplerParams
 
@@ -481,7 +523,7 @@ class BatchedEngine:
             for s in active:
                 if s.n_past + 1 + spec_room >= self.max_seq:
                     self._maybe_shift(s)
-        if any(s.chain is not None for s in active):
+        if any(s.chain is not None or s.sampler.n_probs > 0 for s in active):
             return results + self._step_mixed(active)
         if (
             self.draft is not None
@@ -732,14 +774,16 @@ class BatchedEngine:
         request no longer drags the whole batch onto the host path
         (reference: per-slot sampler chains, server.cpp:3616-3652)."""
         t0 = time.perf_counter()
-        grammar_slots = [s for s in active if s.chain is not None]
+        host_slots = [
+            s for s in active if s.chain is not None or s.sampler.n_probs > 0
+        ]
         # bucket the gather size to bound compiled variants
         n_sel = 1
-        while n_sel < len(grammar_slots):
+        while n_sel < len(host_slots):
             n_sel *= 2
         n_sel = min(n_sel, self.n_slots)
         sel = np.zeros(n_sel, np.int32)
-        for i, s in enumerate(grammar_slots):
+        for i, s in enumerate(host_slots):
             sel[i] = s.id
 
         tokens = np.zeros((self.n_slots, 1), np.int32)
@@ -771,11 +815,15 @@ class BatchedEngine:
 
         results = []
         for s in active:
-            if s.chain is not None:
-                row = grammar_slots.index(s)
+            if s in host_slots:
+                row = host_slots.index(s)
                 prev = (s.prompt_ids + s.generated)[-RECENT:]
-                tok = s.chain.sample(sel_logits[row], prev)
-                s.chain.accept(tok, is_eog=tok in eog)
+                if s.chain is not None:
+                    tok = s.chain.sample(sel_logits[row], prev)
+                    s.chain.accept(tok, is_eog=tok in eog)
+                else:
+                    tok = self._sample_host(sel_logits[row], prev, s.sampler)
+                self._record_logprobs(s, sel_logits[row], tok)
             else:
                 tok = int(new_tokens[s.id])
             s.n_past += 1

@@ -27,13 +27,16 @@ from ..runtime.batch_engine import BatchedEngine, SamplerConfig, Slot, SlotState
 
 
 class PendingRequest:
-    def __init__(self, prompt_ids, n_predict, sampler, stop_strings, loop):
+    def __init__(self, prompt_ids, n_predict, sampler, stop_strings, loop,
+                 n_keep=0, truncate=True):
         self.id = f"req-{uuid.uuid4().hex[:12]}"
         self.prompt_ids = prompt_ids
         self.n_predict = n_predict
         self.sampler = sampler
         self.stop_strings = stop_strings or []
         self.loop = loop
+        self.n_keep = n_keep
+        self.truncate = truncate
         self.token_queue: asyncio.Queue = asyncio.Queue()
         self.cancelled = False
 
@@ -122,7 +125,8 @@ class InferenceServer:
             slot = None
             try:
                 slot = self.engine.add_request(
-                    req.prompt_ids, req.n_predict, req.sampler, req.id
+                    req.prompt_ids, req.n_predict, req.sampler, req.id,
+                    n_keep=req.n_keep, truncate=req.truncate,
                 )
             except ValueError as e:
                 req.emit(("error", str(e)))
@@ -136,7 +140,11 @@ class InferenceServer:
     def _finish(self, slot: Slot):
         req = self.by_slot.pop(slot.id, None)
         if req is not None:
-            req.emit(("done", slot.stop_reason or "stop"))
+            req.emit(("done", {
+                "reason": slot.stop_reason or "stop",
+                "logprobs": list(slot.logprobs),
+                "n_truncated": slot.n_truncated,
+            }))
         self.engine.release(slot)
 
     def _loop(self):
@@ -178,6 +186,14 @@ def _sampler_from_body(body: dict) -> SamplerConfig:
             json_schema = (rf.get("json_schema") or {}).get("schema", {})
         elif rft == "json_object":
             json_schema = rf.get("schema", {"type": "object", "additionalProperties": True})
+    # OpenAI logprobs: completions use `logprobs: <N>`, chat uses
+    # `logprobs: true` + `top_logprobs: N` (reference n_probs)
+    lp = body.get("logprobs")
+    n_probs = int(body.get("n_probs", 0) or 0)
+    if isinstance(lp, bool) and lp:
+        n_probs = max(n_probs, int(body.get("top_logprobs", 1) or 1))
+    elif isinstance(lp, int):
+        n_probs = max(n_probs, lp)
     return SamplerConfig(
         temp=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
@@ -187,12 +203,26 @@ def _sampler_from_body(body: dict) -> SamplerConfig:
         seed=body.get("seed"),
         grammar=grammar,
         json_schema=json_schema,
+        n_probs=n_probs,
     )
 
 
-def build_app(srv: InferenceServer) -> web.Application:
+def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Application:
     eng = srv.engine
     tok = eng.tokenizer
+
+    @web.middleware
+    async def auth_middleware(request, handler):
+        # API-key security (reference: tools/server/tests/unit/test_security.py):
+        # /health stays public, everything else needs Bearer <key>
+        if api_key and request.path not in ("/health",):
+            auth = request.headers.get("Authorization", "")
+            if auth != f"Bearer {api_key}":
+                return web.json_response(
+                    {"error": {"message": "Invalid API Key", "code": 401}},
+                    status=401,
+                )
+        return await handler(request)
 
     async def collect_or_stream(req_obj: PendingRequest, stream: bool, fmt, request):
         """fmt(tokens_text_delta, finished, reason) → SSE chunk dict."""
@@ -208,6 +238,7 @@ def build_app(srv: InferenceServer) -> web.Application:
         emitted_len = 0
         text_acc = ""
         finish_reason = "stop"
+        meta: dict = {}
         try:
             while True:
                 kind, value = await asyncio.wait_for(req_obj.token_queue.get(), timeout=600)
@@ -218,7 +249,11 @@ def build_app(srv: InferenceServer) -> web.Application:
                         return resp
                     raise web.HTTPBadRequest(text=json.dumps({"error": value}))
                 if kind == "done":
-                    finish_reason = value
+                    if isinstance(value, dict):
+                        meta = value
+                        finish_reason = value.get("reason", "stop")
+                    else:
+                        finish_reason = value
                     break
                 pieces.append(value)
                 text_acc = tok.detokenize(pieces)
@@ -246,7 +281,7 @@ def build_app(srv: InferenceServer) -> web.Application:
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
-        return text_acc, pieces, finish_reason
+        return text_acc, pieces, finish_reason, meta
 
     # -- endpoints ------------------------------------------------------------
 
@@ -338,9 +373,24 @@ def build_app(srv: InferenceServer) -> web.Application:
             _sampler_from_body(body),
             stop,
             asyncio.get_event_loop(),
+            n_keep=int(body.get("n_keep", 0) or 0),
+            truncate=bool(body.get("truncate", True)),
         )
         srv.submit(req_obj)
         return req_obj
+
+    def _logprobs_payload(meta, detok):
+        """OpenAI-ish logprobs block from the engine records."""
+        recs = meta.get("logprobs") or []
+        if not recs:
+            return None
+        return {
+            "tokens": [detok([r["token"]]) for r in recs],
+            "token_logprobs": [r["logprob"] for r in recs],
+            "top_logprobs": [
+                {detok([t]): lp for t, lp in r["top"]} for r in recs
+            ],
+        }
 
     async def completions(request):
         body = await request.json()
@@ -349,9 +399,11 @@ def build_app(srv: InferenceServer) -> web.Application:
             prompt_ids = list(prompt)
         else:
             prompt_ids = tok.tokenize(prompt, add_special=True, parse_special=True)
-        req_obj = _make_req(prompt_ids, body)
+        n_choices = max(1, int(body.get("n", 1) or 1))
         rid = f"cmpl-{uuid.uuid4().hex[:12]}"
         stream = bool(body.get("stream", False))
+        if stream and n_choices > 1:
+            raise web.HTTPBadRequest(text='{"error": "streaming supports n=1"}')
 
         def fmt(delta, finished, reason):
             return {
@@ -368,23 +420,33 @@ def build_app(srv: InferenceServer) -> web.Application:
                 ],
             }
 
-        result = await collect_or_stream(req_obj, stream, fmt, request)
         if stream:
-            return result
-        text, pieces, reason = result
+            req_obj = _make_req(prompt_ids, body)
+            return await collect_or_stream(req_obj, True, fmt, request)
+
+        # n > 1: one slot per choice (reference: multi-task requests)
+        reqs = [_make_req(prompt_ids, body) for _ in range(n_choices)]
+        choices = []
+        total_completion = 0
+        for i, req_obj in enumerate(reqs):
+            text, pieces, reason, meta = await collect_or_stream(req_obj, False, fmt, request)
+            total_completion += len(pieces)
+            choice = {"index": i, "text": text, "finish_reason": reason}
+            lp = _logprobs_payload(meta, tok.detokenize)
+            if lp is not None:
+                choice["logprobs"] = lp
+            choices.append(choice)
         return web.json_response(
             {
                 "id": rid,
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": srv.model_name,
-                "choices": [
-                    {"index": 0, "text": text, "finish_reason": reason}
-                ],
+                "choices": choices,
                 "usage": {
                     "prompt_tokens": len(prompt_ids),
-                    "completion_tokens": len(pieces),
-                    "total_tokens": len(prompt_ids) + len(pieces),
+                    "completion_tokens": total_completion,
+                    "total_tokens": len(prompt_ids) + total_completion,
                 },
             }
         )
@@ -428,7 +490,7 @@ def build_app(srv: InferenceServer) -> web.Application:
         result = await collect_or_stream(req_obj, stream, fmt, request)
         if stream:
             return result
-        text, pieces, reason = result
+        text, pieces, reason, meta = result
         parsed = parse_chat_output(text, fmt="auto" if tools else "none")
         message: dict = {"role": "assistant", "content": parsed.content or None}
         if parsed.reasoning_content:
@@ -445,19 +507,29 @@ def build_app(srv: InferenceServer) -> web.Application:
             reason = "tool_calls"
         if not parsed.tool_calls and not parsed.reasoning_content:
             message["content"] = text
+        choice = {"index": 0, "message": message, "finish_reason": reason}
+        recs = meta.get("logprobs") or []
+        if recs:  # OpenAI chat logprobs block
+            choice["logprobs"] = {
+                "content": [
+                    {
+                        "token": tok.detokenize([r["token"]]),
+                        "logprob": r["logprob"],
+                        "top_logprobs": [
+                            {"token": tok.detokenize([t]), "logprob": lp}
+                            for t, lp in r["top"]
+                        ],
+                    }
+                    for r in recs
+                ]
+            }
         return web.json_response(
             {
                 "id": rid,
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": srv.model_name,
-                "choices": [
-                    {
-                        "index": 0,
-                        "message": message,
-                        "finish_reason": reason,
-                    }
-                ],
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(prompt_ids),
                     "completion_tokens": len(pieces),
@@ -517,7 +589,7 @@ def build_app(srv: InferenceServer) -> web.Application:
         result = await collect_or_stream(req_obj, stream, fmt, request)
         if stream:
             return result
-        text, pieces, reason = result
+        text, pieces, reason, meta = result
         return web.json_response({"content": text, "stop_type": reason,
                                   "tokens_predicted": len(pieces)})
 
@@ -578,7 +650,7 @@ def build_app(srv: InferenceServer) -> web.Application:
 
         return web.Response(text=WEBUI_HTML, content_type="text/html")
 
-    app = web.Application()
+    app = web.Application(middlewares=[auth_middleware] if api_key else [])
     app.router.add_get("/", index)
     app.router.add_get("/health", health)
     app.router.add_get("/props", props)
@@ -618,6 +690,9 @@ def main(argv=None) -> int:
     ap.add_argument("--rerank-model", default=None,
                     help="BERT-family GGUF for /rerank and /embeddings "
                          "(rank-head cross-encoder)")
+    ap.add_argument("--api-key", default=None,
+                    help="require 'Authorization: Bearer <key>' on every "
+                         "endpoint except /health")
     ap.add_argument("--n-batch", type=int, default=256,
                     help="prompt tokens prefilled per engine step")
     ap.add_argument("--no-ctx-shift", action="store_true",
@@ -657,7 +732,7 @@ def main(argv=None) -> int:
     srv = InferenceServer(engine, model_name=args.model.rsplit("/", 1)[-1],
                           encoder=encoder)
     srv.start()
-    app = build_app(srv)
+    app = build_app(srv, api_key=args.api_key)
     web.run_app(app, host=args.host, port=args.port)
     srv.stop()
     return 0

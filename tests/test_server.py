@@ -459,3 +459,109 @@ def test_grammar_slot_does_not_degrade_others(tiny_gguf):
         return list(s1.generated)
 
     assert run(False) == run(True)
+
+
+# -----------------------------------------------------------------------------
+# Server feature tail: logprobs, n>1, truncation, API keys
+# -----------------------------------------------------------------------------
+
+
+def test_completion_logprobs(server_client):
+    client, loop = server_client
+
+    async def run():
+        r = await client.post("/v1/completions", json={
+            "prompt": [3, 17, 42], "n_predict": 4, "temperature": 0,
+            "logprobs": 3,
+        })
+        body = await r.json()
+        lp = body["choices"][0]["logprobs"]
+        assert len(lp["token_logprobs"]) == 4
+        assert all(len(t) == 3 for t in lp["top_logprobs"])
+        assert all(v <= 0 for v in lp["token_logprobs"])
+
+    loop.run_until_complete(run())
+
+
+def test_chat_logprobs(server_client):
+    client, loop = server_client
+
+    async def run():
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "<t1>"}],
+            "max_tokens": 3, "temperature": 0,
+            "logprobs": True, "top_logprobs": 2,
+        })
+        body = await r.json()
+        content = body["choices"][0]["logprobs"]["content"]
+        assert len(content) == 3
+        assert all(len(c["top_logprobs"]) == 2 for c in content)
+
+    loop.run_until_complete(run())
+
+
+def test_completion_n_choices(server_client):
+    client, loop = server_client
+
+    async def run():
+        r = await client.post("/v1/completions", json={
+            "prompt": [3, 17], "n_predict": 3, "temperature": 0, "n": 2,
+        })
+        body = await r.json()
+        assert len(body["choices"]) == 2
+        assert body["choices"][0]["index"] == 0 and body["choices"][1]["index"] == 1
+        # greedy: both choices identical
+        assert body["choices"][0]["text"] == body["choices"][1]["text"]
+
+    loop.run_until_complete(run())
+
+
+def test_prompt_truncation(tiny_gguf):
+    """Over-long prompts truncate in the middle keeping n_keep + tail
+    (reference server.cpp prompt truncation)."""
+    reader = GGUFReader(tiny_gguf)
+    cfg = config_from_gguf(reader)
+    tok2 = tokenizer_from_gguf(reader)
+    params = load_llama_params(reader, cfg, jnp.float32)
+    be = BatchedEngine(cfg, params, tok2, n_slots=1, max_seq=32, dtype=jnp.float32)
+    long_prompt = [int(x) for x in np.random.default_rng(0).integers(3, 90, 100)]
+    s = be.add_request(long_prompt, 4, SamplerConfig(temp=0.0), n_keep=2)
+    assert s.n_truncated > 0
+    assert s.prompt_ids[:2] == long_prompt[:2]  # n_keep head preserved
+    assert s.prompt_ids[-5:] == long_prompt[-5:]  # newest tail preserved
+    while s.stop_reason is None:
+        be.step()
+    assert len(s.generated) == 4
+    # truncate=False raises instead
+    be.release(s)
+    with pytest.raises(ValueError):
+        be.add_request(long_prompt, 4, SamplerConfig(temp=0.0), truncate=False)
+
+
+def test_api_key_auth(tiny_gguf, batched):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from llama_cpp_gfx906_tpu.server.app import InferenceServer, build_app
+
+    srv = InferenceServer(batched, model_name="tiny")
+    srv.start()
+    app = build_app(srv, api_key="sk-test-123")
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            r = await client.get("/health")   # public
+            assert r.status == 200
+            r = await client.get("/props")    # blocked
+            assert r.status == 401
+            r = await client.post("/tokenize", json={"content": "x"})
+            assert r.status == 401
+            r = await client.get("/props", headers={"Authorization": "Bearer sk-test-123"})
+            assert r.status == 200
+
+        loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        srv.stop()
+        loop.close()
