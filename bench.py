@@ -64,12 +64,14 @@ def main() -> None:
             shape=qt.shape,
         )
 
+    from llama_cpp_gfx906_tpu.runtime.weights import fuse_projections
+
     w_head = rng.standard_normal((V, D), dtype=np.float32) * 0.02
     params = {
         "tok_emb": jnp.asarray(w_head * 0.1, jnp.bfloat16),
         "out_norm": jnp.ones(D, jnp.float32),
         "lm_head": qmm.pack_gguf_tensor(quantize(w_head, QTYPE), QTYPE, (V, D)),
-        "layers": {
+        "layers": fuse_projections({
             "attn_norm": jnp.ones((L, D), jnp.float32),
             "ffn_norm": jnp.ones((L, D), jnp.float32),
             "wq": qstack(D, HqD),
@@ -79,7 +81,7 @@ def main() -> None:
             "w_gate": qstack(D, F),
             "w_up": qstack(D, F),
             "w_down": qstack(F, D),
-        },
+        }),
     }
 
     from functools import partial

@@ -171,13 +171,24 @@ def forward(
         p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l = layer
 
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg) if cfg.pre_norm else x
-        q = _lin(h, p, "wq")
-        k = _lin(h, p, "wk")
-        v = _lin(h, p, "wv")
-        if "bq" in p:
-            q = q + p["bq"]
-            k = k + p["bk"]
-            v = v + p["bv"]
+        Dq = cfg.n_heads * cfg.head_dim
+        Dkv = cfg.n_kv_heads * cfg.head_dim
+        if "wqkv_fused" in p:
+            # one launch for q/k/v (loader-fused; decode is launch-bound)
+            qkv = linear(h, p["wqkv_fused"])
+            if "bqkv_fused" in p:
+                qkv = qkv + p["bqkv_fused"]
+            q = qkv[..., :Dq]
+            k = qkv[..., Dq : Dq + Dkv]
+            v = qkv[..., Dq + Dkv :]
+        else:
+            q = _lin(h, p, "wq")
+            k = _lin(h, p, "wk")
+            v = _lin(h, p, "wv")
+            if "bq" in p:
+                q = q + p["bq"]
+                k = k + p["bk"]
+                v = v + p["bv"]
         if cfg.clamp_kqv > 0.0:  # dbrx clip_qkv
             q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
             k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
@@ -257,6 +268,11 @@ def forward(
                 mlp = mlp + shexp
             elif "w_gate" in p:  # shared expert alongside routed experts
                 mlp = mlp + _mlp(h, p["w_gate"], p["w_up"], p["w_down"], cfg.act_fn)
+        elif "wgateup_fused" in p:
+            gu = linear(h, p["wgateup_fused"])
+            g = gu[..., : cfg.n_ff]
+            u = gu[..., cfg.n_ff :]
+            mlp = _lin(_act(g, cfg.act_fn) * u, p, "w_down")
         elif cfg.ffn_gated:
             mlp = _mlp_p(h, p, cfg.act_fn)
         else:

@@ -121,13 +121,18 @@ def mha_with_cache(
                     sinks=sinks,
                 )
             return out.astype(q.dtype), k_store, v_store
-        if T * G <= 128:
+        if T * G <= 128 and quantized:
+            # int8 KV: the decode kernel dequantizes tiles in place — the
+            # whole-cache bf16 materialization below is exactly what it
+            # avoids.  (bf16 caches stay on the einsum path: XLA pipelines
+            # the full-cache read better than the short per-head grids at
+            # decode sizes — measured on-chip.)
             from .flash_decode import flash_decode
 
             out = flash_decode(
                 q, k_store, v_store, n_past, scale,
                 sliding_window=sliding_window, logit_softcap=logit_softcap,
-                sinks=sinks,
+                sinks=sinks, block_k=512,
             )
             return out.astype(q.dtype), k_store, v_store
 

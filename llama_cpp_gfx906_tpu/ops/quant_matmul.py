@@ -529,9 +529,18 @@ def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
 
 
 def quant_matmul(x: jnp.ndarray, qt: QuantTensor, use_pallas: bool | None = None) -> jnp.ndarray:
-    """x (..., K) @ quantized (K, N) — Pallas on TPU, XLA fallback elsewhere."""
+    """x (..., K) @ quantized (K, N) — Pallas on TPU, XLA fallback elsewhere.
+
+    Decode heuristic (measured on-chip): for tiny M and small weights the
+    Pallas launch + short grids dominate (~137 GB/s effective), while
+    XLA's fused dequant-dot pipelines better; big weights (lm_head-class)
+    stream near peak through the Pallas kernel (~690 GB/s)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        if jax.default_backend() in ("cpu",):
+            use_pallas = False
+        else:
+            M = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
+            use_pallas = M > 8 or qt.shape[0] * qt.shape[1] >= (1 << 23)
     if not use_pallas:
         return quant_matmul_xla(x, qt)
     return _quant_matmul_pallas(

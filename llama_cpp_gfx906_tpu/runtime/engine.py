@@ -193,7 +193,12 @@ class Engine:
     def apply_lora_file(self, path: str, scale: float = 1.0):
         """Attach a LoRA adapter GGUF (llama_set_adapter_lora analog)."""
         from .lora import LoraAdapter, apply_lora
+        from .weights import unfuse_projections
 
+        if "wqkv_fused" in self.params["layers"] or "wgateup_fused" in self.params["layers"]:
+            # adapters target per-projection names — split the fused mats
+            self.params = dict(self.params)
+            self.params["layers"] = unfuse_projections(self.params["layers"], self.cfg)
         self.params = apply_lora(self.params, LoraAdapter.from_gguf(path), scale)
 
     def clear_lora(self):

@@ -86,6 +86,11 @@ def apply_lora(params: dict, adapter: LoraAdapter, scale: float = 1.0, dtype=Non
 
     eff = scale * adapter.alpha / max(adapter.rank, 1)
     layers = dict(params["layers"])
+    if "wqkv_fused" in layers or "wgateup_fused" in layers:
+        raise ValueError(
+            "LoRA targets per-projection weights; load the model with "
+            "fuse=False (load_llama_params_quantized) to attach adapters"
+        )
     # number of layers from any stacked entry
     n_layers = None
     for v in layers.values():

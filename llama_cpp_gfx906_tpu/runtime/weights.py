@@ -261,17 +261,116 @@ def _pack_int8_g16(raw: np.ndarray, ggml_type: GGMLType, shape, put) -> QuantTen
     )
 
 
+def _concat_weights(parts: list, keys: list[str]):
+    """Concatenate stacked layer weights along the output dim — fuses
+    multiple projections into one matmul (fewer kernel launches per decode
+    step; the analog of the reference's fused wqkv fast path)."""
+    if all(isinstance(p, QuantTensor) for p in parts):
+        if len({(p.fmt, p.group, p.shape[0]) for p in parts}) != 1:
+            return None  # heterogeneous packing — keep separate
+        has_m = [p.m is not None for p in parts]
+        if any(has_m):
+            ms = [
+                p.m if p.m is not None else jnp.zeros_like(p.s) for p in parts
+            ]
+            m = jnp.concatenate(ms, axis=-1)
+        else:
+            m = None
+        return QuantTensor(
+            q=jnp.concatenate([p.q for p in parts], axis=-1),
+            s=jnp.concatenate([p.s for p in parts], axis=-1),
+            m=m,
+            fmt=parts[0].fmt,
+            group=parts[0].group,
+            shape=(parts[0].shape[0], sum(p.shape[1] for p in parts)),
+        )
+    if all(not isinstance(p, QuantTensor) for p in parts):
+        return jnp.concatenate(parts, axis=-1)
+    return None
+
+
+def fuse_projections(layers: dict) -> dict:
+    """Fuse q/k/v → wqkv and gate/up → wgateup in a stacked layer dict.
+
+    Skipped for layers with biases handled separately (biases fuse too)."""
+    out = dict(layers)
+    if all(k in layers for k in ("wq", "wk", "wv")):
+        fused = _concat_weights([layers["wq"], layers["wk"], layers["wv"]],
+                                ["wq", "wk", "wv"])
+        if fused is not None:
+            out["wqkv_fused"] = fused
+            for k in ("wq", "wk", "wv"):
+                del out[k]
+            if all(k in layers for k in ("bq", "bk", "bv")):
+                out["bqkv_fused"] = jnp.concatenate(
+                    [layers["bq"], layers["bk"], layers["bv"]], axis=-1
+                )
+                for k in ("bq", "bk", "bv"):
+                    del out[k]
+    if "w_gate" in layers and "w_up" in layers and "moe_gate" not in layers:
+        fused = _concat_weights([layers["w_gate"], layers["w_up"]], ["w_gate", "w_up"])
+        if fused is not None and "b_up" not in layers:
+            out["wgateup_fused"] = fused
+            del out["w_gate"]
+            del out["w_up"]
+    return out
+
+
+def _split_weight(w, sizes: list[int]):
+    """Inverse of _concat_weights: slice the output dim back apart."""
+    outs = []
+    off = 0
+    for n in sizes:
+        if isinstance(w, QuantTensor):
+            outs.append(QuantTensor(
+                q=w.q[..., off : off + n],
+                s=w.s[..., off : off + n],
+                m=w.m[..., off : off + n] if w.m is not None else None,
+                fmt=w.fmt, group=w.group, shape=(w.shape[0], n),
+            ))
+        else:
+            outs.append(w[..., off : off + n])
+        off += n
+    return outs
+
+
+def unfuse_projections(layers: dict, cfg: ModelConfig) -> dict:
+    """Split wqkv_fused / wgateup_fused back into per-projection weights
+    (needed before attaching LoRA adapters, which target them by name)."""
+    out = dict(layers)
+    if "wqkv_fused" in out:
+        Dq = cfg.n_heads * cfg.head_dim
+        Dkv = cfg.n_kv_heads * cfg.head_dim
+        out["wq"], out["wk"], out["wv"] = _split_weight(
+            out.pop("wqkv_fused"), [Dq, Dkv, Dkv]
+        )
+        if "bqkv_fused" in out:
+            b = out.pop("bqkv_fused")
+            out["bq"], out["bk"], out["bv"] = (
+                b[..., :Dq], b[..., Dq : Dq + Dkv], b[..., Dq + Dkv :]
+            )
+    if "wgateup_fused" in out:
+        out["w_gate"], out["w_up"] = _split_weight(
+            out.pop("wgateup_fused"), [cfg.n_ff, cfg.n_ff]
+        )
+    return out
+
+
 def load_llama_params_quantized(
     reader: GGUFReader | GGUFModelReader,
     cfg: ModelConfig,
     dtype=jnp.bfloat16,
     device_put_fn: Callable[[np.ndarray, str], jax.Array] | None = None,
+    fuse: bool | None = None,
 ) -> dict:
     """Like :func:`load_llama_params` but keeps matmul weights block-
     quantized on device (fused dequant happens inside ops/quant_matmul).
 
     Embeddings/norms dequantize to ``dtype`` (gather needs materialized
     rows); unsupported tensor types fall back to dequantized arrays.
+    ``fuse`` concatenates q/k/v and gate/up projections into single
+    matmuls (default: on for single-device loads — sharded loads keep
+    per-projection tensors so TP specs stay simple).
     """
     put_named = device_put_fn or (lambda arr, name: jnp.asarray(arr))
     qmm_ok = set(supported_qmm_types())
@@ -360,6 +459,10 @@ def load_llama_params_quantized(
                     arr = arr.astype(_np_dtype(dtype))
                 arrs.append(arr)
             layers[key] = put_named(np.stack(arrs), f"layers.{key}")
+    if fuse is None:
+        fuse = device_put_fn is None
+    if fuse:
+        layers = fuse_projections(layers)
     params["layers"] = layers
     return params
 
