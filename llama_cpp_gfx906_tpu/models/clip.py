@@ -32,6 +32,12 @@ class ClipConfig:
     eps: float = 1e-5
     feature_layer: int = -2  # llava: hidden states from the n-2'th layer
     use_class_token: bool = True
+    # projector family (clip.projector_type): "mlp" = llava 2-layer MLP;
+    # "gemma3" = SigLIP tower + 4×4 average pooling + gemma RMS norm +
+    # single input projection (clip.cpp PROJECTOR_TYPE_GEMMA3)
+    projector: str = "mlp"
+    act: str = "gelu_erf"  # "gelu_tanh" for SigLIP towers
+    mm_tokens_per_side: int = 0  # gemma3: pooled grid side (16 → 256 tokens)
 
     @property
     def n_patches(self) -> int:
@@ -75,16 +81,33 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
 
     n_run = cfg.n_layers + cfg.feature_layer + 1 if cfg.feature_layer < 0 else cfg.feature_layer
     hidden = x
+    tanh_act = cfg.act == "gelu_tanh"
     for il, p in enumerate(params["layers"]):
         if il >= n_run:
             break
         h = layer_norm(hidden, p["ln1"], p.get("ln1_b"), cfg.eps)
         hidden = hidden + _attn(h, p, cfg)
         h = layer_norm(hidden, p["ln2"], p.get("ln2_b"), cfg.eps)
-        h = jax.nn.gelu((h @ p["ffn_up"] + p["b_up"]).astype(jnp.float32), approximate=False).astype(h.dtype)
+        h = jax.nn.gelu((h @ p["ffn_up"] + p["b_up"]).astype(jnp.float32), approximate=tanh_act).astype(h.dtype)
         hidden = hidden + (h @ p["ffn_down"] + p["b_down"])
 
+    if "post_ln" in params:
+        hidden = layer_norm(hidden, params["post_ln"], params.get("post_ln_b"), cfg.eps)
+
     feats = hidden[:, 1:] if cfg.use_class_token else hidden  # drop CLS
+
+    if cfg.projector == "gemma3":
+        # SigLIP features → 4×4 average pool → gemma RMS norm → projection
+        # (clip.cpp PROJECTOR_TYPE_GEMMA3; HF Gemma3MultiModalProjector)
+        gp = cfg.image_size // cfg.patch_size
+        k = gp // max(cfg.mm_tokens_per_side, 1)
+        f = feats.reshape(B, gp // k, k, gp // k, k, cfg.n_embd)
+        f = f.mean(axis=(2, 4)).reshape(B, -1, cfg.n_embd)
+        ff = f.astype(jnp.float32)
+        rms = jax.lax.rsqrt((ff * ff).mean(-1, keepdims=True) + cfg.eps)
+        f = (ff * rms * (1.0 + params["mm_soft_norm"].astype(jnp.float32))).astype(feats.dtype)
+        return f @ params["mm_input_proj"]
+
     # llava 2-layer MLP projector (mm.0 / mm.2)
     y = feats @ params["mm0_w"] + params["mm0_b"]
     y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
@@ -98,16 +121,28 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
 
 def config_from_mmproj(reader) -> ClipConfig:
     g = lambda k, d=None: reader.get(k) if reader.get(k) is not None else d
+    projector = str(g("clip.projector_type", "mlp"))
+    gemma3 = projector == "gemma3"
+    img = int(g("clip.vision.image_size"))
+    patch = int(g("clip.vision.patch_size"))
     return ClipConfig(
-        image_size=int(g("clip.vision.image_size")),
-        patch_size=int(g("clip.vision.patch_size")),
+        image_size=img,
+        patch_size=patch,
         n_embd=int(g("clip.vision.embedding_length")),
         n_layers=int(g("clip.vision.block_count")),
         n_heads=int(g("clip.vision.attention.head_count")),
         n_ff=int(g("clip.vision.feed_forward_length")),
         proj_dim=int(g("clip.vision.projection_dim")),
         eps=float(g("clip.vision.attention.layer_norm_epsilon", 1e-5)),
-        feature_layer=int(g("clip.vision.feature_layer", -2)),
+        # gemma3 projects the final post-norm hidden states
+        feature_layer=int(g("clip.vision.feature_layer", -1 if gemma3 else -2)),
+        use_class_token=not gemma3,
+        projector=projector,
+        act="gelu_tanh" if gemma3 else "gelu_erf",
+        mm_tokens_per_side=int(
+            g("clip.vision.mm_tokens_per_side",
+              int(int(g("clip.vision.mm_tokens_per_image", 256)) ** 0.5) if gemma3 else 0)
+        ),
     )
 
 
@@ -129,11 +164,15 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
             ).astype(dtype)
         ),
         "pos_embd": w("v.position_embd.weight"),
-        "mm0_w": w("mm.0.weight", True),
-        "mm0_b": w("mm.0.bias"),
-        "mm2_w": w("mm.2.weight", True),
-        "mm2_b": w("mm.2.bias"),
     }
+    if cfg.projector == "gemma3":
+        params["mm_input_proj"] = w("mm.input_projection.weight")
+        params["mm_soft_norm"] = w("mm.soft_emb_norm.weight")
+    else:
+        params["mm0_w"] = w("mm.0.weight", True)
+        params["mm0_b"] = w("mm.0.bias")
+        params["mm2_w"] = w("mm.2.weight", True)
+        params["mm2_b"] = w("mm.2.bias")
     if "v.patch_embd.bias" in t:
         params["patch_b"] = w("v.patch_embd.bias")
     if "v.class_embd" in t:
@@ -141,6 +180,9 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
     if "v.pre_ln.weight" in t:
         params["pre_ln"] = w("v.pre_ln.weight")
         params["pre_ln_b"] = w("v.pre_ln.bias")
+    if "v.post_ln.weight" in t:
+        params["post_ln"] = w("v.post_ln.weight")
+        params["post_ln_b"] = w("v.post_ln.bias")
     layers = []
     for i in range(cfg.n_layers):
         b = f"v.blk.{i}."

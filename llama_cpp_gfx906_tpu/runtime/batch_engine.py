@@ -78,6 +78,10 @@ class Slot:
     # chunked prefill progress: prompt tokens not yet run, and the slot's
     # current KV fill while PREFILLING
     pending: list[int] = field(default_factory=list)
+    # multimodal prefill: remaining embedding rows (server vision API);
+    # aligned with `pending` placeholder tokens
+    pending_embeds: object = None  # np.ndarray (n, D) | None
+    no_cache: bool = False  # embed prompts aren't prefix-reusable
     n_keep: int = 0  # context-shift anchor (reference n_keep)
     n_shifted: int = 0  # total tokens discarded by context shifts
     n_truncated: int = 0  # prompt tokens dropped at admission
@@ -91,10 +95,12 @@ class Slot:
         # was never forwarded) — trim so prefix matching can't reuse a row
         # that was never written; a shifted context no longer maps rows to
         # token history, so it is not reusable at all
-        if self.n_shifted:
+        if self.n_shifted or self.no_cache:
             self.cache_tokens = []
         else:
             self.cache_tokens = (self.prompt_ids + self.generated)[: self.n_past]
+        self.pending_embeds = None
+        self.no_cache = False
         self.prompt_ids = []
         self.generated = []
         self.pending = []
@@ -252,6 +258,21 @@ class BatchedEngine:
             v = jax.lax.dynamic_update_slice_in_dim(v, v2, slot, axis=1)
             return k, v
 
+        @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
+        def _prefill_suffix_embeds(params, cfg, kv_k, kv_v, embeds, n_tokens, slot, n_match):
+            """Chunked prefill from precomputed embeddings (server vision
+            API: image features spliced into the prompt — mtmd chunks)."""
+            k1 = jax.lax.dynamic_slice_in_dim(kv_k, slot, 1, axis=1)
+            v1 = jax.lax.dynamic_slice_in_dim(kv_v, slot, 1, axis=1)
+            kv1 = KVCache(k1, v1, jnp.full((1,), n_match, jnp.int32))
+            tokens = jnp.zeros(embeds.shape[:2], jnp.int32)
+            logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, embeds=embeds)
+            k = jax.lax.dynamic_update_slice_in_dim(kv_k, kv1.k, slot, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(kv_v, kv1.v, slot, axis=1)
+            return logits[0, n_tokens[0] - 1], k, v
+
+        self._prefill_suffix_embeds = _prefill_suffix_embeds
+
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
         def _decode_argmax(params, cfg, tokens, kv):
             """Greedy batched decode step (the draft model's proposal loop)."""
@@ -308,6 +329,7 @@ class BatchedEngine:
         request_id: str = "",
         n_keep: int = 0,
         truncate: bool = True,
+        prompt_embeds=None,  # np (len(prompt_ids), D): multimodal prefill
     ) -> Slot | None:
         """Assign a prompt to a free slot; returns None when saturated.
 
@@ -317,11 +339,23 @@ class BatchedEngine:
         update_slots prompt chunking, server.cpp:3104-3476).  Reuses the
         slot's cached KV prefix when the new prompt extends a previous one
         (server.cpp:3248-3266)."""
-        slot, n_match = self._pick_slot(prompt_ids)
+        if prompt_embeds is not None:
+            # embed prompts bypass the prefix cache (rows aren't reusable
+            # by token identity) and never truncate
+            slot = self.free_slot()
+            if slot is None:
+                return None
+            if len(prompt_ids) >= self.max_seq:
+                raise ValueError(
+                    f"prompt ({len(prompt_ids)}) >= max_seq {self.max_seq}"
+                )
+            n_match = 0
+        else:
+            slot, n_match = self._pick_slot(prompt_ids)
         if slot is None:
             return None
         n_truncated = 0
-        if len(prompt_ids) >= self.max_seq:
+        if prompt_embeds is None and len(prompt_ids) >= self.max_seq:
             if not truncate:
                 raise ValueError(f"prompt ({len(prompt_ids)}) >= max_seq {self.max_seq}")
             # middle truncation (reference server.cpp prompt truncation):
@@ -349,6 +383,10 @@ class BatchedEngine:
         slot.n_keep = n_keep
         slot.n_shifted = 0
         slot.n_truncated = n_truncated
+        slot.pending_embeds = (
+            np.asarray(prompt_embeds, np.float32) if prompt_embeds is not None else None
+        )
+        slot.no_cache = prompt_embeds is not None
         slot.logprobs = []
         slot.sampler = sampler
         slot.chain = self._make_chain(sampler)
@@ -378,13 +416,23 @@ class BatchedEngine:
         chunk = slot.pending[:take]
         ns = len(chunk)
         padded = min(max(bucket_len(ns), 1), self.max_seq - slot.n_past)
-        toks = np.zeros((1, padded), np.int32)
-        toks[0, :ns] = chunk
-        last_logits, k, v = self._prefill_suffix(
-            self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(toks),
-            jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
-            jnp.asarray(slot.n_past, jnp.int32),
-        )
+        if slot.pending_embeds is not None:
+            emb = np.zeros((1, padded, slot.pending_embeds.shape[-1]), np.float32)
+            emb[0, :ns] = slot.pending_embeds[:ns]
+            slot.pending_embeds = slot.pending_embeds[ns:]
+            last_logits, k, v = self._prefill_suffix_embeds(
+                self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(emb),
+                jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
+                jnp.asarray(slot.n_past, jnp.int32),
+            )
+        else:
+            toks = np.zeros((1, padded), np.int32)
+            toks[0, :ns] = chunk
+            last_logits, k, v = self._prefill_suffix(
+                self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(toks),
+                jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
+                jnp.asarray(slot.n_past, jnp.int32),
+            )
         self.kv = KVCache(k, v, n_past=self.kv.n_past)
         slot.pending = slot.pending[ns:]
         slot.n_past += ns

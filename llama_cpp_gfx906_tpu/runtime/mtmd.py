@@ -12,6 +12,29 @@ import numpy as np
 
 IMAGE_MARKER = "<image>"
 
+# CLIP-family defaults (clip.cpp image_mean/image_std fallbacks)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_image_bytes(
+    data: bytes,
+    image_size: int,
+    mean=CLIP_MEAN,
+    std=CLIP_STD,
+) -> np.ndarray:
+    """Encoded image bytes → normalized (3, S, S) float32 pixels (the stb
+    load + bicubic resize + normalize pipeline of clip.cpp)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    img = img.resize((image_size, image_size), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0  # (S, S, 3)
+    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
 
 class MtmdEngine:
     """Wraps a text Engine with a CLIP encoder + projector (mmproj GGUF)."""

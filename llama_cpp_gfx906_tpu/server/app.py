@@ -28,7 +28,7 @@ from ..runtime.batch_engine import BatchedEngine, SamplerConfig, Slot, SlotState
 
 class PendingRequest:
     def __init__(self, prompt_ids, n_predict, sampler, stop_strings, loop,
-                 n_keep=0, truncate=True):
+                 n_keep=0, truncate=True, prompt_embeds=None):
         self.id = f"req-{uuid.uuid4().hex[:12]}"
         self.prompt_ids = prompt_ids
         self.n_predict = n_predict
@@ -37,6 +37,7 @@ class PendingRequest:
         self.loop = loop
         self.n_keep = n_keep
         self.truncate = truncate
+        self.prompt_embeds = prompt_embeds  # multimodal prefill rows
         self.token_queue: asyncio.Queue = asyncio.Queue()
         self.cancelled = False
 
@@ -48,18 +49,59 @@ class InferenceServer:
     """Owns the engine thread and the task queue (server_queue analog)."""
 
     def __init__(self, engine: BatchedEngine, model_name: str = "model",
-                 encoder=None):
+                 encoder=None, clip=None):
         self.engine = engine
         self.model_name = model_name
         # optional EncoderEngine (BERT family): real pooled embeddings and
         # rank-head rerank (reference: --embedding / rerank models)
         self.encoder = encoder
+        # optional (clip_cfg, clip_params) from an mmproj GGUF — enables
+        # the multimodal chat API (reference: server vision via mtmd)
+        self.clip = clip
+        self._tok_emb_np = None
         self.tasks: queue.Queue[PendingRequest] = queue.Queue()
         self.by_slot: dict[int, PendingRequest] = {}
         self.running = False
         self.thread: threading.Thread | None = None
         self.t_start = time.time()
         self.deferred: list[PendingRequest] = []
+
+    def build_image_embeds(self, prompt_ids_parts, image_datas):
+        """Interleave text-token embeddings with encoded image features.
+
+        ``prompt_ids_parts``: list of token-id lists (len = images + 1);
+        ``image_datas``: list of raw image bytes.  Returns (embeds, ids)."""
+        import numpy as np
+
+        from ..models.clip import encode_image
+        from ..runtime.mtmd import preprocess_image_bytes
+
+        if self.clip is None:
+            raise ValueError("server started without --mmproj")
+        clip_cfg, clip_params = self.clip
+        if self._tok_emb_np is None:
+            self._tok_emb_np = np.asarray(self.engine.params["tok_emb"], np.float32)
+        import jax.numpy as jnp
+
+        rows, ids = [], []
+        for i, part_ids in enumerate(prompt_ids_parts):
+            if part_ids:
+                rows.append(self._tok_emb_np[part_ids])
+                ids.extend(part_ids)
+            if i < len(image_datas):
+                px = preprocess_image_bytes(image_datas[i], clip_cfg.image_size)
+                feats = np.asarray(
+                    encode_image(clip_params, clip_cfg, jnp.asarray(px[None]))
+                )[0].astype(np.float32)
+                # forward() rescales all embeds by embedding_scale; image
+                # features must arrive unscaled (HF inserts them after the
+                # text normalizer)
+                if self.engine.cfg.embedding_scale != 1.0:
+                    feats = feats / self.engine.cfg.embedding_scale
+                rows.append(feats)
+                ids.extend([0] * feats.shape[0])
+        embeds = np.concatenate(rows, axis=0)
+        return embeds, ids
 
     def start(self):
         self.running = True
@@ -127,6 +169,7 @@ class InferenceServer:
                 slot = self.engine.add_request(
                     req.prompt_ids, req.n_predict, req.sampler, req.id,
                     n_keep=req.n_keep, truncate=req.truncate,
+                    prompt_embeds=req.prompt_embeds,
                 )
             except ValueError as e:
                 req.emit(("error", str(e)))
@@ -362,7 +405,7 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
         body = await request.json()
         return web.json_response({"content": tok.detokenize(list(body.get("tokens", [])))})
 
-    def _make_req(prompt_ids, body) -> PendingRequest:
+    def _make_req(prompt_ids, body, prompt_embeds=None) -> PendingRequest:
         n_predict = int(body.get("n_predict", body.get("max_tokens", 128)) or 128)
         stop = body.get("stop") or []
         if isinstance(stop, str):
@@ -375,6 +418,7 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
             asyncio.get_event_loop(),
             n_keep=int(body.get("n_keep", 0) or 0),
             truncate=bool(body.get("truncate", True)),
+            prompt_embeds=prompt_embeds,
         )
         srv.submit(req_obj)
         return req_obj
@@ -452,20 +496,58 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
         )
 
     async def chat_completions(request):
+        import base64
+
         from ..chat import parse_chat_output, render_chat_template
 
         body = await request.json()
         messages = body.get("messages", [])
         tools = body.get("tools")
+
+        # multimodal content parts (reference: server vision API via mtmd):
+        # flatten list-content into text with markers, collecting images
+        IMG_MARK = "\x00<__media__>\x00"
+        image_datas: list[bytes] = []
+        flat_messages = []
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, list):
+                text_parts = []
+                for part in c:
+                    if part.get("type") == "image_url":
+                        url = (part.get("image_url") or {}).get("url", "")
+                        if not url.startswith("data:"):
+                            raise web.HTTPBadRequest(
+                                text='{"error": "only data: image URLs supported"}')
+                        image_datas.append(base64.b64decode(url.split(",", 1)[1]))
+                        text_parts.append(IMG_MARK)
+                    else:
+                        text_parts.append(part.get("text", ""))
+                flat_messages.append({**m, "content": "".join(text_parts)})
+            else:
+                flat_messages.append(m)
+
         v = tok.vocab
         bos = v.tokens[v.special.bos] if v.special.bos is not None else ""
         eos = v.tokens[v.special.eos] if v.special.eos is not None else ""
         prompt = render_chat_template(
-            v.chat_template, messages, add_generation_prompt=True,
+            v.chat_template, flat_messages, add_generation_prompt=True,
             bos_token=bos, eos_token=eos, tools=tools,
         )
-        prompt_ids = tok.tokenize(prompt, add_special=True, parse_special=True)
-        req_obj = _make_req(prompt_ids, body)
+        prompt_embeds = None
+        if image_datas:
+            parts = prompt.split(IMG_MARK)
+            id_parts = [
+                tok.tokenize(p, add_special=(i == 0), parse_special=True)
+                for i, p in enumerate(parts)
+            ]
+            loop = asyncio.get_event_loop()
+            prompt_embeds, prompt_ids = await loop.run_in_executor(
+                None, srv.build_image_embeds, id_parts, image_datas
+            )
+        else:
+            prompt_ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        req_obj = _make_req(prompt_ids, body, prompt_embeds=prompt_embeds)
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         stream = bool(body.get("stream", False))
 
@@ -693,6 +775,9 @@ def main(argv=None) -> int:
     ap.add_argument("--api-key", default=None,
                     help="require 'Authorization: Bearer <key>' on every "
                          "endpoint except /health")
+    ap.add_argument("--mmproj", default=None,
+                    help="CLIP/SigLIP mmproj GGUF — enables image_url parts "
+                         "in /v1/chat/completions (server vision API)")
     ap.add_argument("--n-batch", type=int, default=256,
                     help="prompt tokens prefilled per engine step")
     ap.add_argument("--no-ctx-shift", action="store_true",
@@ -729,8 +814,14 @@ def main(argv=None) -> int:
         from ..runtime.encoder import EncoderEngine
 
         encoder = EncoderEngine.from_gguf(args.rerank_model)
+    clip = None
+    if args.mmproj:
+        from ..gguf.reader import GGUFReader as _GR
+        from ..models.clip import load_mmproj
+
+        clip = load_mmproj(_GR(args.mmproj))
     srv = InferenceServer(engine, model_name=args.model.rsplit("/", 1)[-1],
-                          encoder=encoder)
+                          encoder=encoder, clip=clip)
     srv.start()
     app = build_app(srv, api_key=args.api_key)
     web.run_app(app, host=args.host, port=args.port)

@@ -1314,3 +1314,66 @@ def convert_hf_granitemoe(model, tokenizer_vocab, out_path: str, quant_type=GGML
     if "lm_head.weight" in state:
         add("output.weight", state["lm_head.weight"])
     return w.write()
+
+
+def convert_hf_gemma3_vision(model, out_path: str, mm_tokens_per_image: int = 256,
+                             quant_type=GGMLType.F32) -> str:
+    """Gemma3 SigLIP vision tower + multimodal projector → mmproj GGUF
+    (clip.cpp PROJECTOR_TYPE_GEMMA3; tensor names per clip-impl.h).
+
+    ``model`` is a Gemma3ForConditionalGeneration or anything exposing
+    ``vision_tower.vision_model`` + ``multi_modal_projector``."""
+    vt = model.vision_tower.vision_model
+    proj = model.multi_modal_projector
+    vc = vt.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in vt.state_dict().items()}
+
+    w = GGUFWriter(out_path, "clip")
+    w.add_string(Keys.General.NAME, "gemma3-mmproj-convert")
+    w.add_string("clip.projector_type", "gemma3")
+    w.add_uint32("clip.vision.image_size", vc.image_size)
+    w.add_uint32("clip.vision.patch_size", vc.patch_size)
+    w.add_uint32("clip.vision.embedding_length", vc.hidden_size)
+    w.add_uint32("clip.vision.block_count", vc.num_hidden_layers)
+    w.add_uint32("clip.vision.attention.head_count", vc.num_attention_heads)
+    w.add_uint32("clip.vision.feed_forward_length", vc.intermediate_size)
+    w.add_uint32("clip.vision.projection_dim",
+                 proj.mm_input_projection_weight.shape[1])
+    w.add_float32("clip.vision.attention.layer_norm_epsilon", vc.layer_norm_eps)
+    w.add_uint32("clip.vision.mm_tokens_per_image", mm_tokens_per_image)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim <= 1 or "norm" in name or "ln" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, np.ascontiguousarray(arr), t)
+
+    add("v.patch_embd.weight", state["embeddings.patch_embedding.weight"])
+    add("v.patch_embd.bias", state["embeddings.patch_embedding.bias"])
+    add("v.position_embd.weight", state["embeddings.position_embedding.weight"])
+    for i in range(vc.num_hidden_layers):
+        p = f"encoder.layers.{i}."
+        b = f"v.blk.{i}."
+        add(b + "ln1.weight", state[p + "layer_norm1.weight"])
+        add(b + "ln1.bias", state[p + "layer_norm1.bias"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_q.bias", state[p + "self_attn.q_proj.bias"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_k.bias", state[p + "self_attn.k_proj.bias"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_v.bias", state[p + "self_attn.v_proj.bias"])
+        add(b + "attn_out.weight", state[p + "self_attn.out_proj.weight"])
+        add(b + "attn_out.bias", state[p + "self_attn.out_proj.bias"])
+        add(b + "ln2.weight", state[p + "layer_norm2.weight"])
+        add(b + "ln2.bias", state[p + "layer_norm2.bias"])
+        add(b + "ffn_up.weight", state[p + "mlp.fc1.weight"])
+        add(b + "ffn_up.bias", state[p + "mlp.fc1.bias"])
+        add(b + "ffn_down.weight", state[p + "mlp.fc2.weight"])
+        add(b + "ffn_down.bias", state[p + "mlp.fc2.bias"])
+    add("v.post_ln.weight", state["post_layernorm.weight"])
+    add("v.post_ln.bias", state["post_layernorm.bias"])
+    add("mm.input_projection.weight",
+        proj.mm_input_projection_weight.detach().cpu().float().numpy())
+    add("mm.soft_emb_norm.weight",
+        proj.mm_soft_emb_norm.weight.detach().cpu().float().numpy())
+    return w.write()
