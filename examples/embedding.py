@@ -3,6 +3,13 @@
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# honor forced-CPU runs (the axon plugin overrides JAX_PLATFORMS at
+# discovery; only jax.config wins — same workaround as tests/conftest.py)
+import os as _os2
+if _os2.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 import argparse
 
 import numpy as np

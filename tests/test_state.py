@@ -176,7 +176,13 @@ def test_seq_div_self_extend(model_path):
     from llama_cpp_gfx906_tpu.models.llama import _norm
 
     h = _norm(jnp2.asarray(emb), layers["attn_norm"][0], None, eng.cfg)
-    k_raw = (h @ layers["wk"][0]).reshape(1, 8, eng.cfg.n_kv_heads, eng.cfg.head_dim)
+    if "wk" in layers:
+        wk0 = layers["wk"][0]
+    else:  # loader-fused qkv: slice the K block back out
+        Dq = eng.cfg.n_heads * eng.cfg.head_dim
+        Dkv = eng.cfg.n_kv_heads * eng.cfg.head_dim
+        wk0 = layers["wqkv_fused"][0][:, Dq : Dq + Dkv]
+    k_raw = (h @ wk0).reshape(1, 8, eng.cfg.n_kv_heads, eng.cfg.head_dim)
     inv = jnp2.asarray(rope_frequencies(eng.cfg))
     k_want = apply_rope(k_raw, jnp2.asarray([want_pos]), inv, eng.cfg.rope_interleaved)
     np.testing.assert_allclose(
