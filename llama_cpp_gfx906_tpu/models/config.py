@@ -70,7 +70,8 @@ class ModelConfig:
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
-    ssm_dt_rank: int = 0
+    ssm_dt_rank: int = 0  # mamba1: dt low-rank; mamba2: head count (reference :11163)
+    ssm_n_group: int = 1  # mamba2 B/C group count ({arch}.ssm.group_count)
     # MLA (deepseek2 family) hyperparameters
     q_lora_rank: int = 0
     kv_lora_rank: int = 0
@@ -409,5 +410,16 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
             ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 16)),
             ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)),
+        )
+    elif arch == "mamba2":
+        # dt_rank carries the head count; d_state defaults large (128)
+        # (reference LLM_ARCH_MAMBA2 hparams, src/llama-model.cpp:1172)
+        cfg = cfg.with_(
+            pos_emb="none",
+            ssm_d_conv=int(g(Keys.SSM.CONV_KERNEL, 4)),
+            ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
+            ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 128)),
+            ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (2 * n_embd) // 64)),
+            ssm_n_group=int(g(Keys.SSM.GROUP_COUNT, 1)),
         )
     return cfg

@@ -25,6 +25,7 @@ ATTENTION_ARCHS = {
 }
 
 RECURRENT_ARCHS = {"mamba"}
+MAMBA2_ARCHS = {"mamba2"}
 HYBRID_ARCHS = {"jamba"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
@@ -66,6 +67,20 @@ def _mamba_family() -> ModelFamily:
         name="mamba",
         forward=forward,
         make_cache=lambda cfg, batch, max_seq, dtype: MambaState.create(cfg, batch, max_seq, dtype),
+        load_params=load,
+    )
+
+
+def _mamba2_family() -> ModelFamily:
+    from .mamba2 import Mamba2State, forward, load_params
+
+    def load(reader, cfg, dtype, device_put_fn=None, keep_quantized=True):
+        return load_params(reader, cfg, dtype, device_put_fn)
+
+    return ModelFamily(
+        name="mamba2",
+        forward=forward,
+        make_cache=lambda cfg, batch, max_seq, dtype: Mamba2State.create(cfg, batch, max_seq, dtype),
         load_params=load,
     )
 
@@ -136,6 +151,8 @@ def _rwkv7_family() -> ModelFamily:
 def get_family(cfg: ModelConfig) -> ModelFamily:
     if cfg.arch in RECURRENT_ARCHS:
         return _mamba_family()
+    if cfg.arch in MAMBA2_ARCHS:
+        return _mamba2_family()
     if cfg.arch in RWKV_ARCHS:
         return _rwkv6_family()
     if cfg.arch in RWKV7_ARCHS:

@@ -49,6 +49,50 @@ def causal_conv1d(
     return y.astype(x.dtype), new_state
 
 
+def ssd_scan(
+    x: jnp.ndarray,  # (B, T, H, P)   per-head inputs (V in SSM/attn duality)
+    dt: jnp.ndarray,  # (B, T, H)     softplus'd per-head step sizes
+    A: jnp.ndarray,  # (H,)           negative per-head decay (= -exp(A_log))
+    Bmat: jnp.ndarray,  # (B, T, G, N)  input gate (K in the duality)
+    Cmat: jnp.ndarray,  # (B, T, G, N)  output gate (Q in the duality)
+    ssm_state: jnp.ndarray,  # (B, H, P, N)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mamba-2 state-space-duality scan (scalar A per head):
+    h_t = exp(dt_t·A)·h_{t-1} + dt_t·x_t⊗B_t,  y_t = h_t·C_t.
+
+    The ``reference ggml_ssm_scan`` analog for the mamba2 layer
+    (build_mamba2_layer, src/llama-model.cpp:11149); groups broadcast
+    B/C to their H/G heads.  D-skip and gating live in the caller.
+    Returns (y (B, T, H, P), final state)."""
+    Bsz, T, H, P = x.shape
+    G = Bmat.shape[2]
+    rep = H // G
+    xf = x.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    dA = jnp.exp(dtf * A.astype(jnp.float32)[None, None, :])  # (B, T, H)
+    # broadcast groups to heads: (B, T, G, N) -> (B, T, H, N)
+    Bh = jnp.repeat(Bmat.astype(jnp.float32), rep, axis=2)
+    Ch = jnp.repeat(Cmat.astype(jnp.float32), rep, axis=2)
+    dtx = dtf[..., None] * xf  # (B, T, H, P)
+
+    def step(h, inputs):
+        # outer product formed inside the step: keeps the big (H, P, N)
+        # intermediate out of the scanned arrays (O(B·H·P·N), not O(T·…))
+        dA_t, dtx_t, B_t, C_t = inputs
+        h = dA_t[:, :, None, None] * h + dtx_t[..., None] * B_t[:, :, None, :]
+        y = jnp.einsum("bhpn,bhn->bhp", h, C_t)
+        return h, y
+
+    h_final, ys = jax.lax.scan(
+        step,
+        ssm_state.astype(jnp.float32),
+        (dA.transpose(1, 0, 2), dtx.transpose(1, 0, 2, 3),
+         Bh.transpose(1, 0, 2, 3), Ch.transpose(1, 0, 2, 3)),
+    )
+    y = ys.transpose(1, 0, 2, 3)  # (B, T, H, P)
+    return y.astype(x.dtype), h_final.astype(ssm_state.dtype)
+
+
 def selective_scan(
     x: jnp.ndarray,  # (B, T, C)     conv+silu output
     dt: jnp.ndarray,  # (B, T, C)    softplus'd step sizes

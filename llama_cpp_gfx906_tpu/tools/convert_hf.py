@@ -974,6 +974,63 @@ def convert_hf_mamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.
     return w.write()
 
 
+def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Mamba2ForCausalLM → GGUF (arch "mamba2").
+
+    Mirrors the reference converter (convert_hf_to_gguf.py Mamba2Model):
+    A_log → -exp(A_log) reshaped (H, 1), D reshaped (H, 1), conv1d weight
+    squeezed, ssm_norm reshaped (G, d_inner/G), dt_rank key carries the
+    head count."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    d_inner = getattr(hf, "intermediate_size", None) or 2 * hf.hidden_size
+    n_group = getattr(hf, "n_groups", 1)
+    n_head = getattr(hf, "num_heads", d_inner // getattr(hf, "head_dim", 64))
+
+    w = GGUFWriter(out_path, "mamba2")
+    w.add_string(Keys.General.NAME, "mamba2-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 2**20)  # recurrent: unbounded
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, 0)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, 0)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, getattr(hf, "layer_norm_epsilon", 1e-5))
+    w.add_uint32(Keys.SSM.CONV_KERNEL, getattr(hf, "conv_kernel", 4))
+    w.add_uint32(Keys.SSM.STATE_SIZE, getattr(hf, "state_size", 128))
+    w.add_uint32(Keys.SSM.INNER_SIZE, d_inner)
+    w.add_uint32(Keys.SSM.TIME_STEP_RANK, n_head)
+    w.add_uint32(Keys.SSM.GROUP_COUNT, n_group)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        t = GGMLType.F32 if (f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["backbone.embeddings.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"backbone.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "norm.weight"])
+        add(b + "ssm_in.weight", state[p + "mixer.in_proj.weight"])
+        add(b + "ssm_conv1d.weight", state[p + "mixer.conv1d.weight"].squeeze(1), f32=True)
+        if p + "mixer.conv1d.bias" in state:
+            add(b + "ssm_conv1d.bias", state[p + "mixer.conv1d.bias"])
+        add(b + "ssm_dt.bias", state[p + "mixer.dt_bias"])
+        add(b + "ssm_a", -np.exp(state[p + "mixer.A_log"]).reshape(n_head, 1), f32=True)
+        add(b + "ssm_d", state[p + "mixer.D"].reshape(n_head, 1), f32=True)
+        add(b + "ssm_norm.weight", state[p + "mixer.norm.weight"].reshape(n_group, d_inner // n_group), f32=True)
+        add(b + "ssm_out.weight", state[p + "mixer.out_proj.weight"])
+    add("output_norm.weight", state["backbone.norm_f.weight"])
+    if "lm_head.weight" in state and not np.array_equal(
+        state["lm_head.weight"], state["backbone.embeddings.weight"]
+    ):
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_phi(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers PhiForCausalLM (phi-2 lineage) → GGUF (arch "phi2").
 
