@@ -411,6 +411,18 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 16)),
             ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)),
         )
+    elif arch == "falcon-h1":
+        # parallel attention+mamba2 layers; NEOX rope; all Falcon-H1
+        # multipliers are baked into the weights at convert time
+        # (reference llm_build_falcon_h1, src/llama-model.cpp:16600)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            ssm_d_conv=int(g(Keys.SSM.CONV_KERNEL, 4)),
+            ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
+            ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 128)),
+            ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (2 * n_embd) // 64)),
+            ssm_n_group=int(g(Keys.SSM.GROUP_COUNT, 1)),
+        )
     elif arch == "mamba2":
         # dt_rank carries the head count; d_state defaults large (128)
         # (reference LLM_ARCH_MAMBA2 hparams, src/llama-model.cpp:1172)

@@ -57,6 +57,48 @@ class Mamba2State:
 jax.tree_util.register_dataclass(Mamba2State, ["conv", "ssm", "n_past"], [])
 
 
+def mamba2_block(h, p, cfg: ModelConfig, conv_state, ssm_state, valid, nt):
+    """One mamba2 mixer on pre-normed input ``h`` (B, T, n_embd).
+
+    Shared by the pure-mamba2 stack and hybrid archs (falcon-h1's parallel
+    attention+SSM layer, reference llm_build_falcon_h1).  Returns
+    (out (B, T, n_embd), conv_state, ssm_state)."""
+    B, T, _ = h.shape
+    d_inner = cfg.ssm_d_inner
+    H = cfg.ssm_dt_rank
+    P = d_inner // H
+    G = cfg.ssm_n_group
+    N = cfg.ssm_d_state
+
+    zxbcdt = linear(h, p["ssm_in"])  # (B, T, 2·d_inner + 2·G·N + H)
+    z = zxbcdt[..., :d_inner]
+    xBC = zxbcdt[..., d_inner : 2 * d_inner + 2 * G * N]
+    dt = zxbcdt[..., 2 * d_inner + 2 * G * N :]  # (B, T, H)
+
+    xBC, conv_state = causal_conv1d(xBC, conv_state, p["conv_w"], p.get("conv_b"), nt)
+    xBC = jax.nn.silu(xBC.astype(jnp.float32)).astype(h.dtype)
+
+    xs = xBC[..., :d_inner].reshape(B, T, H, P)
+    Bm = xBC[..., d_inner : d_inner + G * N].reshape(B, T, G, N)
+    Cm = xBC[..., d_inner + G * N :].reshape(B, T, G, N)
+
+    dt = jax.nn.softplus(dt.astype(jnp.float32) + p["ssm_dt_b"].astype(jnp.float32))
+    dt = dt * valid  # dt=0 → exp(dt·A)=1, dt·x·B=0: padded rows are no-ops
+
+    y, ssm_state = ssd_scan(xs, dt.astype(h.dtype), p["ssm_a"], Bm, Cm, ssm_state)
+    y = y + p["ssm_d"].astype(jnp.float32)[None, None, :, None] * xs.astype(jnp.float32)
+    # gate then grouped RMS norm (ggml_swiglu_split + grouped build_norm);
+    # ssm_norm is optional in the reference graph (falcon-h1 with
+    # mamba_rms_norm=false ships without it)
+    y = y.reshape(B, T, d_inner) * jax.nn.silu(z.astype(jnp.float32))
+    if "ssm_norm" in p:
+        yg = y.reshape(B, T, G, d_inner // G)
+        yg = yg * jax.lax.rsqrt(jnp.mean(yg * yg, axis=-1, keepdims=True) + cfg.rms_eps)
+        y = (yg * p["ssm_norm"].astype(jnp.float32)[None, None]).reshape(B, T, d_inner)
+
+    return linear(y.astype(h.dtype), p["ssm_out"]), conv_state, ssm_state
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
@@ -67,11 +109,6 @@ def forward(
 ) -> tuple[jnp.ndarray, Mamba2State]:
     cache = kv
     B, T = tokens.shape
-    d_inner = cfg.ssm_d_inner
-    H = cfg.ssm_dt_rank
-    P = d_inner // H
-    G = cfg.ssm_n_group
-    N = cfg.ssm_d_state
 
     x = params["tok_emb"][tokens]
     if n_tokens is None:
@@ -85,32 +122,8 @@ def forward(
     def layer_step(carry, layer):
         (x,) = carry
         p, conv_state, ssm_state = layer
-
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        zxbcdt = linear(h, p["ssm_in"])  # (B, T, 2·d_inner + 2·G·N + H)
-        z = zxbcdt[..., :d_inner]
-        xBC = zxbcdt[..., d_inner : 2 * d_inner + 2 * G * N]
-        dt = zxbcdt[..., 2 * d_inner + 2 * G * N :]  # (B, T, H)
-
-        xBC, conv_state = causal_conv1d(xBC, conv_state, p["conv_w"], p.get("conv_b"), nt)
-        xBC = jax.nn.silu(xBC.astype(jnp.float32)).astype(x.dtype)
-
-        xs = xBC[..., :d_inner].reshape(B, T, H, P)
-        Bm = xBC[..., d_inner : d_inner + G * N].reshape(B, T, G, N)
-        Cm = xBC[..., d_inner + G * N :].reshape(B, T, G, N)
-
-        dt = jax.nn.softplus(dt.astype(jnp.float32) + p["ssm_dt_b"].astype(jnp.float32))
-        dt = dt * valid  # dt=0 → exp(dt·A)=1, dt·x·B=0: padded rows are no-ops
-
-        y, ssm_state = ssd_scan(xs, dt.astype(x.dtype), p["ssm_a"], Bm, Cm, ssm_state)
-        y = y + p["ssm_d"].astype(jnp.float32)[None, None, :, None] * xs.astype(jnp.float32)
-        # gate then grouped RMS norm (ggml_swiglu_split + grouped build_norm)
-        y = y.reshape(B, T, d_inner) * jax.nn.silu(z.astype(jnp.float32))
-        yg = y.reshape(B, T, G, d_inner // G)
-        yg = yg * jax.lax.rsqrt(jnp.mean(yg * yg, axis=-1, keepdims=True) + cfg.rms_eps)
-        y = (yg * p["ssm_norm"].astype(jnp.float32)[None, None]).reshape(B, T, d_inner)
-
-        out = linear(y.astype(x.dtype), p["ssm_out"])
+        out, conv_state, ssm_state = mamba2_block(h, p, cfg, conv_state, ssm_state, valid, nt)
         return (x + out,), (conv_state, ssm_state)
 
     (x,), (conv_new, ssm_new) = jax.lax.scan(

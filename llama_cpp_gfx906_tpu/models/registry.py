@@ -26,6 +26,7 @@ ATTENTION_ARCHS = {
 
 RECURRENT_ARCHS = {"mamba"}
 MAMBA2_ARCHS = {"mamba2"}
+FALCON_H1_ARCHS = {"falcon-h1"}
 HYBRID_ARCHS = {"jamba"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
@@ -81,6 +82,20 @@ def _mamba2_family() -> ModelFamily:
         name="mamba2",
         forward=forward,
         make_cache=lambda cfg, batch, max_seq, dtype: Mamba2State.create(cfg, batch, max_seq, dtype),
+        load_params=load,
+    )
+
+
+def _falcon_h1_family() -> ModelFamily:
+    from .falcon_h1 import FalconH1State, forward, load_params
+
+    def load(reader, cfg, dtype, device_put_fn=None, keep_quantized=True):
+        return load_params(reader, cfg, dtype, device_put_fn)
+
+    return ModelFamily(
+        name="falcon-h1",
+        forward=forward,
+        make_cache=lambda cfg, batch, max_seq, dtype: FalconH1State.create(cfg, batch, max_seq, dtype),
         load_params=load,
     )
 
@@ -153,6 +168,8 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         return _mamba_family()
     if cfg.arch in MAMBA2_ARCHS:
         return _mamba2_family()
+    if cfg.arch in FALCON_H1_ARCHS:
+        return _falcon_h1_family()
     if cfg.arch in RWKV_ARCHS:
         return _rwkv6_family()
     if cfg.arch in RWKV7_ARCHS:

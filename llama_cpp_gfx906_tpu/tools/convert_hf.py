@@ -1031,6 +1031,90 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_falcon_h1(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers FalconH1ForCausalLM → GGUF (arch "falcon-h1").
+
+    Mirrors the reference converter (convert_hf_to_gguf.py FalconH1Model):
+    every MuP multiplier — embedding, lm_head, attention in/out, key, ssm
+    in/out, per-section zxbcdt, mlp gate/down — is baked into the weights
+    so the runtime graph is multiplier-free."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    d_inner = getattr(hf, "mamba_d_ssm", None) or hf.mamba_expand * hf.hidden_size
+    n_group = hf.mamba_n_groups
+    n_head = hf.mamba_n_heads
+    d_state = hf.mamba_d_state
+    GN = n_group * d_state
+    head_dim = getattr(hf, "head_dim", hf.hidden_size // hf.num_attention_heads)
+
+    w = GGUFWriter(out_path, "falcon-h1")
+    w.add_string(Keys.General.NAME, "falcon-h1-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, getattr(hf, "max_position_embeddings", 0) or 2**18)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, hf.num_attention_heads)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, hf.num_key_value_heads)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_uint32(Keys.SSM.CONV_KERNEL, hf.mamba_d_conv)
+    w.add_uint32(Keys.SSM.STATE_SIZE, d_state)
+    w.add_uint32(Keys.SSM.INNER_SIZE, d_inner)
+    w.add_uint32(Keys.SSM.TIME_STEP_RANK, n_head)
+    w.add_uint32(Keys.SSM.GROUP_COUNT, n_group)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        t = GGMLType.F32 if (f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"] * hf.embedding_multiplier)
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "pre_ff_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"] * hf.attention_in_multiplier)
+        add(b + "attn_k.weight",
+            state[p + "self_attn.k_proj.weight"] * hf.key_multiplier * hf.attention_in_multiplier)
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"] * hf.attention_in_multiplier)
+        add(b + "attn_output.weight",
+            state[p + "self_attn.o_proj.weight"] * hf.attention_out_multiplier)
+        add(b + "ffn_gate.weight", state[p + "feed_forward.gate_proj.weight"] * hf.mlp_multipliers[0])
+        add(b + "ffn_up.weight", state[p + "feed_forward.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "feed_forward.down_proj.weight"] * hf.mlp_multipliers[1])
+        # mamba branch: ssm_in rows scaled per zxbcdt section
+        # [z | x | B | C | dt] (reference FalconH1Model.modify_tensors)
+        sin = state[p + "mamba.in_proj.weight"] * hf.ssm_in_multiplier
+        zm = hf.ssm_multipliers
+        sin[:d_inner] *= zm[0]
+        sin[d_inner : 2 * d_inner] *= zm[1]
+        sin[2 * d_inner : 2 * d_inner + GN] *= zm[2]
+        sin[2 * d_inner + GN : 2 * d_inner + 2 * GN] *= zm[3]
+        sin[2 * d_inner + 2 * GN :] *= zm[4]
+        add(b + "ssm_in.weight", sin)
+        add(b + "ssm_conv1d.weight", state[p + "mamba.conv1d.weight"].squeeze(1), f32=True)
+        if p + "mamba.conv1d.bias" in state:
+            add(b + "ssm_conv1d.bias", state[p + "mamba.conv1d.bias"])
+        add(b + "ssm_dt.bias", state[p + "mamba.dt_bias"])
+        add(b + "ssm_a", -np.exp(state[p + "mamba.A_log"]).reshape(n_head, 1), f32=True)
+        add(b + "ssm_d", state[p + "mamba.D"].reshape(n_head, 1), f32=True)
+        if p + "mamba.norm.weight" in state:
+            add(b + "ssm_norm.weight",
+                state[p + "mamba.norm.weight"].reshape(n_group, d_inner // n_group), f32=True)
+        add(b + "ssm_out.weight", state[p + "mamba.out_proj.weight"] * hf.ssm_out_multiplier)
+    add("output_norm.weight", state["model.final_layernorm.weight"])
+    lm = state.get("lm_head.weight", state["model.embed_tokens.weight"])
+    add("output.weight", lm * hf.lm_head_multiplier)
+    return w.write()
+
+
 def convert_hf_phi(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers PhiForCausalLM (phi-2 lineage) → GGUF (arch "phi2").
 
