@@ -376,6 +376,18 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             expert_weights_norm=False,
             moe_scale_input=True,
         )
+    elif arch == "minicpm":
+        # the granite builder with rope always on (reference: LLM_ARCH_MINICPM
+        # → llm_build_granite, src/llama-model.cpp:18431; NORM rope :18641).
+        # scale keys: embedding_scale=scale_emb,
+        # residual_scale=scale_depth/sqrt(n_layers),
+        # logit_scale=hidden/dim_model_base (divided out at the head)
+        cfg = cfg.with_(
+            embedding_scale=float(g(Keys.LLM.EMBEDDING_SCALE, 1.0)),
+            attn_scale=float(g(Keys.LLM.ATTENTION_SCALE, 0.0)),
+            residual_scale=float(g(Keys.LLM.RESIDUAL_SCALE, 1.0)),
+            logit_scale=1.0 / float(g(Keys.LLM.LOGIT_SCALE, 1.0)),
+        )
     elif arch == "granitemoe":
         cfg = cfg.with_(
             embedding_scale=float(g(Keys.LLM.EMBEDDING_SCALE, 1.0)),

@@ -20,7 +20,7 @@ ATTENTION_ARCHS = {
     "gemma", "gemma2", "gemma3",
     "gpt2", "starcoder", "phi2", "phi3", "gptneox", "stablelm", "falcon",
     "deepseek", "olmo", "olmoe", "smollm", "smollm3", "internlm2",
-    "granite", "granitemoe", "glm4", "dbrx", "cohere2", "command-r",
+    "granite", "granitemoe", "glm4", "dbrx", "cohere2", "command-r", "minicpm",
     "ernie4_5", "gpt-oss", "olmo2",
 }
 

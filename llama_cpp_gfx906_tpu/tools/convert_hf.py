@@ -1031,6 +1031,33 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_minicpm(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16,
+                       scale_emb: float | None = None, scale_depth: float | None = None,
+                       dim_model_base: float | None = None) -> str:
+    """MiniCPM (llama-shaped state dict) → GGUF (arch "minicpm").
+
+    Mirrors the reference converter (convert_hf_to_gguf.py MiniCPMModel):
+    the llama tensor layout plus three scale keys —
+    embedding_scale = scale_emb, residual_scale = scale_depth/√n_layers,
+    logit_scale = hidden_size/dim_model_base.  Scale args default to the
+    HF config's fields (MiniCPM checkpoints are trust_remote_code, so any
+    llama-classed module plus explicit scales also works).  Longrope
+    factor tensors are not emitted (reference generate_extra_tensors)."""
+    hf = model.config
+    scale_emb = scale_emb if scale_emb is not None else getattr(hf, "scale_emb", 1.0)
+    scale_depth = scale_depth if scale_depth is not None else getattr(hf, "scale_depth", None)
+    dim_model_base = dim_model_base if dim_model_base is not None else getattr(hf, "dim_model_base", hf.hidden_size)
+    residual_scale = (scale_depth / hf.num_hidden_layers**0.5) if scale_depth else 1.0
+    return convert_hf_llama(
+        model, tokenizer_vocab, out_path, quant_type=quant_type, arch="minicpm",
+        extra_kv={
+            "minicpm.embedding_scale": float(scale_emb),
+            "minicpm.residual_scale": float(residual_scale),
+            "minicpm.logit_scale": float(hf.hidden_size / dim_model_base),
+        },
+    )
+
+
 def convert_hf_falcon_h1(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers FalconH1ForCausalLM → GGUF (arch "falcon-h1").
 

@@ -312,3 +312,54 @@ def test_qwen3_moe(tmp_path):
     got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
     np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
     _greedy_check(eng, hf)
+
+
+def test_minicpm(tmp_path):
+    """MiniCPM rides the verified granite mechanics (reference:
+    LLM_ARCH_MINICPM → llm_build_granite): same weights converted under
+    both archs with equivalent scale keys must produce identical logits."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_minicpm
+
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+        )
+    ).eval()
+    # minicpm: scale_emb=12, scale_depth=1.4, dim_model_base=32
+    p_m = str(tmp_path / "tiny-minicpm-f32.gguf")
+    convert_hf_minicpm(hf, dummy_vocab(), p_m, quant_type=GGMLType.F32,
+                       scale_emb=12.0, scale_depth=1.4, dim_model_base=32.0)
+    eng_m = Engine.from_gguf(p_m, max_seq=32, dtype=jnp.float32)
+    assert eng_m.cfg.embedding_scale == 12.0
+    assert abs(eng_m.cfg.residual_scale - 1.4 / 2.0) < 1e-6  # 1.4/sqrt(4)
+    assert abs(eng_m.cfg.logit_scale - 0.5) < 1e-6  # 1/(64/32)
+
+    p_g = str(tmp_path / "tiny-minicpm-as-granite.gguf")
+    convert_hf_llama(
+        hf, dummy_vocab(), p_g, quant_type=GGMLType.F32, arch="granite",
+        extra_kv={
+            "granite.embedding_scale": 12.0,
+            "granite.residual_scale": 1.4 / 2.0,
+            "granite.logit_scale": 2.0,
+        },
+    )
+    eng_g = Engine.from_gguf(p_g, max_seq=32, dtype=jnp.float32)
+
+    ids = [3, 17, 42, 9, 88]
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got_m, _ = forward(eng_m.params, eng_m.cfg, jnp.asarray([ids], jnp.int32), eng_m.kv)
+    got_g, _ = forward(eng_g.params, eng_g.cfg, jnp.asarray([ids], jnp.int32), eng_g.kv)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(got_g), rtol=1e-6, atol=1e-6)
+
+    # the scales must actually bite: plain-llama conversion differs
+    p_l = str(tmp_path / "tiny-minicpm-as-llama.gguf")
+    convert_hf_llama(hf, dummy_vocab(), p_l, quant_type=GGMLType.F32)
+    eng_l = Engine.from_gguf(p_l, max_seq=32, dtype=jnp.float32)
+    got_l, _ = forward(eng_l.params, eng_l.cfg, jnp.asarray([ids], jnp.int32), eng_l.kv)
+    assert np.abs(np.asarray(got_m) - np.asarray(got_l)).max() > 1e-2
