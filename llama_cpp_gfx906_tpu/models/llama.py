@@ -88,8 +88,9 @@ def _mlp(x, gate_w, up_w, down_w, act_fn: str):
     return linear(_act(linear(x, gate_w), act_fn) * linear(x, up_w), down_w)
 
 
-def _mlp_p(x, p: dict, act_fn: str):
-    return _lin(_act(_lin(x, p, "w_gate"), act_fn) * _lin(x, p, "w_up"), p, "w_down")
+def _mlp_p(x, p: dict, act_fn: str, gain=None):
+    return _lin(_act(_lin(x, p, "w_gate", gain), act_fn) * _lin(x, p, "w_up", gain),
+                p, "w_down", gain)
 
 
 def _mlp_plain(x, up_w, up_b, down_w, down_b, act_fn: str):
@@ -109,13 +110,24 @@ def _norm(x, w, b, cfg: ModelConfig):
     return rms_norm(x, w, cfg.rms_eps)
 
 
-def _lin(x, p: dict, key: str):
+def _lin(x, p: dict, key: str, gain=None):
     """Matmul with optional LoRA low-rank add (build_lora_mm analog,
-    llama-graph.cpp:543): y = xW + (x·A)·B, scale folded into A."""
+    llama-graph.cpp:543): y = xW + (x·A)·B, scale folded into A.
+
+    ``gain`` (B, R) scales the rank channels per batch row — the
+    per-request adapter-scale mechanism (reference server: per-slot
+    ``lora`` field, task.params.lora): each attached adapter owns a rank
+    slice, so row-wise gains select/blend adapters per slot with one
+    shared compiled program."""
     y = linear(x, p[key])
     a = p.get(f"{key}_lora_a")
     if a is not None:
-        y = y + (x.astype(a.dtype) @ a) @ p[f"{key}_lora_b"]
+        za = x.astype(a.dtype) @ a
+        if gain is not None:
+            za = za * gain[:, None, :].astype(za.dtype)
+        # cast back: a f32 adapter on a bf16 base must not promote the
+        # residual stream (lax.scan carries require a fixed dtype)
+        y = y + (za @ p[f"{key}_lora_b"]).astype(y.dtype)
     return y
 
 
@@ -127,6 +139,7 @@ def forward(
     n_tokens: jnp.ndarray | None = None,  # (B,) valid length within T (padding)
     return_hidden: bool = False,  # return final-norm hidden states, not logits
     embeds: jnp.ndarray | None = None,  # (B, T, D) input embeddings (mtmd path)
+    lora_gain: jnp.ndarray | None = None,  # (B, R) per-row rank-channel scales
 ) -> tuple[jnp.ndarray, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), kv')."""
     B, T = tokens.shape
@@ -182,9 +195,9 @@ def forward(
             k = qkv[..., Dq : Dq + Dkv]
             v = qkv[..., Dq + Dkv :]
         else:
-            q = _lin(h, p, "wq")
-            k = _lin(h, p, "wk")
-            v = _lin(h, p, "wv")
+            q = _lin(h, p, "wq", lora_gain)
+            k = _lin(h, p, "wk", lora_gain)
+            v = _lin(h, p, "wv", lora_gain)
             if "bq" in p:
                 q = q + p["bq"]
                 k = k + p["bk"]
@@ -236,7 +249,7 @@ def forward(
             kv_pos=kv.pos, q_pos=positions if kv.pos is not None else None,
             quant_weights=isinstance(p.get("wq"), QuantTensor),
         )
-        attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo")
+        attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo", lora_gain)
         if "bo" in p:
             attn = attn + p["bo"]
         if cfg.post_attn_norm and "post_attn_norm" in p:
@@ -274,7 +287,7 @@ def forward(
             u = gu[..., cfg.n_ff :]
             mlp = _lin(_act(g, cfg.act_fn) * u, p, "w_down")
         elif cfg.ffn_gated:
-            mlp = _mlp_p(h, p, cfg.act_fn)
+            mlp = _mlp_p(h, p, cfg.act_fn, lora_gain)
         else:
             mlp = _mlp_plain(h, p["w_up"], p.get("b_up"), p["w_down"], p.get("b_down"), cfg.act_fn)
         if cfg.post_ffn_norm and "post_ffn_norm" in p:

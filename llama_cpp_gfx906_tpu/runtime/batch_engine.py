@@ -87,6 +87,9 @@ class Slot:
     n_truncated: int = 0  # prompt tokens dropped at admission
     # per generated token: {"token", "logprob", "top": [(tok, lp), ...]}
     logprobs: list = field(default_factory=list)
+    # per-request adapter scales {adapter_index: scale} (reference server
+    # per-slot `lora` field); None → base model
+    lora: dict | None = None
 
     def reset(self):
         self.state = SlotState.IDLE
@@ -161,6 +164,9 @@ class BatchedEngine:
         self.kv = KVCache.create(cfg, n_slots, max_seq, dtype)
         self.n_past_host = np.zeros(n_slots, np.int32)
         self.recent = np.full((n_slots, RECENT), -1, np.int32)
+        # per-request LoRA: rank-slice gains per slot (attach_lora)
+        self.lora_ranks: list[int] = []
+        self.slot_gain: np.ndarray | None = None
         self.rng_key = jax.random.PRNGKey(seed)
         self.metrics = {
             "n_prompt_tokens": 0,
@@ -189,48 +195,48 @@ class BatchedEngine:
             return k, v
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
-        def _decode(params, cfg, tokens, kv, key, temp, top_k, top_p, min_p, pen, recent):
-            logits, kv = forward(params, cfg, tokens, kv)
+        def _decode(params, cfg, tokens, kv, key, temp, top_k, top_p, min_p, pen, recent, gain=None):
+            logits, kv = forward(params, cfg, tokens, kv, lora_gain=gain)
             toks = sample_tokens(
                 logits[:, -1].astype(jnp.float32), key, temp, top_k, top_p, min_p, pen, recent
             )
             return toks, kv
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
-        def _decode_logits(params, cfg, tokens, kv):
+        def _decode_logits(params, cfg, tokens, kv, gain=None):
             """Grammar path: return full last-token logits for host sampling."""
-            logits, kv = forward(params, cfg, tokens, kv)
+            logits, kv = forward(params, cfg, tokens, kv, lora_gain=gain)
             return logits[:, -1].astype(jnp.float32), kv
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
-        def _decode_logits_chunk(params, cfg, tokens, kv):
+        def _decode_logits_chunk(params, cfg, tokens, kv, gain=None):
             """Speculative verify: all per-position logits for a (B, 1+K) chunk."""
-            logits, kv = forward(params, cfg, tokens, kv)
+            logits, kv = forward(params, cfg, tokens, kv, lora_gain=gain)
             return logits.astype(jnp.float32), kv
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
-        def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match):
+        def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match, gain=None):
             """Chunked-prefill step: run one prompt chunk through the slot's
             existing KV rows (positions offset by the fill level n_match).
             Also serves the prefix-cache path (server.cpp:3248)."""
             k1 = jax.lax.dynamic_slice_in_dim(kv_k, slot, 1, axis=1)
             v1 = jax.lax.dynamic_slice_in_dim(kv_v, slot, 1, axis=1)
             kv1 = KVCache(k1, v1, jnp.full((1,), n_match, jnp.int32))
-            logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens)
+            logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, lora_gain=gain)
             k = jax.lax.dynamic_update_slice_in_dim(kv_k, kv1.k, slot, axis=1)
             v = jax.lax.dynamic_update_slice_in_dim(kv_v, kv1.v, slot, axis=1)
             return logits[0, n_tokens[0] - 1], k, v
 
         @partial(jax.jit, static_argnames=("cfg", "n_sel"), donate_argnames=("kv",))
         def _decode_mixed(params, cfg, tokens, kv, key, temp, top_k, top_p,
-                          min_p, pen, recent, sel, n_sel):
+                          min_p, pen, recent, sel, n_sel, gain=None):
             """Decode with per-slot sampling isolation: every slot samples on
             device; additionally the ``n_sel`` slots listed in ``sel`` get
             their full logits rows shipped to host (grammar-constrained
             slots re-sample there through their persistent chain).  Keeps
             the on-device sampling win for unconstrained slots
             (reference: per-slot sampler chains, server.cpp:3616)."""
-            logits, kv = forward(params, cfg, tokens, kv)
+            logits, kv = forward(params, cfg, tokens, kv, lora_gain=gain)
             last = logits[:, -1].astype(jnp.float32)
             toks = sample_tokens(last, key, temp, top_k, top_p, min_p, pen, recent)
             return toks, last[sel], kv
@@ -259,14 +265,15 @@ class BatchedEngine:
             return k, v
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
-        def _prefill_suffix_embeds(params, cfg, kv_k, kv_v, embeds, n_tokens, slot, n_match):
+        def _prefill_suffix_embeds(params, cfg, kv_k, kv_v, embeds, n_tokens, slot, n_match, gain=None):
             """Chunked prefill from precomputed embeddings (server vision
             API: image features spliced into the prompt — mtmd chunks)."""
             k1 = jax.lax.dynamic_slice_in_dim(kv_k, slot, 1, axis=1)
             v1 = jax.lax.dynamic_slice_in_dim(kv_v, slot, 1, axis=1)
             kv1 = KVCache(k1, v1, jnp.full((1,), n_match, jnp.int32))
             tokens = jnp.zeros(embeds.shape[:2], jnp.int32)
-            logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, embeds=embeds)
+            logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, embeds=embeds,
+                                  lora_gain=gain)
             k = jax.lax.dynamic_update_slice_in_dim(kv_k, kv1.k, slot, axis=1)
             v = jax.lax.dynamic_update_slice_in_dim(kv_v, kv1.v, slot, axis=1)
             return logits[0, n_tokens[0] - 1], k, v
@@ -321,6 +328,23 @@ class BatchedEngine:
         """Any slot still prefilling or generating."""
         return any(s.state != SlotState.IDLE for s in self.slots)
 
+    def attach_lora(self, paths: list[str]):
+        """Load adapter GGUFs for per-request selection (reference server
+        --lora + per-request `lora` scales).  Call before serving; each
+        request picks scales via ``add_request(..., lora={idx: scale})``;
+        slots without a ``lora`` field run the pure base model (gain 0)."""
+        from .lora import LoraAdapter, apply_lora_set
+
+        adapters = [LoraAdapter.from_gguf(p) for p in paths]
+        self.params, self.lora_ranks = apply_lora_set(self.params, adapters)
+        self.slot_gain = np.zeros((self.n_slots, sum(self.lora_ranks)), np.float32)
+
+    def _gain_all(self):
+        return None if self.slot_gain is None else jnp.asarray(self.slot_gain)
+
+    def _gain_row(self, slot_id: int):
+        return None if self.slot_gain is None else jnp.asarray(self.slot_gain[slot_id : slot_id + 1])
+
     def add_request(
         self,
         prompt_ids: list[int],
@@ -330,6 +354,7 @@ class BatchedEngine:
         n_keep: int = 0,
         truncate: bool = True,
         prompt_embeds=None,  # np (len(prompt_ids), D): multimodal prefill
+        lora: dict | None = None,  # {adapter_index: scale} (attach_lora order)
     ) -> Slot | None:
         """Assign a prompt to a free slot; returns None when saturated.
 
@@ -388,6 +413,13 @@ class BatchedEngine:
         )
         slot.no_cache = prompt_embeds is not None
         slot.logprobs = []
+        slot.lora = dict(lora) if lora else None
+        if self.slot_gain is not None:
+            from .lora import make_gain
+
+            self.slot_gain[slot.id] = make_gain(self.lora_ranks, slot.lora or {})
+        elif lora:
+            raise ValueError("per-request lora requires attach_lora() first")
         slot.sampler = sampler
         slot.chain = self._make_chain(sampler)
         slot.stop_reason = None
@@ -423,7 +455,7 @@ class BatchedEngine:
             last_logits, k, v = self._prefill_suffix_embeds(
                 self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(emb),
                 jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
-                jnp.asarray(slot.n_past, jnp.int32),
+                jnp.asarray(slot.n_past, jnp.int32), self._gain_row(slot.id),
             )
         else:
             toks = np.zeros((1, padded), np.int32)
@@ -431,7 +463,7 @@ class BatchedEngine:
             last_logits, k, v = self._prefill_suffix(
                 self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(toks),
                 jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
-                jnp.asarray(slot.n_past, jnp.int32),
+                jnp.asarray(slot.n_past, jnp.int32), self._gain_row(slot.id),
             )
         self.kv = KVCache(k, v, n_past=self.kv.n_past)
         slot.pending = slot.pending[ns:]
@@ -615,6 +647,7 @@ class BatchedEngine:
             self.params, self.cfg, jnp.asarray(tokens), kv, sub,
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
             jnp.asarray(min_p), jnp.asarray(pen), jnp.asarray(self.recent),
+            self._gain_all(),
         )
         self.kv = kv
         new_tokens = np.asarray(toks_dev)
@@ -700,7 +733,7 @@ class BatchedEngine:
             tokens[s.id] = [s.current_token] + drafts[s.id]
         kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
         logits_dev, kv = self._decode_logits_chunk(
-            self.params, self.cfg, jnp.asarray(tokens), kv
+            self.params, self.cfg, jnp.asarray(tokens), kv, self._gain_all()
         )
         self.kv = kv
         logits = np.asarray(logits_dev)  # (B, 1+K, V)
@@ -771,7 +804,7 @@ class BatchedEngine:
 
         kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
         logits_dev, kv = self._decode_logits_chunk(
-            self.params, self.cfg, jnp.asarray(tokens), kv
+            self.params, self.cfg, jnp.asarray(tokens), kv, self._gain_all()
         )
         self.kv = kv
         logits = np.asarray(logits_dev)  # (B, 1+K, V)
@@ -854,7 +887,7 @@ class BatchedEngine:
             self.params, self.cfg, jnp.asarray(tokens), kv, sub,
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
             jnp.asarray(min_p), jnp.asarray(pen), jnp.asarray(self.recent),
-            jnp.asarray(sel), n_sel,
+            jnp.asarray(sel), n_sel, self._gain_all(),
         )
         self.kv = kv
         new_tokens = np.asarray(toks_dev)
@@ -888,6 +921,8 @@ class BatchedEngine:
 
     def release(self, slot: Slot):
         slot.reset()
+        if self.slot_gain is not None:
+            self.slot_gain[slot.id] = 0.0  # freed slots decode as base model
         # Idle slots still ride every batched forward as dummy rows: each
         # decode step writes 1 (or 1+n_draft) garbage K/V rows at the idle
         # slot's n_past.  Park n_past just past the cached prefix — far

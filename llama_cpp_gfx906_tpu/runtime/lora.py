@@ -114,6 +114,68 @@ def apply_lora(params: dict, adapter: LoraAdapter, scale: float = 1.0, dtype=Non
     return out_params
 
 
+def apply_lora_set(params: dict, adapters: list[LoraAdapter], dtype=None) -> tuple[dict, list[int]]:
+    """Attach several adapters at once for per-request selection.
+
+    Rank channels are CONCATENATED — adapter ``i`` owns the rank slice
+    ``[sum(ranks[:i]), sum(ranks[:i+1]))`` in every ``<key>_lora_a/b``
+    pair — so a per-row gain vector (see :func:`make_gain`) selects and
+    blends adapters per batch slot inside one compiled program (the
+    reference server's per-slot ``lora`` scales, task.params.lora).
+    alpha/rank is folded into A; user scales come from the gain.
+    Returns (params, ranks)."""
+    import jax.numpy as jnp
+
+    layers = dict(params["layers"])
+    if "wqkv_fused" in layers or "wgateup_fused" in layers:
+        raise ValueError(
+            "LoRA targets per-projection weights; load the model with "
+            "fuse=False to attach adapters"
+        )
+    n_layers = None
+    for v in layers.values():
+        n_layers = (v.q.shape[0] if hasattr(v, "q") else v.shape[0])
+        break
+    ranks = [a.rank for a in adapters]
+    R = sum(ranks)
+    starts = np.cumsum([0] + ranks[:-1])
+    all_keys = sorted({k for a in adapters for k in a.pairs})
+    for key in all_keys:
+        if key not in layers:
+            continue
+        # dims from any adapter that hooks this key
+        K = out = None
+        for a in adapters:
+            if key in a.pairs:
+                A0, B0 = next(iter(a.pairs[key].values()))
+                K, out = A0.shape[0], B0.shape[1]
+                break
+        A = np.zeros((n_layers, K, R), np.float32)
+        B = np.zeros((n_layers, R, out), np.float32)
+        for a, r0 in zip(adapters, starts):
+            if key not in a.pairs:
+                continue
+            eff = a.alpha / max(a.rank, 1)
+            for il, (ai, bi) in a.pairs[key].items():
+                A[il, :, r0 : r0 + a.rank] = ai * eff
+                B[il, r0 : r0 + a.rank] = bi
+        layers[f"{key}_lora_a"] = jnp.asarray(A, dtype) if dtype else jnp.asarray(A)
+        layers[f"{key}_lora_b"] = jnp.asarray(B, dtype) if dtype else jnp.asarray(B)
+    out_params = dict(params)
+    out_params["layers"] = layers
+    return out_params, ranks
+
+
+def make_gain(ranks: list[int], scales: dict[int, float]) -> np.ndarray:
+    """Per-adapter scales → (sum(ranks),) rank-channel gain row."""
+    g = np.zeros((sum(ranks),), np.float32)
+    off = 0
+    for i, r in enumerate(ranks):
+        g[off : off + r] = float(scales.get(i, 0.0))
+        off += r
+    return g
+
+
 def remove_lora(params: dict) -> dict:
     out_params = dict(params)
     out_params["layers"] = {

@@ -28,7 +28,7 @@ from ..runtime.batch_engine import BatchedEngine, SamplerConfig, Slot, SlotState
 
 class PendingRequest:
     def __init__(self, prompt_ids, n_predict, sampler, stop_strings, loop,
-                 n_keep=0, truncate=True, prompt_embeds=None):
+                 n_keep=0, truncate=True, prompt_embeds=None, lora=None):
         self.id = f"req-{uuid.uuid4().hex[:12]}"
         self.prompt_ids = prompt_ids
         self.n_predict = n_predict
@@ -38,6 +38,7 @@ class PendingRequest:
         self.n_keep = n_keep
         self.truncate = truncate
         self.prompt_embeds = prompt_embeds  # multimodal prefill rows
+        self.lora = lora  # {adapter_index: scale} per-request adapter mix
         self.token_queue: asyncio.Queue = asyncio.Queue()
         self.cancelled = False
 
@@ -169,7 +170,7 @@ class InferenceServer:
                 slot = self.engine.add_request(
                     req.prompt_ids, req.n_predict, req.sampler, req.id,
                     n_keep=req.n_keep, truncate=req.truncate,
-                    prompt_embeds=req.prompt_embeds,
+                    prompt_embeds=req.prompt_embeds, lora=req.lora,
                 )
             except ValueError as e:
                 req.emit(("error", str(e)))
@@ -405,6 +406,23 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
         body = await request.json()
         return web.json_response({"content": tok.detokenize(list(body.get("tokens", [])))})
 
+    def _lora_from_body(body) -> dict | None:
+        """Reference server request format: "lora": [{"id": 0, "scale": 1.0}]
+        (a bare float list is also accepted, indexed by position)."""
+        spec = body.get("lora")
+        if not spec:
+            return None
+        out = {}
+        if isinstance(spec, dict):
+            out = {int(k): float(v) for k, v in spec.items()}
+        else:
+            for i, it in enumerate(spec):
+                if isinstance(it, dict):
+                    out[int(it.get("id", i))] = float(it.get("scale", 1.0))
+                else:
+                    out[i] = float(it)
+        return out or None
+
     def _make_req(prompt_ids, body, prompt_embeds=None) -> PendingRequest:
         n_predict = int(body.get("n_predict", body.get("max_tokens", 128)) or 128)
         stop = body.get("stop") or []
@@ -419,6 +437,7 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
             n_keep=int(body.get("n_keep", 0) or 0),
             truncate=bool(body.get("truncate", True)),
             prompt_embeds=prompt_embeds,
+            lora=_lora_from_body(body),
         )
         srv.submit(req_obj)
         return req_obj
@@ -783,6 +802,9 @@ def main(argv=None) -> int:
     ap.add_argument("--no-ctx-shift", action="store_true",
                     help="stop with 'length' at the context limit instead "
                          "of StreamingLLM shifting")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF; repeatable — requests select "
+                         "adapters via the per-request 'lora' field")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = ap.parse_args(argv)
 
@@ -799,7 +821,8 @@ def main(argv=None) -> int:
     reader = GGUFModelReader(args.model)
     cfg = config_from_gguf(reader)
     tokenizer = tokenizer_from_gguf(reader.readers[0])
-    params = load_llama_params_quantized(reader, cfg)
+    # LoRA hooks target per-projection weights: skip loader fusion then
+    params = load_llama_params_quantized(reader, cfg, fuse=False if args.lora else None)
     draft = None
     if args.draft_model:
         d_reader = GGUFModelReader(args.draft_model)
@@ -809,6 +832,8 @@ def main(argv=None) -> int:
                            max_seq=args.ctx_size, spec_ngram=args.spec_ngram,
                            n_draft=args.draft_max, n_chunk=args.n_batch,
                            ctx_shift=not args.no_ctx_shift, draft=draft)
+    if args.lora:
+        engine.attach_lora(args.lora)
     encoder = None
     if args.rerank_model:
         from ..runtime.encoder import EncoderEngine

@@ -197,3 +197,71 @@ def test_peft_adapter_conversion(base_and_lora, tmp_path):
 
     got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
     np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+
+
+def _greedy_single(base, ids, n, lora_path=None):
+    eng = Engine.from_gguf(base, max_seq=64, dtype=jnp.float32, keep_quantized=False)
+    if lora_path:
+        eng.apply_lora_file(lora_path, scale=1.0)
+    logits = eng.prefill(list(ids))
+    out = []
+    for _ in range(n):
+        t = int(np.argmax(logits))
+        out.append(t)
+        logits = eng.decode_one(t)
+    return out
+
+
+def test_per_request_lora_batched(base_and_lora, tmp_path):
+    """Per-slot adapter selection in one batched program (reference server:
+    per-request `lora` scales): slots mixing base / adapter-0 / adapter-1
+    must each reproduce their single-engine greedy output."""
+    base, lora_path, arrays = base_and_lora
+    from llama_cpp_gfx906_tpu.runtime.batch_engine import BatchedEngine, SamplerConfig
+
+    # second adapter: negated A on the same hooks → distinct behavior
+    w = GGUFWriter(str(tmp_path / "adapter2.gguf"), "llama")
+    w.add_string("adapter.type", "lora")
+    w.add_float32("adapter.lora.alpha", ALPHA)
+    for (il, suffix), (A, B) in arrays.items():
+        w.add_tensor(f"blk.{il}.{suffix}.weight.lora_a", -A, GGMLType.F32)
+        w.add_tensor(f"blk.{il}.{suffix}.weight.lora_b", B, GGMLType.F32)
+    lora2 = w.write()
+
+    ids = [3, 17, 42, 9]
+    N = 6
+    refs = [
+        _greedy_single(base, ids, N),
+        _greedy_single(base, ids, N, lora_path),
+        _greedy_single(base, ids, N, lora2),
+    ]
+    assert refs[0] != refs[1] or refs[0] != refs[2]  # adapters must bite
+
+    eng = Engine.from_gguf(base, max_seq=64, dtype=jnp.float32, keep_quantized=False)
+    be = BatchedEngine(eng.cfg, eng.params, eng.tokenizer, n_slots=3,
+                       max_seq=64, dtype=jnp.float32)
+    be.attach_lora([lora_path, lora2])
+    specs = [None, {0: 1.0}, {1: 1.0}]
+    for i, lora in enumerate(specs):
+        s = be.add_request(list(ids), N, SamplerConfig(temp=0.0), request_id=str(i),
+                           lora=lora)
+        assert s is not None
+    done = {}
+    for _ in range(200):
+        if len(done) == 3:
+            break
+        for slot, tok, finished in be.step():
+            if finished:
+                done[slot.request_id] = list(slot.generated)
+                be.release(slot)
+    assert [done[str(i)] for i in range(3)] == refs
+
+
+def test_per_request_lora_requires_attach(base_and_lora):
+    base, _, _ = base_and_lora
+    from llama_cpp_gfx906_tpu.runtime.batch_engine import BatchedEngine, SamplerConfig
+
+    eng = Engine.from_gguf(base, max_seq=64, dtype=jnp.float32, keep_quantized=False)
+    be = BatchedEngine(eng.cfg, eng.params, eng.tokenizer, n_slots=2, max_seq=64)
+    with pytest.raises(ValueError, match="attach_lora"):
+        be.add_request([3, 4], 4, SamplerConfig(), lora={0: 1.0})
