@@ -87,6 +87,7 @@ class ModelConfig:
     residual_scale: float = 1.0  # granite residual_multiplier
     pre_norm: bool = True  # False = olmo2-style post-norm blocks
     qk_norm_full: bool = False  # olmo2: q/k norms over the full projection
+    mrope_sections: tuple = ()  # qwen2vl M-RoPE frequency-pair sections (t,h,w,e)
     rope_local_base: float = 0.0  # gemma3: separate rope base for SWA layers
     # per-layer rope skipping (reference n_no_rope_layer_step): every n-th
     # layer (1-indexed) is NoPE — llama4/smollm3; 0 disables
@@ -184,6 +185,16 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
     # cf. the 82 llm_build_* structs at reference llama-model.cpp:5969-18037)
     if arch in ("qwen2", "qwen2moe"):
         cfg = cfg.with_(attn_bias=True, rope_interleaved=False)
+    elif arch == "qwen2vl":
+        # qwen2 graph + M-RoPE over (t, h, w[, e]) position streams
+        # (reference llm_build_qwen2vl, src/llama-model.cpp:8457; sections
+        # key read at :852)
+        sections = g(Keys.Rope.DIMENSION_SECTIONS, None)
+        has_sections = sections is not None and len(sections) > 0
+        cfg = cfg.with_(
+            attn_bias=True, rope_interleaved=False,
+            mrope_sections=tuple(int(s) for s in sections) if has_sections else (),
+        )
     elif arch in ("qwen3", "qwen3moe"):
         cfg = cfg.with_(qk_norm=True, rope_interleaved=False)
     elif arch.startswith("gemma"):

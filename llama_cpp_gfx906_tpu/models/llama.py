@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops.attention import mha_with_cache
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.quant_matmul import linear
-from ..ops.rope import apply_rope, rope_frequencies
+from ..ops.rope import apply_mrope, apply_rope, rope_frequencies
 from .config import ModelConfig
 
 
@@ -140,6 +140,7 @@ def forward(
     return_hidden: bool = False,  # return final-norm hidden states, not logits
     embeds: jnp.ndarray | None = None,  # (B, T, D) input embeddings (mtmd path)
     lora_gain: jnp.ndarray | None = None,  # (B, R) per-row rank-channel scales
+    mrope_pos: jnp.ndarray | None = None,  # (B, T, S) M-RoPE position streams
 ) -> tuple[jnp.ndarray, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), kv')."""
     B, T = tokens.shape
@@ -169,6 +170,14 @@ def forward(
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
     if cfg.pos_emb == "learned":
         x = x + params["pos_emb"][positions].astype(x.dtype)
+
+    if cfg.mrope_sections:
+        # default text positions: every stream equals the token index
+        mpos = mrope_pos if mrope_pos is not None else jnp.broadcast_to(
+            positions[:, :, None], (B, T, len(cfg.mrope_sections))
+        )
+    else:
+        mpos = None
 
     scale = cfg.attn_scale or cfg.head_dim**-0.5
     # per-layer sliding window (iSWA: gemma2/3, llama4, gpt-oss) rides the
@@ -216,8 +225,14 @@ def forward(
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         if cfg.pos_emb == "rope":
-            qr = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
-            kr = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+            if cfg.mrope_sections:
+                # qwen2vl multimodal rope: per-dimension position streams
+                # (text-only input degenerates to plain NEOX rope)
+                qr = apply_mrope(q, mpos, inv_freq, cfg.mrope_sections)
+                kr = apply_mrope(k, mpos, inv_freq, cfg.mrope_sections)
+            else:
+                qr = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
+                kr = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
             # NoPE layers keep the unrotated projections; the flag rides the
             # scan so one compiled program serves both layer kinds
             q = jnp.where(rope_l, qr, q)

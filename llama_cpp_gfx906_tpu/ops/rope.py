@@ -89,6 +89,45 @@ def apply_rope(
     return out.astype(orig_dtype)
 
 
+def apply_mrope(
+    x: jnp.ndarray,  # (B, T, H, Dh)
+    positions: jnp.ndarray,  # (B, T, S) per-dimension positions (t, h, w[, e])
+    inv_freq: jnp.ndarray,
+    sections: tuple,  # frequency-pair counts per position stream
+) -> jnp.ndarray:
+    """Multimodal rotary (``ggml_rope_multi`` with LLAMA_ROPE_TYPE_MROPE,
+    qwen2vl: src/llama-model.cpp:8508): frequency pair ``j`` rotates by
+    ``positions[..., sec(j)]`` where ``sec`` walks the section ranges
+    cyclically over the pair index.  NEOX pairing only (qwen2vl asserts
+    full-head rope).  With all position streams equal this reduces exactly
+    to :func:`apply_rope` (text-only path)."""
+    import numpy as np
+
+    F = inv_freq.shape[0]
+    rope_dim = 2 * F
+    sect = np.asarray(sections, np.int64)
+    sect_dims = int(sect.sum())
+    # pair j → section id, cycling like the reference mrope cache init
+    bounds = np.cumsum(sect)
+    sec_id = np.searchsorted(bounds, (np.arange(F) % max(sect_dims, 1)), side="right")
+    sec_id = jnp.asarray(np.minimum(sec_id, len(sections) - 1), jnp.int32)
+
+    orig_dtype = x.dtype
+    rot, rest = x[..., :rope_dim], x[..., rope_dim:]
+    pos_sel = jnp.take(positions, sec_id, axis=-1).astype(jnp.float32)  # (B,T,F)
+    angles = pos_sel * inv_freq
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+
+    rot = rot.astype(jnp.float32)
+    half = rope_dim // 2
+    x0, x1 = rot[..., :half], rot[..., half:]
+    out = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    if rest.shape[-1]:
+        return jnp.concatenate([out.astype(orig_dtype), rest], axis=-1)
+    return out.astype(orig_dtype)
+
+
 def rope_shift_rows(
     k_cache: jnp.ndarray,  # (L, B, S, H, Dh) cached (already-roped) keys
     deltas: jnp.ndarray,  # (B, S) int32 position deltas (0 = untouched)

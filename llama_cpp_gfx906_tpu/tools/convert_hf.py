@@ -1031,6 +1031,48 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_qwen2vl(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Qwen2VLForConditionalGeneration (or its text model) →
+    GGUF (arch "qwen2vl").
+
+    Mirrors the reference converter (convert_hf_to_gguf.py Qwen2VLModel):
+    the qwen2 tensor layout plus ``rope.dimension_sections`` =
+    mrope_section padded to 4; vision tensors are skipped."""
+    cfg = model.config
+    text_cfg = getattr(cfg, "text_config", cfg)
+    sections = list(
+        (getattr(text_cfg, "rope_scaling", None) or {}).get("mrope_section", [])
+    )
+    sections += [0] * max(0, 4 - len(sections))
+
+    # strip the multimodal wrapper: "model.language_model.*" → "model.*"
+    state = {}
+    for k, v in model.state_dict().items():
+        if k.startswith(("visual.", "model.visual.")):
+            continue
+        k = k.replace("model.language_model.", "model.").replace("language_model.", "")
+        state[k] = v
+
+    class _TextShim:
+        config = text_cfg
+
+        @staticmethod
+        def state_dict():
+            return state
+
+    # rope_scaling must not trigger the llama scaled-rope keys (mrope is a
+    # layout, not a frequency scaling)
+    import copy as _copy
+
+    shim_cfg = _copy.copy(text_cfg)
+    shim_cfg.rope_scaling = None
+    _TextShim.config = shim_cfg
+    return convert_hf_llama(
+        _TextShim, tokenizer_vocab, out_path, quant_type=quant_type, arch="qwen2vl",
+        extra_kv={"qwen2vl.rope.dimension_sections": [int(s) for s in sections]},
+    )
+
+
 def convert_hf_minicpm(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16,
                        scale_emb: float | None = None, scale_depth: float | None = None,
                        dim_model_base: float | None = None) -> str:
