@@ -38,6 +38,10 @@ class ClipConfig:
     projector: str = "mlp"
     act: str = "gelu_erf"  # "gelu_tanh" for SigLIP towers
     mm_tokens_per_side: int = 0  # gemma3: pooled grid side (16 → 256 tokens)
+    # minicpmv: perceiver-resampler projector (clip.cpp build_minicpmv) —
+    # learned queries cross-attend to kv-projected ViT features + 2D sincos
+    minicpmv_query_num: int = 0
+    pos_embd_bucket: int = 0  # navit-style bucketed ViT pos-embd grid (70)
 
     @property
     def n_patches(self) -> int:
@@ -75,7 +79,15 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
     if cfg.use_class_token:
         cls = jnp.broadcast_to(params["class_embd"], (B, 1, cfg.n_embd))
         x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embd"][None, : x.shape[1]]
+    if cfg.pos_embd_bucket:
+        # navit-style position bucketing (clip.cpp minicpmv set_input:
+        # floor(70·i/g) per axis into a 70×70 learned table)
+        bk = cfg.pos_embd_bucket
+        coords = np.floor(bk * np.arange(g) / g).astype(np.int64)
+        ids = (coords[:, None] * bk + coords[None, :]).reshape(-1)
+        x = x + params["pos_embd"][jnp.asarray(ids)][None]
+    else:
+        x = x + params["pos_embd"][None, : x.shape[1]]
     if "pre_ln" in params:
         x = layer_norm(x, params["pre_ln"], params.get("pre_ln_b"), cfg.eps)
 
@@ -108,10 +120,52 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
         f = (ff * rms * (1.0 + params["mm_soft_norm"].astype(jnp.float32))).astype(feats.dtype)
         return f @ params["mm_input_proj"]
 
+    if cfg.projector == "minicpmv":
+        # perceiver resampler (clip.cpp build_minicpmv:853): learned queries
+        # cross-attend to kv-projected features; keys carry a 2D sincos
+        # positional term; d_head fixed at 128 (clip.cpp:868)
+        Dm = params["res_kv_proj"].shape[1]
+        d_head = 128
+        n_head = Dm // d_head
+        nq = cfg.minicpmv_query_num
+        v = feats @ params["res_kv_proj"]  # (B, N, Dm)
+        q = layer_norm(params["res_query"], params["res_ln_q"], params["res_ln_q_b"], cfg.eps)
+        v = layer_norm(v, params["res_ln_kv"], params["res_ln_kv_b"], cfg.eps)
+        k = v + params["res_pos_embed"][None]
+        Q = (q @ params["res_wq"] + params["res_bq"]).reshape(nq, n_head, d_head)
+        K = (k @ params["res_wk"] + params["res_bk"]).reshape(B, -1, n_head, d_head)
+        V = (v @ params["res_wv"] + params["res_bv"]).reshape(B, -1, n_head, d_head)
+        scores = jnp.einsum("qhd,bmhd->bhqm", Q, K, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores * d_head**-0.5, axis=-1)
+        out = jnp.einsum("bhqm,bmhd->bqhd", probs.astype(V.dtype), V,
+                         preferred_element_type=jnp.float32).astype(feats.dtype)
+        out = out.reshape(B, nq, Dm) @ params["res_wo"] + params["res_bo"]
+        out = layer_norm(out, params["res_ln_post"], params["res_ln_post_b"], cfg.eps)
+        return out @ params["res_proj"]
+
     # llava 2-layer MLP projector (mm.0 / mm.2)
     y = feats @ params["mm0_w"] + params["mm0_b"]
     y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
     return y @ params["mm2_w"] + params["mm2_b"]
+
+
+def sincos_pos_embed_2d(embed_dim: int, h: int, w: int) -> np.ndarray:
+    """2D sincos positional embedding (clip.cpp get_2d_sincos_pos_embed:3684):
+    first half encodes the row index, second half the column, each as
+    [sin(p·ω) | cos(p·ω)] with ω_i = 10000^(-i/(D/4)).  Returns (h·w, D)."""
+    assert embed_dim % 4 == 0
+    quarter = embed_dim // 4
+    omega = 1.0 / (10000.0 ** (np.arange(quarter) / quarter))
+
+    def enc(pos):  # (n,) -> (n, D/2)
+        ang = pos[:, None] * omega[None, :]
+        return np.concatenate([np.sin(ang), np.cos(ang)], axis=-1)
+
+    hh, ww = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    emb_h = enc(hh.reshape(-1))
+    emb_w = enc(ww.reshape(-1))
+    return np.concatenate([emb_h, emb_w], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +177,7 @@ def config_from_mmproj(reader) -> ClipConfig:
     g = lambda k, d=None: reader.get(k) if reader.get(k) is not None else d
     projector = str(g("clip.projector_type", "mlp"))
     gemma3 = projector == "gemma3"
+    minicpmv = projector == "minicpmv"
     img = int(g("clip.vision.image_size"))
     patch = int(g("clip.vision.patch_size"))
     return ClipConfig(
@@ -134,11 +189,13 @@ def config_from_mmproj(reader) -> ClipConfig:
         n_ff=int(g("clip.vision.feed_forward_length")),
         proj_dim=int(g("clip.vision.projection_dim")),
         eps=float(g("clip.vision.attention.layer_norm_epsilon", 1e-5)),
-        # gemma3 projects the final post-norm hidden states
-        feature_layer=int(g("clip.vision.feature_layer", -1 if gemma3 else -2)),
-        use_class_token=not gemma3,
+        # gemma3/minicpmv project the final post-norm hidden states
+        feature_layer=int(g("clip.vision.feature_layer", -1 if (gemma3 or minicpmv) else -2)),
+        use_class_token=not (gemma3 or minicpmv),
         projector=projector,
-        act="gelu_tanh" if gemma3 else "gelu_erf",
+        act="gelu_tanh" if (gemma3 or minicpmv) else "gelu_erf",
+        minicpmv_query_num=int(g("clip.minicpmv_query_num", 64)) if minicpmv else 0,
+        pos_embd_bucket=70 if minicpmv else 0,
         mm_tokens_per_side=int(
             g("clip.vision.mm_tokens_per_side",
               int(int(g("clip.vision.mm_tokens_per_image", 256)) ** 0.5) if gemma3 else 0)
@@ -168,6 +225,23 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
     if cfg.projector == "gemma3":
         params["mm_input_proj"] = w("mm.input_projection.weight")
         params["mm_soft_norm"] = w("mm.soft_emb_norm.weight")
+    elif cfg.projector == "minicpmv":
+        # resampler tensors (clip-impl.h TN_MINICPMV_*)
+        params["res_kv_proj"] = w("resampler.kv.weight", True)
+        params["res_proj"] = w("resampler.proj.weight", True)
+        params["res_query"] = w("resampler.query")
+        for nm, key in [("q", "q"), ("k", "k"), ("v", "v"), ("out", "o")]:
+            params[f"res_w{key}"] = w(f"resampler.attn.{nm}.weight", True)
+            params[f"res_b{key}"] = w(f"resampler.attn.{nm}.bias")
+        for nm in ("q", "kv", "post"):
+            params[f"res_ln_{nm}"] = w(f"resampler.ln_{nm}.weight")
+            params[f"res_ln_{nm}_b"] = w(f"resampler.ln_{nm}.bias")
+        # fixed-grid 2D sincos positional term for the keys
+        # (clip.cpp get_2d_sincos_pos_embed:3684 — [sin|cos](h) ‖ [sin|cos](w))
+        Dm = params["res_kv_proj"].shape[1]
+        gp = cfg.image_size // cfg.patch_size
+        params["res_pos_embed"] = jnp.asarray(
+            sincos_pos_embed_2d(Dm, gp, gp).astype(np.float32))
     else:
         params["mm0_w"] = w("mm.0.weight", True)
         params["mm0_b"] = w("mm.0.bias")

@@ -226,3 +226,125 @@ def test_server_vision_api(llava_pair):
         loop.run_until_complete(client.close())
         srv.stop()
         loop.close()
+
+
+def test_minicpmv_resampler(tmp_path):
+    """MiniCPM-V perceiver resampler + navit bucketed ViT positions
+    (reference: clip.cpp build_minicpmv:853, set_input bucketing :3847,
+    get_2d_sincos_pos_embed:3684) against an independent numpy oracle
+    built from the same reference formulas."""
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader
+    from llama_cpp_gfx906_tpu.gguf.writer import GGUFWriter
+    from llama_cpp_gfx906_tpu.models.clip import encode_image, load_mmproj
+
+    rng = np.random.default_rng(5)
+    D, FF, L, H = 32, 64, 2, 4
+    IMG, PS = 16, 4
+    G = IMG // PS  # 4x4 patch grid
+    N = G * G
+    DM, NQ, OUT = 128, 8, 64
+
+    def t(*shape, scale=0.2):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w = GGUFWriter(str(tmp_path / "minicpmv-mmproj.gguf"), "clip")
+    w.add_string("clip.projector_type", "minicpmv")
+    w.add_uint32("clip.vision.image_size", IMG)
+    w.add_uint32("clip.vision.patch_size", PS)
+    w.add_uint32("clip.vision.embedding_length", D)
+    w.add_uint32("clip.vision.block_count", L)
+    w.add_uint32("clip.vision.attention.head_count", H)
+    w.add_uint32("clip.vision.feed_forward_length", FF)
+    w.add_uint32("clip.vision.projection_dim", OUT)
+    w.add_uint32("clip.minicpmv_query_num", NQ)
+    from llama_cpp_gfx906_tpu.gguf import GGMLType as GT
+
+    arrays = {}
+
+    def add(name, arr):
+        arrays[name] = arr
+        w.add_tensor(name, arr, GT.F32)
+
+    add("v.patch_embd.weight", t(D, 3, PS, PS))
+    add("v.patch_embd.bias", t(D))
+    add("v.position_embd.weight", t(70 * 70, D))
+    add("v.post_ln.weight", 1 + t(D, scale=0.05))
+    add("v.post_ln.bias", t(D))
+    for i in range(L):
+        b = f"v.blk.{i}."
+        add(b + "ln1.weight", 1 + t(D, scale=0.05)); add(b + "ln1.bias", t(D))
+        add(b + "ln2.weight", 1 + t(D, scale=0.05)); add(b + "ln2.bias", t(D))
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            add(b + nm + ".weight", t(D, D)); add(b + nm + ".bias", t(D))
+        add(b + "ffn_up.weight", t(FF, D)); add(b + "ffn_up.bias", t(FF))
+        add(b + "ffn_down.weight", t(D, FF)); add(b + "ffn_down.bias", t(D))
+    add("resampler.query", t(NQ, DM))
+    add("resampler.kv.weight", t(DM, D))
+    add("resampler.proj.weight", t(OUT, DM))
+    for nm in ("q", "k", "v", "out"):
+        add(f"resampler.attn.{nm}.weight", t(DM, DM))
+        add(f"resampler.attn.{nm}.bias", t(DM))
+    for nm in ("q", "kv", "post"):
+        add(f"resampler.ln_{nm}.weight", 1 + t(DM, scale=0.05))
+        add(f"resampler.ln_{nm}.bias", t(DM))
+    path = w.write()
+
+    cfg, params = load_mmproj(GGUFReader(path), jnp.float32)
+    assert cfg.projector == "minicpmv" and cfg.minicpmv_query_num == NQ
+    pixels = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32)
+    got = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))[0]
+    assert got.shape == (NQ, OUT)
+
+    # ---- numpy oracle (reference formulas, written independently) ----
+    def ln(x, wgt, b, eps=1e-5):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * wgt + b
+
+    def gelu_tanh(x):
+        return 0.5 * x * (1 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x**3)))
+
+    # patch embed (conv as unfold) + bucketed positions
+    px = pixels[0].reshape(3, G, PS, G, PS).transpose(1, 3, 0, 2, 4).reshape(N, -1)
+    x = px @ arrays["v.patch_embd.weight"].reshape(D, -1).T + arrays["v.patch_embd.bias"]
+    coords = np.floor(70.0 * np.arange(G) / G).astype(int)
+    ids = (coords[:, None] * 70 + coords[None, :]).reshape(-1)
+    x = x + arrays["v.position_embd.weight"][ids]
+    for i in range(L):
+        b = f"v.blk.{i}."
+        h = ln(x, arrays[b + "ln1.weight"], arrays[b + "ln1.bias"])
+        q = (h @ arrays[b + "attn_q.weight"].T + arrays[b + "attn_q.bias"]).reshape(N, H, -1)
+        k = (h @ arrays[b + "attn_k.weight"].T + arrays[b + "attn_k.bias"]).reshape(N, H, -1)
+        v = (h @ arrays[b + "attn_v.weight"].T + arrays[b + "attn_v.bias"]).reshape(N, H, -1)
+        sc = np.einsum("nhd,mhd->hnm", q, k) / np.sqrt(D // H)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr = pr / pr.sum(-1, keepdims=True)
+        att = np.einsum("hnm,mhd->nhd", pr, v).reshape(N, D)
+        x = x + att @ arrays[b + "attn_out.weight"].T + arrays[b + "attn_out.bias"]
+        h = ln(x, arrays[b + "ln2.weight"], arrays[b + "ln2.bias"])
+        h = gelu_tanh(h @ arrays[b + "ffn_up.weight"].T + arrays[b + "ffn_up.bias"])
+        x = x + h @ arrays[b + "ffn_down.weight"].T + arrays[b + "ffn_down.bias"]
+    x = ln(x, arrays["v.post_ln.weight"], arrays["v.post_ln.bias"])
+
+    # resampler
+    v = x @ arrays["resampler.kv.weight"].T  # (N, DM)
+    q = ln(arrays["resampler.query"], arrays["resampler.ln_q.weight"], arrays["resampler.ln_q.bias"])
+    v = ln(v, arrays["resampler.ln_kv.weight"], arrays["resampler.ln_kv.bias"])
+    quarter = DM // 4
+    omega = 1.0 / (10000.0 ** (np.arange(quarter) / quarter))
+    hh, ww = np.meshgrid(np.arange(G), np.arange(G), indexing="ij")
+    ang_h = hh.reshape(-1)[:, None] * omega
+    ang_w = ww.reshape(-1)[:, None] * omega
+    pos = np.concatenate([np.sin(ang_h), np.cos(ang_h), np.sin(ang_w), np.cos(ang_w)], -1)
+    k = v + pos
+    Q = q @ arrays["resampler.attn.q.weight"].T + arrays["resampler.attn.q.bias"]
+    K = k @ arrays["resampler.attn.k.weight"].T + arrays["resampler.attn.k.bias"]
+    V = v @ arrays["resampler.attn.v.weight"].T + arrays["resampler.attn.v.bias"]
+    sc = Q @ K.T / np.sqrt(128.0)  # DM=128 → one head
+    pr = np.exp(sc - sc.max(-1, keepdims=True)); pr = pr / pr.sum(-1, keepdims=True)
+    out = pr @ V
+    out = out @ arrays["resampler.attn.out.weight"].T + arrays["resampler.attn.out.bias"]
+    out = ln(out, arrays["resampler.ln_post.weight"], arrays["resampler.ln_post.bias"])
+    want = out @ arrays["resampler.proj.weight"].T
+
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
