@@ -42,24 +42,55 @@ class ClipConfig:
     # learned queries cross-attend to kv-projected ViT features + 2D sincos
     minicpmv_query_num: int = 0
     pos_embd_bucket: int = 0  # navit-style bucketed ViT pos-embd grid (70)
+    # pixtral tower (clip.cpp build_pixtral:555): RMS norms, gated-silu FFN,
+    # no learned positions — 2D rope on q/k instead; optional mistral-small
+    # patch merger and [IMG_BREAK] row separators
+    norm: str = "layer"  # "rms" → weight-only RMS norms in the tower
+    ffn_gated: bool = False
+    rope_2d: bool = False
+    rope_theta: float = 10000.0
+    spatial_merge_size: int = 1
 
     @property
     def n_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
 
 
-def _attn(x, p, cfg: ClipConfig):
+def _cnorm(x, w, b, cfg: ClipConfig):
+    if cfg.norm == "rms":
+        xf = x.astype(jnp.float32)
+        return (xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + cfg.eps)
+                * w.astype(jnp.float32)).astype(x.dtype)
+    return layer_norm(x, w, b, cfg.eps)
+
+
+def _attn(x, p, cfg: ClipConfig, rope2d=None):
     B, N, D = x.shape
     H = cfg.n_heads
     Dh = D // H
-    q = (x @ p["wq"] + p["bq"]).reshape(B, N, H, Dh)
-    k = (x @ p["wk"] + p["bk"]).reshape(B, N, H, Dh)
-    v = (x @ p["wv"] + p["bv"]).reshape(B, N, H, Dh)
+
+    def lin(key):
+        y = x @ p[key[0]]
+        return (y + p[key[1]] if key[1] in p else y).reshape(B, N, H, Dh)
+
+    q = lin(("wq", "bq"))
+    k = lin(("wk", "bk"))
+    v = lin(("wv", "bv"))
+    if rope2d is not None:
+        # pixtral 2D rope (build_rope_2d / HF PixtralRotaryEmbedding):
+        # pair j < Dh/4 rotates by the row index with even-indexed
+        # frequencies, j >= Dh/4 by the column with odd-indexed ones
+        from ..ops.rope import apply_mrope
+
+        pos_hw, freqs = rope2d
+        q = apply_mrope(q, pos_hw, freqs, (Dh // 4, Dh // 4))
+        k = apply_mrope(k, pos_hw, freqs, (Dh // 4, Dh // 4))
     scores = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(scores * Dh**-0.5, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    return out.reshape(B, N, D) @ p["wo"] + p["bo"]
+    out = out.reshape(B, N, D) @ p["wo"]
+    return out + p["bo"] if "bo" in p else out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -86,10 +117,27 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
         coords = np.floor(bk * np.arange(g) / g).astype(np.int64)
         ids = (coords[:, None] * bk + coords[None, :]).reshape(-1)
         x = x + params["pos_embd"][jnp.asarray(ids)][None]
-    else:
+    elif "pos_embd" in params:
         x = x + params["pos_embd"][None, : x.shape[1]]
+
+    rope2d = None
+    if cfg.rope_2d:
+        Dh = cfg.n_embd // cfg.n_heads
+        base = cfg.rope_theta
+        fr = 1.0 / base ** (np.arange(0, Dh, 2) / Dh)
+        # reordered frequency vector: [even-indexed | odd-indexed] — pair j
+        # then rotates by (row, col) positions via the M-RoPE sections
+        freqs = jnp.asarray(np.concatenate([fr[0::2], fr[1::2]]).astype(np.float32))
+        hh, ww = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+        pos_hw = jnp.asarray(
+            np.broadcast_to(
+                np.stack([hh.reshape(-1), ww.reshape(-1)], axis=-1)[None],
+                (B, g * g, 2),
+            ).astype(np.int32)
+        )
+        rope2d = (pos_hw, freqs)
     if "pre_ln" in params:
-        x = layer_norm(x, params["pre_ln"], params.get("pre_ln_b"), cfg.eps)
+        x = _cnorm(x, params["pre_ln"], params.get("pre_ln_b"), cfg)
 
     n_run = cfg.n_layers + cfg.feature_layer + 1 if cfg.feature_layer < 0 else cfg.feature_layer
     hidden = x
@@ -97,14 +145,18 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
     for il, p in enumerate(params["layers"]):
         if il >= n_run:
             break
-        h = layer_norm(hidden, p["ln1"], p.get("ln1_b"), cfg.eps)
-        hidden = hidden + _attn(h, p, cfg)
-        h = layer_norm(hidden, p["ln2"], p.get("ln2_b"), cfg.eps)
-        h = jax.nn.gelu((h @ p["ffn_up"] + p["b_up"]).astype(jnp.float32), approximate=tanh_act).astype(h.dtype)
-        hidden = hidden + (h @ p["ffn_down"] + p["b_down"])
+        h = _cnorm(hidden, p["ln1"], p.get("ln1_b"), cfg)
+        hidden = hidden + _attn(h, p, cfg, rope2d)
+        h = _cnorm(hidden, p["ln2"], p.get("ln2_b"), cfg)
+        if cfg.ffn_gated:  # pixtral: silu-gated, bias-free
+            gate = jax.nn.silu((h @ p["ffn_gate"]).astype(jnp.float32)).astype(h.dtype)
+            hidden = hidden + (gate * (h @ p["ffn_up"])) @ p["ffn_down"]
+        else:
+            h = jax.nn.gelu((h @ p["ffn_up"] + p["b_up"]).astype(jnp.float32), approximate=tanh_act).astype(h.dtype)
+            hidden = hidden + (h @ p["ffn_down"] + p["b_down"])
 
     if "post_ln" in params:
-        hidden = layer_norm(hidden, params["post_ln"], params.get("post_ln_b"), cfg.eps)
+        hidden = _cnorm(hidden, params["post_ln"], params.get("post_ln_b"), cfg)
 
     feats = hidden[:, 1:] if cfg.use_class_token else hidden  # drop CLS
 
@@ -143,6 +195,36 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
         out = layer_norm(out, params["res_ln_post"], params["res_ln_post_b"], cfg.eps)
         return out @ params["res_proj"]
 
+    if cfg.projector == "pixtral":
+        # optional mistral-small-3.1 patch merger (clip.cpp build_pixtral:581)
+        if "mm_patch_merger" in params:
+            m = cfg.spatial_merge_size
+            ff = feats.astype(jnp.float32)
+            ff = ff * jax.lax.rsqrt((ff * ff).mean(-1, keepdims=True) + cfg.eps)
+            f = (ff * params["mm_input_norm"].astype(jnp.float32)).astype(feats.dtype)
+            # torch.nn.functional.unfold layout: vec[c·m² + i·m + j]
+            f = f.reshape(B, g // m, m, g // m, m, cfg.n_embd)
+            f = f.transpose(0, 1, 3, 5, 2, 4).reshape(B, (g // m) ** 2, cfg.n_embd * m * m)
+            feats = f @ params["mm_patch_merger"]
+            rows, cols = g // m, g // m
+        else:
+            rows, cols = g, g
+        if "mm1_w" in params:
+            y = feats @ params["mm1_w"]
+            if "mm1_b" in params:
+                y = y + params["mm1_b"]
+            y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
+            y = y @ params["mm2_w"]
+            if "mm2_b" in params:
+                y = y + params["mm2_b"]
+        else:
+            y = feats
+        # [IMG_BREAK] after every row but the last (clip.cpp:617)
+        brk = jnp.broadcast_to(params["img_break"].reshape(1, 1, 1, -1),
+                               (B, rows, 1, y.shape[-1])).astype(y.dtype)
+        y = jnp.concatenate([y.reshape(B, rows, cols, -1), brk], axis=2)
+        return y.reshape(B, rows * (cols + 1), -1)[:, :-1]
+
     # llava 2-layer MLP projector (mm.0 / mm.2)
     y = feats @ params["mm0_w"] + params["mm0_b"]
     y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
@@ -178,6 +260,7 @@ def config_from_mmproj(reader) -> ClipConfig:
     projector = str(g("clip.projector_type", "mlp"))
     gemma3 = projector == "gemma3"
     minicpmv = projector == "minicpmv"
+    pixtral = projector == "pixtral"
     img = int(g("clip.vision.image_size"))
     patch = int(g("clip.vision.patch_size"))
     return ClipConfig(
@@ -190,12 +273,18 @@ def config_from_mmproj(reader) -> ClipConfig:
         proj_dim=int(g("clip.vision.projection_dim")),
         eps=float(g("clip.vision.attention.layer_norm_epsilon", 1e-5)),
         # gemma3/minicpmv project the final post-norm hidden states
-        feature_layer=int(g("clip.vision.feature_layer", -1 if (gemma3 or minicpmv) else -2)),
-        use_class_token=not (gemma3 or minicpmv),
+        feature_layer=int(g("clip.vision.feature_layer", -1 if (gemma3 or minicpmv or pixtral) else -2)),
+        use_class_token=not (gemma3 or minicpmv or pixtral),
         projector=projector,
         act="gelu_tanh" if (gemma3 or minicpmv) else "gelu_erf",
         minicpmv_query_num=int(g("clip.minicpmv_query_num", 64)) if minicpmv else 0,
         pos_embd_bucket=70 if minicpmv else 0,
+        # pixtral tower (clip.cpp hparams: rope_theta defaults 10000 :2239)
+        norm="rms" if pixtral else "layer",
+        ffn_gated=pixtral,
+        rope_2d=pixtral,
+        rope_theta=float(g("clip.vision.rope_theta", 10000.0)),
+        spatial_merge_size=int(g("clip.vision.spatial_merge_size", 1) or 1),
         mm_tokens_per_side=int(
             g("clip.vision.mm_tokens_per_side",
               int(int(g("clip.vision.mm_tokens_per_image", 256)) ** 0.5) if gemma3 else 0)
@@ -220,8 +309,9 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
                 t["v.patch_embd.weight"].to_f32().reshape(cfg.n_embd, -1).T
             ).astype(dtype)
         ),
-        "pos_embd": w("v.position_embd.weight"),
     }
+    if "v.position_embd.weight" in t:  # pixtral has none (2D rope instead)
+        params["pos_embd"] = w("v.position_embd.weight")
     if cfg.projector == "gemma3":
         params["mm_input_proj"] = w("mm.input_projection.weight")
         params["mm_soft_norm"] = w("mm.soft_emb_norm.weight")
@@ -242,6 +332,19 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         gp = cfg.image_size // cfg.patch_size
         params["res_pos_embed"] = jnp.asarray(
             sincos_pos_embed_2d(Dm, gp, gp).astype(np.float32))
+    elif cfg.projector == "pixtral":
+        # bare towers (no projector tensors) emit raw features + breaks
+        if "mm.1.weight" in t:
+            params["mm1_w"] = w("mm.1.weight", True)
+            params["mm2_w"] = w("mm.2.weight", True)
+        if "mm.1.bias" in t:
+            params["mm1_b"] = w("mm.1.bias")
+        if "mm.2.bias" in t:
+            params["mm2_b"] = w("mm.2.bias")
+        params["img_break"] = w("v.token_embd.img_break")
+        if "mm.patch_merger.weight" in t:  # mistral small 3.1
+            params["mm_patch_merger"] = w("mm.patch_merger.weight", True)
+            params["mm_input_norm"] = w("mm.input_norm.weight")
     else:
         params["mm0_w"] = w("mm.0.weight", True)
         params["mm0_b"] = w("mm.0.bias")
@@ -253,22 +356,33 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         params["class_embd"] = w("v.class_embd")
     if "v.pre_ln.weight" in t:
         params["pre_ln"] = w("v.pre_ln.weight")
-        params["pre_ln_b"] = w("v.pre_ln.bias")
+        if "v.pre_ln.bias" in t:  # pixtral: RMS pre-norm has no bias
+            params["pre_ln_b"] = w("v.pre_ln.bias")
     if "v.post_ln.weight" in t:
         params["post_ln"] = w("v.post_ln.weight")
-        params["post_ln_b"] = w("v.post_ln.bias")
+        if "v.post_ln.bias" in t:
+            params["post_ln_b"] = w("v.post_ln.bias")
     layers = []
     for i in range(cfg.n_layers):
         b = f"v.blk.{i}."
-        layers.append({
-            "ln1": w(b + "ln1.weight"), "ln1_b": w(b + "ln1.bias"),
-            "ln2": w(b + "ln2.weight"), "ln2_b": w(b + "ln2.bias"),
-            "wq": w(b + "attn_q.weight", True), "bq": w(b + "attn_q.bias"),
-            "wk": w(b + "attn_k.weight", True), "bk": w(b + "attn_k.bias"),
-            "wv": w(b + "attn_v.weight", True), "bv": w(b + "attn_v.bias"),
-            "wo": w(b + "attn_out.weight", True), "bo": w(b + "attn_out.bias"),
-            "ffn_up": w(b + "ffn_up.weight", True), "b_up": w(b + "ffn_up.bias"),
-            "ffn_down": w(b + "ffn_down.weight", True), "b_down": w(b + "ffn_down.bias"),
-        })
+        layer = {
+            "ln1": w(b + "ln1.weight"),
+            "ln2": w(b + "ln2.weight"),
+            "wq": w(b + "attn_q.weight", True),
+            "wk": w(b + "attn_k.weight", True),
+            "wv": w(b + "attn_v.weight", True),
+            "wo": w(b + "attn_out.weight", True),
+            "ffn_up": w(b + "ffn_up.weight", True),
+            "ffn_down": w(b + "ffn_down.weight", True),
+        }
+        for gg, key in [("ln1.bias", "ln1_b"), ("ln2.bias", "ln2_b"),
+                        ("attn_q.bias", "bq"), ("attn_k.bias", "bk"),
+                        ("attn_v.bias", "bv"), ("attn_out.bias", "bo"),
+                        ("ffn_up.bias", "b_up"), ("ffn_down.bias", "b_down")]:
+            if b + gg in t:
+                layer[key] = w(b + gg)
+        if b + "ffn_gate.weight" in t:
+            layer["ffn_gate"] = w(b + "ffn_gate.weight", True)
+        layers.append(layer)
     params["layers"] = layers
     return cfg, params

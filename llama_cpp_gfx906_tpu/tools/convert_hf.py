@@ -1031,6 +1031,83 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_pixtral_vision(model, out_path: str, img_break_id: int | None = None) -> str:
+    """Pixtral vision tower + projector → mmproj GGUF (projector "pixtral").
+
+    ``model`` is an HF Llava/Mistral3 conditional-generation model whose
+    vision tower is PixtralVisionModel (or the bare tower).  Mirrors the
+    reference mmproj converter: RMS-norm ViT with gated FFN and no learned
+    positions; ``[IMG_BREAK]``'s LM embedding row is materialized as
+    ``v.token_embd.img_break`` (clip-impl.h TN_TOK_IMG_BREAK); mistral-
+    small-3.1 patch merger tensors are emitted when present."""
+    from ..gguf.writer import GGUFWriter as _W
+
+    vt = getattr(model, "vision_tower", None) or getattr(getattr(model, "model", None), "vision_tower", None) or model
+    vcfg = vt.config
+    proj = getattr(model, "multi_modal_projector", None) or getattr(getattr(model, "model", None), "multi_modal_projector", None)
+    vs = {k: v.detach().cpu().float().numpy() for k, v in vt.state_dict().items()}
+
+    w = _W(out_path, "clip")
+    w.add_string("clip.projector_type", "pixtral")
+    w.add_uint32("clip.vision.image_size", vcfg.image_size)
+    w.add_uint32("clip.vision.patch_size", vcfg.patch_size)
+    w.add_uint32("clip.vision.embedding_length", vcfg.hidden_size)
+    w.add_uint32("clip.vision.block_count", vcfg.num_hidden_layers)
+    w.add_uint32("clip.vision.attention.head_count", vcfg.num_attention_heads)
+    w.add_uint32("clip.vision.feed_forward_length", vcfg.intermediate_size)
+    w.add_float32("clip.vision.rope_theta", getattr(vcfg, "rope_theta", 10000.0))
+    w.add_float32("clip.vision.attention.layer_norm_epsilon", 1e-5)
+
+    def add(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), GGMLType.F32)
+
+    add("v.patch_embd.weight", vs["patch_conv.weight"])
+    add("v.pre_ln.weight", vs["ln_pre.weight"])
+    for i in range(vcfg.num_hidden_layers):
+        p = f"transformer.layers.{i}."
+        b = f"v.blk.{i}."
+        add(b + "ln1.weight", vs[p + "attention_norm.weight"])
+        add(b + "ln2.weight", vs[p + "ffn_norm.weight"])
+        add(b + "attn_q.weight", vs[p + "attention.q_proj.weight"])
+        add(b + "attn_k.weight", vs[p + "attention.k_proj.weight"])
+        add(b + "attn_v.weight", vs[p + "attention.v_proj.weight"])
+        add(b + "attn_out.weight", vs[p + "attention.o_proj.weight"])
+        add(b + "ffn_gate.weight", vs[p + "feed_forward.gate_proj.weight"])
+        add(b + "ffn_up.weight", vs[p + "feed_forward.up_proj.weight"])
+        add(b + "ffn_down.weight", vs[p + "feed_forward.down_proj.weight"])
+
+    if proj is not None:
+        ps = {k: v.detach().cpu().float().numpy() for k, v in proj.state_dict().items()}
+        add("mm.1.weight", ps["linear_1.weight"])
+        add("mm.2.weight", ps["linear_2.weight"])
+        if "linear_1.bias" in ps:
+            add("mm.1.bias", ps["linear_1.bias"])
+        if "linear_2.bias" in ps:
+            add("mm.2.bias", ps["linear_2.bias"])
+        if "patch_merger.merging_layer.weight" in ps:  # mistral small 3.1
+            add("mm.patch_merger.weight", ps["patch_merger.merging_layer.weight"])
+            add("mm.input_norm.weight", ps["norm.weight"])
+            w.add_uint32("clip.vision.spatial_merge_size",
+                         int(getattr(model.config, "spatial_merge_size", 2)))
+        proj_out = ps["linear_2.weight"].shape[0]
+    else:
+        proj_out = vcfg.hidden_size
+    w.add_uint32("clip.vision.projection_dim", proj_out)
+
+    # [IMG_BREAK] embedding row from the LM's token embedding
+    emb = None
+    for mod in (getattr(model, "language_model", None),
+                getattr(getattr(model, "model", None), "language_model", None)):
+        if mod is not None:
+            emb = mod.get_input_embeddings().weight.detach().cpu().float().numpy()
+            break
+    if emb is not None and img_break_id is not None:
+        add("v.token_embd.img_break", emb[img_break_id])
+    else:
+        add("v.token_embd.img_break", np.zeros((proj_out,), np.float32))
+    return w.write()
+
+
 def convert_hf_qwen2vl(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers Qwen2VLForConditionalGeneration (or its text model) →
     GGUF (arch "qwen2vl").

@@ -348,3 +348,105 @@ def test_minicpmv_resampler(tmp_path):
     want = out @ arrays["resampler.proj.weight"].T
 
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pixtral_tower_parity(tmp_path):
+    """Pixtral ViT (RMS norms, gated FFN, 2D rope, no learned positions)
+    must match HF PixtralVisionModel hidden states (reference:
+    clip.cpp build_pixtral:555 / build_rope_2d)."""
+    from transformers import PixtralVisionConfig, PixtralVisionModel
+
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader
+    from llama_cpp_gfx906_tpu.models.clip import encode_image, load_mmproj
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_pixtral_vision
+
+    torch.manual_seed(6)
+    vt = PixtralVisionModel(PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=16, patch_size=4, rope_theta=10000.0,
+    )).eval()
+    path = str(tmp_path / "pixtral-mmproj.gguf")
+    convert_hf_pixtral_vision(vt, path)
+    cfg, params = load_mmproj(GGUFReader(path), jnp.float32)
+    assert cfg.projector == "pixtral" and cfg.norm == "rms" and cfg.rope_2d
+
+    pixels = np.random.default_rng(0).standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = vt(torch.tensor(pixels)).last_hidden_state[0].numpy()
+
+    # bare tower: no projector tensors → raw features + zero break rows
+    D = 32
+    rows = cols = 4
+    got = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))[0]
+    y = ref.reshape(rows, cols, D)
+    brk = np.zeros((rows, 1, D), np.float32)
+    want = np.concatenate([y, brk], axis=1).reshape(rows * (cols + 1), D)[:-1]
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+
+def test_pixtral_patch_merger(tmp_path):
+    """Mistral-small-3.1 patch merger: unfold layout + RMS input norm must
+    match torch.nn.functional.unfold exactly (clip.cpp build_pixtral:581)."""
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader
+    from llama_cpp_gfx906_tpu.gguf.writer import GGUFWriter
+    from llama_cpp_gfx906_tpu.models.clip import encode_image, load_mmproj
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_pixtral_vision
+    from transformers import PixtralVisionConfig, PixtralVisionModel
+
+    torch.manual_seed(7)
+    D, M, OUT = 32, 2, 48
+    vt = PixtralVisionModel(PixtralVisionConfig(
+        hidden_size=D, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=4, image_size=16, patch_size=4,
+    )).eval()
+    base = str(tmp_path / "pm-base.gguf")
+    convert_hf_pixtral_vision(vt, base)
+
+    rng = np.random.default_rng(1)
+    merger_w = (rng.standard_normal((D, D * M * M)) * 0.1).astype(np.float32)
+    norm_w = (1 + rng.standard_normal(D) * 0.05).astype(np.float32)
+    mm1 = (rng.standard_normal((OUT, D)) * 0.1).astype(np.float32)
+    mm2 = (rng.standard_normal((OUT, OUT)) * 0.1).astype(np.float32)
+    brk = rng.standard_normal(OUT).astype(np.float32)
+
+    # re-write the mmproj with merger + projector tensors appended
+    r0 = GGUFReader(base)
+    w = GGUFWriter(str(tmp_path / "pm-full.gguf"), "clip")
+    for k in r0.field_names():
+        if k.startswith("clip."):
+            w.add_kv(k, r0.get(k))
+    w.add_uint32("clip.vision.spatial_merge_size", M)
+    w.add_uint32("clip.vision.projection_dim", OUT)
+    from llama_cpp_gfx906_tpu.gguf import GGMLType as GT
+
+    for name, t in r0.tensors.items():
+        w.add_tensor(name, t.to_f32(), GT.F32)
+    w.add_tensor("mm.patch_merger.weight", merger_w, GT.F32)
+    w.add_tensor("mm.input_norm.weight", norm_w, GT.F32)
+    w.add_tensor("mm.1.weight", mm1, GT.F32)
+    w.add_tensor("mm.2.weight", mm2, GT.F32)
+    w.add_tensor("v.token_embd.img_break", brk, GT.F32)
+    path = w.write()
+
+    cfg, params = load_mmproj(GGUFReader(path), jnp.float32)
+    assert cfg.spatial_merge_size == M
+    pixels = np.random.default_rng(2).standard_normal((1, 3, 16, 16)).astype(np.float32)
+    got = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))[0]
+
+    # oracle: HF tower → RMS norm → torch unfold → merger → GELU MLP → breaks
+    with torch.no_grad():
+        feats = vt(torch.tensor(pixels)).last_hidden_state[0]  # (16, D)
+        f = feats / torch.sqrt((feats ** 2).mean(-1, keepdim=True) + 1e-5)
+        f = f * torch.tensor(norm_w)
+        grid = f.view(4, 4, D).permute(2, 0, 1).unsqueeze(0)  # (1, D, 4, 4)
+        unf = torch.nn.functional.unfold(grid, kernel_size=M, stride=M)  # (1, D*M*M, 4)
+        merged = unf[0].T @ torch.tensor(merger_w).T  # (4, D)
+        y = merged @ torch.tensor(mm1).T
+        y = torch.nn.functional.gelu(y)
+        y = y @ torch.tensor(mm2).T  # (4, OUT)
+        y = y.view(2, 2, OUT)
+        out_rows = []
+        for r in range(2):
+            out_rows.append(torch.cat([y[r], torch.tensor(brk)[None]], dim=0))
+        want = torch.cat(out_rows, dim=0)[:-1].numpy()  # (2*(2+1)-1, OUT)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
