@@ -205,3 +205,62 @@ def test_seq_add_shift(model_path):
     assert int(eng.kv.pos_next[0]) == 4
     logits = eng.decode_one(50)
     assert np.isfinite(logits).all()
+
+
+def test_swa_prefix_reuse_no_checkpoints(tmp_path):
+    """SWA models: branching from a shorter cached prefix must be exact.
+
+    The reference prunes SWA KV rows outside the window, so branching needs
+    saved snapshots (server.cpp swa_checkpoint, :3319-3360).  This design
+    keeps every row resident and applies the window in the attention mask,
+    so prefix reuse needs no checkpoints — this test pins that property."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from llama_cpp_gfx906_tpu.runtime.batch_engine import BatchedEngine, SamplerConfig
+
+    torch.manual_seed(11)
+    hf = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-swa.gguf")
+    # mistral-style sliding window of 6 tokens on every layer
+    convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.F32,
+                     arch="mistral",
+                     extra_kv={"mistral.attention.sliding_window": 6})
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.cfg.sliding_window == 6
+
+    base = [3, 17, 42, 9, 88, 5, 63, 21, 7, 11, 30, 2]  # longer than the window
+
+    def run(be, prompt, n):
+        s = be.add_request(list(prompt), n, SamplerConfig(temp=0.0))
+        out = None
+        for _ in range(300):
+            for slot, tok, finished in be.step():
+                if finished:
+                    out = list(slot.generated)
+                    be.release(slot)
+            if out is not None:
+                return out
+        raise AssertionError("no completion")
+
+    be = BatchedEngine(eng.cfg, eng.params, eng.tokenizer, n_slots=1,
+                       max_seq=64, dtype=jnp.float32)
+    # long request fills the cache well past the window...
+    first = run(be, base, 6)
+    # ...then a request sharing only a SHORT prefix (n_match < n_past - n_swa)
+    branch = base[:3] + [44, 45]
+    got = run(be, branch, 6)
+
+    fresh = BatchedEngine(eng.cfg, eng.params, eng.tokenizer, n_slots=1,
+                          max_seq=64, dtype=jnp.float32)
+    want = run(fresh, branch, 6)
+    assert got == want
+    # and re-running the original long prompt (now a prefix-cache hit from
+    # the branch) is also exact
+    again = run(be, base, 6)
+    assert again == first
