@@ -319,7 +319,8 @@ def forward(
         layer_step, (x,), (params["layers"], kv.k, kv.v, windows, inv_freq_layers, rope_on)
     )
 
-    x = _norm(x, params["out_norm"], params.get("out_norm_b"), cfg)
+    if return_hidden != "raw":  # "raw": pipeline mid-stage — no final norm
+        x = _norm(x, params["out_norm"], params.get("out_norm_b"), cfg)
 
     if n_tokens is None:
         advance = jnp.full((B,), T, jnp.int32)

@@ -129,3 +129,72 @@ def test_mesh_shapes():
     assert m.shape == {"data": 1, "model": 8}
     m2 = make_mesh(n_model=2, n_data=4)
     assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_pipeline_forward_matches_single_device():
+    """GPipe stages over a 4-stage mesh must reproduce the dense forward
+    exactly (reference analog: backend-scheduler pipeline parallelism,
+    llama-context.cpp:255-285)."""
+    from jax.sharding import Mesh
+
+    from llama_cpp_gfx906_tpu.parallel.pipeline import (
+        make_pipeline_forward,
+        shard_for_pipeline,
+    )
+
+    cfg = ModelConfig(
+        arch="llama", n_layers=4, n_embd=32, n_heads=4, n_kv_heads=2,
+        head_dim=8, n_ff=48, n_vocab=64, n_ctx_train=64,
+    )
+    params = _synth_params(cfg, seed=3)
+    B, T = 4, 8
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (B, T)), jnp.int32)
+
+    ref, ref_kv = _run(params, cfg, tokens)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+    kv = KVCache.create(cfg, B, T + 4, jnp.float32)
+    p_sh, kv_sh = shard_for_pipeline(params, kv, mesh)
+    run = make_pipeline_forward(cfg, mesh, n_micro=2)
+    logits, kv2 = run(p_sh, tokens, kv_sh)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)
+    # KV written identically (stage-sharded layer axis gathers back)
+    np.testing.assert_allclose(
+        np.asarray(kv2.k[:, :, :T]), np.asarray(ref_kv.k[:, :, :T]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(np.asarray(kv2.n_past), np.asarray(ref_kv.n_past))
+
+
+def test_pipeline_decode_step_after_prefill():
+    """Pipelined prefill then a pipelined decode step: the carried KV must
+    line up stage-by-stage."""
+    from jax.sharding import Mesh
+
+    from llama_cpp_gfx906_tpu.parallel.pipeline import (
+        make_pipeline_forward,
+        shard_for_pipeline,
+    )
+
+    cfg = ModelConfig(
+        arch="llama", n_layers=4, n_embd=32, n_heads=4, n_kv_heads=2,
+        head_dim=8, n_ff=48, n_vocab=64, n_ctx_train=64,
+    )
+    params = _synth_params(cfg, seed=4)
+    B, T = 2, 6
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (B, T)), jnp.int32)
+    nxt = jnp.asarray(rng.integers(0, cfg.n_vocab, (B, 1)), jnp.int32)
+
+    kv0 = KVCache.create(cfg, B, T + 4, jnp.float32)
+    ref1, kv_r = _run(params, cfg, tokens)
+    ref2, _ = jax.jit(forward, static_argnames=("cfg",))(params, cfg, nxt, kv_r)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("stage",))
+    p_sh, kv_sh = shard_for_pipeline(params, kv0, mesh)
+    run = make_pipeline_forward(cfg, mesh, n_micro=2)
+    _, kv1 = run(p_sh, tokens, kv_sh)
+    logits2, _ = run(p_sh, nxt, kv1)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
