@@ -84,6 +84,9 @@ class WhisperEncConfig:
     n_heads: int
     n_ff: int
     eps: float = 1e-5
+    # qwen2audio/voxtral: AvgPool1d(2) over time before the post-norm
+    # (clip.cpp audio_has_avgpool, :1680)
+    avgpool: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -120,6 +123,9 @@ def encode_audio(params: dict, cfg: WhisperEncConfig, mel: jnp.ndarray) -> jnp.n
         h = layer_norm(x, p["ln2"], p["ln2_b"], cfg.eps)
         h = jax.nn.gelu((h @ p["ffn_up"] + p["b_up"]).astype(jnp.float32), approximate=False).astype(x.dtype)
         x = x + (h @ p["ffn_down"] + p["b_down"])
+    if cfg.avgpool:
+        Tp = (T // 2) * 2
+        x = x[:, :Tp].reshape(B, Tp // 2, 2, D).mean(axis=2)
     return layer_norm(x, params["post_ln"], params["post_ln_b"], cfg.eps)
 
 
@@ -154,3 +160,112 @@ def load_from_hf_whisper_encoder(encoder, dtype=jnp.float32) -> tuple[WhisperEnc
             "ffn_down": J(sd[p + "fc2.weight"].T), "b_down": J(sd[p + "fc2.bias"]),
         })
     return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# audio mmproj: GGUF loading + LM-space projectors
+# (reference: clip.cpp build_whisper_enc:1445-1545 — ultravox stacked-swiglu,
+# qwen2audio fc, voxtral stacked-gelu projectors; names clip-impl.h TN_*/"a.")
+# ---------------------------------------------------------------------------
+
+
+def project_audio(params: dict, feats: jnp.ndarray, projector: str,
+                  stack_factor: int = 8) -> jnp.ndarray:
+    """Whisper-encoder output (B, T, D) → LM embeddings.
+
+    - "ultravox": StackAudioFrames(stack_factor) → RMS pre-norm → mm.1 →
+      swiglu_swapped (second half gates) → RMS mid-norm → mm.2
+    - "qwen2a": single fc (weight + bias)
+    - "voxtral": stack → mm.1 → gelu_erf → mm.2
+    """
+    B, T, D = feats.shape
+
+    def stack(x):
+        # StackAudioFrames: flatten and regroup rows of stack_factor frames,
+        # zero-padding the tail (ultravox_model.py via clip.cpp:1496)
+        stride = D * stack_factor
+        flat = x.reshape(B, T * D)
+        pad = (-flat.shape[1]) % stride
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+        return flat.reshape(B, -1, stride)
+
+    def rms(x, w):
+        xf = x.astype(jnp.float32)
+        return (xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + 1e-6)
+                * w.astype(jnp.float32)).astype(x.dtype)
+
+    if projector == "ultravox":
+        x = stack(feats)
+        x = rms(x, params["mm_norm_pre"])
+        x = x @ params["mm1_w"]
+        half = x.shape[-1] // 2
+        # swiglu_swapped: the SECOND half is silu'd and gates the first
+        x = x[..., :half] * jax.nn.silu(x[..., half:].astype(jnp.float32)).astype(x.dtype)
+        x = rms(x, params["mm_norm_mid"])
+        return x @ params["mm2_w"]
+    if projector == "qwen2a":
+        return feats @ params["mm_fc_w"] + params["mm_fc_b"]
+    if projector == "voxtral":
+        x = stack(feats)
+        x = x @ params["mm1_w"]
+        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+        return x @ params["mm2_w"]
+    raise ValueError(f"unknown audio projector: {projector}")
+
+
+def load_audio_mmproj(reader, dtype=jnp.float32):
+    """Audio mmproj GGUF → (cfg, params, projector, stack_factor).
+
+    Keys clip.audio.* (clip-impl.h KEY_N_* with the "audio" prefix),
+    tensors under the "a." prefix plus mm.a.* projector weights."""
+    g = lambda k, d=None: reader.get(k) if reader.get(k) is not None else d
+    projector = str(g("clip.projector_type", "ultravox"))
+    cfg = WhisperEncConfig(
+        n_mels=int(g("clip.audio.num_mel_bins", 80)),
+        n_embd=int(g("clip.audio.embedding_length")),
+        n_layers=int(g("clip.audio.block_count")),
+        n_heads=int(g("clip.audio.attention.head_count")),
+        n_ff=int(g("clip.audio.feed_forward_length")),
+        eps=float(g("clip.audio.attention.layer_norm_epsilon", 1e-5)),
+        avgpool=projector in ("qwen2a", "voxtral"),
+    )
+    stack_factor = int(g("clip.audio.projector.stack_factor", 8))
+    t = reader.tensors
+
+    def w(name, transpose=False):
+        a = t[name].to_f32()
+        if transpose:
+            a = np.ascontiguousarray(a.T)
+        return jnp.asarray(a.astype(dtype))
+
+    params = {
+        "conv1_w": w("a.conv1d.1.weight"), "conv1_b": w("a.conv1d.1.bias"),
+        "conv2_w": w("a.conv1d.2.weight"), "conv2_b": w("a.conv1d.2.bias"),
+        "pos_embd": w("a.position_embd.weight"),
+        "post_ln": w("a.post_ln.weight"), "post_ln_b": w("a.post_ln.bias"),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        b = f"a.blk.{i}."
+        params["layers"].append({
+            "ln1": w(b + "ln1.weight"), "ln1_b": w(b + "ln1.bias"),
+            "wq": w(b + "attn_q.weight", True), "bq": w(b + "attn_q.bias"),
+            "wk": w(b + "attn_k.weight", True),
+            "wv": w(b + "attn_v.weight", True), "bv": w(b + "attn_v.bias"),
+            "wo": w(b + "attn_out.weight", True), "bo": w(b + "attn_out.bias"),
+            "ln2": w(b + "ln2.weight"), "ln2_b": w(b + "ln2.bias"),
+            "ffn_up": w(b + "ffn_up.weight", True), "b_up": w(b + "ffn_up.bias"),
+            "ffn_down": w(b + "ffn_down.weight", True), "b_down": w(b + "ffn_down.bias"),
+        })
+    if projector == "ultravox":
+        params["mm_norm_pre"] = w("mm.a.norm_pre.weight")
+        params["mm_norm_mid"] = w("mm.a.norm_mid.weight")
+        params["mm1_w"] = w("mm.a.mlp.1.weight", True)
+        params["mm2_w"] = w("mm.a.mlp.2.weight", True)
+    elif projector == "qwen2a":
+        params["mm_fc_w"] = w("mm.a.fc.weight", True)
+        params["mm_fc_b"] = w("mm.a.fc.bias")
+    elif projector == "voxtral":
+        params["mm1_w"] = w("mm.a.mlp.1.weight", True)
+        params["mm2_w"] = w("mm.a.mlp.2.weight", True)
+    return cfg, params, projector, stack_factor

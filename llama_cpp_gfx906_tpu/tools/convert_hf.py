@@ -1031,6 +1031,71 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_audio_mmproj(model, out_path: str, projector: str = "qwen2a",
+                            stack_factor: int = 8) -> str:
+    """Whisper-style audio tower + projector → audio mmproj GGUF.
+
+    ``model``: HF Qwen2AudioForConditionalGeneration (projector "qwen2a":
+    avgpool(2) tower + single fc) or any module exposing a whisper encoder
+    at ``.audio_tower`` and a linear/mlp projector at
+    ``.multi_modal_projector``.  Names: clip-impl.h "a." prefix +
+    ``mm.a.*`` (reference audio branch, clip.cpp:1445-1545)."""
+    tower = getattr(model, "audio_tower", None) or getattr(getattr(model, "model", None), "audio_tower", None) or model
+    proj = getattr(model, "multi_modal_projector", None) or getattr(getattr(model, "model", None), "multi_modal_projector", None)
+    hf = tower.config
+    ts = {k: v.detach().cpu().float().numpy() for k, v in tower.state_dict().items()}
+
+    from ..gguf.writer import GGUFWriter as _W
+
+    w = _W(out_path, "clip")
+    w.add_string("clip.projector_type", projector)
+    w.add_uint32("clip.audio.num_mel_bins", hf.num_mel_bins)
+    w.add_uint32("clip.audio.embedding_length", hf.d_model)
+    w.add_uint32("clip.audio.block_count", hf.encoder_layers)
+    w.add_uint32("clip.audio.attention.head_count", hf.encoder_attention_heads)
+    w.add_uint32("clip.audio.feed_forward_length", hf.encoder_ffn_dim)
+    if projector in ("ultravox", "voxtral"):
+        w.add_uint32("clip.audio.projector.stack_factor", stack_factor)
+
+    def add(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), GGMLType.F32)
+
+    add("a.conv1d.1.weight", ts["conv1.weight"])
+    add("a.conv1d.1.bias", ts["conv1.bias"])
+    add("a.conv1d.2.weight", ts["conv2.weight"])
+    add("a.conv1d.2.bias", ts["conv2.bias"])
+    add("a.position_embd.weight", ts["embed_positions.weight"])
+    add("a.post_ln.weight", ts["layer_norm.weight"])
+    add("a.post_ln.bias", ts["layer_norm.bias"])
+    for i in range(hf.encoder_layers):
+        p = f"layers.{i}."
+        b = f"a.blk.{i}."
+        add(b + "ln1.weight", ts[p + "self_attn_layer_norm.weight"])
+        add(b + "ln1.bias", ts[p + "self_attn_layer_norm.bias"])
+        add(b + "attn_q.weight", ts[p + "self_attn.q_proj.weight"])
+        add(b + "attn_q.bias", ts[p + "self_attn.q_proj.bias"])
+        add(b + "attn_k.weight", ts[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", ts[p + "self_attn.v_proj.weight"])
+        add(b + "attn_v.bias", ts[p + "self_attn.v_proj.bias"])
+        add(b + "attn_out.weight", ts[p + "self_attn.out_proj.weight"])
+        add(b + "attn_out.bias", ts[p + "self_attn.out_proj.bias"])
+        add(b + "ln2.weight", ts[p + "final_layer_norm.weight"])
+        add(b + "ln2.bias", ts[p + "final_layer_norm.bias"])
+        add(b + "ffn_up.weight", ts[p + "fc1.weight"])
+        add(b + "ffn_up.bias", ts[p + "fc1.bias"])
+        add(b + "ffn_down.weight", ts[p + "fc2.weight"])
+        add(b + "ffn_down.bias", ts[p + "fc2.bias"])
+    if proj is not None:
+        ps = {k: v.detach().cpu().float().numpy() for k, v in proj.state_dict().items()}
+        if projector == "qwen2a":
+            add("mm.a.fc.weight", ps["linear.weight"])
+            add("mm.a.fc.bias", ps["linear.bias"])
+        else:
+            add("mm.a.mlp.1.weight", ps["linear_1.weight"])
+            add("mm.a.mlp.2.weight", ps["linear_2.weight"])
+    return w.write()
+
+
 def convert_hf_pixtral_vision(model, out_path: str, img_break_id: int | None = None) -> str:
     """Pixtral vision tower + projector → mmproj GGUF (projector "pixtral").
 
