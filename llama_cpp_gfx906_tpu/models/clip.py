@@ -50,6 +50,8 @@ class ClipConfig:
     rope_2d: bool = False
     rope_theta: float = 10000.0
     spatial_merge_size: int = 1
+    # idefics3/internvl: pixel-shuffle scale (clip.vision.projector.scale_factor)
+    proj_scale_factor: int = 0
 
     @property
     def n_patches(self) -> int:
@@ -117,6 +119,15 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
         coords = np.floor(bk * np.arange(g) / g).astype(np.int64)
         ids = (coords[:, None] * bk + coords[None, :]).reshape(-1)
         x = x + params["pos_embd"][jnp.asarray(ids)][None]
+    elif cfg.projector == "idefics3":
+        # navit-style fractional bucketing (HF Idefics3VisionEmbeddings:
+        # frac = (i/g)·(1−1e−6), bucketize right over (1..nps−1)/nps) — for
+        # full-resolution squares this is NOT arange (the .25−ε trick)
+        nps = cfg.image_size // cfg.patch_size
+        bounds = np.arange(1, nps) / nps
+        coords = np.searchsorted(bounds, (np.arange(g) / g) * (1 - 1e-6), side="right")
+        ids = (coords[:, None] * nps + coords[None, :]).reshape(-1)
+        x = x + params["pos_embd"][jnp.asarray(ids)][None]
     elif "pos_embd" in params:
         x = x + params["pos_embd"][None, : x.shape[1]]
 
@@ -146,14 +157,20 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
         if il >= n_run:
             break
         h = _cnorm(hidden, p["ln1"], p.get("ln1_b"), cfg)
-        hidden = hidden + _attn(h, p, cfg, rope2d)
+        att = _attn(h, p, cfg, rope2d)
+        if "ls1" in p:  # internvl layer scale (HF lambda_1/lambda_2)
+            att = att * p["ls1"]
+        hidden = hidden + att
         h = _cnorm(hidden, p["ln2"], p.get("ln2_b"), cfg)
         if cfg.ffn_gated:  # pixtral: silu-gated, bias-free
-            gate = jax.nn.silu((h @ p["ffn_gate"]).astype(jnp.float32)).astype(h.dtype)
-            hidden = hidden + (gate * (h @ p["ffn_up"])) @ p["ffn_down"]
+            mlp = (jax.nn.silu((h @ p["ffn_gate"]).astype(jnp.float32)).astype(h.dtype)
+                   * (h @ p["ffn_up"])) @ p["ffn_down"]
         else:
             h = jax.nn.gelu((h @ p["ffn_up"] + p["b_up"]).astype(jnp.float32), approximate=tanh_act).astype(h.dtype)
-            hidden = hidden + (h @ p["ffn_down"] + p["b_down"])
+            mlp = h @ p["ffn_down"] + p["b_down"]
+        if "ls2" in p:
+            mlp = mlp * p["ls2"]
+        hidden = hidden + mlp
 
     if "post_ln" in params:
         hidden = _cnorm(hidden, params["post_ln"], params.get("post_ln_b"), cfg)
@@ -225,6 +242,25 @@ def encode_image(params: dict, cfg: ClipConfig, pixels: jnp.ndarray) -> jnp.ndar
         y = jnp.concatenate([y.reshape(B, rows, cols, -1), brk], axis=2)
         return y.reshape(B, rows * (cols + 1), -1)[:, :-1]
 
+    if cfg.projector in ("idefics3", "internvl"):
+        # pixel shuffle (HF Idefics3Connector.pixel_shuffle — the reference
+        # replicates the same permutes, clip.cpp:521/internvl:938): each
+        # s×s patch block folds into one token of D·s² features
+        sf = cfg.proj_scale_factor
+        D = cfg.n_embd
+        f = feats.reshape(B, g, g // sf, D * sf)
+        f = f.transpose(0, 2, 1, 3)
+        f = f.reshape(B, g // sf, g // sf, D * sf * sf)
+        f = f.transpose(0, 2, 1, 3)
+        f = f.reshape(B, (g // sf) ** 2, D * sf * sf)
+        if cfg.projector == "idefics3":
+            return f @ params["mm_fc"] if "mm_fc" in params else f
+        # internvl: LN → linear → gelu → linear (clip.cpp build_internvl)
+        f = layer_norm(f, params["mm0_w"], params["mm0_b"], 1e-5)
+        f = f @ params["mm1_w"] + params["mm1_b"]
+        f = jax.nn.gelu(f.astype(jnp.float32), approximate=False).astype(f.dtype)
+        return f @ params["mm3_w"] + params["mm3_b"]
+
     # llava 2-layer MLP projector (mm.0 / mm.2)
     y = feats @ params["mm0_w"] + params["mm0_b"]
     y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
@@ -261,6 +297,7 @@ def config_from_mmproj(reader) -> ClipConfig:
     gemma3 = projector == "gemma3"
     minicpmv = projector == "minicpmv"
     pixtral = projector == "pixtral"
+    internvl = projector == "internvl"
     img = int(g("clip.vision.image_size"))
     patch = int(g("clip.vision.patch_size"))
     return ClipConfig(
@@ -273,14 +310,17 @@ def config_from_mmproj(reader) -> ClipConfig:
         proj_dim=int(g("clip.vision.projection_dim")),
         eps=float(g("clip.vision.attention.layer_norm_epsilon", 1e-5)),
         # gemma3/minicpmv project the final post-norm hidden states
-        feature_layer=int(g("clip.vision.feature_layer", -1 if (gemma3 or minicpmv or pixtral) else -2)),
-        use_class_token=not (gemma3 or minicpmv or pixtral),
+        feature_layer=int(g("clip.vision.feature_layer",
+                            -1 if (gemma3 or minicpmv or pixtral or internvl
+                                   or projector == "idefics3") else -2)),
+        use_class_token=not (gemma3 or minicpmv or pixtral or projector == "idefics3"),
         projector=projector,
-        act="gelu_tanh" if (gemma3 or minicpmv) else "gelu_erf",
+        act="gelu_tanh" if (gemma3 or minicpmv or projector == "idefics3") else "gelu_erf",
         minicpmv_query_num=int(g("clip.minicpmv_query_num", 64)) if minicpmv else 0,
         pos_embd_bucket=70 if minicpmv else 0,
         # pixtral tower (clip.cpp hparams: rope_theta defaults 10000 :2239)
         norm="rms" if pixtral else "layer",
+        proj_scale_factor=int(g("clip.vision.projector.scale_factor", 0) or 0),
         ffn_gated=pixtral,
         rope_2d=pixtral,
         rope_theta=float(g("clip.vision.rope_theta", 10000.0)),
@@ -345,6 +385,16 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         if "mm.patch_merger.weight" in t:  # mistral small 3.1
             params["mm_patch_merger"] = w("mm.patch_merger.weight", True)
             params["mm_input_norm"] = w("mm.input_norm.weight")
+    elif cfg.projector == "idefics3":
+        if "mm.model.fc.weight" in t:
+            params["mm_fc"] = w("mm.model.fc.weight", True)
+    elif cfg.projector == "internvl":
+        params["mm0_w"] = w("mm.0.weight")
+        params["mm0_b"] = w("mm.0.bias")
+        params["mm1_w"] = w("mm.1.weight", True)
+        params["mm1_b"] = w("mm.1.bias")
+        params["mm3_w"] = w("mm.3.weight", True)
+        params["mm3_b"] = w("mm.3.bias")
     else:
         params["mm0_w"] = w("mm.0.weight", True)
         params["mm0_b"] = w("mm.0.bias")
@@ -383,6 +433,9 @@ def load_mmproj(reader, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
                 layer[key] = w(b + gg)
         if b + "ffn_gate.weight" in t:
             layer["ffn_gate"] = w(b + "ffn_gate.weight", True)
+        for gg, key in [("ls1.weight", "ls1"), ("ls2.weight", "ls2")]:
+            if b + gg in t:
+                layer[key] = w(b + gg)
         layers.append(layer)
     params["layers"] = layers
     return cfg, params

@@ -1031,6 +1031,130 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_idefics3_vision(model, out_path: str, scale_factor: int = 2) -> str:
+    """Idefics3/SmolVLM vision tower + connector → mmproj GGUF
+    (projector "idefics3": pixel shuffle + single fc — clip.cpp:521)."""
+    tower = getattr(model, "vision_model", None) or getattr(getattr(model, "model", None), "vision_model", None) or model
+    vcfg = tower.config
+    ts = {k: v.detach().cpu().float().numpy() for k, v in tower.state_dict().items()}
+    conn = getattr(model, "connector", None) or getattr(getattr(model, "model", None), "connector", None)
+
+    from ..gguf.writer import GGUFWriter as _W
+
+    w = _W(out_path, "clip")
+    w.add_string("clip.projector_type", "idefics3")
+    w.add_uint32("clip.vision.image_size", vcfg.image_size)
+    w.add_uint32("clip.vision.patch_size", vcfg.patch_size)
+    w.add_uint32("clip.vision.embedding_length", vcfg.hidden_size)
+    w.add_uint32("clip.vision.block_count", vcfg.num_hidden_layers)
+    w.add_uint32("clip.vision.attention.head_count", vcfg.num_attention_heads)
+    w.add_uint32("clip.vision.feed_forward_length", vcfg.intermediate_size)
+    w.add_float32("clip.vision.attention.layer_norm_epsilon",
+                  getattr(vcfg, "layer_norm_eps", 1e-6))
+    w.add_uint32("clip.vision.projector.scale_factor", scale_factor)
+
+    def add(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), GGMLType.F32)
+
+    add("v.patch_embd.weight", ts["embeddings.patch_embedding.weight"])
+    add("v.patch_embd.bias", ts["embeddings.patch_embedding.bias"])
+    add("v.position_embd.weight", ts["embeddings.position_embedding.weight"])
+    if "post_layernorm.weight" in ts:
+        add("v.post_ln.weight", ts["post_layernorm.weight"])
+        add("v.post_ln.bias", ts["post_layernorm.bias"])
+    for i in range(vcfg.num_hidden_layers):
+        p = f"encoder.layers.{i}."
+        b = f"v.blk.{i}."
+        add(b + "ln1.weight", ts[p + "layer_norm1.weight"])
+        add(b + "ln1.bias", ts[p + "layer_norm1.bias"])
+        add(b + "ln2.weight", ts[p + "layer_norm2.weight"])
+        add(b + "ln2.bias", ts[p + "layer_norm2.bias"])
+        for hf_n, gg in [("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("out_proj", "attn_out")]:
+            add(b + gg + ".weight", ts[p + f"self_attn.{hf_n}.weight"])
+            add(b + gg + ".bias", ts[p + f"self_attn.{hf_n}.bias"])
+        add(b + "ffn_up.weight", ts[p + "mlp.fc1.weight"])
+        add(b + "ffn_up.bias", ts[p + "mlp.fc1.bias"])
+        add(b + "ffn_down.weight", ts[p + "mlp.fc2.weight"])
+        add(b + "ffn_down.bias", ts[p + "mlp.fc2.bias"])
+    if conn is not None:
+        cs = {k: v.detach().cpu().float().numpy() for k, v in conn.state_dict().items()}
+        fc = cs.get("modality_projection.proj.weight")
+        add("mm.model.fc.weight", fc)
+        w.add_uint32("clip.vision.projection_dim", fc.shape[0])
+    else:
+        w.add_uint32("clip.vision.projection_dim", vcfg.hidden_size)
+    return w.write()
+
+
+def convert_hf_internvl_vision(model, out_path: str, scale_factor: int = 2) -> str:
+    """InternVL vision tower + mlp projector → mmproj GGUF (projector
+    "internvl": pixel shuffle + LN/linear/gelu/linear — clip.cpp
+    build_internvl; ls1/ls2 layer scales per block)."""
+    tower = getattr(model, "vision_tower", None) or getattr(getattr(model, "model", None), "vision_tower", None) or model
+    vcfg = tower.config
+    ts = {k: v.detach().cpu().float().numpy() for k, v in tower.state_dict().items()}
+    proj = getattr(model, "multi_modal_projector", None) or getattr(getattr(model, "model", None), "multi_modal_projector", None)
+
+    from ..gguf.writer import GGUFWriter as _W
+
+    img = vcfg.image_size[0] if isinstance(vcfg.image_size, (list, tuple)) else vcfg.image_size
+    patch = vcfg.patch_size[0] if isinstance(vcfg.patch_size, (list, tuple)) else vcfg.patch_size
+    w = _W(out_path, "clip")
+    w.add_string("clip.projector_type", "internvl")
+    w.add_uint32("clip.vision.image_size", img)
+    w.add_uint32("clip.vision.patch_size", patch)
+    w.add_uint32("clip.vision.embedding_length", vcfg.hidden_size)
+    w.add_uint32("clip.vision.block_count", vcfg.num_hidden_layers)
+    w.add_uint32("clip.vision.attention.head_count", vcfg.num_attention_heads)
+    w.add_uint32("clip.vision.feed_forward_length", vcfg.intermediate_size)
+    w.add_float32("clip.vision.attention.layer_norm_epsilon",
+                  getattr(vcfg, "layer_norm_eps", 1e-6))
+    w.add_uint32("clip.vision.projector.scale_factor", scale_factor)
+
+    def add(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32), GGMLType.F32)
+
+    add("v.patch_embd.weight", ts["embeddings.patch_embeddings.projection.weight"])
+    add("v.patch_embd.bias", ts["embeddings.patch_embeddings.projection.bias"])
+    add("v.class_embd", ts["embeddings.cls_token"].reshape(-1))
+    add("v.position_embd.weight", ts["embeddings.position_embeddings"].reshape(
+        -1, vcfg.hidden_size))
+    if "layernorm.weight" in ts:
+        add("v.post_ln.weight", ts["layernorm.weight"])
+        add("v.post_ln.bias", ts["layernorm.bias"])
+    for i in range(vcfg.num_hidden_layers):
+        p = f"encoder.layer.{i}."
+        b = f"v.blk.{i}."
+        add(b + "ln1.weight", ts[p + "layernorm_before.weight"])
+        add(b + "ln1.bias", ts[p + "layernorm_before.bias"])
+        add(b + "ln2.weight", ts[p + "layernorm_after.weight"])
+        add(b + "ln2.bias", ts[p + "layernorm_after.bias"])
+        add(b + "ls1.weight", ts[p + "lambda_1"])
+        add(b + "ls2.weight", ts[p + "lambda_2"])
+        for hf_n, gg in [("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("projection_layer", "attn_out")]:
+            add(b + gg + ".weight", ts[p + f"attention.{hf_n}.weight"])
+            if p + f"attention.{hf_n}.bias" in ts:
+                add(b + gg + ".bias", ts[p + f"attention.{hf_n}.bias"])
+        add(b + "ffn_up.weight", ts[p + "mlp.fc1.weight"])
+        add(b + "ffn_up.bias", ts[p + "mlp.fc1.bias"])
+        add(b + "ffn_down.weight", ts[p + "mlp.fc2.weight"])
+        add(b + "ffn_down.bias", ts[p + "mlp.fc2.bias"])
+    if proj is not None:
+        psd = {k: v.detach().cpu().float().numpy() for k, v in proj.state_dict().items()}
+        add("mm.0.weight", psd["layer_norm.weight"])
+        add("mm.0.bias", psd["layer_norm.bias"])
+        add("mm.1.weight", psd["linear_1.weight"])
+        add("mm.1.bias", psd["linear_1.bias"])
+        add("mm.3.weight", psd["linear_2.weight"])
+        add("mm.3.bias", psd["linear_2.bias"])
+        w.add_uint32("clip.vision.projection_dim", psd["linear_2.weight"].shape[0])
+    else:
+        w.add_uint32("clip.vision.projection_dim", vcfg.hidden_size)
+    return w.write()
+
+
 def convert_hf_audio_mmproj(model, out_path: str, projector: str = "qwen2a",
                             stack_factor: int = 8) -> str:
     """Whisper-style audio tower + projector → audio mmproj GGUF.

@@ -450,3 +450,83 @@ def test_pixtral_patch_merger(tmp_path):
             out_rows.append(torch.cat([y[r], torch.tensor(brk)[None]], dim=0))
         want = torch.cat(out_rows, dim=0)[:-1].numpy()  # (2*(2+1)-1, OUT)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_idefics3_pixel_shuffle_parity(tmp_path):
+    """Idefics3/SmolVLM connector: pixel shuffle + fc must match the HF
+    Idefics3Connector end to end (reference clip.cpp:521)."""
+    from transformers import Idefics3VisionConfig
+    from transformers.models.idefics3.configuration_idefics3 import Idefics3Config
+    from transformers.models.idefics3.modeling_idefics3 import (
+        Idefics3Connector,
+        Idefics3VisionTransformer,
+    )
+
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader
+    from llama_cpp_gfx906_tpu.models.clip import encode_image, load_mmproj
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_idefics3_vision
+
+    torch.manual_seed(9)
+    vcfg = Idefics3VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=16, patch_size=4,
+    )
+    tower = Idefics3VisionTransformer(vcfg).eval()
+    full = Idefics3Config(vision_config=vcfg.to_dict(),
+                          text_config=dict(hidden_size=48, vocab_size=64),
+                          scale_factor=2)
+    conn = Idefics3Connector(full).eval()
+
+    class Shim:
+        vision_model = tower
+        connector = conn
+        config = full
+
+    path = str(tmp_path / "id3-mmproj.gguf")
+    convert_hf_idefics3_vision(Shim, path, scale_factor=2)
+    cfg, params = load_mmproj(GGUFReader(path))
+    assert cfg.projector == "idefics3" and cfg.proj_scale_factor == 2
+
+    pixels = np.random.default_rng(4).standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        hs = tower(torch.tensor(pixels)).last_hidden_state
+        ref = conn(hs)[0].numpy()
+    got = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))[0]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_internvl_projector_parity(tmp_path):
+    """InternVL: layer-scaled tower + pixel shuffle + LN/gelu MLP projector
+    vs HF get_image_features (reference clip.cpp build_internvl)."""
+    from transformers import InternVLConfig, InternVLForConditionalGeneration
+
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader
+    from llama_cpp_gfx906_tpu.models.clip import encode_image, load_mmproj
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_internvl_vision
+
+    torch.manual_seed(10)
+    hf = InternVLForConditionalGeneration(InternVLConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=[16, 16], patch_size=[4, 4]),
+        text_config=dict(vocab_size=64, hidden_size=48, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2),
+        downsample_ratio=0.5,
+    )).eval()
+    path = str(tmp_path / "ivl-mmproj.gguf")
+    convert_hf_internvl_vision(hf, path, scale_factor=2)
+    cfg, params = load_mmproj(GGUFReader(path))
+    assert cfg.projector == "internvl" and cfg.use_class_token
+
+    pixels = np.random.default_rng(5).standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.get_image_features(
+            pixel_values=torch.tensor(pixels),
+            vision_feature_layer=-1,
+            vision_feature_select_strategy="default",
+        )[0].numpy()
+    got = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))[0]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
