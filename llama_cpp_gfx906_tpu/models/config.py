@@ -387,6 +387,43 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             expert_weights_norm=False,
             moe_scale_input=True,
         )
+    elif arch == "starcoder2":
+        # LayerNorm + full biases, NEOX rope, ungated GELU FFN
+        # (reference llm_build_starcoder2, src/llama-model.cpp:10880)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            attn_bias=True,
+            rope_interleaved=False,
+            ffn_gated=False,
+            act_fn="gelu_tanh",
+        )
+    elif arch == "nemotron":
+        # LayerNorm(+1? no — plain), relu² ungated FFN, partial NEOX rope
+        # (reference llm_build_nemotron, src/llama-model.cpp:13923)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            rope_interleaved=False,
+            ffn_gated=False,
+            act_fn="relu2",
+        )
+    elif arch == "exaone4":
+        # post-norm-only blocks (attention/FFN on the raw residual stream,
+        # RMS norms on the branch outputs) + per-head qk norms, NEOX rope
+        # (reference llm_build_exaone4, src/llama-model.cpp:14184)
+        cfg = cfg.with_(
+            pre_norm=False,
+            post_attn_norm=True,
+            post_ffn_norm=True,
+            qk_norm=True,
+            rope_interleaved=False,
+        )
+    elif arch == "arcee":
+        # llama graph with an ungated relu² FFN (llm_build_arcee :17039)
+        cfg = cfg.with_(ffn_gated=False, act_fn="relu2")
+    elif arch == "xverse":
+        pass  # plain llama graph with NORM rope (llm_build_xverse)
     elif arch == "minicpm":
         # the granite builder with rope always on (reference: LLM_ARCH_MINICPM
         # → llm_build_granite, src/llama-model.cpp:18431; NORM rope :18641).

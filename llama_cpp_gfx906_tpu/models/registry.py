@@ -22,6 +22,7 @@ ATTENTION_ARCHS = {
     "deepseek", "olmo", "olmoe", "smollm", "smollm3", "internlm2",
     "granite", "granitemoe", "glm4", "dbrx", "cohere2", "command-r", "minicpm",
     "ernie4_5", "gpt-oss", "olmo2",
+    "starcoder2", "nemotron", "exaone4", "arcee", "xverse", "qwen2vl",
 }
 
 RECURRENT_ARCHS = {"mamba"}

@@ -51,6 +51,7 @@ def convert_hf_llama(
     arch: str = "llama",
     extra_kv: dict | None = None,
     permute: bool | None = None,  # q/k rope-layout permutation; default by arch
+    layer_map: list | None = None,  # override _LAYER_MAP (per-arch tensor names)
 ) -> str:
     """Write a transformers *LlamaForCausalLM-style* model to GGUF.
 
@@ -79,7 +80,11 @@ def convert_hf_llama(
     w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_kv)
     w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
     w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
-    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf_cfg.rms_norm_eps)
+    eps = next((getattr(hf_cfg, k) for k in
+                ("rms_norm_eps", "norm_epsilon", "layer_norm_eps", "layer_norm_epsilon")
+                if getattr(hf_cfg, k, None) is not None), 1e-5)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, eps)
+    w.add_float32(Keys.Attention.LAYERNORM_EPS, eps)
     w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
     w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf_cfg, "rope_theta", 10000.0))
     w.add_uint32(Keys.LLM.VOCAB_SIZE, hf_cfg.vocab_size)
@@ -120,7 +125,7 @@ def convert_hf_llama(
     emb = state["model.embed_tokens.weight"]
     w.add_tensor("token_embd.weight", emb, qt("token_embd.weight", emb))
     for i in range(hf_cfg.num_hidden_layers):
-        for hf_suffix, gg_suffix in _LAYER_MAP:
+        for hf_suffix, gg_suffix in (layer_map or _LAYER_MAP):
             hf_name = f"model.layers.{i}.{hf_suffix}"
             if hf_name not in state:
                 continue
@@ -168,6 +173,8 @@ def convert_hf_llama(
                 name = f"blk.{i}.{gg}.weight"
                 w.add_tensor(name, stackd, qt(name, stackd))
     w.add_tensor("output_norm.weight", state["model.norm.weight"], GGMLType.F32)
+    if "model.norm.bias" in state:
+        w.add_tensor("output_norm.bias", state["model.norm.bias"], GGMLType.F32)
     if "lm_head.weight" in state:
         w.add_tensor("output.weight", state["lm_head.weight"], qt("output.weight", state["lm_head.weight"]))
     return w.write()
@@ -1029,6 +1036,75 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     ):
         add("output.weight", state["lm_head.weight"])
     return w.write()
+
+
+def convert_hf_starcoder2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Starcoder2ForCausalLM → GGUF (arch "starcoder2"):
+    LayerNorm(+bias) blocks, fully-biased attention, ungated GELU FFN
+    (c_fc/c_proj).  NEOX rope — no q/k permutation."""
+    lm = _LAYER_MAP + [
+        ("input_layernorm.bias", "attn_norm.bias"),
+        ("post_attention_layernorm.bias", "ffn_norm.bias"),
+        ("self_attn.o_proj.bias", "attn_output.bias"),
+        ("mlp.c_fc.weight", "ffn_up.weight"),
+        ("mlp.c_fc.bias", "ffn_up.bias"),
+        ("mlp.c_proj.weight", "ffn_down.weight"),
+        ("mlp.c_proj.bias", "ffn_down.bias"),
+    ]
+    return convert_hf_llama(model, tokenizer_vocab, out_path, quant_type=quant_type,
+                            arch="starcoder2", permute=False, layer_map=lm)
+
+
+def convert_hf_nemotron(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers NemotronForCausalLM → GGUF (arch "nemotron"):
+    LayerNorm(+bias), relu² ungated FFN, partial NEOX rope."""
+    lm = _LAYER_MAP + [
+        ("input_layernorm.bias", "attn_norm.bias"),
+        ("post_attention_layernorm.bias", "ffn_norm.bias"),
+    ]
+    hf = model.config
+    rope_dim = int(getattr(hf, "partial_rotary_factor", 0.5)
+                   * (getattr(hf, "head_dim", None) or hf.hidden_size // hf.num_attention_heads))
+    # layernorm1p: +1 baked into every norm weight (reference NemotronModel
+    # modify_tensors) so the runtime uses plain LayerNorm
+    state = {}
+    for k, v in model.state_dict().items():
+        v = v.detach().cpu().float()
+        if k.endswith("norm.weight"):
+            v = v + 1
+        state[k] = v
+
+    class _Shim:
+        config = hf
+
+        @staticmethod
+        def state_dict():
+            return state
+
+    return convert_hf_llama(_Shim, tokenizer_vocab, out_path, quant_type=quant_type,
+                            arch="nemotron", permute=False, layer_map=lm,
+                            extra_kv={"nemotron.rope.dimension_count": rope_dim})
+
+
+def convert_hf_exaone4(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers Exaone4ForCausalLM → GGUF (arch "exaone4"):
+    post-norm-only blocks (post_attention_layernorm → post_attention_norm,
+    post_feedforward_layernorm → post_ffw_norm), per-head qk norms, NEOX."""
+    lm = [
+        ("self_attn.q_proj.weight", "attn_q.weight"),
+        ("self_attn.k_proj.weight", "attn_k.weight"),
+        ("self_attn.v_proj.weight", "attn_v.weight"),
+        ("self_attn.o_proj.weight", "attn_output.weight"),
+        ("self_attn.q_norm.weight", "attn_q_norm.weight"),
+        ("self_attn.k_norm.weight", "attn_k_norm.weight"),
+        ("post_attention_layernorm.weight", "post_attention_norm.weight"),
+        ("post_feedforward_layernorm.weight", "post_ffw_norm.weight"),
+        ("mlp.gate_proj.weight", "ffn_gate.weight"),
+        ("mlp.up_proj.weight", "ffn_up.weight"),
+        ("mlp.down_proj.weight", "ffn_down.weight"),
+    ]
+    return convert_hf_llama(model, tokenizer_vocab, out_path, quant_type=quant_type,
+                            arch="exaone4", permute=False, layer_map=lm)
 
 
 def convert_hf_idefics3_vision(model, out_path: str, scale_factor: int = 2) -> str:

@@ -1,0 +1,123 @@
+"""Arch wave 4 parity vs HF transformers: starcoder2, nemotron (layernorm1p),
+exaone4 (post-norm-only), arcee (relu² FFN), xverse (llama alias).
+Reference builders: llm_build_starcoder2 :10880, llm_build_nemotron :13923,
+llm_build_exaone4 :14184, llm_build_arcee :17039."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType
+from llama_cpp_gfx906_tpu.runtime.engine import Engine
+from llama_cpp_gfx906_tpu.tools.convert_hf import (
+    convert_hf_exaone4,
+    convert_hf_llama,
+    convert_hf_nemotron,
+    convert_hf_starcoder2,
+)
+
+VOCAB = 96
+
+
+def dummy_vocab():
+    tokens = ["<s>", "</s>", "<unk>"] + [f"<t{i}>" for i in range(VOCAB - 3)]
+    return {
+        "model": "gpt2",
+        "tokens": tokens,
+        "token_types": [3, 3, 2] + [4] * (VOCAB - 3),
+        "bos": 0,
+        "eos": 1,
+    }
+
+
+def _check(path, hf, arch, ids=(3, 17, 42, 9, 88), rtol=3e-3):
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.cfg.arch == arch
+    ids = list(ids)
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=rtol, atol=rtol)
+    return eng
+
+
+def test_starcoder2(tmp_path):
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    torch.manual_seed(20)
+    hf = Starcoder2ForCausalLM(Starcoder2Config(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-sc2.gguf")
+    convert_hf_starcoder2(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check(path, hf, "starcoder2")
+    assert eng.cfg.norm_type == "layer" and not eng.cfg.ffn_gated
+
+
+def test_nemotron(tmp_path):
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    torch.manual_seed(21)
+    hf = NemotronForCausalLM(NemotronConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-nemotron.gguf")
+    convert_hf_nemotron(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check(path, hf, "nemotron")
+    assert eng.cfg.act_fn == "relu2" and eng.cfg.rope_dim == 4
+
+
+def test_exaone4(tmp_path):
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    torch.manual_seed(22)
+    hf = Exaone4ForCausalLM(Exaone4Config(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-exaone4.gguf")
+    convert_hf_exaone4(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check(path, hf, "exaone4")
+    assert not eng.cfg.pre_norm and eng.cfg.post_attn_norm and eng.cfg.qk_norm
+
+
+def test_arcee(tmp_path):
+    from transformers import ArceeConfig, ArceeForCausalLM
+
+    torch.manual_seed(23)
+    hf = ArceeForCausalLM(ArceeConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-arcee.gguf")
+    convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.F32, arch="arcee")
+    eng = _check(path, hf, "arcee")
+    assert eng.cfg.act_fn == "relu2" and not eng.cfg.ffn_gated
+
+
+def test_xverse_llama_alias(tmp_path):
+    """xverse is the llama graph verbatim — same weights under both archs
+    must match exactly (llm_build_xverse = llama minus rope_factors)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(24)
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-xverse.gguf")
+    convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.F32, arch="xverse")
+    _check(path, hf, "xverse")
