@@ -289,6 +289,18 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             rope_yarn_log_mul=float(g(Keys.Rope.SCALING_YARN_LOG_MUL, 0.0)),
             attn_scale=float(key_mla) ** -0.5 if key_mla else 0.0,
         )
+    elif arch in ("glm4moe", "dots1"):
+        # dense-lead MoE with standard GQA attention: NEOX rope, optional
+        # qkv bias/qk norms, expert-probs bias, shared expert(s)
+        # (reference llm_build_glm4_moe / llm_build_dots1)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            n_layer_dense_lead=int(g(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, 0)),
+            n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
+            expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
+            expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)),
+            expert_weights_scale=float(g(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
+        )
     elif arch == "olmo2":
         # post-norm blocks + full-width q/k norms (reference: llm_build_olmo2)
         cfg = cfg.with_(

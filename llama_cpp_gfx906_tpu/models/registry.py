@@ -32,6 +32,7 @@ HYBRID_ARCHS = {"jamba"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
 MLA_ARCHS = {"deepseek2"}
+MOE_LEAD_ARCHS = {"glm4moe", "dots1"}
 
 
 @dataclass(frozen=True)
@@ -179,6 +180,17 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         return _jamba_family()
     if cfg.arch in MLA_ARCHS:
         return _deepseek2_family()
+    if cfg.arch in MOE_LEAD_ARCHS:
+        from ..models.llama import KVCache
+        from .moe_lead import forward as ml_forward, load_params as ml_load
+
+        return ModelFamily(
+            name="moe_lead",
+            forward=ml_forward,
+            make_cache=lambda cfg, batch, max_seq, dtype: KVCache.create(cfg, batch, max_seq, dtype),
+            load_params=lambda reader, cfg, dtype, device_put_fn=None, keep_quantized=True:
+                ml_load(reader, cfg, dtype, device_put_fn),
+        )
     if cfg.arch in ENC_DEC_ARCHS:
         raise ValueError(
             "encoder-decoder models don't fit the causal Engine; use "

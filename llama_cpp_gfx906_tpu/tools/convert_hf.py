@@ -1038,6 +1038,91 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_moe_lead(model, tokenizer_vocab, out_path: str, arch: str,
+                        quant_type=GGMLType.F16) -> str:
+    """transformers Glm4MoeForCausalLM / Dots1ForCausalLM → GGUF
+    ("glm4moe" / "dots1"): dense-lead + sigmoid-routed MoE with expert
+    probs bias and shared expert(s).  NEOX rope (glm4moe: partial)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = getattr(hf, "num_key_value_heads", n_head)
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    n_exp = hf.n_routed_experts
+    n_layers = hf.num_hidden_layers
+
+    w = GGUFWriter(out_path, arch)
+    w.add_string(Keys.General.NAME, f"{arch}-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.max_position_embeddings)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, n_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_kv)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT,
+                 int(getattr(hf, "partial_rotary_factor", 1.0) * head_dim))
+    w.add_uint32(Keys.LLM.EXPERT_COUNT, n_exp)
+    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+    w.add_uint32(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, hf.moe_intermediate_size)
+    w.add_uint32(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, getattr(hf, "first_k_dense_replace", 0))
+    w.add_uint32(Keys.LLM.EXPERT_SHARED_COUNT, getattr(hf, "n_shared_experts", 0))
+    w.add_uint32(Keys.LLM.EXPERT_GATING_FUNC, 2)  # sigmoid (deepseek-v3 routing)
+    w.add_bool(Keys.LLM.EXPERT_WEIGHTS_NORM, bool(getattr(hf, "norm_topk_prob", True)))
+    w.add_float32(Keys.LLM.EXPERT_WEIGHTS_SCALE, float(getattr(hf, "routed_scaling_factor", 1.0)))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        tq = GGMLType.F32 if (f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, tq)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    # glm4moe names the FFN pre-norm post_attention_norm in its table
+    ffn_norm_gg = "post_attention_norm.weight" if arch == "glm4moe" else "ffn_norm.weight"
+    for i in range(n_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + ffn_norm_gg, state[p + "post_attention_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        for hf_n, gg in [("q_proj.bias", "attn_q.bias"), ("k_proj.bias", "attn_k.bias"),
+                         ("v_proj.bias", "attn_v.bias"),
+                         ("q_norm.weight", "attn_q_norm.weight"),
+                         ("k_norm.weight", "attn_k_norm.weight")]:
+            if p + "self_attn." + hf_n in state:
+                add(b + gg, state[p + "self_attn." + hf_n])
+        if p + "mlp.gate.weight" in state:  # MoE layer
+            add(b + "ffn_gate_inp.weight", state[p + "mlp.gate.weight"], f32=True)
+            if p + "mlp.gate.e_score_correction_bias" in state:
+                add(b + "exp_probs_b.bias", state[p + "mlp.gate.e_score_correction_bias"], f32=True)
+            for hf_n, gg in [("gate_proj", "ffn_gate_exps"), ("up_proj", "ffn_up_exps"),
+                             ("down_proj", "ffn_down_exps")]:
+                stackd = np.stack([
+                    state[f"{p}mlp.experts.{e}.{hf_n}.weight"] for e in range(n_exp)
+                ])
+                add(b + gg + ".weight", stackd)
+            for hf_n, gg in [("gate_proj", "ffn_gate_shexp"), ("up_proj", "ffn_up_shexp"),
+                             ("down_proj", "ffn_down_shexp")]:
+                add(b + gg + ".weight", state[f"{p}mlp.shared_experts.{hf_n}.weight"])
+        else:  # dense-lead layer
+            add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+            add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+            add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_starcoder2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
     """transformers Starcoder2ForCausalLM → GGUF (arch "starcoder2"):
     LayerNorm(+bias) blocks, fully-biased attention, ungated GELU FFN

@@ -121,3 +121,57 @@ def test_xverse_llama_alias(tmp_path):
     path = str(tmp_path / "tiny-xverse.gguf")
     convert_hf_llama(hf, dummy_vocab(), path, quant_type=GGMLType.F32, arch="xverse")
     _check(path, hf, "xverse")
+
+
+def _moe_lead_check(hf, arch, tmp_path, name):
+    from llama_cpp_gfx906_tpu.models.moe_lead import forward
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_moe_lead
+
+    path = str(tmp_path / name)
+    convert_hf_moe_lead(hf, dummy_vocab(), path, arch=arch, quant_type=GGMLType.F32)
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.family.name == "moe_lead"
+    assert eng.cfg.n_layer_dense_lead == 1 and eng.cfg.expert_gating_func == 2
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=4e-3, atol=4e-3)
+    # decode continuity through the two-scan KV layout
+    logits = eng.prefill(ids)
+    t0 = int(np.argmax(logits))
+    with torch.no_grad():
+        ref2 = hf(torch.tensor([ids + [t0]])).logits[0, -1].float().numpy()
+    got2 = eng.decode_one(t0)
+    np.testing.assert_allclose(got2, ref2, rtol=4e-3, atol=4e-3)
+
+
+def test_glm4moe(tmp_path):
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    torch.manual_seed(25)
+    hf = Glm4MoeForCausalLM(Glm4MoeConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=16, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, n_routed_experts=4,
+        n_shared_experts=1, num_experts_per_tok=2, first_k_dense_replace=1,
+        num_nextn_predict_layers=0, norm_topk_prob=True,
+        routed_scaling_factor=1.5, use_qk_norm=True, attention_bias=False,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    _moe_lead_check(hf, "glm4moe", tmp_path, "tiny-glm4moe.gguf")
+
+
+def test_dots1(tmp_path):
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    torch.manual_seed(26)
+    hf = Dots1ForCausalLM(Dots1Config(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=16, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, n_routed_experts=4, n_shared_experts=1,
+        num_experts_per_tok=2, first_k_dense_replace=1, norm_topk_prob=True,
+        routed_scaling_factor=1.0, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )).eval()
+    _moe_lead_check(hf, "dots1", tmp_path, "tiny-dots1.gguf")
