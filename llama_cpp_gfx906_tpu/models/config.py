@@ -56,6 +56,7 @@ class ModelConfig:
     post_attn_norm: bool = False  # gemma2/3 extra norms
     post_ffn_norm: bool = False
     qk_norm: bool = False  # qwen3/gemma3 per-head q/k rmsnorm
+    qk_norm_after_rope: bool = False  # hunyuan: norms applied post-rotation
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     embedding_scale: float = 1.0  # gemma multiplies embeddings by sqrt(n_embd)
@@ -300,6 +301,16 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
             expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)),
             expert_weights_scale=float(g(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
+        )
+    elif arch in ("hunyuan-moe", "hunyuan-dense"):
+        # NEOX rope then per-head qk norms (post-rope!); hunyuan-moe adds an
+        # always-on shared expert beside the routed experts
+        # (reference llm_build_hunyuan_moe / llm_build_hunyuan_dense)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            qk_norm=True,
+            qk_norm_after_rope=True,
+            expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)) if arch == "hunyuan-moe" else False,
         )
     elif arch == "olmo2":
         # post-norm blocks + full-width q/k norms (reference: llm_build_olmo2)

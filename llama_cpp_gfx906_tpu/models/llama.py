@@ -221,7 +221,7 @@ def forward(
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:
+        if cfg.qk_norm and not cfg.qk_norm_after_rope:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         if cfg.pos_emb == "rope":
@@ -253,6 +253,11 @@ def forward(
                 q = jnp.where(
                     rope_l, q, (q.astype(jnp.float32) * att[:, :, None, None]).astype(q.dtype)
                 )
+
+        if cfg.qk_norm and cfg.qk_norm_after_rope:
+            # hunyuan: per-head q/k norms AFTER rotation (llm_build_hunyuan_moe)
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_eps)
 
         from ..ops.quant_matmul import QuantTensor
 

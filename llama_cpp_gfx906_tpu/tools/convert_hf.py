@@ -1038,6 +1038,40 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_hunyuan(model, tokenizer_vocab, out_path: str, arch: str = "hunyuan-moe",
+                       quant_type=GGMLType.F16) -> str:
+    """transformers HunYuanMoEV1/HunYuanDenseV1 → GGUF ("hunyuan-moe" /
+    "hunyuan-dense"): NEOX rope, post-rope per-head qk norms; the MoE
+    variant routes softmax-top-k beside an always-on shared expert.
+    Implemented by renaming the state dict into the qwen2moe shapes the
+    generic llama converter already emits."""
+    import copy as _copy
+
+    hf = _copy.copy(model.config)
+    if getattr(hf, "moe_topk", None) is not None and not isinstance(getattr(hf, "moe_topk", 0), int):
+        hf.moe_topk = int(hf.moe_topk[0])
+    if not getattr(hf, "num_experts_per_tok", 0):
+        hf.num_experts_per_tok = int(getattr(hf, "moe_topk", 0) or 0)
+
+    state = {}
+    for k, v in model.state_dict().items():
+        k = (k.replace("mlp.gate.wg.weight", "mlp.gate.weight")
+              .replace("mlp.shared_mlp.", "mlp.shared_expert.")
+              .replace("self_attn.query_layernorm.", "self_attn.q_norm.")
+              .replace("self_attn.key_layernorm.", "self_attn.k_norm."))
+        state[k] = v.detach().cpu().float()
+
+    class _Shim:
+        config = hf
+
+        @staticmethod
+        def state_dict():
+            return state
+
+    return convert_hf_llama(_Shim, tokenizer_vocab, out_path, quant_type=quant_type,
+                            arch=arch, permute=False)
+
+
 def convert_hf_moe_lead(model, tokenizer_vocab, out_path: str, arch: str,
                         quant_type=GGMLType.F16) -> str:
     """transformers Glm4MoeForCausalLM / Dots1ForCausalLM → GGUF

@@ -175,3 +175,41 @@ def test_dots1(tmp_path):
         tie_word_embeddings=False,
     )).eval()
     _moe_lead_check(hf, "dots1", tmp_path, "tiny-dots1.gguf")
+
+
+def test_hunyuan_moe(tmp_path):
+    """Post-rope qk norms + softmax-routed MoE with shared expert
+    (reference llm_build_hunyuan_moe)."""
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_hunyuan
+
+    torch.manual_seed(27)
+    hf = HunYuanMoEV1ForCausalLM(HunYuanMoEV1Config(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, moe_topk=2, num_experts=4, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-hunyuan.gguf")
+    convert_hf_hunyuan(hf, dummy_vocab(), path, arch="hunyuan-moe",
+                       quant_type=GGMLType.F32)
+    eng = _check(path, hf, "hunyuan-moe", rtol=4e-3)
+    assert eng.cfg.qk_norm_after_rope and eng.cfg.n_experts == 4
+
+
+def test_hunyuan_dense(tmp_path):
+    from transformers import HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_hunyuan
+
+    torch.manual_seed(28)
+    hf = HunYuanDenseV1ForCausalLM(HunYuanDenseV1Config(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-hunyuan-d.gguf")
+    convert_hf_hunyuan(hf, dummy_vocab(), path, arch="hunyuan-dense",
+                       quant_type=GGMLType.F32)
+    _check(path, hf, "hunyuan-dense")
