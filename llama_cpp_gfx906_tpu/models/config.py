@@ -147,7 +147,13 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
 
     n_embd = int(g(Keys.LLM.EMBEDDING_LENGTH))
     n_heads = int(g(Keys.Attention.HEAD_COUNT, 0))  # 0 for recurrent archs
-    n_kv = int(g(Keys.Attention.HEAD_COUNT_KV, n_heads))
+    n_kv_raw = g(Keys.Attention.HEAD_COUNT_KV, n_heads)
+    if isinstance(n_kv_raw, (list, tuple)) or getattr(n_kv_raw, "ndim", 0):
+        # hybrid archs store a per-layer array; 0 marks recurrent layers
+        # (reference: hparams.n_head_kv(il) == 0 → is_recurrent)
+        n_kv = max(int(v) for v in n_kv_raw)
+    else:
+        n_kv = int(n_kv_raw)
     head_dim = int(g(Keys.Attention.KEY_LENGTH, n_embd // max(n_heads, 1)))
     n_vocab = g(Keys.LLM.VOCAB_SIZE)
     if n_vocab is None:
@@ -311,6 +317,41 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             qk_norm=True,
             qk_norm_after_rope=True,
             expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)) if arch == "hunyuan-moe" else False,
+        )
+    elif arch == "granitehybrid":
+        # interleaved mamba2/attention layers (recurrent iff per-layer
+        # head_count_kv == 0), NoPE attention unless rope finetuned, granite
+        # multipliers (reference llm_build_granite_hybrid)
+        rope_ft = bool(g("{arch}.rope.scaling.finetuned", False))
+        cfg = cfg.with_(
+            pos_emb="rope" if rope_ft else "none",
+            embedding_scale=float(g(Keys.LLM.EMBEDDING_SCALE, 1.0)),
+            attn_scale=float(g(Keys.LLM.ATTENTION_SCALE, 0.0)),
+            residual_scale=float(g(Keys.LLM.RESIDUAL_SCALE, 1.0)),
+            logit_scale=1.0 / float(g(Keys.LLM.LOGIT_SCALE, 1.0)),
+            ssm_d_conv=int(g(Keys.SSM.CONV_KERNEL, 4)),
+            ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
+            ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 128)),
+            ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (2 * n_embd) // 64)),
+            ssm_n_group=int(g(Keys.SSM.GROUP_COUNT, 1)),
+        )
+    elif arch == "minicpm3":
+        # MLA attention + MiniCPM scaling (reference llm_build_minicpm3
+        # :9868 — scale_embd=12, scale_depth=1.4, n_embd_base=256 hardcoded)
+        key_mla3 = int(g(Keys.Attention.KEY_LENGTH_MLA, 0))
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            q_lora_rank=int(g(Keys.Attention.Q_LORA_RANK, 0)),
+            kv_lora_rank=int(g(Keys.Attention.KV_LORA_RANK, 256)),
+            qk_nope_head_dim=(key_mla3 - cfg.rope_dim) if key_mla3 else 64,
+            v_head_dim=int(g("{arch}.attention.value_length_mla", 0)) or 64,
+            embedding_scale=12.0,
+            residual_scale=1.4 / max(int(g(Keys.LLM.BLOCK_COUNT)), 1) ** 0.5,
+            logit_scale=256.0 / n_embd,
+            attn_scale=float(key_mla3) ** -0.5 if key_mla3 else 0.0,
+            n_layer_dense_lead=int(g(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, 0)),
+            n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
+            expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
         )
     elif arch == "olmo2":
         # post-norm blocks + full-width q/k norms (reference: llm_build_olmo2)

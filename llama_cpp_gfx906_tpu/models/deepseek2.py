@@ -133,22 +133,27 @@ def forward(
     inv_freq = jnp.asarray(rope_frequencies(cfg))
     positions = kv.n_past[:, None] + jnp.arange(T)[None, :]
     x = params["tok_emb"][tokens]
+    if cfg.embedding_scale != 1.0:  # minicpm3 scale_emb (llm_build_minicpm3)
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
     nd = cfg.n_layer_dense_lead
+
+    rs = cfg.residual_scale  # minicpm3: scale_depth/sqrt(n_layers); 1.0 else
 
     def dense_step(carry, layer):
         (x,) = carry
         p, kc, vc = layer
         attn, kc, vc = _mla_attention(x, p, cfg, kc, vc, kv.n_past, positions, inv_freq)
-        x = x + attn
+        x = x + (attn * rs if rs != 1.0 else attn)
         h = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
-        x = x + _dense_ffn(h, p, cfg)
+        mlp = _dense_ffn(h, p, cfg)
+        x = x + (mlp * rs if rs != 1.0 else mlp)
         return (x,), (kc, vc)
 
     def moe_step(carry, layer):
         (x,) = carry
         p, kc, vc = layer
         attn, kc, vc = _mla_attention(x, p, cfg, kc, vc, kv.n_past, positions, inv_freq)
-        x = x + attn
+        x = x + (attn * rs if rs != 1.0 else attn)
         h = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
         mlp = moe_ffn(
             h, p["moe_gate_inp"], p["moe_gate"], p["moe_up"], p["moe_down"], cfg,
@@ -156,7 +161,7 @@ def forward(
         )
         if "w_gate" in p:  # shared experts
             mlp = mlp + _dense_ffn(h, p, cfg)
-        x = x + mlp
+        x = x + (mlp * rs if rs != 1.0 else mlp)
         return (x,), (kc, vc)
 
     k_parts, v_parts = [], []
@@ -183,6 +188,8 @@ def forward(
     if return_hidden:
         return x.astype(jnp.float32), new_kv
     logits = linear(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:  # minicpm3: 1/(n_embd/n_embd_base)
+        logits = logits * cfg.logit_scale
     return logits, new_kv
 
 

@@ -30,9 +30,10 @@ RECURRENT_ARCHS = {"mamba"}
 MAMBA2_ARCHS = {"mamba2"}
 FALCON_H1_ARCHS = {"falcon-h1"}
 HYBRID_ARCHS = {"jamba"}
+GRANITE_HYBRID_ARCHS = {"granitehybrid"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
-MLA_ARCHS = {"deepseek2"}
+MLA_ARCHS = {"deepseek2", "minicpm3"}
 MOE_LEAD_ARCHS = {"glm4moe", "dots1"}
 
 
@@ -179,6 +180,16 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         return _rwkv7_family()
     if cfg.arch in HYBRID_ARCHS:
         return _jamba_family()
+    if cfg.arch in GRANITE_HYBRID_ARCHS:
+        from .granite_hybrid import GraniteHybridState, forward as gh_fwd, load_params as gh_load
+
+        return ModelFamily(
+            name="granitehybrid",
+            forward=gh_fwd,
+            make_cache=lambda cfg, batch, max_seq, dtype: GraniteHybridState.create(cfg, batch, max_seq, dtype),
+            load_params=lambda reader, cfg, dtype, device_put_fn=None, keep_quantized=True:
+                gh_load(reader, cfg, dtype, device_put_fn),
+        )
     if cfg.arch in MLA_ARCHS:
         return _deepseek2_family()
     if cfg.arch in MOE_LEAD_ARCHS:

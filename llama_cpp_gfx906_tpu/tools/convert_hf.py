@@ -1038,6 +1038,109 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_granitehybrid(model, tokenizer_vocab, out_path: str,
+                             quant_type=GGMLType.F16) -> str:
+    """transformers GraniteMoeHybridForCausalLM → GGUF ("granitehybrid").
+
+    Interleaved mamba2/attention layers: the per-layer ``head_count_kv``
+    array marks recurrent layers with 0 (reference hparams rule);
+    mamba2 tensors get the Mamba2Model transforms (A → -exp(A_log) (H,1),
+    ssm_norm (G, d_inner/G)); the fused shared_mlp input_linear splits
+    into ffn_gate|ffn_up.  Granite multipliers ride metadata keys."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    d_inner = getattr(hf, "mamba_d_ssm", None) or hf.mamba_expand * hf.hidden_size
+    n_group = hf.mamba_n_groups
+    mamba_heads = hf.mamba_n_heads
+    layer_types = list(hf.layer_types)
+    shared_ff = getattr(hf, "shared_intermediate_size", 0)
+
+    w = GGUFWriter(out_path, "granitehybrid")
+    w.add_string(Keys.General.NAME, "granitehybrid-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.max_position_embeddings)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, shared_ff or hf.intermediate_size)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_array(Keys.Attention.HEAD_COUNT_KV,
+                np.asarray([n_kv if t == "attention" else 0 for t in layer_types], np.int32))
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, hf.rms_norm_eps)
+    w.add_float32(Keys.LLM.EMBEDDING_SCALE, getattr(hf, "embedding_multiplier", 1.0))
+    w.add_float32(Keys.LLM.RESIDUAL_SCALE, getattr(hf, "residual_multiplier", 1.0))
+    w.add_float32(Keys.LLM.ATTENTION_SCALE, getattr(hf, "attention_multiplier", 0.0))
+    w.add_float32(Keys.LLM.LOGIT_SCALE, getattr(hf, "logits_scaling", 1.0))
+    w.add_uint32(Keys.SSM.CONV_KERNEL, hf.mamba_d_conv)
+    w.add_uint32(Keys.SSM.STATE_SIZE, hf.mamba_d_state)
+    w.add_uint32(Keys.SSM.INNER_SIZE, d_inner)
+    w.add_uint32(Keys.SSM.TIME_STEP_RANK, mamba_heads)
+    w.add_uint32(Keys.SSM.GROUP_COUNT, n_group)
+    n_exp = getattr(hf, "num_local_experts", 0)
+    if n_exp:
+        w.add_uint32(Keys.LLM.EXPERT_COUNT, n_exp)
+        w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+        w.add_uint32(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, hf.intermediate_size)
+        w.add_bool(Keys.LLM.EXPERT_WEIGHTS_NORM, True)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        tq = GGMLType.F32 if (f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, tq)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        if layer_types[i] == "mamba":
+            add(b + "ssm_in.weight", state[p + "mamba.in_proj.weight"])
+            add(b + "ssm_conv1d.weight", state[p + "mamba.conv1d.weight"].squeeze(1), f32=True)
+            if p + "mamba.conv1d.bias" in state:
+                add(b + "ssm_conv1d.bias", state[p + "mamba.conv1d.bias"])
+            add(b + "ssm_dt.bias", state[p + "mamba.dt_bias"])
+            add(b + "ssm_a", -np.exp(state[p + "mamba.A_log"]).reshape(mamba_heads, 1), f32=True)
+            add(b + "ssm_d", state[p + "mamba.D"].reshape(mamba_heads, 1), f32=True)
+            if p + "mamba.norm.weight" in state:
+                add(b + "ssm_norm.weight",
+                    state[p + "mamba.norm.weight"].reshape(n_group, d_inner // n_group), f32=True)
+            add(b + "ssm_out.weight", state[p + "mamba.out_proj.weight"])
+        else:
+            add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+            add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+            add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+            add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        if p + "block_sparse_moe.router.layer.weight" in state:  # MoE layer
+            add(b + "ffn_gate_inp.weight", state[p + "block_sparse_moe.router.layer.weight"], f32=True)
+            inp = state[p + "block_sparse_moe.input_linear.weight"]  # (E, 2ff, D)
+            ff = inp.shape[1] // 2
+            add(b + "ffn_gate_exps.weight", np.ascontiguousarray(inp[:, :ff]))
+            add(b + "ffn_up_exps.weight", np.ascontiguousarray(inp[:, ff:]))
+            add(b + "ffn_down_exps.weight", state[p + "block_sparse_moe.output_linear.weight"])
+            sh = state[p + "shared_mlp.input_linear.weight"]
+            sff = sh.shape[0] // 2
+            add(b + "ffn_gate_shexp.weight", np.ascontiguousarray(sh[:sff]))
+            add(b + "ffn_up_shexp.weight", np.ascontiguousarray(sh[sff:]))
+            add(b + "ffn_down_shexp.weight", state[p + "shared_mlp.output_linear.weight"])
+        else:
+            sh = state[p + "shared_mlp.input_linear.weight"]  # (2ff, D)
+            sff = sh.shape[0] // 2
+            add(b + "ffn_gate.weight", np.ascontiguousarray(sh[:sff]))
+            add(b + "ffn_up.weight", np.ascontiguousarray(sh[sff:]))
+            add(b + "ffn_down.weight", state[p + "shared_mlp.output_linear.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_hunyuan(model, tokenizer_vocab, out_path: str, arch: str = "hunyuan-moe",
                        quant_type=GGMLType.F16) -> str:
     """transformers HunYuanMoEV1/HunYuanDenseV1 → GGUF ("hunyuan-moe" /

@@ -113,3 +113,50 @@ def test_mla_cache_is_compressed(ds_pair):
     assert Hkv == 1
     assert Dk == eng.cfg.kv_lora_rank + eng.cfg.rope_dim
     assert eng.kv.v.shape[-1] == eng.cfg.kv_lora_rank
+
+
+def test_minicpm3_mla_scaled(tmp_path):
+    """minicpm3 rides the verified MLA graph plus MiniCPM scaling
+    (reference llm_build_minicpm3 :9868: scale_embd=12,
+    scale_depth=1.4/√L, logit scale n_embd_base/n_embd=256/n_embd).
+    Same tensors under both archs must match exactly once the scales are
+    neutralized; with defaults the scales must bite."""
+    hf = _make(31, q_lora_rank=24)
+    base = str(tmp_path / "ds2-as-base.gguf")
+    convert_hf_deepseek2(hf, dummy_vocab(), base, quant_type=GGMLType.F32)
+
+    # re-write the exact tensor set under arch minicpm3
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader
+    from llama_cpp_gfx906_tpu.gguf.writer import GGUFWriter
+
+    r = GGUFReader(base)
+    w = GGUFWriter(str(tmp_path / "mini3.gguf"), "minicpm3")
+    for k in r.field_names():
+        if k == "general.architecture":
+            continue
+        w.add_kv(k.replace("deepseek2.", "minicpm3."), r.get(k))
+    for name, t in r.tensors.items():
+        w.add_tensor(name, t.to_f32(), GGMLType.F32)
+    p3 = w.write()
+
+    eng_ds = Engine.from_gguf(base, max_seq=32, dtype=jnp.float32)
+    eng_m3 = Engine.from_gguf(p3, max_seq=32, dtype=jnp.float32)
+    assert eng_m3.family.name == "deepseek2"
+    assert eng_m3.cfg.embedding_scale == 12.0
+    assert abs(eng_m3.cfg.logit_scale - 256.0 / 64) < 1e-6
+
+    from llama_cpp_gfx906_tpu.models.deepseek2 import forward
+
+    ids = [3, 17, 42, 9]
+    ref, _ = forward(eng_ds.params, eng_ds.cfg, jnp.asarray([ids], jnp.int32), eng_ds.kv)
+
+    neutral = eng_m3.cfg.with_(embedding_scale=1.0, residual_scale=1.0,
+                               logit_scale=1.0,
+                               rope_interleaved=eng_ds.cfg.rope_interleaved)
+    got_eq, _ = forward(eng_m3.params, neutral, jnp.asarray([ids], jnp.int32), eng_m3.kv)
+    np.testing.assert_allclose(np.asarray(got_eq), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    got_scaled, _ = forward(eng_m3.params, eng_m3.cfg.with_(
+        rope_interleaved=eng_ds.cfg.rope_interleaved),
+        jnp.asarray([ids], jnp.int32), eng_m3.kv)
+    assert np.abs(np.asarray(got_scaled) - np.asarray(ref)).max() > 1e-2

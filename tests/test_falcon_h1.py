@@ -147,3 +147,52 @@ def test_falcon_h1_padding_state_clean(h1_pair):
     np.testing.assert_allclose(np.asarray(st_a.conv), np.asarray(st_b.conv), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st_a.k[:, :, :3]), np.asarray(st_b.k[:, :, :3]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_granitehybrid(tmp_path):
+    """Granite 4.0 hybrid: interleaved mamba2/attention (recurrent layers
+    marked by per-layer head_count_kv=0), granite multipliers, fused
+    shared-MLP split (reference llm_build_granite_hybrid)."""
+    from transformers import GraniteMoeHybridConfig, GraniteMoeHybridForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_granitehybrid
+
+    torch.manual_seed(30)
+    hf = GraniteMoeHybridForCausalLM(GraniteMoeHybridConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["mamba", "attention", "mamba"],
+        mamba_n_heads=4, mamba_d_head=16, mamba_n_groups=1, mamba_d_state=8,
+        mamba_d_conv=4, mamba_expand=2, shared_intermediate_size=48,
+        num_local_experts=0, num_experts_per_tok=0,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-granitehybrid.gguf")
+    convert_hf_granitehybrid(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.family.name == "granitehybrid"
+    assert eng.cfg.pos_emb == "none" and eng.cfg.residual_scale == 0.5
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.granite_hybrid import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+
+    # greedy decode continuity through both memory kinds
+    prompt = [3, 17, 42, 9]
+    ids2 = list(prompt)
+    with torch.no_grad():
+        for _ in range(6):
+            lg = hf(torch.tensor([ids2])).logits[0, -1]
+            ids2.append(int(torch.argmax(lg)))
+    logits = eng.prefill(prompt)
+    got_toks = []
+    for _ in range(6):
+        tok = int(np.argmax(logits))
+        got_toks.append(tok)
+        logits = eng.decode_one(tok)
+    assert got_toks == ids2[len(prompt):]
