@@ -57,6 +57,7 @@ class ModelConfig:
     post_ffn_norm: bool = False
     qk_norm: bool = False  # qwen3/gemma3 per-head q/k rmsnorm
     qk_norm_after_rope: bool = False  # hunyuan: norms applied post-rotation
+    alibi: bool = False  # mpt/bloom/baichuan-13b positional bias
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     embedding_scale: float = 1.0  # gemma multiplies embeddings by sqrt(n_embd)
@@ -317,6 +318,29 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             qk_norm=True,
             qk_norm_after_rope=True,
             expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)) if arch == "hunyuan-moe" else False,
+        )
+    elif arch == "mpt":
+        # ALiBi, LayerNorm (bias-free by default), ungated GELU FFN, no
+        # positional embedding (reference llm_build_mpt)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            pos_emb="none",
+            alibi=True,
+            ffn_gated=False,
+            act_fn="gelu_erf",
+        )
+    elif arch == "bloom":
+        # ALiBi, biased LayerNorms incl. a post-embedding norm, fused qkv
+        # (split at convert), tanh-GELU FFN (reference llm_build_bloom)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            pos_emb="none",
+            alibi=True,
+            attn_bias=True,
+            ffn_gated=False,
+            act_fn="gelu_tanh",
         )
     elif arch == "granitehybrid":
         # interleaved mamba2/attention layers (recurrent iff per-layer

@@ -168,6 +168,8 @@ def forward(
     x = embeds.astype(params["tok_emb"].dtype) if embeds is not None else params["tok_emb"][tokens]
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+    if "tok_norm" in params:  # bloom: LayerNorm right after the embedding
+        x = _norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg)
     if cfg.pos_emb == "learned":
         x = x + params["pos_emb"][positions].astype(x.dtype)
 
@@ -187,6 +189,12 @@ def forward(
     )
     # per-layer rope flags (NoPE layers: llama4/smollm3/cohere2)
     rope_on = jnp.asarray(cfg.rope_layers, jnp.bool_)
+    if cfg.alibi:
+        from ..ops.attention import alibi_slopes_for
+
+        alibi_slopes = alibi_slopes_for(cfg.n_heads)
+    else:
+        alibi_slopes = None
 
     def layer_step(carry, layer):
         x, = carry
@@ -267,6 +275,7 @@ def forward(
             logit_softcap=cfg.attn_logit_softcap,
             sinks=p.get("sinks"),
             kv_pos=kv.pos, q_pos=positions if kv.pos is not None else None,
+            alibi_slopes=alibi_slopes,
             quant_weights=isinstance(p.get("wq"), QuantTensor),
         )
         attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo", lora_gain)

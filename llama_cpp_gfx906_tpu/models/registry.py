@@ -23,7 +23,7 @@ ATTENTION_ARCHS = {
     "granite", "granitemoe", "glm4", "dbrx", "cohere2", "command-r", "minicpm",
     "ernie4_5", "gpt-oss", "olmo2",
     "starcoder2", "nemotron", "exaone4", "arcee", "xverse", "qwen2vl",
-    "hunyuan-moe", "hunyuan-dense",
+    "hunyuan-moe", "hunyuan-dense", "mpt", "bloom",
 }
 
 RECURRENT_ARCHS = {"mamba"}

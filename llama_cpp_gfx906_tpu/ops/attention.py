@@ -51,6 +51,20 @@ def insert_kv(
     return jax.vmap(one)(cache, new.astype(cache.dtype), n_past)
 
 
+def alibi_slopes_for(n_heads: int) -> "jnp.ndarray":
+    """Per-head ALiBi slopes (HF build_alibi_tensor formula: nearest
+    power-of-two geometric ladder, odd-interleaved tail for non-pow2)."""
+    import math
+
+    n = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+    slopes = [base ** (i + 1) for i in range(n)]
+    if n < n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * n) - 3)))
+        slopes += [extra_base ** (2 * i + 1) for i in range(n_heads - n)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 def mha_with_cache(
     q: jnp.ndarray,
     k_new: jnp.ndarray,
@@ -65,6 +79,7 @@ def mha_with_cache(
     kv_pos: jnp.ndarray | None = None,  # (B, S) logical positions (self-extend)
     q_pos: jnp.ndarray | None = None,  # (B, T) query positions when kv_pos set
     quant_weights: bool = False,  # True when the model's matmuls run Pallas qmm
+    alibi_slopes: jnp.ndarray | None = None,  # (Hq,) ALiBi per-head slopes
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache').
 
@@ -103,7 +118,8 @@ def mha_with_cache(
     # takes the einsum path below — q8 KV with dense weights, and bf16 KV
     # with quantized weights, both keep the fast kernels.
     quant_combo_broken = quantized and quant_weights
-    if kv_pos is None and on_tpu and not quant_combo_broken and not _FORCE_EINSUM:
+    if (kv_pos is None and on_tpu and not quant_combo_broken and not _FORCE_EINSUM
+            and alibi_slopes is None):
         if T >= 64:
             from .flash_attention import flash_attention
 
@@ -166,6 +182,15 @@ def mha_with_cache(
         mask = s_pos[:, None, :] <= q_pos[:, :, None]  # (B, T, S)
         window = jnp.asarray(sliding_window, jnp.int32)
         mask &= jnp.logical_or(window <= 0, s_pos[:, None, :] > q_pos[:, :, None] - window)
+    if alibi_slopes is not None:
+        # ALiBi (ggml soft_max_ext positional bias; mpt/bloom/baichuan-13b):
+        # score(i, j) -= slope_h · (pos_i − pos_j)
+        qp_f = (q_pos if kv_pos is None else q_pos).astype(jnp.float32)
+        sp_f = (jnp.broadcast_to(jnp.arange(S)[None, :], (B, S)) if kv_pos is None
+                else kv_pos).astype(jnp.float32)
+        dist = qp_f[:, :, None] - sp_f[:, None, :]  # (B, T, S)
+        sl = alibi_slopes.reshape(Hkv, G).astype(jnp.float32)
+        scores = scores - sl[None, :, :, None, None] * dist[:, None, None, :, :]
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
     if sinks is not None:

@@ -187,6 +187,8 @@ def load_llama_params(
     params["out_norm"] = put(fetch(OUT_NORM, False), "out_norm")
     for pkey, pname in (
         ("out_norm_b", "output_norm.bias"),
+        ("tok_norm", "token_embd_norm.weight"),
+        ("tok_norm_b", "token_embd_norm.bias"),
         ("pos_emb", "position_embd.weight"),
         ("lm_head_b", "output.bias"),
     ):
@@ -382,6 +384,8 @@ def load_llama_params_quantized(
     params["out_norm"] = put_named(tensors[OUT_NORM].to_f32(), "out_norm")
     for pkey, pname in (
         ("out_norm_b", "output_norm.bias"),
+        ("tok_norm", "token_embd_norm.weight"),
+        ("tok_norm_b", "token_embd_norm.bias"),
         ("pos_emb", "position_embd.weight"),
         ("lm_head_b", "output.bias"),
     ):

@@ -1038,6 +1038,109 @@ def convert_hf_mamba2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType
     return w.write()
 
 
+def convert_hf_mpt(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers MptForCausalLM → GGUF (arch "mpt"): ALiBi, bias-free
+    LayerNorms, fused Wqkv (plain [q;k;v] rows — split by the loader),
+    ungated GELU FFN."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    D = hf.d_model
+    n_head = hf.n_heads
+
+    w = GGUFWriter(out_path, "mpt")
+    w.add_string(Keys.General.NAME, "mpt-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.max_seq_len)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.n_layers)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.expansion_ratio * D)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_head)
+    w.add_float32(Keys.Attention.LAYERNORM_EPS, 1e-5)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        tq = GGMLType.F32 if (f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, tq)
+
+    add("token_embd.weight", state["transformer.wte.weight"])
+    for i in range(hf.n_layers):
+        p = f"transformer.blocks.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "norm_1.weight"])
+        add(b + "ffn_norm.weight", state[p + "norm_2.weight"])
+        add(b + "attn_qkv.weight", state[p + "attn.Wqkv.weight"])
+        add(b + "attn_output.weight", state[p + "attn.out_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "ffn.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "ffn.down_proj.weight"])
+    add("output_norm.weight", state["transformer.norm_f.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_bloom(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+    """transformers BloomForCausalLM → GGUF (arch "bloom"): ALiBi, biased
+    LayerNorms + post-embedding norm, per-head-interleaved fused qkv
+    de-interleaved into attn_{q,k,v} (reference convert: BloomModel
+    reshapes (H, 3, dh, D))."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    D = hf.hidden_size
+    H = hf.n_head
+    dh = D // H
+
+    w = GGUFWriter(out_path, "bloom")
+    w.add_string(Keys.General.NAME, "bloom-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 2048)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.n_layer)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, 4 * D)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, H)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, H)
+    w.add_float32(Keys.Attention.LAYERNORM_EPS, hf.layer_norm_epsilon)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr, f32=False):
+        tq = GGMLType.F32 if (f32 or arr.ndim == 1) else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, tq)
+
+    add("token_embd.weight", state["transformer.word_embeddings.weight"])
+    add("token_embd_norm.weight", state["transformer.word_embeddings_layernorm.weight"])
+    add("token_embd_norm.bias", state["transformer.word_embeddings_layernorm.bias"])
+    for i in range(hf.n_layer):
+        p = f"transformer.h.{i}."
+        b = f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_norm.bias", state[p + "input_layernorm.bias"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_norm.bias", state[p + "post_attention_layernorm.bias"])
+        qkv = state[p + "self_attention.query_key_value.weight"].reshape(H, 3, dh, D)
+        qkv_b = state[p + "self_attention.query_key_value.bias"].reshape(H, 3, dh)
+        add(b + "attn_q.weight", np.ascontiguousarray(qkv[:, 0].reshape(D, D)))
+        add(b + "attn_k.weight", np.ascontiguousarray(qkv[:, 1].reshape(D, D)))
+        add(b + "attn_v.weight", np.ascontiguousarray(qkv[:, 2].reshape(D, D)))
+        add(b + "attn_q.bias", np.ascontiguousarray(qkv_b[:, 0].reshape(D)))
+        add(b + "attn_k.bias", np.ascontiguousarray(qkv_b[:, 1].reshape(D)))
+        add(b + "attn_v.bias", np.ascontiguousarray(qkv_b[:, 2].reshape(D)))
+        add(b + "attn_output.weight", state[p + "self_attention.dense.weight"])
+        add(b + "attn_output.bias", state[p + "self_attention.dense.bias"])
+        add(b + "ffn_up.weight", state[p + "mlp.dense_h_to_4h.weight"])
+        add(b + "ffn_up.bias", state[p + "mlp.dense_h_to_4h.bias"])
+        add(b + "ffn_down.weight", state[p + "mlp.dense_4h_to_h.weight"])
+        add(b + "ffn_down.bias", state[p + "mlp.dense_4h_to_h.bias"])
+    add("output_norm.weight", state["transformer.ln_f.weight"])
+    add("output_norm.bias", state["transformer.ln_f.bias"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
 def convert_hf_granitehybrid(model, tokenizer_vocab, out_path: str,
                              quant_type=GGMLType.F16) -> str:
     """transformers GraniteMoeHybridForCausalLM → GGUF ("granitehybrid").

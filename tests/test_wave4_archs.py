@@ -213,3 +213,46 @@ def test_hunyuan_dense(tmp_path):
     convert_hf_hunyuan(hf, dummy_vocab(), path, arch="hunyuan-dense",
                        quant_type=GGMLType.F32)
     _check(path, hf, "hunyuan-dense")
+
+
+def test_mpt_alibi(tmp_path):
+    """MPT: ALiBi positional bias + fused Wqkv split + bias-free LayerNorms
+    (reference llm_build_mpt)."""
+    from transformers import MptConfig, MptForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_mpt
+
+    torch.manual_seed(32)
+    hf = MptForCausalLM(MptConfig(
+        vocab_size=VOCAB, d_model=32, n_heads=4, n_layers=2,
+        expansion_ratio=2, max_seq_len=64,
+    )).eval()
+    path = str(tmp_path / "tiny-mpt.gguf")
+    convert_hf_mpt(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check(path, hf, "mpt")
+    assert eng.cfg.alibi and eng.cfg.pos_emb == "none"
+    # decode continuity (ALiBi distances via absolute positions)
+    ids = [3, 17, 42]
+    eng.reset()
+    logits = eng.prefill(ids)
+    t0 = int(np.argmax(logits))
+    with torch.no_grad():
+        ref2 = hf(torch.tensor([ids + [t0]])).logits[0, -1].float().numpy()
+    np.testing.assert_allclose(eng.decode_one(t0), ref2, rtol=3e-3, atol=3e-3)
+
+
+def test_bloom_alibi(tmp_path):
+    """Bloom: ALiBi + per-head-interleaved qkv de-interleave + embedding
+    LayerNorm (reference llm_build_bloom)."""
+    from transformers import BloomConfig, BloomForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_bloom
+
+    torch.manual_seed(33)
+    hf = BloomForCausalLM(BloomConfig(
+        vocab_size=VOCAB, hidden_size=32, n_head=4, n_layer=2,
+    )).eval()
+    path = str(tmp_path / "tiny-bloom.gguf")
+    convert_hf_bloom(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check(path, hf, "bloom")
+    assert eng.cfg.alibi and "tok_norm" in eng.params
