@@ -21,12 +21,20 @@ import contextlib
 import jax
 import jax.numpy as jnp
 
+import os
+
 NEG_INF = -1e30
 
 # trace-time switch: Pallas kernels have no JVP rule, so anything that
 # differentiates through attention (runtime/training.py) traces inside
 # this context to pin the einsum path
 _FORCE_EINSUM = False
+
+# Platform workaround switch (see dispatch comment in mha_with_cache):
+# quant-weights + int8-KV + Pallas attention miscompiled on the axon TPU
+# runtime as of 2026-08.  Overridable for re-testing the runtime:
+# LCG_QUANT_COMBO_BROKEN=0 re-enables the fast kernels for that combo.
+QUANT_COMBO_BROKEN = os.environ.get("LCG_QUANT_COMBO_BROKEN", "1") != "0"
 
 
 @contextlib.contextmanager
@@ -117,7 +125,7 @@ def mha_with_cache(
     # each pairing works alone, all three together miscompile).  That combo
     # takes the einsum path below — q8 KV with dense weights, and bf16 KV
     # with quantized weights, both keep the fast kernels.
-    quant_combo_broken = quantized and quant_weights
+    quant_combo_broken = quantized and quant_weights and QUANT_COMBO_BROKEN
     if (kv_pos is None and on_tpu and not quant_combo_broken and not _FORCE_EINSUM
             and alibi_slopes is None):
         if T >= 64:

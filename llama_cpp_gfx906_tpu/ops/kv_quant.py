@@ -55,6 +55,13 @@ def dequantize_rows(kv: QuantKV, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (kv.q.astype(jnp.float32) * kv.s).astype(dtype)
 
 
+def take_rows(kv: QuantKV, src: jnp.ndarray, axis: int) -> QuantKV:
+    """Row permutation on a quantized cache: int8 payload and scales move
+    together, no dequantization needed (used by context shift for V and
+    for the pre-rope gather of K)."""
+    return QuantKV(q=jnp.take(kv.q, src, axis=axis), s=jnp.take(kv.s, src, axis=axis))
+
+
 def insert_quant(cache: QuantKV, new: jnp.ndarray, n_past: jnp.ndarray) -> QuantKV:
     """Scatter freshly-quantized rows at each sequence's write offset
     (the quantized analog of ops.attention.insert_kv)."""

@@ -132,6 +132,7 @@ class BatchedEngine:
         ctx_shift: bool = True,  # StreamingLLM shift instead of "length" stop
         draft: tuple | None = None,  # (draft_cfg, draft_params) — draft-model
         # speculation (reference: server.cpp:3656-3755); must share the vocab
+        kv_cache_dtype=None,  # "q8" for int8 KV (llama.h type_k/type_v)
     ):
         self.cfg = cfg
         self.params = params
@@ -161,7 +162,7 @@ class BatchedEngine:
             from .ngram_cache import NgramCache
 
             self.ngram_caches = [NgramCache() for _ in range(n_slots)]
-        self.kv = KVCache.create(cfg, n_slots, max_seq, dtype)
+        self.kv = KVCache.create(cfg, n_slots, max_seq, kv_cache_dtype or dtype)
         self.n_past_host = np.zeros(n_slots, np.int32)
         self.recent = np.full((n_slots, RECENT), -1, np.int32)
         # per-request LoRA: rank-slice gains per slot (attach_lora)
@@ -214,17 +215,28 @@ class BatchedEngine:
             logits, kv = forward(params, cfg, tokens, kv, lora_gain=gain)
             return logits.astype(jnp.float32), kv
 
+        def _tree_slot_slice(a, slot):
+            """One slot's (L,1,S,H,D) view of every cache leaf — works for
+            plain arrays and QuantKV pytrees alike."""
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1), a
+            )
+
+        def _tree_slot_put(a, x, slot):
+            return jax.tree_util.tree_map(
+                lambda c, n: jax.lax.dynamic_update_slice_in_dim(c, n, slot, axis=1), a, x
+            )
+
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
         def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match, gain=None):
             """Chunked-prefill step: run one prompt chunk through the slot's
             existing KV rows (positions offset by the fill level n_match).
             Also serves the prefix-cache path (server.cpp:3248)."""
-            k1 = jax.lax.dynamic_slice_in_dim(kv_k, slot, 1, axis=1)
-            v1 = jax.lax.dynamic_slice_in_dim(kv_v, slot, 1, axis=1)
-            kv1 = KVCache(k1, v1, jnp.full((1,), n_match, jnp.int32))
+            kv1 = KVCache(_tree_slot_slice(kv_k, slot), _tree_slot_slice(kv_v, slot),
+                          jnp.full((1,), n_match, jnp.int32))
             logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, lora_gain=gain)
-            k = jax.lax.dynamic_update_slice_in_dim(kv_k, kv1.k, slot, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(kv_v, kv1.v, slot, axis=1)
+            k = _tree_slot_put(kv_k, kv1.k, slot)
+            v = _tree_slot_put(kv_v, kv1.v, slot)
             return logits[0, n_tokens[0] - 1], k, v
 
         @partial(jax.jit, static_argnames=("cfg", "n_sel"), donate_argnames=("kv",))
@@ -245,37 +257,55 @@ class BatchedEngine:
         def _shift_slot(k, v, slot, n_past, keep, discard):
             """Per-slot context shift inside the batched cache: drop
             ``discard`` rows after the first ``keep`` for one slot, slide
-            the tail left, and re-rope moved keys (server.cpp:3049-3090)."""
+            the tail left, and re-rope moved keys (server.cpp:3049-3090).
+            q8 caches shift too: V rows move as int8+scale; K rows
+            round-trip through f32 for the re-rope, matching the
+            reference's build_rope_shift on quantized caches."""
+            from ..ops.kv_quant import QuantKV, quantize_rows, take_rows
             from ..ops.rope import rope_frequencies, rope_shift_rows
 
             S = k.shape[2]
             rows = jnp.arange(S)
             src = jnp.where(rows < keep, rows, jnp.minimum(rows + discard, S - 1))
-            k1 = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=1)  # (L,1,S,H,D)
-            v1 = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
-            k2 = jnp.take(k1, src, axis=2)
-            v2 = jnp.take(v1, src, axis=2)
             moved = (rows >= keep) & (rows < n_past - discard)
             deltas = jnp.where(moved, -discard, 0).astype(jnp.int32)[None, :]
+
+            def slot_slice(a):
+                return jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)  # (L,1,S,H,D)
+
+            def slot_put(a, x):
+                return jax.lax.dynamic_update_slice_in_dim(a, x, slot, axis=1)
+
+            if isinstance(k, QuantKV):
+                vq = take_rows(QuantKV(slot_slice(v.q), slot_slice(v.s)), src, axis=2)
+                kq = take_rows(QuantKV(slot_slice(k.q), slot_slice(k.s)), src, axis=2)
+                kf = kq.q.astype(jnp.float32) * kq.s
+                if self.cfg.pos_emb == "rope":
+                    inv_freq = jnp.asarray(rope_frequencies(self.cfg))
+                    kf = rope_shift_rows(kf, deltas, inv_freq, self.cfg.rope_interleaved)
+                k2 = quantize_rows(kf)
+                return (
+                    QuantKV(slot_put(k.q, k2.q), slot_put(k.s, k2.s)),
+                    QuantKV(slot_put(v.q, vq.q), slot_put(v.s, vq.s)),
+                )
+            k2 = jnp.take(slot_slice(k), src, axis=2)
+            v2 = jnp.take(slot_slice(v), src, axis=2)
             if self.cfg.pos_emb == "rope":
                 inv_freq = jnp.asarray(rope_frequencies(self.cfg))
                 k2 = rope_shift_rows(k2, deltas, inv_freq, self.cfg.rope_interleaved)
-            k = jax.lax.dynamic_update_slice_in_dim(k, k2, slot, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(v, v2, slot, axis=1)
-            return k, v
+            return slot_put(k, k2), slot_put(v, v2)
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
         def _prefill_suffix_embeds(params, cfg, kv_k, kv_v, embeds, n_tokens, slot, n_match, gain=None):
             """Chunked prefill from precomputed embeddings (server vision
             API: image features spliced into the prompt — mtmd chunks)."""
-            k1 = jax.lax.dynamic_slice_in_dim(kv_k, slot, 1, axis=1)
-            v1 = jax.lax.dynamic_slice_in_dim(kv_v, slot, 1, axis=1)
-            kv1 = KVCache(k1, v1, jnp.full((1,), n_match, jnp.int32))
+            kv1 = KVCache(_tree_slot_slice(kv_k, slot), _tree_slot_slice(kv_v, slot),
+                          jnp.full((1,), n_match, jnp.int32))
             tokens = jnp.zeros(embeds.shape[:2], jnp.int32)
             logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, embeds=embeds,
                                   lora_gain=gain)
-            k = jax.lax.dynamic_update_slice_in_dim(kv_k, kv1.k, slot, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(kv_v, kv1.v, slot, axis=1)
+            k = _tree_slot_put(kv_k, kv1.k, slot)
+            v = _tree_slot_put(kv_v, kv1.v, slot)
             return logits[0, n_tokens[0] - 1], k, v
 
         self._prefill_suffix_embeds = _prefill_suffix_embeds
@@ -498,10 +528,6 @@ class BatchedEngine:
     def _maybe_shift(self, slot: Slot):
         """StreamingLLM context shift when the slot is about to overflow
         (reference: server.cpp:3049-3090 — keep n_keep, drop half the rest)."""
-        from ..ops.kv_quant import QuantKV
-
-        if isinstance(self.kv.k, QuantKV):
-            return  # shift needs re-rope on bf16 rows; not supported for q8
         n_left = slot.n_past - slot.n_keep
         n_discard = max(n_left // 2, 1)
         k, v = self._shift_slot(

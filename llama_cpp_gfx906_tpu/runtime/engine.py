@@ -232,15 +232,28 @@ class Engine:
             inv_freq = jnp.asarray(rope_frequencies(self.cfg))
             interleaved = self.cfg.rope_interleaved
 
+            from ..ops.kv_quant import QuantKV, quantize_rows, take_rows
+
             @_partial(jax.jit, donate_argnames=("k", "v"))
             def _shift(k, v, n_past, keep, discard):
                 S = k.shape[2]
                 rows = jnp.arange(S)
                 src = jnp.where(rows < keep, rows, jnp.minimum(rows + discard, S - 1))
-                k2 = jnp.take(k, src, axis=2)
-                v2 = jnp.take(v, src, axis=2)
                 moved = (rows[None, :] >= keep) & (rows[None, :] < (n_past - discard)[:, None])
                 deltas = jnp.where(moved, -discard, 0).astype(jnp.int32)  # (B, S)
+                if isinstance(k, QuantKV):
+                    # q8 cache: V is a pure row permutation; K rows must be
+                    # re-roped, so round-trip moved rows through f32 exactly
+                    # like the reference's build_rope_shift graph does for
+                    # quantized caches (llama-kv-cache-unified.cpp:1416).
+                    v2 = take_rows(v, src, axis=2)
+                    kq = take_rows(k, src, axis=2)
+                    kf = kq.q.astype(jnp.float32) * kq.s
+                    if self.cfg.pos_emb == "rope":
+                        kf = rope_shift_rows(kf, deltas, inv_freq, interleaved)
+                    return quantize_rows(kf), v2, n_past - discard
+                k2 = jnp.take(k, src, axis=2)
+                v2 = jnp.take(v, src, axis=2)
                 if self.cfg.pos_emb == "rope":
                     k2 = rope_shift_rows(k2, deltas, inv_freq, interleaved)
                 return k2, v2, n_past - discard

@@ -806,6 +806,10 @@ def main(argv=None) -> int:
                     help="LoRA adapter GGUF; repeatable — requests select "
                          "adapters via the per-request 'lora' field")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    ap.add_argument("-ctk", "--cache-type-k", default=None,
+                    choices=("f32", "bf16", "q8"),
+                    help="KV cache storage type (reference: llama-server "
+                         "-ctk/-ctv; q8 halves KV memory)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -828,10 +832,18 @@ def main(argv=None) -> int:
         d_reader = GGUFModelReader(args.draft_model)
         d_cfg = config_from_gguf(d_reader)
         draft = (d_cfg, load_llama_params_quantized(d_reader, d_cfg))
+    kv_dtype = None
+    if args.cache_type_k == "q8":
+        kv_dtype = "q8"
+    elif args.cache_type_k == "f32":
+        import jax.numpy as jnp
+
+        kv_dtype = jnp.float32
     engine = BatchedEngine(cfg, params, tokenizer, n_slots=args.n_slots,
                            max_seq=args.ctx_size, spec_ngram=args.spec_ngram,
                            n_draft=args.draft_max, n_chunk=args.n_batch,
-                           ctx_shift=not args.no_ctx_shift, draft=draft)
+                           ctx_shift=not args.no_ctx_shift, draft=draft,
+                           kv_cache_dtype=kv_dtype)
     if args.lora:
         engine.attach_lora(args.lora)
     encoder = None

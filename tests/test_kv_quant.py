@@ -74,3 +74,66 @@ def test_q8_cache_memory_is_int8(model_path):
     eng_q = Engine.from_gguf(model_path, max_seq=64, dtype=jnp.float32, kv_cache_dtype="q8")
     assert eng_q.kv.k.q.dtype == jnp.int8
     assert eng_q.kv.k.s.shape[-1] == 1
+
+
+def test_q8_context_shift_layer0_exact(model_path):
+    """Context shift on a q8 cache: layer-0 rows after the shift must match
+    a fresh prefill of the survivors (within requant error).  Pins the fix
+    for the round-2 silent no-op (shift previously returned unshifted on
+    QuantKV caches)."""
+    from llama_cpp_gfx906_tpu.ops.kv_quant import dequantize_rows
+
+    tokens = [3, 17, 42, 9, 7, 25, 33, 11, 40, 6, 28, 13]
+    n_keep, n_discard = 2, 4
+    eng = Engine.from_gguf(model_path, max_seq=64, dtype=jnp.float32, kv_cache_dtype="q8")
+    eng.prefill(tokens)
+    eng.context_shift(n_keep, n_discard)
+    survivors = tokens[:n_keep] + tokens[n_keep + n_discard:]
+    assert eng.n_past == len(survivors)
+
+    eng2 = Engine.from_gguf(model_path, max_seq=64, dtype=jnp.float32, kv_cache_dtype="q8")
+    eng2.prefill(survivors)
+    n = len(survivors)
+    k1 = np.asarray(dequantize_rows(eng.kv.k, jnp.float32))[0, :, :n]
+    k2 = np.asarray(dequantize_rows(eng2.kv.k, jnp.float32))[0, :, :n]
+    # two int8 quantization round-trips: tolerance is a few quant steps
+    assert np.abs(k1 - k2).max() < 0.05 * max(np.abs(k2).max(), 1e-6) + 0.02
+    v1 = np.asarray(dequantize_rows(eng.kv.v, jnp.float32))[0, :, :n]
+    v2 = np.asarray(dequantize_rows(eng2.kv.v, jnp.float32))[0, :, :n]
+    assert np.abs(v1 - v2).max() < 0.05 * max(np.abs(v2).max(), 1e-6) + 0.02
+
+
+def test_q8_batched_shift_keeps_decoding(model_path):
+    """A q8-KV batched slot that hits max_seq must context-shift (not
+    silently clamp-overwrite the last row) and keep producing tokens that
+    agree with a bf16-KV engine under the same shift schedule."""
+    from llama_cpp_gfx906_tpu.gguf import GGUFReader
+    from llama_cpp_gfx906_tpu.models.config import config_from_gguf
+    from llama_cpp_gfx906_tpu.runtime.batch_engine import BatchedEngine, SamplerConfig
+    from llama_cpp_gfx906_tpu.runtime.weights import load_llama_params
+    from llama_cpp_gfx906_tpu.tokenizers import tokenizer_from_gguf
+
+    reader = GGUFReader(model_path)
+    cfg = config_from_gguf(reader)
+    tok = tokenizer_from_gguf(reader)
+    params = load_llama_params(reader, cfg, jnp.float32)
+    kw = dict(max_seq=32, n_slots=2, dtype=jnp.float32)
+    eng_q = BatchedEngine(cfg, params, tok, kv_cache_dtype="q8", **kw)
+    eng_f = BatchedEngine(cfg, params, tok, **kw)
+    prompt = [3, 17, 42, 9, 7, 25, 33, 11] * 3  # 24 tokens, near the 32 cap
+    sc = SamplerConfig(temp=0.0)
+    outs = {}
+    for name, eng in (("q8", eng_q), ("f32", eng_f)):
+        slot = eng.add_request(prompt, n_predict=20, sampler=sc)
+        toks = []
+        for _ in range(80):
+            for s, t, fin in eng.step():
+                toks.append(t)
+            if slot.stop_reason is not None:
+                break
+        outs[name] = (toks, slot.n_shifted)
+    assert outs["q8"][1] > 0, "q8 slot never shifted"
+    assert len(outs["q8"][0]) == 20, "q8 slot stopped early"
+    # greedy paths agree at least through the first post-shift tokens
+    n_agree = sum(a == b for a, b in zip(outs["q8"][0][:8], outs["f32"][0][:8]))
+    assert n_agree >= 6
