@@ -512,6 +512,79 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         cfg = cfg.with_(ffn_gated=False, act_fn="relu2")
     elif arch == "xverse":
         pass  # plain llama graph with NORM rope (llm_build_xverse)
+    elif arch == "exaone":
+        # llama graph + NEOX rope + optional qkv/o biases
+        # (reference llm_build_exaone, src/llama-model.cpp:14052)
+        cfg = cfg.with_(rope_interleaved=False)
+    elif arch == "baichuan":
+        # 7B (32 layers): NORM rope; 13B (40 layers): no rope, ALiBi —
+        # the reference keys the same split off LLM_TYPE from n_layer
+        # (llm_build_baichuan, src/llama-model.cpp:6464 type switch :6506)
+        if cfg.n_layers >= 40:
+            cfg = cfg.with_(pos_emb="none", alibi=True)
+    elif arch == "qwen":
+        # qwen v1: fused qkv with bias (split at load), NEOX rope
+        # (reference llm_build_qwen, src/llama-model.cpp:8018)
+        cfg = cfg.with_(attn_bias=True, rope_interleaved=False)
+    elif arch == "codeshell":
+        # starcoder body (LayerNorm+bias, fused MQA qkv+bias, ungated GELU)
+        # but NEOX rope instead of learned positions
+        # (reference llm_build_codeshell, src/llama-model.cpp:9500)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            rope_interleaved=False,
+            ffn_gated=False,
+            act_fn="gelu",
+        )
+    elif arch == "orion":
+        # LayerNorm (with bias) + NEOX rope + gated silu FFN
+        # (reference llm_build_orion, src/llama-model.cpp:9614)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            rope_interleaved=False,
+        )
+    elif arch == "plamo":
+        # shared-norm parallel residual (attn and FFN both read attn_norm
+        # output; out = x + attn + ffn), NEOX full-dim rope
+        # (reference llm_build_plamo, src/llama-model.cpp:9275)
+        cfg = cfg.with_(parallel_residual=True, rope_interleaved=False)
+    elif arch == "refact":
+        # RMS norms + ALiBi (f_max_alibi_bias=8), gated silu FFN, no rope
+        # (reference llm_build_refact, src/llama-model.cpp:7217; NONE rope
+        # group :18617)
+        cfg = cfg.with_(pos_emb="none", alibi=True)
+    elif arch == "jais":
+        # LayerNorm, ALiBi, fused qkv+bias, *gated* silu FFN with biases,
+        # attention scale 1/head_dim (not rsqrt)
+        # (reference llm_build_jais, src/llama-model.cpp:13385 — kq_scale
+        # 1.0f/float(n_embd_head) :13429)
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            pos_emb="none",
+            alibi=True,
+            attn_scale=1.0 / float(head_dim),
+        )
+    elif arch == "chatglm":
+        # RMS norms, optionally-fused qkv (+bias), *partial* NORM rope
+        # (rope_dim = head_dim/2 in upstream GGUFs), split-swiglu FFN (one
+        # ffn_up holding [gate|up] halves, split at load)
+        # (reference llm_build_chatglm, src/llama-model.cpp:13480)
+        pass  # all covered by metadata + tensor presence
+    elif arch == "gptj":
+        # shared-norm parallel residual, partial *interleaved* rope
+        # (rotate_every_two), ungated tanh-GELU FFN with biases, biased
+        # lm_head.  The reference declares the arch (llama-arch.cpp:14)
+        # but ships no builder; semantics follow the original GPT-J.
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            parallel_residual=True,
+            ffn_gated=False,
+            act_fn="gelu_tanh",
+        )
     elif arch == "minicpm":
         # the granite builder with rope always on (reference: LLM_ARCH_MINICPM
         # → llm_build_granite, src/llama-model.cpp:18431; NORM rope :18641).

@@ -89,8 +89,16 @@ def _mlp(x, gate_w, up_w, down_w, act_fn: str):
 
 
 def _mlp_p(x, p: dict, act_fn: str, gain=None):
-    return _lin(_act(_lin(x, p, "w_gate", gain), act_fn) * _lin(x, p, "w_up", gain),
-                p, "w_down", gain)
+    g = _lin(x, p, "w_gate", gain)
+    if "b_gate" in p:  # jais: gated FFN with biases (llm_build_jais)
+        g = g + p["b_gate"]
+    u = _lin(x, p, "w_up", gain)
+    if "b_up" in p:
+        u = u + p["b_up"]
+    y = _lin(_act(g, act_fn) * u, p, "w_down", gain)
+    if "b_down" in p:
+        y = y + p["b_down"]
+    return y
 
 
 def _mlp_plain(x, up_w, up_b, down_w, down_b, act_fn: str):

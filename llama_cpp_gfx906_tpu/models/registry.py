@@ -24,6 +24,8 @@ ATTENTION_ARCHS = {
     "ernie4_5", "gpt-oss", "olmo2",
     "starcoder2", "nemotron", "exaone4", "arcee", "xverse", "qwen2vl",
     "hunyuan-moe", "hunyuan-dense", "mpt", "bloom",
+    "exaone", "baichuan", "qwen", "codeshell", "orion", "plamo", "refact",
+    "jais", "chatglm", "gptj",
 }
 
 RECURRENT_ARCHS = {"mamba"}

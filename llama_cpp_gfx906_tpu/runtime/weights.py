@@ -61,6 +61,7 @@ def _layer_names(i: int) -> dict[str, str]:
         "w_down": b + "ffn_down.weight",
         "b_up": b + "ffn_up.bias",
         "b_down": b + "ffn_down.bias",
+        "b_gate": b + "ffn_gate.bias",
         # MoE (stacked-expert tensors; reference arch tables LLM_TENSOR_FFN_*_EXPS)
         "moe_gate_inp": b + "ffn_gate_inp.weight",
         "moe_gate_inp_b": b + "ffn_gate_inp.bias",
@@ -311,7 +312,7 @@ def fuse_projections(layers: dict) -> dict:
                     del out[k]
     if "w_gate" in layers and "w_up" in layers and "moe_gate" not in layers:
         fused = _concat_weights([layers["w_gate"], layers["w_up"]], ["w_gate", "w_up"])
-        if fused is not None and "b_up" not in layers:
+        if fused is not None and "b_up" not in layers and "b_gate" not in layers:
             out["wgateup_fused"] = fused
             del out["w_gate"]
             del out["w_up"]

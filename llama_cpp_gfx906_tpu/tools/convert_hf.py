@@ -2254,3 +2254,165 @@ def convert_hf_gemma3_vision(model, out_path: str, mm_tokens_per_image: int = 25
     add("mm.soft_emb_norm.weight",
         proj.mm_soft_emb_norm.weight.detach().cpu().float().numpy())
     return w.write()
+
+
+# ---------------------------------------------------------------------------
+# Arch wave 5a converters
+# ---------------------------------------------------------------------------
+
+def convert_hf_qwen_v1(model, tokenizer_vocab, out_path: str,
+                       quant_type=GGMLType.F16) -> str:
+    """Qwen-v1-style checkpoint → GGUF (arch "qwen").
+
+    Upstream qwen GGUFs carry a *fused* attn_qkv (+bias); a Qwen2-style
+    module (separate q/k/v with biases) is fused here.  NEOX rope, no
+    permutation (reference llm_build_qwen, src/llama-model.cpp:8018)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = getattr(hf, "num_key_value_heads", n_head)
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "qwen")
+    w.add_string(Keys.General.NAME, "qwen-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS,
+                   hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        qkv = np.concatenate([state[p + "self_attn.q_proj.weight"],
+                              state[p + "self_attn.k_proj.weight"],
+                              state[p + "self_attn.v_proj.weight"]], axis=0)
+        add(b + "attn_qkv.weight", qkv)
+        qkvb = np.concatenate([state[p + "self_attn.q_proj.bias"],
+                               state[p + "self_attn.k_proj.bias"],
+                               state[p + "self_attn.v_proj.bias"]], axis=0)
+        add(b + "attn_qkv.bias", qkvb)
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    add("output.weight", state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    return w.write()
+
+
+def convert_hf_gptj(model, tokenizer_vocab, out_path: str,
+                    quant_type=GGMLType.F16) -> str:
+    """transformers GPTJForCausalLM → GGUF (arch "gptj").
+
+    Shared-norm parallel residual, partial interleaved rotary (rotary_dim),
+    ungated tanh-GELU FFN with biases, biased lm_head.  The reference
+    declares the arch (llama-arch.cpp:14) but ships no builder."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads if hasattr(hf, "num_attention_heads") else hf.n_head
+    n_layer = getattr(hf, "num_hidden_layers", None) or hf.n_layer
+    head_dim = hf.n_embd // n_head
+
+    w = GGUFWriter(out_path, "gptj")
+    w.add_string(Keys.General.NAME, "gptj-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.n_positions)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.n_embd)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, n_layer)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_head)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(Keys.Attention.LAYERNORM_EPS, hf.layer_norm_epsilon)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, getattr(hf, "n_inner", None) or 4 * hf.n_embd)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, hf.rotary_dim)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["transformer.wte.weight"])
+    for i in range(n_layer):
+        p, b = f"transformer.h.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "ln_1.weight"])
+        add(b + "attn_norm.bias", state[p + "ln_1.bias"])
+        add(b + "attn_q.weight", state[p + "attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "attn.v_proj.weight"])
+        add(b + "attn_output.weight", state[p + "attn.out_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.fc_in.weight"])
+        add(b + "ffn_up.bias", state[p + "mlp.fc_in.bias"])
+        add(b + "ffn_down.weight", state[p + "mlp.fc_out.weight"])
+        add(b + "ffn_down.bias", state[p + "mlp.fc_out.bias"])
+    add("output_norm.weight", state["transformer.ln_f.weight"])
+    add("output_norm.bias", state["transformer.ln_f.bias"])
+    add("output.weight", state["lm_head.weight"])
+    if "lm_head.bias" in state:
+        add("output.bias", state["lm_head.bias"])
+    return w.write()
+
+
+def convert_hf_chatglm(model, tokenizer_vocab, out_path: str,
+                       quant_type=GGMLType.F16) -> str:
+    """transformers GlmForCausalLM (glm-4-hf / chatglm3 lineage) → GGUF
+    (arch "chatglm").
+
+    Partial interleaved (NORM) rope over half the head dim, qkv biases,
+    fused gate_up written as a single 2F-row ffn_up (split at load per
+    ggml_swiglu first-half-gates).  Reference llm_build_chatglm,
+    src/llama-model.cpp:13480."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    rot = int(head_dim * getattr(hf, "partial_rotary_factor", 0.5))
+
+    w = GGUFWriter(out_path, "chatglm")
+    w.add_string(Keys.General.NAME, "chatglm-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS,
+                   hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, rot)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        for proj, gg in (("q", "attn_q"), ("k", "attn_k"), ("v", "attn_v")):
+            bias = state.get(p + f"self_attn.{proj}_proj.bias")
+            if bias is not None:
+                add(b + f"{gg}.bias", bias)
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        # fused [gate|up] stays fused in the GGUF (upstream chatglm layout)
+        add(b + "ffn_up.weight", state[p + "mlp.gate_up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
