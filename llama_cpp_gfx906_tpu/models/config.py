@@ -102,6 +102,12 @@ class ModelConfig:
     attn_temp_floor: float = 8192.0
     clamp_kqv: float = 0.0  # dbrx: clamp qkv projections to ±clamp_kqv
     moe_scale_input: bool = False  # llama4: gate scales the expert INPUT
+    moe_gate_prenorm: bool = False  # smallthinker: router reads the layer input
+    # smallthinker NoPE rule: layer il is NoPE when il % n == 0 (note the
+    # zero-based variant vs nope_interval's (il+1) % n); 0 disables
+    nope_interval_zero: int = 0
+    # dense-first iSWA variant (set_swa_pattern(n, true)): SWA iff il%n != 0
+    swa_pattern_zero: bool = False
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -113,6 +119,9 @@ class ModelConfig:
         flags = [True] * self.n_layers
         if self.nope_interval > 0:
             flags = [(il + 1) % self.nope_interval != 0 for il in range(self.n_layers)]
+        if self.nope_interval_zero > 0:
+            # smallthinker: rope iff il % step != 0 (llm_build_smallthinker)
+            flags = [il % self.nope_interval_zero != 0 for il in range(self.n_layers)]
         if self.rope_swa_only:
             swa = self.swa_layers
             flags = [f and swa[il] for il, f in enumerate(flags)]
@@ -128,6 +137,8 @@ class ModelConfig:
         n = max(self.swa_pattern, 1)
         if n == 1:
             return tuple(True for _ in range(self.n_layers))
+        if self.swa_pattern_zero:  # dense-first (llama_hparams::set_swa_pattern)
+            return tuple(il % n != 0 for il in range(self.n_layers))
         return tuple((il + 1) % n != 0 for il in range(self.n_layers))
 
     @property
@@ -573,6 +584,82 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         # ffn_up holding [gate|up] halves, split at load)
         # (reference llm_build_chatglm, src/llama-model.cpp:13480)
         pass  # all covered by metadata + tensor presence
+    elif arch == "grok":
+        # NEOX rope, embedding scale 78.38367…, kq_scale 1.0, GELU MoE with
+        # post-attention/post-ffn RMS norms, logit scale 1/sqrt(3)
+        # (reference llm_build_grok, src/llama-model.cpp:6821 — constants
+        # hardcoded at :6834/:6975)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            embedding_scale=78.38367176906169,
+            attn_scale=1.0,
+            logit_scale=0.5773502691896257,
+            post_attn_norm=True,
+            post_ffn_norm=True,
+            act_fn="gelu",
+            expert_weights_norm=True,
+        )
+    elif arch == "arctic":
+        # llama blocks + a parallel MoE branch on the *layer input* through
+        # its own norm (ffn_norm_exps); dense FFN keeps the usual residual
+        # (reference llm_build_arctic, src/llama-model.cpp:12391)
+        cfg = cfg.with_(expert_weights_norm=True)
+    elif arch == "smallthinker":
+        # MoE with gated-ReLU experts, router fed the *pre-norm* layer
+        # input; optional dense-first iSWA(4) with il%4==0 NoPE
+        # (reference llm_build_smallthinker, src/llama-model.cpp:17918;
+        # hparams :1853-1868)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            act_fn="relu",
+            moe_gate_prenorm=True,
+            expert_weights_norm=True,
+            expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
+        )
+        if cfg.sliding_window > 0:
+            cfg = cfg.with_(swa_pattern=4, swa_pattern_zero=True,
+                            nope_interval_zero=4)
+    elif arch == "plm":
+        # MLA attention without the q low-rank (wq direct), NORM rope,
+        # ungated relu² FFN (reference llm_build_plm,
+        # src/llama-model.cpp:15834; hparams :1412)
+        key_plm = int(g(Keys.Attention.KEY_LENGTH, 0))
+        cfg = cfg.with_(
+            rope_interleaved=True,
+            kv_lora_rank=int(g(Keys.Attention.KV_LORA_RANK, 512)),
+            qk_nope_head_dim=(key_plm - cfg.rope_dim) if key_plm else 96,
+            v_head_dim=int(g("{arch}.attention.value_length", 0)) or 128,
+            ffn_gated=False,
+            act_fn="relu2",
+            attn_scale=float(key_plm) ** -0.5 if key_plm else 0.0,
+            # no MoE: every layer loads/scans through the dense group
+            n_layer_dense_lead=int(g(Keys.LLM.BLOCK_COUNT)),
+        )
+    elif arch == "bailingmoe":
+        # dense-lead MoE with shared experts, NORM rope, optional qkv bias
+        # (reference llm_build_bailingmoe, src/llama-model.cpp:16006;
+        # hparams :1717-1725)
+        cfg = cfg.with_(
+            rope_interleaved=True,
+            n_layer_dense_lead=int(g(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, 0)),
+            n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
+            expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, False)),
+            expert_weights_scale=float(g(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
+        )
+    elif arch == "ernie4_5-moe":
+        # dense-lead then interleaved MoE layers (step must be 1 for the
+        # two-scan layout) with optional shared expert
+        # (reference llm_build_ernie4_5_moe, src/llama-model.cpp:16430)
+        step = int(g("{arch}.interleave_moe_layer_step", 1))
+        if step != 1:
+            raise ValueError("ernie4_5-moe: interleave_moe_layer_step > 1 "
+                             "not supported (two-scan layout)")
+        cfg = cfg.with_(
+            rope_interleaved=True,
+            n_layer_dense_lead=int(g(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, 0)),
+            n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
+            expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)),
+        )
     elif arch == "gptj":
         # shared-norm parallel residual, partial *interleaved* rope
         # (rotate_every_two), ungated tanh-GELU FFN with biases, biased

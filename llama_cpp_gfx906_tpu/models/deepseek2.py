@@ -115,6 +115,10 @@ def _mla_attention(x, p, cfg: ModelConfig, k_cache, v_cache, n_past, positions, 
 
 
 def _dense_ffn(h, p, cfg):
+    if not cfg.ffn_gated:  # plm: ungated relu² (llm_build_plm LLM_FFN_RELU_SQR)
+        up = linear(h, p["w_up"]).astype(jnp.float32)
+        act = jnp.square(jax.nn.relu(up)) if cfg.act_fn == "relu2" else jax.nn.silu(up)
+        return linear(act.astype(h.dtype), p["w_down"])
     gate = jax.nn.silu(linear(h, p["w_gate"]).astype(jnp.float32)).astype(h.dtype)
     return linear(gate * linear(h, p["w_up"]), p["w_down"])
 

@@ -207,6 +207,7 @@ def forward(
     def layer_step(carry, layer):
         x, = carry
         p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l = layer
+        x_in = x  # layer input (arctic parallel-MoE / smallthinker router)
 
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg) if cfg.pre_norm else x
         Dq = cfg.n_heads * cfg.head_dim
@@ -301,7 +302,19 @@ def forward(
             h = _norm(ffn_in, p["attn_norm"], p.get("attn_norm_b"), cfg) \
                 if "ffn_norm" not in p else _norm(ffn_in, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
 
-        if "moe_gate_inp" in p:
+        if "ffn_norm_exps" in p:
+            # arctic: dense FFN on the usual residual + a parallel MoE branch
+            # reading the *layer input* through its own norm (ffn_norm_exps)
+            # (llm_build_arctic, src/llama-model.cpp:12391)
+            from ..ops.moe import moe_ffn
+
+            mlp = _mlp_p(h, p, cfg.act_fn, lora_gain)
+            moe = moe_ffn(
+                rms_norm(x_in, p["ffn_norm_exps"], cfg.rms_eps),
+                p["moe_gate_inp"], p["moe_gate"], p["moe_up"], p["moe_down"], cfg,
+            )
+            mlp = mlp + moe
+        elif "moe_gate_inp" in p:
             from ..ops.moe import moe_ffn
 
             mlp = moe_ffn(
@@ -309,6 +322,8 @@ def forward(
                 router_b=p.get("moe_gate_inp_b"),
                 gate_b=p.get("moe_gate_b"), up_b=p.get("moe_up_b"),
                 down_b=p.get("moe_down_b"),
+                # smallthinker: the router reads the raw layer input
+                gate_x=x_in if cfg.moe_gate_prenorm else None,
             )
             if "shexp_gate" in p:  # shared expert (qwen2moe: sigmoid-gated)
                 shexp = _mlp(h, p["shexp_gate"], p["shexp_up"], p["shexp_down"], cfg.act_fn)

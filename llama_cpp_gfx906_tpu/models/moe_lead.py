@@ -86,12 +86,14 @@ def forward(
             h, p["moe_gate_inp"], p["moe_gate"], p["moe_up"], p["moe_down"], cfg,
             probs_bias=p.get("exp_probs_b"),
         )
-        shexp = _dense_ffn(h, {"w_gate": p["shexp_gate"], "w_up": p["shexp_up"],
-                               "w_down": p["shexp_down"]})
-        if "shexp_gate_inp" in p:  # dots1: sigmoid-gated shared expert
-            g = jax.nn.sigmoid((h @ p["shexp_gate_inp"]).astype(jnp.float32))
-            shexp = shexp * g.astype(shexp.dtype)
-        x = x + mlp + shexp
+        if "shexp_gate" in p:
+            shexp = _dense_ffn(h, {"w_gate": p["shexp_gate"], "w_up": p["shexp_up"],
+                                   "w_down": p["shexp_down"]})
+            if "shexp_gate_inp" in p:  # dots1: sigmoid-gated shared expert
+                g = jax.nn.sigmoid((h @ p["shexp_gate_inp"]).astype(jnp.float32))
+                shexp = shexp * g.astype(shexp.dtype)
+            mlp = mlp + shexp
+        x = x + mlp
         return (x,), (kc, vc)
 
     k_parts, v_parts = [], []

@@ -25,7 +25,7 @@ ATTENTION_ARCHS = {
     "starcoder2", "nemotron", "exaone4", "arcee", "xverse", "qwen2vl",
     "hunyuan-moe", "hunyuan-dense", "mpt", "bloom",
     "exaone", "baichuan", "qwen", "codeshell", "orion", "plamo", "refact",
-    "jais", "chatglm", "gptj",
+    "jais", "chatglm", "gptj", "grok", "arctic", "smallthinker",
 }
 
 RECURRENT_ARCHS = {"mamba"}
@@ -35,8 +35,8 @@ HYBRID_ARCHS = {"jamba"}
 GRANITE_HYBRID_ARCHS = {"granitehybrid"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
-MLA_ARCHS = {"deepseek2", "minicpm3"}
-MOE_LEAD_ARCHS = {"glm4moe", "dots1"}
+MLA_ARCHS = {"deepseek2", "minicpm3", "plm"}
+MOE_LEAD_ARCHS = {"glm4moe", "dots1", "bailingmoe", "ernie4_5-moe"}
 
 
 @dataclass(frozen=True)

@@ -34,6 +34,8 @@ def moe_ffn(
     gate_b: jnp.ndarray | None = None,  # (E, F) expert biases (gpt-oss)
     up_b: jnp.ndarray | None = None,
     down_b: jnp.ndarray | None = None,
+    gate_x: jnp.ndarray | None = None,  # router input override (smallthinker
+    # feeds the raw layer input, llm_build_smallthinker)
 ) -> jnp.ndarray:
     B, T, D = x.shape
     # stacked QuantTensor leaves carry the expert axis on q; plain arrays
@@ -41,8 +43,9 @@ def moe_ffn(
     E = w_gate.q.shape[0] if isinstance(w_gate, QuantTensor) else w_gate.shape[0]
     k = cfg.n_experts_used
     xt = x.reshape(B * T, D)
+    gt = gate_x.reshape(B * T, D) if gate_x is not None else xt
 
-    router = (xt.astype(jnp.float32) @ gate_inp.astype(jnp.float32))  # (N, E)
+    router = (gt.astype(jnp.float32) @ gate_inp.astype(jnp.float32))  # (N, E)
     if router_b is not None:
         router = router + router_b.astype(jnp.float32)
     if cfg.moe_topk_softmax:
@@ -77,6 +80,8 @@ def moe_ffn(
             return ((uf + 1.0) * gf * jax.nn.sigmoid(1.702 * gf)).astype(x.dtype)
         if cfg.act_fn == "gelu":
             return (jax.nn.gelu(gf, approximate=True) * uf).astype(x.dtype)
+        if cfg.act_fn == "relu":  # smallthinker gated-ReLU experts
+            return (jax.nn.relu(gf) * uf).astype(x.dtype)
         return (jax.nn.silu(gf) * uf).astype(x.dtype)
 
     # llama4 applies the (sigmoid) gate to the expert INPUT, not the output

@@ -54,6 +54,7 @@ def _layer_names(i: int) -> dict[str, str]:
         "k_norm": b + "attn_k_norm.weight",
         "post_attn_norm": b + "post_attention_norm.weight",
         "post_ffn_norm": b + "post_ffw_norm.weight",
+        "ffn_norm_exps": b + "ffn_norm_exps.weight",
         "ffn_norm": b + "ffn_norm.weight",
         "ffn_norm_b": b + "ffn_norm.bias",
         "w_gate": b + "ffn_gate.weight",
@@ -133,6 +134,12 @@ def effective_tensors(reader, cfg: ModelConfig) -> dict:
         if b + "ffn_norm.weight" not in src and b + "post_attention_norm.weight" in src \
                 and b + "ffn_gate_inp.weight" in src:
             src[b + "ffn_norm.weight"] = src[b + "post_attention_norm.weight"]
+        # grok: post-branch norms under their own names
+        # (attn_output_norm / layer_output_norm, llama-arch.cpp grok table)
+        if b + "attn_output_norm.weight" in src and b + "post_attention_norm.weight" not in src:
+            src[b + "post_attention_norm.weight"] = src[b + "attn_output_norm.weight"]
+        if b + "layer_output_norm.weight" in src and b + "post_ffw_norm.weight" not in src:
+            src[b + "post_ffw_norm.weight"] = src[b + "layer_output_norm.weight"]
         up = src.get(b + "ffn_up.weight")
         if (
             up is not None

@@ -1279,16 +1279,18 @@ def convert_hf_hunyuan(model, tokenizer_vocab, out_path: str, arch: str = "hunyu
 
 
 def convert_hf_moe_lead(model, tokenizer_vocab, out_path: str, arch: str,
-                        quant_type=GGMLType.F16) -> str:
-    """transformers Glm4MoeForCausalLM / Dots1ForCausalLM → GGUF
-    ("glm4moe" / "dots1"): dense-lead + sigmoid-routed MoE with expert
-    probs bias and shared expert(s).  NEOX rope (glm4moe: partial)."""
+                        quant_type=GGMLType.F16, permute: bool = False,
+                        gating_func: int = 2) -> str:
+    """transformers dense-lead-MoE models → GGUF: Glm4Moe / Dots1
+    (sigmoid-routed, NEOX rope), Ernie4_5_Moe ("ernie4_5-moe": softmax
+    routing + probs bias, NORM rope → permute=True, gating_func=1),
+    bailingmoe-shaped state dicts (softmax, NORM rope)."""
     hf = model.config
     state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
     n_head = hf.num_attention_heads
     n_kv = getattr(hf, "num_key_value_heads", n_head)
     head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
-    n_exp = hf.n_routed_experts
+    n_exp = getattr(hf, "n_routed_experts", None) or hf.moe_num_experts
     n_layers = hf.num_hidden_layers
 
     w = GGUFWriter(out_path, arch)
@@ -1306,11 +1308,18 @@ def convert_hf_moe_lead(model, tokenizer_vocab, out_path: str, arch: str,
     w.add_uint32(Keys.Rope.DIMENSION_COUNT,
                  int(getattr(hf, "partial_rotary_factor", 1.0) * head_dim))
     w.add_uint32(Keys.LLM.EXPERT_COUNT, n_exp)
-    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT,
+                 getattr(hf, "num_experts_per_tok", None) or hf.moe_k)
     w.add_uint32(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, hf.moe_intermediate_size)
-    w.add_uint32(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, getattr(hf, "first_k_dense_replace", 0))
-    w.add_uint32(Keys.LLM.EXPERT_SHARED_COUNT, getattr(hf, "n_shared_experts", 0))
-    w.add_uint32(Keys.LLM.EXPERT_GATING_FUNC, 2)  # sigmoid (deepseek-v3 routing)
+    w.add_uint32(Keys.LLM.LEADING_DENSE_BLOCK_COUNT,
+                 getattr(hf, "first_k_dense_replace", None)
+                 if getattr(hf, "first_k_dense_replace", None) is not None
+                 else getattr(hf, "moe_layer_start_index", 0))
+    w.add_uint32(Keys.LLM.EXPERT_SHARED_COUNT,
+                 getattr(hf, "n_shared_experts", None)
+                 if getattr(hf, "n_shared_experts", None) is not None
+                 else getattr(hf, "moe_num_shared_experts", 0))
+    w.add_uint32(Keys.LLM.EXPERT_GATING_FUNC, gating_func)
     w.add_bool(Keys.LLM.EXPERT_WEIGHTS_NORM, bool(getattr(hf, "norm_topk_prob", True)))
     w.add_float32(Keys.LLM.EXPERT_WEIGHTS_SCALE, float(getattr(hf, "routed_scaling_factor", 1.0)))
     w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
@@ -1330,8 +1339,13 @@ def convert_hf_moe_lead(model, tokenizer_vocab, out_path: str, arch: str,
         b = f"blk.{i}."
         add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
         add(b + ffn_norm_gg, state[p + "post_attention_layernorm.weight"])
-        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
-        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        wq = state[p + "self_attn.q_proj.weight"]
+        wk = state[p + "self_attn.k_proj.weight"]
+        if permute:  # NORM-rope archs: HF half-rotation → ggml interleaved
+            wq = permute_qk(wq, n_head)
+            wk = permute_qk(wk, n_kv)
+        add(b + "attn_q.weight", wq)
+        add(b + "attn_k.weight", wk)
         add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
         add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
         for hf_n, gg in [("q_proj.bias", "attn_q.bias"), ("k_proj.bias", "attn_k.bias"),
@@ -1339,11 +1353,19 @@ def convert_hf_moe_lead(model, tokenizer_vocab, out_path: str, arch: str,
                          ("q_norm.weight", "attn_q_norm.weight"),
                          ("k_norm.weight", "attn_k_norm.weight")]:
             if p + "self_attn." + hf_n in state:
-                add(b + gg, state[p + "self_attn." + hf_n])
+                arr = state[p + "self_attn." + hf_n]
+                if permute and gg == "attn_q.bias":
+                    arr = permute_qk(arr, n_head)
+                elif permute and gg == "attn_k.bias":
+                    arr = permute_qk(arr, n_kv)
+                add(b + gg, arr)
         if p + "mlp.gate.weight" in state:  # MoE layer
             add(b + "ffn_gate_inp.weight", state[p + "mlp.gate.weight"], f32=True)
-            if p + "mlp.gate.e_score_correction_bias" in state:
-                add(b + "exp_probs_b.bias", state[p + "mlp.gate.e_score_correction_bias"], f32=True)
+            for bias_name in ("mlp.gate.e_score_correction_bias",
+                              "mlp.moe_statics.e_score_correction_bias"):
+                if p + bias_name in state:
+                    add(b + "exp_probs_b.bias",
+                        state[p + bias_name].reshape(-1), f32=True)
             for hf_n, gg in [("gate_proj", "ffn_gate_exps"), ("up_proj", "ffn_up_exps"),
                              ("down_proj", "ffn_down_exps")]:
                 stackd = np.stack([
@@ -1352,7 +1374,8 @@ def convert_hf_moe_lead(model, tokenizer_vocab, out_path: str, arch: str,
                 add(b + gg + ".weight", stackd)
             for hf_n, gg in [("gate_proj", "ffn_gate_shexp"), ("up_proj", "ffn_up_shexp"),
                              ("down_proj", "ffn_down_shexp")]:
-                add(b + gg + ".weight", state[f"{p}mlp.shared_experts.{hf_n}.weight"])
+                if f"{p}mlp.shared_experts.{hf_n}.weight" in state:
+                    add(b + gg + ".weight", state[f"{p}mlp.shared_experts.{hf_n}.weight"])
         else:  # dense-lead layer
             add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
             add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
