@@ -56,6 +56,7 @@ class ModelConfig:
     post_attn_norm: bool = False  # gemma2/3 extra norms
     post_ffn_norm: bool = False
     qk_norm: bool = False  # qwen3/gemma3 per-head q/k rmsnorm
+    qk_norm_layer: bool = False  # chameleon: per-head LayerNorm (+bias) q/k norms
     qk_norm_after_rope: bool = False  # hunyuan: norms applied post-rotation
     alibi: bool = False  # mpt/bloom/baichuan-13b positional bias
     attn_logit_softcap: float = 0.0
@@ -660,6 +661,22 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
             expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)),
         )
+    elif arch == "bitnet":
+        # ternary-weight transformer: per-tensor weight scales + inner
+        # sub-norms before the out/down projections, NEOX rope
+        # (reference llm_build_bitnet, src/llama-model.cpp:12954).  The
+        # reference hardcodes silu; HF BitNetForCausalLM checkpoints use
+        # relu² — carried via the converter's activation key.
+        act = str(g("{arch}.activation_function", "silu"))
+        cfg = cfg.with_(rope_interleaved=False, act_fn=act)
+    elif arch == "chameleon":
+        # per-head *LayerNorm* q/k norms (+bias); 30B "swin" variant norms
+        # the branch outputs instead of inputs
+        # (reference llm_build_chameleon, src/llama-model.cpp:15505)
+        cfg = cfg.with_(qk_norm=True, qk_norm_layer=True)
+        if bool(g("{arch}.swin_norm", False)):
+            cfg = cfg.with_(pre_norm=False, post_attn_norm=True,
+                            post_ffn_norm=True)
     elif arch == "gptj":
         # shared-norm parallel residual, partial *interleaved* rope
         # (rotate_every_two), ungated tanh-GELU FFN with biases, biased

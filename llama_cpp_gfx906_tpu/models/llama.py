@@ -88,14 +88,23 @@ def _mlp(x, gate_w, up_w, down_w, act_fn: str):
     return linear(_act(linear(x, gate_w), act_fn) * linear(x, up_w), down_w)
 
 
-def _mlp_p(x, p: dict, act_fn: str, gain=None):
+def _mlp_p(x, p: dict, act_fn: str, gain=None, rms_eps: float = 1e-5):
     g = _lin(x, p, "w_gate", gain)
+    if "w_gate_scale" in p:  # bitnet ternary-weight scales
+        g = g * p["w_gate_scale"]
     if "b_gate" in p:  # jais: gated FFN with biases (llm_build_jais)
         g = g + p["b_gate"]
     u = _lin(x, p, "w_up", gain)
+    if "w_up_scale" in p:
+        u = u * p["w_up_scale"]
     if "b_up" in p:
         u = u + p["b_up"]
-    y = _lin(_act(g, act_fn) * u, p, "w_down", gain)
+    y = _act(g, act_fn) * u
+    if "ffn_sub_norm" in p:  # bitnet: inner norm before the down-proj
+        y = rms_norm(y, p["ffn_sub_norm"], rms_eps)
+    y = _lin(y, p, "w_down", gain)
+    if "w_down_scale" in p:
+        y = y * p["w_down_scale"]
     if "b_down" in p:
         y = y + p["b_down"]
     return y
@@ -224,6 +233,10 @@ def forward(
             q = _lin(h, p, "wq", lora_gain)
             k = _lin(h, p, "wk", lora_gain)
             v = _lin(h, p, "wv", lora_gain)
+            if "wq_scale" in p:  # bitnet: per-tensor ternary-weight scales
+                q = q * p["wq_scale"]
+                k = k * p["wk_scale"]
+                v = v * p["wv_scale"]
             if "bq" in p:
                 q = q + p["bq"]
                 k = k + p["bk"]
@@ -239,8 +252,12 @@ def forward(
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         if cfg.qk_norm and not cfg.qk_norm_after_rope:
-            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
-            k = rms_norm(k, p["k_norm"], cfg.rms_eps)
+            if cfg.qk_norm_layer:  # chameleon: per-head LayerNorm (+bias)
+                q = layer_norm(q, p["q_norm"], p.get("q_norm_b"), cfg.rms_eps)
+                k = layer_norm(k, p["k_norm"], p.get("k_norm_b"), cfg.rms_eps)
+            else:
+                q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+                k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         if cfg.pos_emb == "rope":
             if cfg.mrope_sections:
                 # qwen2vl multimodal rope: per-dimension position streams
@@ -287,7 +304,12 @@ def forward(
             alibi_slopes=alibi_slopes,
             quant_weights=isinstance(p.get("wq"), QuantTensor),
         )
-        attn = _lin(attn.reshape(B, T, cfg.n_heads * cfg.head_dim), p, "wo", lora_gain)
+        attn = attn.reshape(B, T, cfg.n_heads * cfg.head_dim)
+        if "attn_sub_norm" in p:  # bitnet: inner norm before the out-proj
+            attn = rms_norm(attn, p["attn_sub_norm"], cfg.rms_eps)
+        attn = _lin(attn, p, "wo", lora_gain)
+        if "wo_scale" in p:
+            attn = attn * p["wo_scale"]
         if "bo" in p:
             attn = attn + p["bo"]
         if cfg.post_attn_norm and "post_attn_norm" in p:
@@ -308,7 +330,7 @@ def forward(
             # (llm_build_arctic, src/llama-model.cpp:12391)
             from ..ops.moe import moe_ffn
 
-            mlp = _mlp_p(h, p, cfg.act_fn, lora_gain)
+            mlp = _mlp_p(h, p, cfg.act_fn, lora_gain, cfg.rms_eps)
             moe = moe_ffn(
                 rms_norm(x_in, p["ffn_norm_exps"], cfg.rms_eps),
                 p["moe_gate_inp"], p["moe_gate"], p["moe_up"], p["moe_down"], cfg,
@@ -339,7 +361,7 @@ def forward(
             u = gu[..., cfg.n_ff :]
             mlp = _lin(_act(g, cfg.act_fn) * u, p, "w_down")
         elif cfg.ffn_gated:
-            mlp = _mlp_p(h, p, cfg.act_fn, lora_gain)
+            mlp = _mlp_p(h, p, cfg.act_fn, lora_gain, cfg.rms_eps)
         else:
             mlp = _mlp_plain(h, p["w_up"], p.get("b_up"), p["w_down"], p.get("b_down"), cfg.act_fn)
         if cfg.post_ffn_norm and "post_ffn_norm" in p:

@@ -52,6 +52,18 @@ def _layer_names(i: int) -> dict[str, str]:
         "bo": b + "attn_output.bias",
         "q_norm": b + "attn_q_norm.weight",
         "k_norm": b + "attn_k_norm.weight",
+        "q_norm_b": b + "attn_q_norm.bias",
+        "k_norm_b": b + "attn_k_norm.bias",
+        # bitnet: inner sub-norms + per-tensor ternary-weight scales
+        "attn_sub_norm": b + "attn_sub_norm.weight",
+        "ffn_sub_norm": b + "ffn_sub_norm.weight",
+        "wq_scale": b + "attn_q.scale",
+        "wk_scale": b + "attn_k.scale",
+        "wv_scale": b + "attn_v.scale",
+        "wo_scale": b + "attn_output.scale",
+        "w_gate_scale": b + "ffn_gate.scale",
+        "w_up_scale": b + "ffn_up.scale",
+        "w_down_scale": b + "ffn_down.scale",
         "post_attn_norm": b + "post_attention_norm.weight",
         "post_ffn_norm": b + "post_ffw_norm.weight",
         "ffn_norm_exps": b + "ffn_norm_exps.weight",
@@ -140,6 +152,11 @@ def effective_tensors(reader, cfg: ModelConfig) -> dict:
             src[b + "post_attention_norm.weight"] = src[b + "attn_output_norm.weight"]
         if b + "layer_output_norm.weight" in src and b + "post_ffw_norm.weight" not in src:
             src[b + "post_ffw_norm.weight"] = src[b + "layer_output_norm.weight"]
+        # chameleon swin variant: attn_norm/ffn_norm apply to the branch
+        # OUTPUTS (post-norm) — alias them onto the post-norm slots
+        if cfg.arch == "chameleon" and not cfg.pre_norm:
+            src[b + "post_attention_norm.weight"] = src[b + "attn_norm.weight"]
+            src[b + "post_ffw_norm.weight"] = src[b + "ffn_norm.weight"]
         up = src.get(b + "ffn_up.weight")
         if (
             up is not None
@@ -304,6 +321,8 @@ def fuse_projections(layers: dict) -> dict:
 
     Skipped for layers with biases handled separately (biases fuse too)."""
     out = dict(layers)
+    if "attn_sub_norm" in layers or "wq_scale" in layers:
+        return out  # bitnet: per-projection scales/norms preclude fusion
     if all(k in layers for k in ("wq", "wk", "wv")):
         fused = _concat_weights([layers["wq"], layers["wk"], layers["wv"]],
                                 ["wq", "wk", "wv"])

@@ -2439,3 +2439,111 @@ def convert_hf_chatglm(model, tokenizer_vocab, out_path: str,
     if "lm_head.weight" in state:
         add("output.weight", state["lm_head.weight"])
     return w.write()
+
+
+def convert_hf_bitnet(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """transformers BitNetForCausalLM → GGUF (arch "bitnet").
+
+    Inner sub-norms before the out/down projections; relu² FFN carried via
+    the activation key (the reference builder hardcodes silu for the
+    1bitLLM lineage — llm_build_bitnet, src/llama-model.cpp:12954).  HF
+    checkpoints store float weights; TQ-quantized GGUFs additionally carry
+    per-tensor .scale tensors which the engine multiplies back in."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "bitnet")
+    w.add_string(Keys.General.NAME, "bitnet-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS,
+                   hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_string("bitnet.activation_function", getattr(hf, "hidden_act", "silu"))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_sub_norm.weight", state[p + "self_attn.attn_sub_norm.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_sub_norm.weight", state[p + "mlp.ffn_sub_norm.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_chameleon(model, tokenizer_vocab, out_path: str,
+                         quant_type=GGMLType.F16) -> str:
+    """transformers ChameleonForCausalLM → GGUF (arch "chameleon").
+
+    Per-head LayerNorm q/k norms (weights permuted with their projections
+    for the interleaved NORM rope); optional swin_norm for the 30B layout
+    (llm_build_chameleon, src/llama-model.cpp:15505)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+
+    w = GGUFWriter(out_path, "chameleon")
+    w.add_string(Keys.General.NAME, "chameleon-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS,
+                   hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_bool("chameleon.swin_norm", bool(getattr(hf, "swin_norm", False)))
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    def perm_norm(arr, nh):
+        # per-head (H, Dh) affine params follow their projection's
+        # interleave permutation along Dh
+        flat = permute_qk(arr.reshape(-1), nh)
+        return flat.reshape(arr.shape)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", permute_qk(state[p + "self_attn.q_proj.weight"], n_head))
+        add(b + "attn_k.weight", permute_qk(state[p + "self_attn.k_proj.weight"], n_kv))
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_q_norm.weight", perm_norm(state[p + "self_attn.q_norm.weight"], n_head))
+        add(b + "attn_q_norm.bias", perm_norm(state[p + "self_attn.q_norm.bias"], n_head))
+        add(b + "attn_k_norm.weight", perm_norm(state[p + "self_attn.k_norm.weight"], n_kv))
+        add(b + "attn_k_norm.bias", perm_norm(state[p + "self_attn.k_norm.bias"], n_kv))
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
