@@ -109,6 +109,14 @@ class ModelConfig:
     nope_interval_zero: int = 0
     # dense-first iSWA variant (set_swa_pattern(n, true)): SWA iff il%n != 0
     swa_pattern_zero: bool = False
+    # deci / NAS archs (llm_build_deci): per-layer GQA ratios vary → expand
+    # K/V heads to MHA at load (exact — GQA just shares KV); missing
+    # per-layer tensors (attention-free / FFN-free layers) zero-fill
+    kv_expand: bool = False
+    ragged_zero_fill: bool = False
+    # per-layer "linear attention" flags (n_head>0, n_head_kv==0): the
+    # block is wo(norm(x)) with no attention
+    attn_linear_layers: tuple = ()
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -159,14 +167,19 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         return default if v is None else v
 
     n_embd = int(g(Keys.LLM.EMBEDDING_LENGTH))
-    n_heads = int(g(Keys.Attention.HEAD_COUNT, 0))  # 0 for recurrent archs
-    n_kv_raw = g(Keys.Attention.HEAD_COUNT_KV, n_heads)
-    if isinstance(n_kv_raw, (list, tuple)) or getattr(n_kv_raw, "ndim", 0):
-        # hybrid archs store a per-layer array; 0 marks recurrent layers
-        # (reference: hparams.n_head_kv(il) == 0 → is_recurrent)
-        n_kv = max(int(v) for v in n_kv_raw)
-    else:
-        n_kv = int(n_kv_raw)
+
+    def _maxed(v, default=0):
+        """Scalar or per-layer array (hybrid/ragged archs) → max int."""
+        if v is None:
+            return default
+        if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0):
+            return max(int(x) for x in v)
+        return int(v)
+
+    n_heads = _maxed(g(Keys.Attention.HEAD_COUNT), 0)  # 0 for recurrent archs
+    # hybrid archs store a per-layer array; 0 marks recurrent layers
+    # (reference: hparams.n_head_kv(il) == 0 → is_recurrent)
+    n_kv = _maxed(g(Keys.Attention.HEAD_COUNT_KV), n_heads)
     head_dim = int(g(Keys.Attention.KEY_LENGTH, n_embd // max(n_heads, 1)))
     n_vocab = g(Keys.LLM.VOCAB_SIZE)
     if n_vocab is None:
@@ -181,7 +194,7 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         n_heads=n_heads,
         n_kv_heads=n_kv,
         head_dim=head_dim,
-        n_ff=int(g(Keys.LLM.FEED_FORWARD_LENGTH, 0)),
+        n_ff=_maxed(g(Keys.LLM.FEED_FORWARD_LENGTH), 0),
         n_vocab=int(n_vocab),
         n_ctx_train=int(g(Keys.LLM.CONTEXT_LENGTH, 2048)),
         rms_eps=float(g(Keys.Attention.LAYERNORM_RMS_EPS, 1e-5)),
@@ -661,6 +674,33 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
             expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, True)),
         )
+    elif arch == "deci":
+        # NAS llama variants: per-layer head counts (incl. attention-free
+        # n_head==0 and linear-attention n_head_kv==0 layers) and FFN
+        # widths (llm_build_deci, src/llama-model.cpp:6308).  Varying GQA
+        # ratios load as MHA via exact K/V-head replication.
+        heads_arr = g(Keys.Attention.HEAD_COUNT, n_heads)
+        kv_arr = g(Keys.Attention.HEAD_COUNT_KV, n_kv)
+        if not (isinstance(heads_arr, (list, tuple)) or getattr(heads_arr, "ndim", 0)):
+            heads_arr = [int(heads_arr)] * cfg.n_layers
+        if not (isinstance(kv_arr, (list, tuple)) or getattr(kv_arr, "ndim", 0)):
+            kv_arr = [int(kv_arr)] * cfg.n_layers
+        heads_arr = [int(x) for x in heads_arr]
+        kv_arr = [int(x) for x in kv_arr]
+        ratios = {h // k for h, k in zip(heads_arr, kv_arr) if h > 0 and k > 0}
+        linear = tuple(h > 0 and k == 0 for h, k in zip(heads_arr, kv_arr))
+        cfg = cfg.with_(
+            ragged_zero_fill=True,
+            attn_linear_layers=linear if any(linear) else (),
+            attn_scale=float(g(Keys.Attention.SCALE, 0.0)),
+        )
+        if len(ratios) > 1:
+            cfg = cfg.with_(kv_expand=True, n_kv_heads=cfg.n_heads)
+    elif arch == "openelm":
+        # per-layer head counts / FFN widths (zero-padded to uniform at
+        # load), fused per-layer qkv, per-head q/k rms norms, NEOX rope
+        # (reference llm_build_openelm, src/llama-model.cpp:12116)
+        cfg = cfg.with_(rope_interleaved=False, qk_norm=True)
     elif arch == "bitnet":
         # ternary-weight transformer: per-tensor weight scales + inner
         # sub-norms before the out/down projections, NEOX rope

@@ -206,6 +206,11 @@ def forward(
     )
     # per-layer rope flags (NoPE layers: llama4/smollm3/cohere2)
     rope_on = jnp.asarray(cfg.rope_layers, jnp.bool_)
+    # deci "linear attention" layers: the block is wo(norm(x)) — the normed
+    # input (zero-padded to the attention width) bypasses attention
+    linear_attn = (jnp.asarray(cfg.attn_linear_layers, jnp.bool_)
+                   if cfg.attn_linear_layers else
+                   jnp.zeros((cfg.n_layers,), jnp.bool_))
     if cfg.alibi:
         from ..ops.attention import alibi_slopes_for
 
@@ -215,7 +220,7 @@ def forward(
 
     def layer_step(carry, layer):
         x, = carry
-        p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l = layer
+        p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l, linear_l = layer
         x_in = x  # layer input (arctic parallel-MoE / smallthinker router)
 
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg) if cfg.pre_norm else x
@@ -305,6 +310,11 @@ def forward(
             quant_weights=isinstance(p.get("wq"), QuantTensor),
         )
         attn = attn.reshape(B, T, cfg.n_heads * cfg.head_dim)
+        if cfg.attn_linear_layers:
+            # deci linear-attention layers feed the normed input straight
+            # into wo (whose in-dim is zero-padded D → Hq·Dh at load)
+            h_wide = jnp.pad(h, ((0, 0), (0, 0), (0, attn.shape[-1] - h.shape[-1])))
+            attn = jnp.where(linear_l, h_wide, attn)
         if "attn_sub_norm" in p:  # bitnet: inner norm before the out-proj
             attn = rms_norm(attn, p["attn_sub_norm"], cfg.rms_eps)
         attn = _lin(attn, p, "wo", lora_gain)
@@ -375,7 +385,8 @@ def forward(
         return (x,), (k_cache_l, v_cache_l)
 
     (x,), (k_new, v_new) = jax.lax.scan(
-        layer_step, (x,), (params["layers"], kv.k, kv.v, windows, inv_freq_layers, rope_on)
+        layer_step, (x,),
+        (params["layers"], kv.k, kv.v, windows, inv_freq_layers, rope_on, linear_attn),
     )
 
     if return_hidden != "raw":  # "raw": pipeline mid-stage — no final norm

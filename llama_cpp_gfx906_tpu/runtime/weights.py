@@ -127,10 +127,24 @@ def effective_tensors(reader, cfg: ModelConfig) -> dict:
     attn_{q,k,v}; phi3's fused gate||up ``ffn_up`` → ffn_gate + ffn_up
     (split order per ggml_swiglu: first half gates — llama-graph.cpp:728)."""
     src = dict(reader.tensors)
-    Dq = cfg.n_heads * cfg.head_dim
-    Dkv = cfg.n_kv_heads * cfg.head_dim
+    # per-layer head counts (openelm-style ragged archs store arrays in the
+    # GGUF metadata; scalars broadcast)
+    from ..gguf.constants import Keys as _K
+
+    def _per_layer(key, default):
+        v = reader.get(key, arch=cfg.arch) if hasattr(reader, "get") else None
+        if v is None:
+            return [default] * cfg.n_layers
+        if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0):
+            return [int(x) for x in v]
+        return [int(v)] * cfg.n_layers
+
+    heads_l = _per_layer(_K.Attention.HEAD_COUNT, cfg.n_heads)
+    kv_l = _per_layer(_K.Attention.HEAD_COUNT_KV, cfg.n_kv_heads)
     for i in range(cfg.n_layers):
         b = f"blk.{i}."
+        Dq = heads_l[i] * cfg.head_dim
+        Dkv = kv_l[i] * cfg.head_dim
         qkv = src.get(b + "attn_qkv.weight")
         if qkv is not None and b + "attn_q.weight" not in src:
             src[b + "attn_q.weight"] = _row_slice(qkv, 0, Dq, b + "attn_q.weight")
@@ -224,25 +238,91 @@ def load_llama_params(
     else:  # tied embeddings
         params["lm_head"] = put(emb.T.astype(_np_dtype(dtype)).copy(), "lm_head")
 
-    stacked: dict[str, list[np.ndarray]] = {}
+    heads_l, kv_l = (_per_layer_counts(reader, cfg)
+                     if (cfg.kv_expand or cfg.ragged_zero_fill) else (None, None))
+    stacked: dict[str, list] = {}
     for i in range(cfg.n_layers):
         for key, gguf_name in _layer_names(i).items():
             if gguf_name not in tensors:
+                stacked.setdefault(key, []).append(None)
                 continue
             arr = fetch(gguf_name, key in _TRANSPOSED, key=key)
+            if cfg.kv_expand and key in ("wk", "wv", "bk", "bv") and kv_l[i] > 0:
+                arr = _expand_kv_heads(arr, key, heads_l[i] // kv_l[i], cfg.head_dim)
             if "norm" not in key:
                 arr = arr.astype(_np_dtype(dtype))
             stacked.setdefault(key, []).append(arr)
 
     layers = {}
     for key, arrs in stacked.items():
-        if len(arrs) != cfg.n_layers:
-            raise ValueError(
-                f"{key}: found {len(arrs)} of {cfg.n_layers} layer tensors"
-            )
-        layers[key] = put(np.stack(arrs), f"layers.{key}")
+        present = [a for a in arrs if a is not None]
+        if not present:
+            continue
+        if len(present) != cfg.n_layers:
+            if not cfg.ragged_zero_fill:
+                raise ValueError(
+                    f"{key}: found {len(present)} of {cfg.n_layers} layer tensors"
+                )
+            # attention-free / FFN-free layers (llm_build_deci): zero blocks
+            proto = present[0]
+            arrs = [a if a is not None else np.zeros_like(proto) for a in arrs]
+        layers[key] = put(np.stack(_pad_ragged(arrs)), f"layers.{key}")
     params["layers"] = layers
     return params
+
+
+def _per_layer_counts(reader, cfg: ModelConfig):
+    """(heads, kv_heads) per layer — scalar metadata broadcasts."""
+    from ..gguf.constants import Keys as _K
+
+    def one(key, default):
+        v = reader.get(key, arch=cfg.arch) if hasattr(reader, "get") else None
+        if v is None:
+            return [default] * cfg.n_layers
+        if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0):
+            return [int(x) for x in v]
+        return [int(v)] * cfg.n_layers
+
+    return (one(_K.Attention.HEAD_COUNT, cfg.n_heads),
+            one(_K.Attention.HEAD_COUNT_KV, cfg.n_kv_heads))
+
+
+def _expand_kv_heads(arr: np.ndarray, key: str, reps: int, head_dim: int) -> np.ndarray:
+    """Replicate K/V heads ``reps``× — GQA → MHA, numerically exact
+    (deci-style varying GQA ratios; llm_build_deci per-layer n_head_kv)."""
+    if reps <= 1:
+        return arr
+    if key in ("wk", "wv"):  # oriented (D_in, nkv*Dh)
+        D, NK = arr.shape
+        a = arr.reshape(D, NK // head_dim, head_dim)
+        return np.repeat(a, reps, axis=1).reshape(D, NK * reps)
+    if key in ("bk", "bv"):  # (nkv*Dh,)
+        a = arr.reshape(-1, head_dim)
+        return np.repeat(a, reps, axis=0).reshape(-1)
+    return arr
+
+
+def _pad_ragged(arrs: list[np.ndarray]) -> list[np.ndarray]:
+    """Zero-pad per-layer arrays to their elementwise-max shape.
+
+    Ragged archs (openelm per-layer head counts / FFN widths; the
+    reference keeps per-layer shapes, llm_build_openelm
+    src/llama-model.cpp:12116) ride the uniform ``lax.scan`` layout with
+    zero-padded extra heads/channels: zero K/V rows contribute nothing
+    through zero wo columns, zero gate rows keep silu(0)·0 = 0, so the
+    padded program is numerically exact."""
+    shapes = {a.shape for a in arrs}
+    if len(shapes) == 1:
+        return arrs
+    tgt = tuple(max(s[d] for s in shapes) for d in range(len(arrs[0].shape)))
+    out = []
+    for a in arrs:
+        if a.shape == tgt:
+            out.append(a)
+        else:
+            pad = [(0, t - s) for s, t in zip(a.shape, tgt)]
+            out.append(np.pad(a, pad))
+    return out
 
 
 def _np_dtype(jdtype):
@@ -431,25 +511,32 @@ def load_llama_params_quantized(
         params["lm_head"] = put_named(emb.T.copy(), "lm_head")
 
     # group layer tensors by logical name, detect heterogeneous quant types
+    heads_l, kv_l = (_per_layer_counts(reader, cfg)
+                     if (cfg.kv_expand or cfg.ragged_zero_fill) else (None, None))
     layers: dict = {}
     for key in list(_layer_names(0)):
-        names = [
-            _layer_names(i)[key]
-            for i in range(cfg.n_layers)
-            if _layer_names(i)[key] in tensors
-        ]
+        per_layer = [_layer_names(i)[key] for i in range(cfg.n_layers)]
+        names = [n for n in per_layer if n in tensors]
         if not names:
             continue
-        if len(names) != cfg.n_layers:
+        missing = len(names) != cfg.n_layers
+        if missing and not cfg.ragged_zero_fill:
             raise ValueError(f"{key}: found {len(names)}/{cfg.n_layers} tensors")
-        infos = [tensors[n] for n in names]
-        types = {t.ggml_type for t in infos}
-        quantizable_2d = key in _QUANTIZABLE and len(infos[0].shape) == 2
-        quantizable_moe = key in _MOE_QUANTIZABLE and len(infos[0].shape) == 3
+        infos = [tensors.get(n) for n in per_layer] if missing else [tensors[n] for n in names]
+        types = {t.ggml_type for t in infos if t is not None}
+        # ragged per-layer shapes (openelm/deci): zero-pad on the f32 path —
+        # the packed nib4 split-K layout can't be row-padded in place
+        ragged = (len({t.shape for t in infos if t is not None}) > 1
+                  or missing
+                  or (cfg.kv_expand and key in ("wk", "wv", "bk", "bv")))
+        first = next(t for t in infos if t is not None)
+        quantizable_2d = key in _QUANTIZABLE and len(first.shape) == 2
+        quantizable_moe = key in _MOE_QUANTIZABLE and len(first.shape) == 3
         if (
             (quantizable_2d or quantizable_moe)
+            and not ragged
             and types <= qmm_ok
-            and infos[0].shape[-1] % 32 == 0
+            and first.shape[-1] % 32 == 0
         ):
             if quantizable_moe:
                 if len(types) == 1:
@@ -484,12 +571,19 @@ def load_llama_params_quantized(
             layers[key] = _put_qt(stacked, f"layers.{key}", put_named)
         else:
             arrs = []
-            for t in infos:
+            for i, t in enumerate(infos):
+                if t is None:
+                    arrs.append(None)
+                    continue
                 arr = _orient(key, t.to_f32())
+                if cfg.kv_expand and key in ("wk", "wv", "bk", "bv") and kv_l[i] > 0:
+                    arr = _expand_kv_heads(arr, key, heads_l[i] // kv_l[i], cfg.head_dim)
                 if "norm" not in key:
                     arr = arr.astype(_np_dtype(dtype))
                 arrs.append(arr)
-            layers[key] = put_named(np.stack(arrs), f"layers.{key}")
+            present = [a for a in arrs if a is not None]
+            arrs = [a if a is not None else np.zeros_like(present[0]) for a in arrs]
+            layers[key] = put_named(np.stack(_pad_ragged(arrs)), f"layers.{key}")
     if fuse is None:
         fuse = device_put_fn is None
     if fuse:
