@@ -696,6 +696,16 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         )
         if len(ratios) > 1:
             cfg = cfg.with_(kv_expand=True, n_kv_heads=cfg.n_heads)
+    elif arch == "lfm2":
+        # hybrid gated-shortconv + attention (per-layer head_count_kv==0 →
+        # conv layer); qk norms + NEOX rope on attention layers
+        # (reference llm_build_lfm2, src/llama-model.cpp:17740; L_cache
+        # hparam :1841)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            qk_norm=True,
+            ssm_d_conv=int(g("{arch}.shortconv.l_cache", 3)),
+        )
     elif arch == "openelm":
         # per-layer head counts / FFN widths (zero-padded to uniform at
         # load), fused per-layer qkv, per-head q/k rms norms, NEOX rope

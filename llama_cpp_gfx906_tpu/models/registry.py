@@ -34,6 +34,7 @@ MAMBA2_ARCHS = {"mamba2"}
 FALCON_H1_ARCHS = {"falcon-h1"}
 HYBRID_ARCHS = {"jamba"}
 GRANITE_HYBRID_ARCHS = {"granitehybrid"}
+LFM2_ARCHS = {"lfm2"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
 MLA_ARCHS = {"deepseek2", "minicpm3", "plm"}
@@ -183,6 +184,16 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         return _rwkv7_family()
     if cfg.arch in HYBRID_ARCHS:
         return _jamba_family()
+    if cfg.arch in LFM2_ARCHS:
+        from .lfm2 import LFM2State, forward as lfm2_fwd, load_params as lfm2_load
+
+        return ModelFamily(
+            name="lfm2",
+            forward=lfm2_fwd,
+            make_cache=lambda cfg, batch, max_seq, dtype: LFM2State.create(cfg, batch, max_seq, dtype),
+            load_params=lambda reader, cfg, dtype, device_put_fn=None, keep_quantized=True:
+                lfm2_load(reader, cfg, dtype, device_put_fn),
+        )
     if cfg.arch in GRANITE_HYBRID_ARCHS:
         from .granite_hybrid import GraniteHybridState, forward as gh_fwd, load_params as gh_load
 

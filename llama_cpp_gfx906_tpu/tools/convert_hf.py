@@ -2547,3 +2547,68 @@ def convert_hf_chameleon(model, tokenizer_vocab, out_path: str,
     if "lm_head.weight" in state:
         add("output.weight", state["lm_head.weight"])
     return w.write()
+
+
+def convert_hf_lfm2(model, tokenizer_vocab, out_path: str,
+                    quant_type=GGMLType.F16) -> str:
+    """transformers Lfm2ForCausalLM → GGUF (arch "lfm2").
+
+    Per-layer head_count_kv arrays mark conv layers (0); shortconv tensors
+    keep the reference names (llama-arch.cpp lfm2 table :2008-2010)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    L = hf.num_hidden_layers
+    layer_types = list(getattr(hf, "layer_types", ["full_attention"] * L))
+
+    w = GGUFWriter(out_path, "lfm2")
+    w.add_string(Keys.General.NAME, "lfm2-convert")
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.max_position_embeddings)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH,
+                 getattr(hf, "block_ff_dim", None) or hf.intermediate_size)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, n_head)
+    w.add_array(Keys.Attention.HEAD_COUNT_KV, np.asarray(
+        [0 if t == "conv" else n_kv for t in layer_types], np.uint32))
+    w.add_uint32(Keys.Attention.KEY_LENGTH, head_dim)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, head_dim)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, getattr(hf, "norm_eps", 1e-5))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_uint32("lfm2.shortconv.l_cache", getattr(hf, "conv_L_cache", 3))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(L):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "operator_norm.weight"])
+        add(b + "ffn_norm.weight", state[p + "ffn_norm.weight"])
+        if layer_types[i] == "conv":
+            add(b + "shortconv.in_proj.weight", state[p + "conv.in_proj.weight"])
+            conv = state[p + "conv.conv.weight"]  # (D, 1, L)
+            add(b + "shortconv.conv.weight", conv.reshape(hf.hidden_size, -1))
+            add(b + "shortconv.out_proj.weight", state[p + "conv.out_proj.weight"])
+        else:
+            add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+            add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+            add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+            add(b + "attn_output.weight", state[p + "self_attn.out_proj.weight"])
+            add(b + "attn_q_norm.weight", state[p + "self_attn.q_layernorm.weight"])
+            add(b + "attn_k_norm.weight", state[p + "self_attn.k_layernorm.weight"])
+        add(b + "ffn_gate.weight", state[p + "feed_forward.w1.weight"])
+        add(b + "ffn_up.weight", state[p + "feed_forward.w3.weight"])
+        add(b + "ffn_down.weight", state[p + "feed_forward.w2.weight"])
+    add("token_embd_norm.weight", state["model.embedding_norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()

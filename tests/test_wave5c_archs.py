@@ -410,3 +410,39 @@ def test_deci_ragged_oracle(tmp_path):
 
     got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
     np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+
+
+def test_lfm2_hybrid(tmp_path):
+    """lfm2: gated shortconv layers interleaved with qk-normed attention
+    (llm_build_lfm2, src/llama-model.cpp:17740).  HF parity incl. decode
+    continuity through the conv state."""
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_lfm2
+
+    torch.manual_seed(84)
+    hf = Lfm2ForCausalLM(Lfm2Config(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        conv_L_cache=3,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        max_position_embeddings=128, tie_word_embeddings=False,
+        block_ff_dim=64,
+    )).eval()
+    path = str(tmp_path / "tiny-lfm2.gguf")
+    convert_hf_lfm2(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.family.name == "lfm2"
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.lfm2 import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=4e-3, atol=4e-3)
+    # decode continuity: conv state must carry across steps
+    logits = eng.prefill(ids)
+    t0 = int(np.argmax(logits))
+    with torch.no_grad():
+        ref2 = hf(torch.tensor([ids + [t0]])).logits[0, -1].float().numpy()
+    np.testing.assert_allclose(eng.decode_one(t0), ref2, rtol=4e-3, atol=4e-3)
