@@ -436,12 +436,20 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             wkv_head_size=int(g("{arch}.wkv.head_size", 64)),
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
         )
-    elif arch in ("rwkv6", "rwkv6qwen2"):
+    elif arch == "rwkv6":
         cfg = cfg.with_(
             pos_emb="none",
             norm_type="layer",
             wkv_head_size=int(g("{arch}.wkv.head_size", 64)),
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+        )
+    elif arch in ("rwkv6qwen2", "arwkv7"):
+        # RWKV time-mix inside a qwen-style gated-FFN transformer shell
+        # (llm_build_rwkv6qwen2 :14628 / llm_build_arwkv7 :14978) — RMS
+        # norms, one token-shift row per layer
+        cfg = cfg.with_(
+            pos_emb="none",
+            wkv_head_size=int(g("{arch}.wkv.head_size", 64)),
         )
     elif arch == "jamba":
         cfg = cfg.with_(

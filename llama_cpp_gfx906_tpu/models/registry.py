@@ -37,6 +37,7 @@ GRANITE_HYBRID_ARCHS = {"granitehybrid"}
 LFM2_ARCHS = {"lfm2"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
+RWKV_HYBRID_ARCHS = {"rwkv6qwen2", "arwkv7"}
 MLA_ARCHS = {"deepseek2", "minicpm3", "plm"}
 MOE_LEAD_ARCHS = {"glm4moe", "dots1", "bailingmoe", "ernie4_5-moe"}
 
@@ -182,6 +183,16 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         return _rwkv6_family()
     if cfg.arch in RWKV7_ARCHS:
         return _rwkv7_family()
+    if cfg.arch in RWKV_HYBRID_ARCHS:
+        from .rwkv_hybrid import RWKVHybridState, forward as rh_fwd, load_params as rh_load
+
+        return ModelFamily(
+            name="rwkv_hybrid",
+            forward=rh_fwd,
+            make_cache=lambda cfg, batch, max_seq, dtype: RWKVHybridState.create(cfg, batch, max_seq, dtype),
+            load_params=lambda reader, cfg, dtype, device_put_fn=None, keep_quantized=True:
+                rh_load(reader, cfg, dtype, device_put_fn),
+        )
     if cfg.arch in HYBRID_ARCHS:
         return _jamba_family()
     if cfg.arch in LFM2_ARCHS:
