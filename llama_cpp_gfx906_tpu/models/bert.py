@@ -10,8 +10,14 @@ pooling (CLS / mean / last) plus the optional rank head
 rerank models) happen on the pooled vector.
 
 Variants steered by ModelConfig:
-- bert:        learned positions + token-type embeddings, gelu MLP
-- nomic-bert:  NEOX rope, swiglu gated MLP, no position table
+- bert:            learned positions + token-type embeddings, gelu MLP
+- nomic-bert:      NEOX rope, swiglu gated MLP, no position table
+- nomic-bert-moe:  + qkv biases and ungated-GELU MoE FFN on layers with
+                   il % moe_every_n == 1 (llm_build_bert MoE branch,
+                   src/llama-model.cpp:7438-7452) — unrolled layer list
+- neo-bert:        pre-norm RMS blocks, fused qkv, interleaved (NORM)
+                   rope, split-swiglu FFN (llm_build_neo_bert,
+                   src/llama-model.cpp:7502)
 """
 
 from __future__ import annotations
@@ -35,6 +41,8 @@ def forward(
     token_types: jnp.ndarray | None = None,  # (B, T) segment ids
 ) -> jnp.ndarray:
     """Returns final hidden states (B, T, D) float32."""
+    from ..ops.norms import rms_norm
+
     B, T = tokens.shape
     x = params["tok_emb"][tokens]
     if "type_emb" in params:
@@ -42,7 +50,8 @@ def forward(
         x = x + params["type_emb"][tt]
     if cfg.pos_emb == "learned":
         x = x + params["pos_emb"][jnp.arange(T)][None]
-    x = layer_norm(x, params["emb_norm"], params.get("emb_norm_b"), cfg.rms_eps)
+    if "emb_norm" in params:
+        x = layer_norm(x, params["emb_norm"], params.get("emb_norm_b"), cfg.rms_eps)
 
     valid = jnp.arange(T)[None, :] < n_tokens[:, None]  # (B, T)
     attn_bias = jnp.where(valid, 0.0, NEG_INF)[:, None, None, :]  # (B,1,1,T)
@@ -52,7 +61,10 @@ def forward(
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
 
     def layer_step(x, p):
-        h = x
+        # pre-norm rms variant (neo-bert) vs post-norm LayerNorm (bert):
+        # steered by which norm tensors the layer carries
+        pre = "attn_norm" in p
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps) if pre else x
         q = h @ p["wq"]
         k = h @ p["wk"]
         v = h @ p["wv"]
@@ -66,35 +78,75 @@ def forward(
         if cfg.pos_emb == "rope":
             q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
             k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+        Hkv, G = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads
+        qg = q.reshape(B, T, Hkv, G, cfg.head_dim)
         scores = jnp.einsum(
-            "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+            "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
         ) * scale
-        scores = scores + attn_bias
+        scores = scores + attn_bias[:, :, None]
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum(
-            "bhts,bshd->bthd", probs.astype(v.dtype), v,
+            "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).reshape(B, T, cfg.n_heads * cfg.head_dim).astype(x.dtype)
         attn = attn @ p["wo"]
         if "bo" in p:
             attn = attn + p["bo"]
-        # post-norm: residual then LayerNorm (attn_output_norm)
-        x = layer_norm(x + attn, p["attn_out_norm"], p.get("attn_out_norm_b"), cfg.rms_eps)
-
-        if cfg.ffn_gated:
-            hf = jax.nn.silu((x @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype) * (x @ p["w_up"])
+        if pre:
+            x = x + attn
+            hf_in = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
         else:
-            hf = x @ p["w_up"]
+            # post-norm: residual then LayerNorm (attn_output_norm)
+            x = layer_norm(x + attn, p["attn_out_norm"], p.get("attn_out_norm_b"), cfg.rms_eps)
+            hf_in = x
+
+        if "moe_gate_inp" in p:
+            # nomic-bert-moe: ungated GELU experts, softmax router, no
+            # weight norm (llm_build_bert MoE branch :7438)
+            xt = hf_in.reshape(B * T, -1)
+            router = xt.astype(jnp.float32) @ p["moe_gate_inp"].astype(jnp.float32)
+            topv, topi = jax.lax.top_k(jax.nn.softmax(router, axis=-1),
+                                       cfg.n_experts_used)
+            out = jnp.zeros_like(xt, dtype=jnp.float32)
+            for j in range(cfg.n_experts_used):
+                sel = topi[:, j]
+                u = jnp.einsum("nd,ndf->nf", xt.astype(jnp.float32),
+                               p["moe_up"][sel].astype(jnp.float32))
+                a = jax.nn.gelu(u, approximate=True)
+                d = jnp.einsum("nf,nfd->nd", a, p["moe_down"][sel].astype(jnp.float32))
+                out = out + topv[:, j:j + 1] * d
+            hf = out.reshape(B, T, -1).astype(x.dtype)
+        elif cfg.ffn_gated and "w_gate" in p:
+            hf = jax.nn.silu((hf_in @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype) * (hf_in @ p["w_up"])
+            hf = hf @ p["w_down"]
+        elif pre:
+            # neo-bert split-swiglu: one up matrix holds [gate|up]
+            gu = hf_in @ p["w_up"]
+            F = gu.shape[-1] // 2
+            hf = (jax.nn.silu(gu[..., :F].astype(jnp.float32)).astype(x.dtype)
+                  * gu[..., F:]) @ p["w_down"]
+        else:
+            hf = hf_in @ p["w_up"]
             if "b_up" in p:
                 hf = hf + p["b_up"]
             hf = jax.nn.gelu(hf.astype(jnp.float32), approximate=False).astype(x.dtype)
-        hf = hf @ p["w_down"]
+            hf = hf @ p["w_down"]
         if "b_down" in p:
             hf = hf + p["b_down"]
-        x = layer_norm(x + hf, p["ffn_out_norm"], p.get("ffn_out_norm_b"), cfg.rms_eps)
+        if pre:
+            x = x + hf
+        else:
+            x = layer_norm(x + hf, p["ffn_out_norm"], p.get("ffn_out_norm_b"), cfg.rms_eps)
         return x, None
 
-    x, _ = jax.lax.scan(layer_step, x, params["layers"])
+    if isinstance(params["layers"], (list, tuple)):
+        # heterogeneous layers (nomic-bert-moe): unrolled loop
+        for p in params["layers"]:
+            x, _ = layer_step(x, p)
+    else:
+        x, _ = jax.lax.scan(layer_step, x, params["layers"])
+    if "out_norm" in params:  # neo-bert final rms norm
+        x = rms_norm(x, params["out_norm"], cfg.rms_eps)
     return x.astype(jnp.float32)
 
 
@@ -136,6 +188,8 @@ _LAYER_NAMES = {
     "bo": "attn_output.bias",
     "attn_out_norm": "attn_output_norm.weight",
     "attn_out_norm_b": "attn_output_norm.bias",
+    "attn_norm": "attn_norm.weight",  # neo-bert pre-norm rms
+    "ffn_norm": "ffn_norm.weight",
     "w_gate": "ffn_gate.weight",
     "w_up": "ffn_up.weight",
     "b_up": "ffn_up.bias",
@@ -162,8 +216,11 @@ def load_params(reader, cfg: ModelConfig, dtype=jnp.float32, device_put_fn=None)
 
     params: dict = {
         "tok_emb": put(fetch("token_embd.weight").astype(dtype), "tok_emb"),
-        "emb_norm": put(fetch("token_embd_norm.weight"), "emb_norm"),
     }
+    if "token_embd_norm.weight" in tensors:
+        params["emb_norm"] = put(fetch("token_embd_norm.weight"), "emb_norm")
+    if "output_norm.weight" in tensors:  # neo-bert final rms
+        params["out_norm"] = put(fetch("output_norm.weight"), "out_norm")
     if "token_embd_norm.bias" in tensors:
         params["emb_norm_b"] = put(fetch("token_embd_norm.bias"), "emb_norm_b")
     if "token_types.weight" in tensors:
@@ -179,6 +236,51 @@ def load_params(reader, cfg: ModelConfig, dtype=jnp.float32, device_put_fn=None)
     ):
         if name in tensors:
             params[pk] = put(fetch(name, t), pk)
+
+    # split fused qkv (neo-bert) into canonical names
+    Dq = cfg.n_heads * cfg.head_dim
+    Dkv = cfg.n_kv_heads * cfg.head_dim
+    for i in range(cfg.n_layers):
+        b = f"blk.{i}."
+        if b + "attn_qkv.weight" in tensors and b + "attn_q.weight" not in tensors:
+            qkv = tensors[b + "attn_qkv.weight"].to_f32()
+            from ..gguf.reader import TensorInfo
+            from ..gguf.constants import GGMLType as _GT
+
+            def mk(name, arr):
+                raw = np.ascontiguousarray(arr.astype("<f4")).view(np.uint8)
+                tensors[name] = TensorInfo(name=name, shape=tuple(arr.shape),
+                                           ne=tuple(arr.shape[::-1]),
+                                           ggml_type=_GT.F32, offset=-1, data=raw)
+
+            mk(b + "attn_q.weight", qkv[:Dq])
+            mk(b + "attn_k.weight", qkv[Dq:Dq + Dkv])
+            mk(b + "attn_v.weight", qkv[Dq + Dkv:Dq + 2 * Dkv])
+
+    has_moe = any(f"blk.{i}.ffn_gate_inp.weight" in tensors
+                  for i in range(cfg.n_layers))
+    if has_moe:
+        # heterogeneous per-layer dicts (nomic-bert-moe)
+        layer_list = []
+        for i in range(cfg.n_layers):
+            b = f"blk.{i}."
+            p = {}
+            for key, suffix in _LAYER_NAMES.items():
+                name = b + suffix
+                if name in tensors:
+                    p[key] = put(fetch(name, key in _TRANSPOSED), name)
+            if b + "ffn_gate_inp.weight" in tensors:
+                p["moe_gate_inp"] = put(
+                    np.ascontiguousarray(tensors[b + "ffn_gate_inp.weight"].to_f32().T),
+                    b + "gate_inp")
+                for gg, key in (("ffn_up_exps", "moe_up"), ("ffn_down_exps", "moe_down")):
+                    a = tensors[b + gg + ".weight"].to_f32().transpose(0, 2, 1)
+                    p[key] = put(np.ascontiguousarray(a).astype(dtype), b + gg)
+                for drop in ("w_up", "w_down", "b_up", "b_down"):
+                    p.pop(drop, None)
+            layer_list.append(p)
+        params["layers"] = layer_list
+        return params
 
     stacked: dict[str, list] = {}
     for i in range(cfg.n_layers):

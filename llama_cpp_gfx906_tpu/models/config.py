@@ -777,15 +777,19 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             ffn_gated=False,
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-12)),
         )
-    elif arch == "nomic-bert":
+    elif arch in ("nomic-bert", "nomic-bert-moe"):
         cfg = cfg.with_(
             norm_type="layer",
             pos_emb="rope",
             rope_interleaved=False,  # NEOX
             act_fn="silu",
-            ffn_gated=True,
+            ffn_gated=arch == "nomic-bert",
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-12)),
         )
+    elif arch == "neo-bert":
+        # pre-norm RMS encoder, fused qkv, interleaved (NORM) rope,
+        # split-swiglu FFN (llm_build_neo_bert, src/llama-model.cpp:7502)
+        cfg = cfg.with_(pos_emb="rope", rope_interleaved=True)
     elif arch == "mamba":
         cfg = cfg.with_(
             pos_emb="none",

@@ -126,7 +126,7 @@ def _deepseek2_family() -> ModelFamily:
 ENC_DEC_ARCHS = {"t5", "t5encoder"}
 # bidirectional encoders (embeddings / rerank) — served by
 # runtime.encoder.EncoderEngine, not the causal Engine
-ENCODER_ARCHS = {"bert", "nomic-bert", "jina-bert-v2"}
+ENCODER_ARCHS = {"bert", "nomic-bert", "jina-bert-v2", "nomic-bert-moe", "neo-bert"}
 
 
 def _jamba_family() -> ModelFamily:
