@@ -704,6 +704,18 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         )
         if len(ratios) > 1:
             cfg = cfg.with_(kv_expand=True, n_kv_heads=cfg.n_heads)
+    elif arch == "phimoe":
+        # phi-3.5-MoE: the phi3 builder + top-2 softmax MoE; LayerNorm with
+        # biases, NEOX rope with optional LongRoPE factors, biased lm_head
+        # (reference llm_build_phi3<iswa> dispatch :18245, moe branch
+        # :9230-9246).  Routing follows the reference's plain normalized
+        # top-k (build_moe_ffn), not HF's training-time sparsemixer.
+        cfg = cfg.with_(
+            norm_type="layer",
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-5)),
+            rope_interleaved=False,
+            expert_weights_norm=True,
+        )
     elif arch == "lfm2":
         # hybrid gated-shortconv + attention (per-layer head_count_kv==0 →
         # conv layer); qk norms + NEOX rope on attention layers

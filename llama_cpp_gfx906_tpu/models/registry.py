@@ -26,7 +26,7 @@ ATTENTION_ARCHS = {
     "hunyuan-moe", "hunyuan-dense", "mpt", "bloom",
     "exaone", "baichuan", "qwen", "codeshell", "orion", "plamo", "refact",
     "jais", "chatglm", "gptj", "grok", "arctic", "smallthinker",
-    "bitnet", "chameleon", "openelm", "deci",
+    "bitnet", "chameleon", "openelm", "deci", "phimoe",
 }
 
 RECURRENT_ARCHS = {"mamba"}

@@ -2612,3 +2612,66 @@ def convert_hf_lfm2(model, tokenizer_vocab, out_path: str,
     if "lm_head.weight" in state:
         add("output.weight", state["lm_head.weight"])
     return w.write()
+
+
+def convert_hf_phimoe(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """transformers PhimoeForCausalLM → GGUF (arch "phimoe").
+
+    LayerNorms with biases, biased qkv/o + lm_head, mixtral-shaped
+    block_sparse_moe experts (reference llm_build_phi3 MoE branch)."""
+    hf = model.config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    E = hf.num_local_experts
+
+    w = GGUFWriter(out_path, "phimoe")
+    w.add_string(Keys.General.NAME, "phimoe-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_EPS,
+                   getattr(hf, "rms_norm_eps", 1e-5))
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, hf.intermediate_size)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    w.add_uint32(Keys.LLM.EXPERT_COUNT, E)
+    w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, hf.num_experts_per_tok)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(hf.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_norm.bias", state[p + "input_layernorm.bias"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+        add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        for proj, gg in (("q", "attn_q"), ("k", "attn_k"), ("v", "attn_v")):
+            bias = state.get(p + f"self_attn.{proj}_proj.bias")
+            if bias is not None:
+                add(b + f"{gg}.bias", bias)
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        if p + "self_attn.o_proj.bias" in state:
+            add(b + "attn_output.bias", state[p + "self_attn.o_proj.bias"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_norm.bias", state[p + "post_attention_layernorm.bias"])
+        add(b + "ffn_gate_inp.weight",
+            state[p + "block_sparse_moe.gate.weight"])
+        for hf_n, gg in (("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                         ("w2", "ffn_down_exps")):
+            stacked = np.stack([
+                state[f"{p}block_sparse_moe.experts.{e}.{hf_n}.weight"]
+                for e in range(E)])
+            add(b + gg + ".weight", stacked)
+    add("output_norm.weight", state["model.norm.weight"])
+    add("output_norm.bias", state["model.norm.bias"])
+    add("output.weight", state["lm_head.weight"])
+    if "lm_head.bias" in state:
+        add("output.bias", state["lm_head.bias"])
+    return w.write()

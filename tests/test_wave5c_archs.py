@@ -446,3 +446,41 @@ def test_lfm2_hybrid(tmp_path):
     with torch.no_grad():
         ref2 = hf(torch.tensor([ids + [t0]])).logits[0, -1].float().numpy()
     np.testing.assert_allclose(eng.decode_one(t0), ref2, rtol=4e-3, atol=4e-3)
+
+
+def test_phimoe(tmp_path):
+    """phimoe (phi-3.5-MoE): LayerNorms with bias + top-2 MoE + biased
+    lm_head.  Routing follows the reference's plain normalized top-k
+    (build_moe_ffn) — HF's sparsemixer is patched to the same rule so
+    every other component checks against real HF code."""
+    import torch.nn.functional as Fn
+    from transformers.models.phimoe import modeling_phimoe as pm
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_phimoe
+
+    def plain_topk(scores, jitter_eps, training, top_k=2):
+        probs = Fn.softmax(scores, dim=-1)
+        topv, topi = torch.topk(probs, 2, dim=-1)
+        topv = topv / topv.sum(-1, keepdim=True)
+        # sparsemixer API returns per-expert (weights, selected) twice
+        return (torch.cat([topv[:, :1], topv[:, 1:]], 1),
+                torch.cat([topi[:, :1], topi[:, 1:]], 1))
+
+    orig = pm.sparsemixer
+    pm.sparsemixer = plain_topk
+    try:
+        torch.manual_seed(85)
+        hf = PhimoeForCausalLM(PhimoeConfig(
+            vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            num_local_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+            attention_bias=True, lm_head_bias=True,
+        )).eval()
+        path = str(tmp_path / "tiny-phimoe.gguf")
+        convert_hf_phimoe(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+        eng = _check_hf(path, hf, "phimoe", rtol=4e-3)
+        assert eng.cfg.norm_type == "layer" and eng.cfg.n_experts == 4
+    finally:
+        pm.sparsemixer = orig
