@@ -704,6 +704,14 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         )
         if len(ratios) > 1:
             cfg = cfg.with_(kv_expand=True, n_kv_heads=cfg.n_heads)
+    elif arch == "dream":
+        # diffusion LM with the qwen2 block shape (qkv biases, NEOX rope),
+        # run bidirectionally by runtime.diffusion (llm_build_dream :8254)
+        cfg = cfg.with_(attn_bias=True, rope_interleaved=False)
+    elif arch == "llada":
+        # diffusion LM with the llama block shape, NORM rope, non-causal
+        # (llm_build_llada :8357)
+        pass
     elif arch == "phimoe":
         # phi-3.5-MoE: the phi3 builder + top-2 softmax MoE; LayerNorm with
         # biases, NEOX rope with optional LongRoPE factors, biased lm_head

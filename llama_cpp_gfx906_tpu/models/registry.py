@@ -124,6 +124,8 @@ def _deepseek2_family() -> ModelFamily:
 
 
 ENC_DEC_ARCHS = {"t5", "t5encoder"}
+# diffusion LMs — iterative-denoising generation via runtime.diffusion
+DIFFUSION_ARCHS = {"dream", "llada"}
 # bidirectional encoders (embeddings / rerank) — served by
 # runtime.encoder.EncoderEngine, not the causal Engine
 ENCODER_ARCHS = {"bert", "nomic-bert", "jina-bert-v2", "nomic-bert-moe", "neo-bert"}
@@ -227,6 +229,11 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
             make_cache=lambda cfg, batch, max_seq, dtype: KVCache.create(cfg, batch, max_seq, dtype),
             load_params=lambda reader, cfg, dtype, device_put_fn=None, keep_quantized=True:
                 ml_load(reader, cfg, dtype, device_put_fn),
+        )
+    if cfg.arch in DIFFUSION_ARCHS:
+        raise ValueError(
+            "diffusion LMs decode by iterative denoising, not the causal "
+            "Engine; use llama_cpp_gfx906_tpu.runtime.diffusion.DiffusionEngine"
         )
     if cfg.arch in ENC_DEC_ARCHS:
         raise ValueError(
