@@ -830,6 +830,19 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (2 * n_embd) // 64)),
             ssm_n_group=int(g(Keys.SSM.GROUP_COUNT, 1)),
         )
+    elif arch == "plamo2":
+        # hybrid SSD + qk-normed attention (per-layer head_count_kv==0 →
+        # mamba layer); double-norm blocks, split-swiglu FFN, NEOX rope
+        # (reference llm_build_plamo2, src/llama-model.cpp:16726; hparams
+        # :988)
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            ssm_d_conv=int(g(Keys.SSM.CONV_KERNEL, 4)),
+            ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
+            ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 64)),
+            ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, 32)),
+            ssm_n_group=int(g(Keys.SSM.GROUP_COUNT, 1)) or 1,
+        )
     elif arch == "mamba2":
         # dt_rank carries the head count; d_state defaults large (128)
         # (reference LLM_ARCH_MAMBA2 hparams, src/llama-model.cpp:1172)

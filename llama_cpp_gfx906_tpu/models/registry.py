@@ -35,6 +35,7 @@ FALCON_H1_ARCHS = {"falcon-h1"}
 HYBRID_ARCHS = {"jamba"}
 GRANITE_HYBRID_ARCHS = {"granitehybrid"}
 LFM2_ARCHS = {"lfm2"}
+PLAMO2_ARCHS = {"plamo2"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
 RWKV_HYBRID_ARCHS = {"rwkv6qwen2", "arwkv7"}
@@ -197,6 +198,16 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         )
     if cfg.arch in HYBRID_ARCHS:
         return _jamba_family()
+    if cfg.arch in PLAMO2_ARCHS:
+        from .plamo2 import PLaMo2State, forward as p2_fwd, load_params as p2_load
+
+        return ModelFamily(
+            name="plamo2",
+            forward=p2_fwd,
+            make_cache=lambda cfg, batch, max_seq, dtype: PLaMo2State.create(cfg, batch, max_seq, dtype),
+            load_params=lambda reader, cfg, dtype, device_put_fn=None, keep_quantized=True:
+                p2_load(reader, cfg, dtype, device_put_fn),
+        )
     if cfg.arch in LFM2_ARCHS:
         from .lfm2 import LFM2State, forward as lfm2_fwd, load_params as lfm2_load
 
