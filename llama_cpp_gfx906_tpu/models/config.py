@@ -117,6 +117,11 @@ class ModelConfig:
     # per-layer "linear attention" flags (n_head>0, n_head_kv==0): the
     # block is wo(norm(x)) with no attention
     attn_linear_layers: tuple = ()
+    # gemma3n (AltUp) statics
+    n_altup: int = 0
+    n_embd_altup: int = 0
+    n_kv_shared: int = 0
+    n_sparsity_layers: int = 0
     # NOTE: must stay hashable — it is a static jit argument
 
     @property
@@ -230,6 +235,22 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         )
     elif arch in ("qwen3", "qwen3moe"):
         cfg = cfg.with_(qk_norm=True, rope_interleaved=False)
+    elif arch == "gemma3n":
+        # AltUp/LAuReL multi-stream blocks with iSWA(5) + KV-shared trailing
+        # layers (llm_build_gemma3n_iswa, src/llama-model.cpp:10455; hparams
+        # :1111 — swa base 10000, attention scale 1.0).  Embedding and
+        # per-layer scalings live in models/gemma3n.forward.
+        cfg = cfg.with_(
+            rope_interleaved=False,
+            swa_pattern=5,
+            attn_scale=1.0,
+            rope_local_base=10000.0,
+            final_logit_softcap=float(g("{arch}.final_logit_softcapping", 30.0)),
+            n_altup=int(g("{arch}.altup.num_inputs", 4)),
+            n_embd_altup=int(g("{arch}.embedding_length_per_layer_input", 256)),
+            n_kv_shared=int(g("{arch}.num_kv_shared_layers", 0)),
+            n_sparsity_layers=int(g("{arch}.activation_sparsity_layers", 10)),
+        )
     elif arch.startswith("gemma"):
         cfg = cfg.with_(
             rope_interleaved=False,

@@ -36,6 +36,7 @@ HYBRID_ARCHS = {"jamba"}
 GRANITE_HYBRID_ARCHS = {"granitehybrid"}
 LFM2_ARCHS = {"lfm2"}
 PLAMO2_ARCHS = {"plamo2"}
+GEMMA3N_ARCHS = {"gemma3n"}
 RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
 RWKV_HYBRID_ARCHS = {"rwkv6qwen2", "arwkv7"}
@@ -198,6 +199,16 @@ def get_family(cfg: ModelConfig) -> ModelFamily:
         )
     if cfg.arch in HYBRID_ARCHS:
         return _jamba_family()
+    if cfg.arch in GEMMA3N_ARCHS:
+        from .gemma3n import Gemma3nState, forward as g3n_fwd, load_params as g3n_load
+
+        return ModelFamily(
+            name="gemma3n",
+            forward=g3n_fwd,
+            make_cache=lambda cfg, batch, max_seq, dtype: Gemma3nState.create(cfg, batch, max_seq, dtype),
+            load_params=lambda reader, cfg, dtype, device_put_fn=None, keep_quantized=True:
+                g3n_load(reader, cfg, dtype, device_put_fn),
+        )
     if cfg.arch in PLAMO2_ARCHS:
         from .plamo2 import PLaMo2State, forward as p2_fwd, load_params as p2_load
 

@@ -2675,3 +2675,88 @@ def convert_hf_phimoe(model, tokenizer_vocab, out_path: str,
     if "lm_head.bias" in state:
         add("output.bias", state["lm_head.bias"])
     return w.write()
+
+
+def convert_hf_gemma3n(model, tokenizer_vocab, out_path: str,
+                       quant_type=GGMLType.F16) -> str:
+    """transformers Gemma3nForCausalLM (text) → GGUF (arch "gemma3n").
+
+    AltUp stacks, LAuReL, per-layer input embeddings, KV-shared trailing
+    layers (tensor table llama-arch.cpp :989-1018)."""
+    hf = model.config
+    if hasattr(hf, "text_config"):
+        hf = hf.text_config
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    n_head = hf.num_attention_heads
+    n_kv = hf.num_key_value_heads
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // n_head
+    L = hf.num_hidden_layers
+    A = hf.altup_num_inputs
+    sp = getattr(hf, "activation_sparsity_pattern", None) or []
+    n_sparse = sum(1 for v in sp if v and v > 0)
+
+    w = GGUFWriter(out_path, "gemma3n")
+    w.add_string(Keys.General.NAME, "gemma3n-convert")
+    _common_header(w, hf, n_head, n_kv, head_dim, Keys.Attention.LAYERNORM_RMS_EPS,
+                   hf.rms_norm_eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH,
+                 hf.intermediate_size if isinstance(hf.intermediate_size, int)
+                 else hf.intermediate_size[0])
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 1e6))
+    w.add_uint32(Keys.Attention.SLIDING_WINDOW, getattr(hf, "sliding_window", 512))
+    w.add_float32("gemma3n.final_logit_softcapping",
+                  getattr(hf, "final_logit_softcapping", 30.0))
+    w.add_uint32("gemma3n.altup.num_inputs", A)
+    w.add_uint32("gemma3n.embedding_length_per_layer_input",
+                 hf.hidden_size_per_layer_input)
+    w.add_uint32("gemma3n.num_kv_shared_layers", hf.num_kv_shared_layers)
+    w.add_uint32("gemma3n.activation_sparsity_layers", n_sparse)
+    _write_vocab(w, tokenizer_vocab)
+
+    def add(name, arr):
+        t = GGMLType.F32 if arr.ndim == 1 or "norm" in name else (
+            quant_type if arr.shape[-1] % 32 == 0 else GGMLType.F32
+        )
+        w.add_tensor(name, arr, t)
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    add("per_layer_token_embd.weight", state["model.embed_tokens_per_layer.weight"])
+    add("per_layer_model_proj.weight", state["model.per_layer_model_projection.weight"])
+    add("per_layer_proj_norm.weight", state["model.per_layer_projection_norm.weight"])
+    add("altup_proj.weight", np.concatenate(
+        [state[f"model.altup_projections.{i}.weight"] for i in range(A - 1)], axis=0))
+    add("altup_unembd_proj.weight", np.concatenate(
+        [state[f"model.altup_unembed_projections.{i}.weight"] for i in range(A - 1)], axis=0))
+    first_shared = L - hf.num_kv_shared_layers
+    for i in range(L):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_q_norm.weight", state[p + "self_attn.q_norm.weight"])
+        if i < first_shared:
+            add(b + "attn_k.weight", state[p + "self_attn.k_proj.weight"])
+            add(b + "attn_k_norm.weight", state[p + "self_attn.k_norm.weight"])
+            add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "post_attention_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "pre_feedforward_layernorm.weight"])
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+        add(b + "post_ffw_norm.weight", state[p + "post_feedforward_layernorm.weight"])
+        add(b + "laurel_l.weight", state[p + "laurel.linear_left.weight"])
+        add(b + "laurel_r.weight", state[p + "laurel.linear_right.weight"])
+        add(b + "laurel_post_norm.weight", state[p + "laurel.post_laurel_norm.weight"])
+        add(b + "altup_router.weight", state[p + "altup.modality_router.weight"])
+        add(b + "altup_router_norm.weight", state[p + "altup.router_norm.weight"])
+        add(b + "altup_predict_coef.weight", state[p + "altup.prediction_coefs.weight"])
+        add(b + "altup_correct_coef.weight", state[p + "altup.correction_coefs.weight"])
+        add(b + "altup_correct_scale.weight", state[p + "altup.correct_output_scale"])
+        add(b + "inp_gate.weight", state[p + "per_layer_input_gate.weight"])
+        add(b + "proj.weight", state[p + "per_layer_projection.weight"])
+        add(b + "post_norm.weight", state[p + "post_per_layer_input_norm.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
