@@ -90,7 +90,9 @@ def bench_8b() -> dict:
     params = {
         "tok_emb": jax.random.normal(keys[7], (V, D), jnp.bfloat16) * 0.02,
         "out_norm": jnp.ones(D, jnp.float32),
-        "lm_head": synth_q6k(keys[8], D, V),  # _M mix: output at Q6_K
+        # _M mix: output at Q6_K; vocab padded to wide N tiles (pad_qt_n —
+        # the same treatment the quantized loader applies to real heads)
+        "lm_head": qmm.pad_qt_n(synth_q6k(keys[8], D, V)),
         "layers": fuse_projections(layers),
     }
 

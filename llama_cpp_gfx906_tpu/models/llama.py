@@ -41,6 +41,11 @@ class KVCache:
     n_past: jnp.ndarray  # (B,) int32 — row fill level
     pos: jnp.ndarray | None = None  # (B, S) int32 logical positions per row
     pos_next: jnp.ndarray | None = None  # (B,) next query position
+    # shared-prefix segment (cross-slot KV sharing: one system prompt's
+    # rows stored once and attended by every slot — the analog of the
+    # reference's multi-seq KV cells, llama-kv-cache-unified.cpp:752-951)
+    shared_k: jnp.ndarray | None = None  # (L, 1, S0, Hkv, Dh)
+    shared_v: jnp.ndarray | None = None
 
     @classmethod
     def create(
@@ -66,7 +71,9 @@ class KVCache:
         return self.k.shape[2]
 
 
-jax.tree_util.register_dataclass(KVCache, ["k", "v", "n_past", "pos", "pos_next"], [])
+jax.tree_util.register_dataclass(
+    KVCache, ["k", "v", "n_past", "pos", "pos_next", "shared_k", "shared_v"], []
+)
 
 
 def _act(x, act_fn: str):
@@ -178,7 +185,9 @@ def forward(
             jnp.asarray(inv_freq_global), (cfg.n_layers, len(inv_freq_global))
         )
     q_start = kv.pos_next if kv.pos_next is not None else kv.n_past
-    positions = q_start[:, None] + jnp.arange(T)[None, :]
+    # shared-prefix segment shifts every logical position by its length
+    n_shared = kv.shared_k.shape[2] if kv.shared_k is not None else 0
+    positions = n_shared + q_start[:, None] + jnp.arange(T)[None, :]
 
     # multimodal prefill passes pre-built embeddings (image features spliced
     # into token embeddings — the mtmd chunk-injection analog)
@@ -218,9 +227,16 @@ def forward(
     else:
         alibi_slopes = None
 
+    has_shared = kv.shared_k is not None
+
     def layer_step(carry, layer):
         x, = carry
-        p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l, linear_l = layer
+        if has_shared:
+            (p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l, linear_l,
+             shared_k_l, shared_v_l) = layer
+        else:
+            p, k_cache_l, v_cache_l, window_l, inv_freq, rope_l, linear_l = layer
+            shared_k_l = shared_v_l = None
         x_in = x  # layer input (arctic parallel-MoE / smallthinker router)
 
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg) if cfg.pre_norm else x
@@ -308,6 +324,7 @@ def forward(
             kv_pos=kv.pos, q_pos=positions if kv.pos is not None else None,
             alibi_slopes=alibi_slopes,
             quant_weights=isinstance(p.get("wq"), QuantTensor),
+            shared_k=shared_k_l, shared_v=shared_v_l,
         )
         attn = attn.reshape(B, T, cfg.n_heads * cfg.head_dim)
         if cfg.attn_linear_layers:
@@ -384,10 +401,11 @@ def forward(
             x = x + p["cvec"].astype(x.dtype)
         return (x,), (k_cache_l, v_cache_l)
 
-    (x,), (k_new, v_new) = jax.lax.scan(
-        layer_step, (x,),
-        (params["layers"], kv.k, kv.v, windows, inv_freq_layers, rope_on, linear_attn),
-    )
+    scan_xs = (params["layers"], kv.k, kv.v, windows, inv_freq_layers, rope_on,
+               linear_attn)
+    if has_shared:
+        scan_xs = scan_xs + (kv.shared_k, kv.shared_v)
+    (x,), (k_new, v_new) = jax.lax.scan(layer_step, (x,), scan_xs)
 
     if return_hidden != "raw":  # "raw": pipeline mid-stage — no final norm
         x = _norm(x, params["out_norm"], params.get("out_norm_b"), cfg)
@@ -407,9 +425,11 @@ def forward(
         ).astype(jnp.int32)
         new_pos = jax.vmap(write_pos)(kv.pos, kv.n_past, pos_vals)
         new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance,
-                         pos=new_pos, pos_next=q_start + advance)
+                         pos=new_pos, pos_next=q_start + advance,
+                         shared_k=kv.shared_k, shared_v=kv.shared_v)
     else:
-        new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance)
+        new_kv = KVCache(k=k_new, v=v_new, n_past=kv.n_past + advance,
+                         shared_k=kv.shared_k, shared_v=kv.shared_v)
 
     if return_hidden:
         return x.astype(jnp.float32), new_kv

@@ -91,6 +91,8 @@ def mha_with_cache(
     q_pos: jnp.ndarray | None = None,  # (B, T) query positions when kv_pos set
     quant_weights: bool = False,  # True when the model's matmuls run Pallas qmm
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) ALiBi per-head slopes
+    shared_k: jnp.ndarray | None = None,  # (1, S0, Hkv, Dh) shared-prefix rows
+    shared_v: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (attn_out (B,T,Hq,Dh), k_cache', v_cache').
 
@@ -106,6 +108,8 @@ def mha_with_cache(
 
     quantized = isinstance(k_cache, QuantKV)
     on_tpu = jax.default_backend() == "tpu"
+    if shared_k is not None and kv_pos is not None:
+        raise NotImplementedError("shared-prefix KV + self-extend positions")
     if quantized:
         k_store = insert_quant(k_cache, k_new, n_past)
         v_store = insert_quant(v_cache, v_new, n_past)
@@ -128,7 +132,7 @@ def mha_with_cache(
     # LCG_QUANT_COMBO_BROKEN=1 drops that combo to the einsum path again.
     quant_combo_broken = quantized and quant_weights and QUANT_COMBO_BROKEN
     if (kv_pos is None and on_tpu and not quant_combo_broken and not _FORCE_EINSUM
-            and alibi_slopes is None):
+            and alibi_slopes is None and shared_k is None):
         if T >= 64:
             from .flash_attention import flash_attention
 
@@ -170,6 +174,16 @@ def mha_with_cache(
     scores = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k_cache, preferred_element_type=jnp.float32
     )
+    n_shared = 0
+    if shared_k is not None:
+        # shared-prefix rows (stored ONCE, batch dim 1): scores computed
+        # without materializing a per-slot broadcast copy
+        n_shared = shared_k.shape[1]
+        sh_scores = jnp.einsum(
+            "bthgd,shd->bhgts", qg, shared_k[0].astype(qg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.concatenate([sh_scores, scores], axis=-1)
     scores = scores * scale
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
@@ -186,17 +200,19 @@ def mha_with_cache(
         window = jnp.asarray(sliding_window, jnp.int32)
         mask &= jnp.logical_or(window <= 0, sp[:, None, :] > qp[:, :, None] - window)
     else:
-        q_pos = n_past[:, None] + jnp.arange(T)[None, :]  # (B, T)
-        s_pos = jnp.arange(S)[None, :]  # (1, S)
-        mask = s_pos[:, None, :] <= q_pos[:, :, None]  # (B, T, S)
+        # logical positions: shared rows occupy 0..n_shared-1, own rows
+        # follow at n_shared + row — one arange covers the concatenated axis
+        q_pos = n_shared + n_past[:, None] + jnp.arange(T)[None, :]  # (B, T)
+        s_pos = jnp.arange(n_shared + S)[None, :]  # (1, S0+S)
+        mask = s_pos[:, None, :] <= q_pos[:, :, None]  # (B, T, S0+S)
         window = jnp.asarray(sliding_window, jnp.int32)
         mask &= jnp.logical_or(window <= 0, s_pos[:, None, :] > q_pos[:, :, None] - window)
     if alibi_slopes is not None:
         # ALiBi (ggml soft_max_ext positional bias; mpt/bloom/baichuan-13b):
         # score(i, j) -= slope_h · (pos_i − pos_j)
         qp_f = (q_pos if kv_pos is None else q_pos).astype(jnp.float32)
-        sp_f = (jnp.broadcast_to(jnp.arange(S)[None, :], (B, S)) if kv_pos is None
-                else kv_pos).astype(jnp.float32)
+        sp_f = (jnp.broadcast_to(jnp.arange(n_shared + S)[None, :], (B, n_shared + S))
+                if kv_pos is None else kv_pos).astype(jnp.float32)
         dist = qp_f[:, :, None] - sp_f[:, None, :]  # (B, T, S)
         sl = alibi_slopes.reshape(Hkv, G).astype(jnp.float32)
         scores = scores - sl[None, :, :, None, None] * dist[:, None, None, :, :]
@@ -213,8 +229,17 @@ def mha_with_cache(
         probs = e / denom[..., None]
     else:
         probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum(
-        "bhgts,bshd->bthgd", probs.astype(v_cache.dtype), v_cache,
-        preferred_element_type=jnp.float32,
-    )
+    if shared_k is not None:
+        out = jnp.einsum(
+            "bhgts,shd->bthgd", probs[..., :n_shared].astype(shared_v.dtype),
+            shared_v[0], preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bhgts,bshd->bthgd", probs[..., n_shared:].astype(v_cache.dtype),
+            v_cache, preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum(
+            "bhgts,bshd->bthgd", probs.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+        )
     return out.reshape(B, T, Hq, Dh).astype(q.dtype), k_store, v_store

@@ -370,7 +370,7 @@ def dequantize_qt(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     w = vals.astype(jnp.float32) * s
     if qt.m is not None:
         w = w - jnp.repeat(qt.m, qt.group, axis=0)
-    return w.astype(dtype)
+    return w[:, : qt.shape[1]].astype(dtype)  # drop pad_qt_n columns
 
 
 def quant_matmul_xla(x: jnp.ndarray, qt: QuantTensor) -> jnp.ndarray:
@@ -446,17 +446,36 @@ def _pick_tiles(M: int, K: int, N: int, group: int) -> tuple[int, int, int]:
     return TM, TN, TK
 
 
+def pad_qt_n(qt: QuantTensor, multiple: int = 2048) -> QuantTensor:
+    """Zero-pad the output dim to ``multiple`` so the kernel gets wide
+    (2048-lane) N tiles.  128256-vocab heads otherwise fall back to
+    TN=256, which measured 180 GB/s vs 304 GB/s padded on the 8B shape.
+    ``shape`` keeps the logical N; the matmul slices the pad off."""
+    K, N = qt.shape
+    Np = -(-N // multiple) * multiple
+    if Np == qt.q.shape[-1]:
+        return qt
+    padn = Np - qt.q.shape[-1]
+
+    def pad(a):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, padn)]) if a is not None else None
+
+    return QuantTensor(q=pad(qt.q), s=pad(qt.s), m=pad(qt.m),
+                       fmt=qt.fmt, group=qt.group, shape=qt.shape)
+
+
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "shape", "interpret"))
 def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     K, N = shape
+    Np = q.shape[-1]  # may exceed the logical N (pad_qt_n)
     lead = x.shape[:-1]
     M = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(M, K)
 
-    TM, TN, TK = _pick_tiles(M, K, N, group)
+    TM, TN, TK = _pick_tiles(M, K, Np, group)
     Mp = -(-M // TM) * TM
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
@@ -464,16 +483,16 @@ def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
 
     params = dict(
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * N * K,
+            flops=2 * Mp * Np * K,
             bytes_accessed=Mp * K * 2
-            + (K * N if fmt == "int8" else K * N // 2)
-            + K // group * N * 4,
+            + (K * Np if fmt == "int8" else K * Np // 2)
+            + K // group * Np * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -491,7 +510,7 @@ def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
         s_lo, s_hi = s[: Kh // group], s[Kh // group :]
         out = pl.pallas_call(
             functools.partial(_qmm_nib4_kernel, group=group, n_k=n_k),
-            grid=(Mp // TM, N // TN, n_k),
+            grid=(Mp // TM, Np // TN, n_k),
             in_specs=[
                 pl.BlockSpec((TM, TKh), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
                 pl.BlockSpec((TM, TKh), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
@@ -509,7 +528,7 @@ def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
         n_k = K // TK
         out = pl.pallas_call(
             functools.partial(_qmm_int8_kernel, group=group, n_k=n_k),
-            grid=(Mp // TM, N // TN, n_k),
+            grid=(Mp // TM, Np // TN, n_k),
             in_specs=[
                 pl.BlockSpec((TM, TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
                 pl.BlockSpec((TK, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
@@ -524,7 +543,7 @@ def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
         # subtractive term: out -= xsum @ m, xsum (M, K/g) group sums of x
         xs = x2.astype(jnp.float32).reshape(Mp, K // group, group).sum(-1)
         out = out - xs @ m
-    out = out[:M].reshape(*lead, N)
+    out = out[:M, :N].reshape(*lead, N)
     return out.astype(x.dtype)
 
 

@@ -163,6 +163,7 @@ class BatchedEngine:
 
             self.ngram_caches = [NgramCache() for _ in range(n_slots)]
         self.kv = KVCache.create(cfg, n_slots, max_seq, kv_cache_dtype or dtype)
+        self.system_ids: list[int] = []  # shared-prefix tokens (set_system_prompt)
         self.n_past_host = np.zeros(n_slots, np.int32)
         self.recent = np.full((n_slots, RECENT), -1, np.int32)
         # per-request LoRA: rank-slice gains per slot (attach_lora)
@@ -228,12 +229,14 @@ class BatchedEngine:
             )
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
-        def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match, gain=None):
+        def _prefill_suffix(params, cfg, kv_k, kv_v, tokens, n_tokens, slot, n_match,
+                            gain=None, shared_k=None, shared_v=None):
             """Chunked-prefill step: run one prompt chunk through the slot's
             existing KV rows (positions offset by the fill level n_match).
             Also serves the prefix-cache path (server.cpp:3248)."""
             kv1 = KVCache(_tree_slot_slice(kv_k, slot), _tree_slot_slice(kv_v, slot),
-                          jnp.full((1,), n_match, jnp.int32))
+                          jnp.full((1,), n_match, jnp.int32),
+                          shared_k=shared_k, shared_v=shared_v)
             logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, lora_gain=gain)
             k = _tree_slot_put(kv_k, kv1.k, slot)
             v = _tree_slot_put(kv_v, kv1.v, slot)
@@ -326,6 +329,38 @@ class BatchedEngine:
         self._decode_mixed = _decode_mixed
         self._shift_slot = _shift_slot
 
+    # -- shared-prefix (cross-slot) KV ----------------------------------------
+
+    def set_system_prompt(self, ids: list[int]):
+        """Prefill a shared prompt ONCE and attend it from every slot.
+
+        The cross-slot analog of the reference's multi-seq KV cells
+        (llama-kv-cache-unified.cpp:752-951): N slots with one system
+        prompt store its rows once instead of N times, and skip its
+        prefill per request.  Must be set while all slots are idle."""
+        if any(s.state != SlotState.IDLE for s in self.slots):
+            raise RuntimeError("set_system_prompt requires all slots idle")
+        from ..ops.kv_quant import QuantKV
+
+        if isinstance(self.kv.k, QuantKV):
+            raise NotImplementedError("shared prefix + q8 KV")
+        if not ids:
+            self.system_ids = []
+            self.kv = KVCache(self.kv.k, self.kv.v, self.kv.n_past)
+            return
+        padded = max(bucket_len(len(ids)), 1)
+        toks = np.zeros((1, padded), np.int32)
+        toks[0, : len(ids)] = ids
+        _, k, v = self._prefill(self.params, self.cfg, jnp.asarray(toks),
+                                jnp.asarray([len(ids)], jnp.int32))
+        self.system_ids = list(ids)
+        self.kv = KVCache(
+            self.kv.k, self.kv.v, self.kv.n_past,
+            shared_k=k[:, :, : len(ids)], shared_v=v[:, :, : len(ids)],
+        )
+        for s in self.slots:
+            s.cache_tokens = []  # old per-slot caches used absolute rows
+
     # -- slot management ------------------------------------------------------
 
     def free_slot(self) -> Slot | None:
@@ -394,6 +429,14 @@ class BatchedEngine:
         update_slots prompt chunking, server.cpp:3104-3476).  Reuses the
         slot's cached KV prefix when the new prompt extends a previous one
         (server.cpp:3248-3266)."""
+        if self.system_ids and prompt_embeds is None:
+            n_sys = len(self.system_ids)
+            if prompt_ids[:n_sys] == self.system_ids and len(prompt_ids) > n_sys:
+                # shared-prefix rows already live in the shared segment:
+                # strip them — zero prefill cost, zero per-slot storage
+                prompt_ids = prompt_ids[n_sys:]
+                self.metrics["n_prompt_tokens_cached"] += n_sys
+                self.metrics["n_prompt_tokens"] += n_sys
         if prompt_embeds is not None:
             # embed prompts bypass the prefix cache (rows aren't reusable
             # by token identity) and never truncate
@@ -494,8 +537,10 @@ class BatchedEngine:
                 self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(toks),
                 jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
                 jnp.asarray(slot.n_past, jnp.int32), self._gain_row(slot.id),
+                self.kv.shared_k, self.kv.shared_v,
             )
-        self.kv = KVCache(k, v, n_past=self.kv.n_past)
+        self.kv = KVCache(k, v, n_past=self.kv.n_past,
+                          shared_k=self.kv.shared_k, shared_v=self.kv.shared_v)
         slot.pending = slot.pending[ns:]
         slot.n_past += ns
         self.n_past_host[slot.id] = slot.n_past
@@ -536,7 +581,8 @@ class BatchedEngine:
             jnp.asarray(slot.n_keep, jnp.int32),
             jnp.asarray(n_discard, jnp.int32),
         )
-        self.kv = KVCache(k, v, n_past=self.kv.n_past)
+        self.kv = KVCache(k, v, n_past=self.kv.n_past,
+                          shared_k=self.kv.shared_k, shared_v=self.kv.shared_v)
         slot.n_past -= n_discard
         slot.n_shifted += n_discard
         self.n_past_host[slot.id] = slot.n_past
@@ -668,7 +714,8 @@ class BatchedEngine:
             pen[s.id] = s.sampler.penalty_repeat
 
         self.rng_key, sub = jax.random.split(self.rng_key)
-        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host),
+                     shared_k=self.kv.shared_k, shared_v=self.kv.shared_v)
         toks_dev, kv = self._decode(
             self.params, self.cfg, jnp.asarray(tokens), kv, sub,
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
@@ -757,7 +804,8 @@ class BatchedEngine:
         tokens = np.zeros((self.n_slots, 1 + K), np.int32)
         for s in active:
             tokens[s.id] = [s.current_token] + drafts[s.id]
-        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host),
+                     shared_k=self.kv.shared_k, shared_v=self.kv.shared_v)
         logits_dev, kv = self._decode_logits_chunk(
             self.params, self.cfg, jnp.asarray(tokens), kv, self._gain_all()
         )
@@ -828,7 +876,8 @@ class BatchedEngine:
             row = [s.current_token] + d + [s.current_token] * (K - len(d))
             tokens[s.id] = row
 
-        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host),
+                     shared_k=self.kv.shared_k, shared_v=self.kv.shared_v)
         logits_dev, kv = self._decode_logits_chunk(
             self.params, self.cfg, jnp.asarray(tokens), kv, self._gain_all()
         )
@@ -908,7 +957,8 @@ class BatchedEngine:
             pen[s.id] = s.sampler.penalty_repeat
 
         self.rng_key, sub = jax.random.split(self.rng_key)
-        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host))
+        kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host),
+                     shared_k=self.kv.shared_k, shared_v=self.kv.shared_v)
         toks_dev, sel_logits, kv = self._decode_mixed(
             self.params, self.cfg, jnp.asarray(tokens), kv, sub,
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),

@@ -503,6 +503,12 @@ def load_llama_params_quantized(
         t = tensors[OUTPUT]
         if t.ggml_type in qmm_ok and t.shape[-1] % 32 == 0:
             qt = pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
+            if qt.shape[1] >= 8192 and qt.shape[1] % 2048:
+                # zero-pad the vocab dim so the Pallas kernel gets wide N
+                # tiles (measured +70% head bandwidth at 128256 vocab)
+                from ..ops.quant_matmul import pad_qt_n
+
+                qt = pad_qt_n(qt)
             params["lm_head"] = _put_qt(qt, "lm_head", put_named)
         else:
             arr = np.ascontiguousarray(t.to_f32().T).astype(_np_dtype(dtype))
