@@ -150,12 +150,13 @@ def mha_with_cache(
                     sinks=sinks,
                 )
             return out.astype(q.dtype), k_store, v_store
-        if T * G <= 128 and quantized:
+        if T * G <= 128 and (quantized or S >= 4096):
             # int8 KV: the decode kernel dequantizes tiles in place — the
             # whole-cache bf16 materialization below is exactly what it
-            # avoids.  (bf16 caches stay on the einsum path: XLA pipelines
-            # the full-cache read better than the short per-head grids at
-            # decode sizes — measured on-chip.)
+            # avoids.  bf16 caches switch to the same kernel once max_seq
+            # is large: its live-block index maps make decode cost follow
+            # n_past instead of max_seq (the einsum reads the whole
+            # allocation — fine at 2k, wrong asymptotics at 32k).
             from .flash_decode import flash_decode
 
             out = flash_decode(

@@ -28,11 +28,13 @@ from ..models.config import ModelConfig
 from ..models.llama import KVCache, forward
 
 
-def _layer_specs(layers: dict) -> dict:
-    """P("stage", None, ...) on every stacked (L, ...) layer tensor."""
-    return {
-        k: P(*(["stage"] + [None] * (v.ndim - 1))) for k, v in layers.items()
-    }
+def _layer_specs(layers: dict):
+    """P("stage", None, ...) on every stacked (L, ...) layer leaf —
+    QuantTensor pytrees included (their q/s/m leaves all carry the layer
+    axis first, so PP composes with quantized weights)."""
+    return jax.tree_util.tree_map(
+        lambda v: P(*(["stage"] + [None] * (v.ndim - 1))), layers
+    )
 
 
 def shard_for_pipeline(params: dict, kv: KVCache, mesh: Mesh):
@@ -41,12 +43,14 @@ def shard_for_pipeline(params: dict, kv: KVCache, mesh: Mesh):
     from jax.sharding import NamedSharding
 
     ns = lambda spec: NamedSharding(mesh, spec)
-    out = {k: jax.device_put(v, ns(P())) for k, v in params.items() if k != "layers"}
-    out["layers"] = {
-        k: jax.device_put(v, ns(spec))
-        for (k, v), spec in zip(params["layers"].items(),
-                                _layer_specs(params["layers"]).values())
+    out = {
+        k: jax.tree_util.tree_map(lambda a: jax.device_put(a, ns(P())), v)
+        for k, v in params.items() if k != "layers"
     }
+    out["layers"] = jax.tree_util.tree_map(
+        lambda a, spec: jax.device_put(a, ns(spec)),
+        params["layers"], _layer_specs(params["layers"]),
+    )
     kv2 = KVCache(
         k=jax.device_put(kv.k, ns(P("stage"))),
         v=jax.device_put(kv.v, ns(P("stage"))),
@@ -68,10 +72,13 @@ def make_pipeline_forward(cfg: ModelConfig, mesh: Mesh, n_micro: int):
     stage_cfg = cfg.with_(n_layers=cfg.n_layers // S)
 
     def spmd(params, tokens, k, v, n_past):
+        from ..ops.quant_matmul import QuantTensor, linear
+
         sidx = jax.lax.axis_index("stage")
         B, T = tokens.shape
         mb = B // n_micro
-        V = params["lm_head"].shape[-1]
+        head = params["lm_head"]
+        V = head.shape[-1] if not isinstance(head, QuantTensor) else head.N
         D = params["tok_emb"].shape[-1]
 
         logits = jnp.zeros((B, T, V), jnp.float32)
@@ -109,7 +116,7 @@ def make_pipeline_forward(cfg: ModelConfig, mesh: Mesh, n_micro: int):
             from ..ops.norms import rms_norm
 
             h = rms_norm(y, params["out_norm"], cfg.rms_eps)
-            lg = (h @ params["lm_head"]).astype(jnp.float32)
+            lg = linear(h, params["lm_head"]).astype(jnp.float32)
             take = active & (sidx == S - 1)
             lg_old = jax.lax.dynamic_slice_in_dim(logits, ms, mb, axis=0)
             logits = jax.lax.dynamic_update_slice_in_dim(
@@ -125,7 +132,10 @@ def make_pipeline_forward(cfg: ModelConfig, mesh: Mesh, n_micro: int):
         return logits, k, v, n_past + T
 
     def run(params, tokens, kv):
-        p_in = {k: P() for k in params if k != "layers"}
+        p_in = {
+            k: jax.tree_util.tree_map(lambda _: P(), v)
+            for k, v in params.items() if k != "layers"
+        }
         p_in["layers"] = _layer_specs(params["layers"])
         fn = jax.jit(
             jax.shard_map(

@@ -776,41 +776,22 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
 
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="llama-server (TPU)")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
-    ap.add_argument("-np", "--n-slots", type=int, default=4)
+    from ..common.args import build_parser as registry_parser
+
+    ap = registry_parser("server", description="TPU-native llama-server")
+    ap.prog = "llama-server (TPU)"
     ap.add_argument("--spec-ngram", action="store_true",
                     help="ngram-lookup speculation for greedy requests")
-    ap.add_argument("-md", "--draft-model", dest="draft_model", default=None,
-                    help="draft GGUF for speculative decoding (must share "
-                         "the target vocabulary; reference server.cpp:3656)")
-    ap.add_argument("--draft-max", type=int, default=4)
     ap.add_argument("--rerank-model", default=None,
                     help="BERT-family GGUF for /rerank and /embeddings "
                          "(rank-head cross-encoder)")
-    ap.add_argument("--api-key", default=None,
-                    help="require 'Authorization: Bearer <key>' on every "
-                         "endpoint except /health")
-    ap.add_argument("--mmproj", default=None,
-                    help="CLIP/SigLIP mmproj GGUF — enables image_url parts "
-                         "in /v1/chat/completions (server vision API)")
-    ap.add_argument("--n-batch", type=int, default=256,
-                    help="prompt tokens prefilled per engine step")
-    ap.add_argument("--no-ctx-shift", action="store_true",
-                    help="stop with 'length' at the context limit instead "
-                         "of StreamingLLM shifting")
-    ap.add_argument("--lora", action="append", default=[],
-                    help="LoRA adapter GGUF; repeatable — requests select "
-                         "adapters via the per-request 'lora' field")
-    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
-    ap.add_argument("-ctk", "--cache-type-k", default=None,
-                    choices=("f32", "bf16", "q8"),
-                    help="KV cache storage type (reference: llama-server "
-                         "-ctk/-ctv; q8 halves KV memory)")
+    ap.add_argument("--no-ctx-shift", dest="no_ctx_shift", action="store_true",
+                    help="alias of --no-context-shift")
     args = ap.parse_args(argv)
+    from ..common.args import maybe_print_completion
+
+    if maybe_print_completion(args, "server", "llama-server"):
+        return 0
 
     if args.platform:
         import jax

@@ -15,44 +15,23 @@ import time
 
 
 def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(
-        prog="llama-cli (TPU)", description="TPU-native GGUF text generation"
-    )
-    env = os.environ.get
-    ap.add_argument("-m", "--model", default=env("LLAMA_ARG_MODEL"), required=env("LLAMA_ARG_MODEL") is None)
-    ap.add_argument("-p", "--prompt", default="")
-    ap.add_argument("-f", "--file", default=None, help="read prompt from file")
-    ap.add_argument("-n", "--n-predict", type=int, default=int(env("LLAMA_ARG_N_PREDICT", 128)))
-    ap.add_argument("-c", "--ctx-size", type=int, default=int(env("LLAMA_ARG_CTX_SIZE", 2048)))
-    ap.add_argument("--temp", type=float, default=0.8)
-    ap.add_argument("--top-k", type=int, default=40)
-    ap.add_argument("--top-p", type=float, default=0.95)
-    ap.add_argument("--min-p", type=float, default=0.05)
+    from ..common.args import build_parser as registry_parser
+
+    ap = registry_parser("cli", description="TPU-native GGUF text generation")
+    ap.prog = "llama-cli (TPU)"
+    # tool-specific extras on top of the shared registry (common/arg.cpp
+    # scoping analog)
     ap.add_argument("--typical", type=float, default=1.0)
-    ap.add_argument("--repeat-penalty", type=float, default=1.0)
-    ap.add_argument("--repeat-last-n", type=int, default=64)
     ap.add_argument("--mirostat", type=int, default=0)
-    ap.add_argument("--seed", type=int, default=-1)
-    ap.add_argument("--grammar", default=None, help="GBNF grammar string")
-    ap.add_argument("--grammar-file", default=None, help="GBNF grammar file")
     ap.add_argument("--json-schema", default=None, help="JSON schema to constrain output")
     ap.add_argument(
         "--prompt-cache", default=None,
         help="session file: reuse cached prefix state and save on exit "
         "(llama-cli --prompt-cache analog)",
     )
-    ap.add_argument("--lora", action="append", default=[], help="LoRA adapter GGUF")
-    ap.add_argument("--lora-scale", type=float, default=1.0)
-    ap.add_argument("--control-vector", action="append", default=[])
-    ap.add_argument("--control-vector-scale", type=float, default=1.0)
-    ap.add_argument("--cache-type-k", default=None, choices=("f32", "bf16", "q8"),
-                    help="KV cache storage type (q8 halves KV memory)")
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--perf", action="store_true", help="print perf counters as JSON")
-    ap.add_argument(
-        "--platform", default=None, choices=("cpu", "tpu"),
-        help="force a JAX platform (default: let JAX pick the TPU)",
-    )
+    ap.set_defaults(prompt="")
     return ap
 
 
@@ -93,6 +72,10 @@ def _generate_with_cache(eng, prompt: str, args, chain, stream):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..common.args import maybe_print_completion
+
+    if maybe_print_completion(args, "cli", "llama-cli"):
+        return 0
 
     # heavy imports after argparse so --help stays fast
     if args.platform:

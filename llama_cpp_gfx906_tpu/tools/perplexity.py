@@ -102,10 +102,11 @@ def _logsumexp(x: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="llama-perplexity (TPU)")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-f", "--file", default=None)
-    ap.add_argument("-c", "--ctx-size", type=int, default=512)
+    from ..common.args import build_parser
+
+    ap = build_parser("perplexity", description="wikitext-style perplexity + evals")
+    ap.prog = "llama-perplexity (TPU)"
+    ap.set_defaults(ctx_size=512)
     ap.add_argument("--chunks", type=int, default=None)
     ap.add_argument("--no-quantized", action="store_true", help="dequantize weights to bf16")
     ap.add_argument("--save-logits", default=None)
@@ -115,7 +116,6 @@ def main(argv=None) -> int:
     ap.add_argument("--winogrande", default=None)
     ap.add_argument("--multiple-choice", default=None)
     ap.add_argument("--limit", type=int, default=None, help="max eval tasks")
-    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = ap.parse_args(argv)
     if args.platform:
         import jax

@@ -198,3 +198,65 @@ def test_pipeline_decode_step_after_prefill():
     logits2, _ = run(p_sh, nxt, kv1)
     np.testing.assert_allclose(np.asarray(logits2), np.asarray(ref2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_quantized_weights():
+    """PP over QuantTensor stage params: quantized layer stacks shard on
+    the layer axis (q/s/m leaves) and the quantized lm_head runs through
+    linear() — parity vs the single-device quantized forward
+    (reference: PP composes with quantized models, llama-context.cpp:255)."""
+    from jax.sharding import Mesh
+
+    from llama_cpp_gfx906_tpu.gguf import GGMLType, quantize
+    from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
+    from llama_cpp_gfx906_tpu.parallel.pipeline import (
+        make_pipeline_forward,
+        shard_for_pipeline,
+    )
+
+    cfg = ModelConfig(
+        arch="llama", n_layers=4, n_embd=32, n_heads=4, n_kv_heads=2,
+        head_dim=8, n_ff=64, n_vocab=64, n_ctx_train=64,
+    )
+    rng = np.random.default_rng(7)
+    L, D, F, V = cfg.n_layers, cfg.n_embd, cfg.n_ff, cfg.n_vocab
+    HqD = cfg.n_heads * cfg.head_dim
+    HkD = cfg.n_kv_heads * cfg.head_dim
+
+    def qstack(K, N):
+        qts = []
+        for _ in range(L):
+            w = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+            qts.append(qmm.pack_gguf_tensor(quantize(w, GGMLType.Q8_0),
+                                            GGMLType.Q8_0, (N, K)))
+        return qmm.QuantTensor(
+            q=jnp.stack([t.q for t in qts]),
+            s=jnp.stack([t.s for t in qts]),
+            m=None, fmt=qts[0].fmt, group=qts[0].group, shape=qts[0].shape,
+        )
+
+    w_head = rng.standard_normal((V, D)).astype(np.float32) * 0.05
+    params = {
+        "tok_emb": jnp.asarray(rng.standard_normal((V, D)).astype(np.float32) * 0.05),
+        "out_norm": jnp.ones(D),
+        "lm_head": qmm.pack_gguf_tensor(quantize(w_head, GGMLType.Q8_0),
+                                        GGMLType.Q8_0, (V, D)),
+        "layers": {
+            "attn_norm": jnp.ones((L, D)),
+            "ffn_norm": jnp.ones((L, D)),
+            "wq": qstack(D, HqD), "wk": qstack(D, HkD), "wv": qstack(D, HkD),
+            "wo": qstack(HqD, D),
+            "w_gate": qstack(D, F), "w_up": qstack(D, F), "w_down": qstack(F, D),
+        },
+    }
+    B, T = 4, 8
+    tokens = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+
+    ref, _ = _run(params, cfg, tokens)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+    kv = KVCache.create(cfg, B, T + 4, jnp.float32)
+    p_sh, kv_sh = shard_for_pipeline(params, kv, mesh)
+    run = make_pipeline_forward(cfg, mesh, n_micro=2)
+    logits, _ = run(p_sh, tokens, kv_sh)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)

@@ -175,3 +175,33 @@ def test_eval_callback_trace(f16_gguf, capsys):
         assert f"blk.{il}.Qcur" in text and f"blk.{il}.attn_out" in text
     assert "result_output" in text
     assert rec["logits"].shape == (1, 3, eng.cfg.n_vocab)
+
+
+def test_flag_registry_env_mirrors(monkeypatch):
+    """The declarative flag registry honors LLAMA_ARG_* env mirrors and
+    scopes flags per tool (common/arg.cpp analog)."""
+    from llama_cpp_gfx906_tpu.common.args import build_parser, flags_for
+
+    monkeypatch.setenv("LLAMA_ARG_CTX_SIZE", "777")
+    monkeypatch.setenv("LLAMA_ARG_MODEL", "/tmp/m.gguf")
+    ap = build_parser("server")
+    args = ap.parse_args([])
+    assert args.ctx_size == 777 and args.model == "/tmp/m.gguf"
+    # CLI flag overrides the env mirror
+    args = ap.parse_args(["-c", "123"])
+    assert args.ctx_size == 123
+    # scoping: server-only flags don't leak into the cli scope
+    cli_dests = {f.dest for f in flags_for("cli")}
+    srv_dests = {f.dest for f in flags_for("server")}
+    assert "port" in srv_dests and "port" not in cli_dests
+    assert "prompt" in cli_dests and "prompt" not in srv_dests
+
+
+def test_flag_registry_completion(capsys):
+    from llama_cpp_gfx906_tpu.common.args import build_parser, maybe_print_completion
+
+    ap = build_parser("cli", require_model=False)
+    args = ap.parse_args(["--completion-bash"])
+    assert maybe_print_completion(args, "cli", "llama-cli")
+    out = capsys.readouterr().out
+    assert "complete -F" in out and "--model" in out
