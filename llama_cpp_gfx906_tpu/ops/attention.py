@@ -159,10 +159,17 @@ def mha_with_cache(
             # allocation — fine at 2k, wrong asymptotics at 32k).
             from .flash_decode import flash_decode
 
+            # larger blocks at long max_seq amortize the dead-grid steps
+            # (the live-block index maps elide their DMA, but each grid
+            # step still costs bookkeeping); VMEM caps the block at
+            # ~2 MB of K per step
+            bk = 512
+            if S > 8192 and Hkv * Dh <= 1024:
+                bk = 1024
             out = flash_decode(
                 q, k_store, v_store, n_past, scale,
                 sliding_window=sliding_window, logit_softcap=logit_softcap,
-                sinks=sinks, block_k=512,
+                sinks=sinks, block_k=bk,
             )
             return out.astype(q.dtype), k_store, v_store
 

@@ -65,12 +65,27 @@ class Engine:
     max_seq: int = 2048
     batch_size: int = 1
     kv_dtype: object = jnp.bfloat16
+    # iSWA memory saver: SWA layers get a window-sized ring instead of
+    # max_seq rows (reference llama-kv-cache-unified-iswa.cpp)
+    swa_ring: bool = False
     perf: PerfCounters = field(default_factory=PerfCounters)
 
     def __post_init__(self):
-        from ..models.registry import get_family
+        from ..models.registry import ModelFamily, get_family
 
         self.family = get_family(self.cfg)
+        if self.swa_ring:
+            if self.cfg.sliding_window <= 0 or self.family.name != "llama":
+                raise ValueError("swa_ring needs an iSWA attention arch")
+            from ..models.llama_iswa import ISWACache, forward_iswa
+
+            self.family = ModelFamily(
+                name="llama_iswa",
+                forward=forward_iswa,
+                make_cache=lambda cfg, batch, max_seq, dtype:
+                    ISWACache.create(cfg, batch, max_seq, dtype),
+                load_params=self.family.load_params,
+            )
         self._forward = jax.jit(
             self.family.forward,
             static_argnames=("cfg", "return_hidden"),
@@ -90,6 +105,7 @@ class Engine:
         device_put_fn=None,
         keep_quantized: bool = True,
         kv_cache_dtype=None,  # None → dtype; "q8" → int8 KV (type_k/type_v)
+        swa_ring: bool = False,
     ) -> "Engine":
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
@@ -101,7 +117,8 @@ class Engine:
             reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
         )
         eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq,
-                  batch_size=batch_size, kv_dtype=kv_cache_dtype or dtype)
+                  batch_size=batch_size, kv_dtype=kv_cache_dtype or dtype,
+                  swa_ring=swa_ring)
         eng.perf.t_load_s = time.perf_counter() - t0
         return eng
 
