@@ -504,14 +504,31 @@ class BatchedEngine:
         return slot
 
     def _advance_prefill(self) -> list[tuple[Slot, int, bool]]:
-        """Run ONE prompt chunk for one PREFILLING slot (round-robin).
-        When a slot's prompt completes, sample its first token and flip it
-        to GENERATING — the returned triple streams that token out."""
-        slots = [s for s in self.slots if s.state == SlotState.PREFILLING]
-        if not slots:
-            return []
-        slot = slots[self._prefill_rr % len(slots)]
+        """Advance EVERY prefilling slot one chunk per engine step, up to a
+        shared per-step token budget (the reference packs prompt chunks
+        from many slots into each batch, server.cpp:3132-3476 — chunking
+        round-robin one slot per step would queue TTFT linearly under
+        concurrent prompt load).  Completed prompts sample their first
+        token and flip to GENERATING."""
+        out: list[tuple[Slot, int, bool]] = []
+        budget = max(self.n_chunk, 1) * max(len(self.slots), 1)
+        start = self._prefill_rr
         self._prefill_rr += 1
+        slots_round = [s for s in self.slots if s.state == SlotState.PREFILLING]
+        # rotate the start point so truncated budgets stay fair
+        if slots_round:
+            off = start % len(slots_round)
+            slots_round = slots_round[off:] + slots_round[:off]
+        for slot in slots_round:
+            if budget <= 0:
+                break
+            took, res = self._prefill_one(slot)
+            budget -= took
+            out.extend(res)
+        return out
+
+    def _prefill_one(self, slot: Slot) -> tuple[int, list[tuple[Slot, int, bool]]]:
+        """One prompt chunk for ``slot``; returns (tokens_run, results)."""
         t0 = time.perf_counter()
         # align n_past to the chunk grid after the first (prefix-cache) chunk:
         # padded writes then always end ≤ max_seq (no dynamic_update_slice
@@ -546,7 +563,7 @@ class BatchedEngine:
         self.n_past_host[slot.id] = slot.n_past
         self.metrics["t_prefill_s"] += time.perf_counter() - t0
         if slot.pending:
-            return []
+            return ns, []
 
         # prompt complete → sample the first token on host (single row)
         if slot.chain is not None:
@@ -568,7 +585,7 @@ class BatchedEngine:
         self.recent[slot.id, -min(RECENT, n + 1):] = (slot.prompt_ids + [first])[-RECENT:]
         self.metrics["n_generated_tokens"] += 1
         finished = self._check_finished(slot, first)
-        return [(slot, first, finished)]
+        return ns, [(slot, first, finished)]
 
     def _maybe_shift(self, slot: Slot):
         """StreamingLLM context shift when the slot is about to overflow
