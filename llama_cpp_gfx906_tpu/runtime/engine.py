@@ -205,6 +205,143 @@ class Engine:
         self.perf.n_decode += 1
         return out
 
+    # -- fused multi-token decode (device-side sampling loop) ----------------
+    #
+    # The reference's decode loop round-trips every token through the host
+    # (llama_decode → llama_sampler_sample, tools/main/main.cpp) — cheap over
+    # PCIe, ruinous over a network-tunneled TPU where each step ships a full
+    # (V,) f32 logits row off-chip.  Here a lax.scan runs forward → on-device
+    # sample → feed-back for ``n_steps`` tokens per dispatch; only int32 token
+    # ids leave the device.  Greedy and the hot stochastic samplers
+    # (temp/top-k/top-p/min-p/repeat-penalty) are exact on this path; the
+    # feature-complete host chain (grammar, mirostat, DRY …) stays on
+    # ``generate``.
+
+    def _fused_loop_fn(self):
+        if getattr(self, "_fused_loop", None) is None:
+            from functools import partial as _partial
+
+            fwd = self.family.forward
+
+            @_partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                      donate_argnames=("kv",))
+            def loop(params, cfg, tok0, kv, key, temp, top_k, top_p, min_p,
+                     penalty_repeat, recent, n_steps):
+                from ..ops.sampling_ops import sample_tokens
+
+                def body(carry, key_i):
+                    tok, kv, recent = carry
+                    logits, kv = fwd(params, cfg, tok[:, None], kv, None)
+                    nxt = sample_tokens(
+                        logits[:, 0].astype(jnp.float32), key_i, temp, top_k,
+                        top_p, min_p, penalty_repeat, recent,
+                    )
+                    recent = jnp.concatenate([recent[:, 1:], nxt[:, None]], axis=1)
+                    return (nxt, kv, recent), nxt
+
+                keys = jax.random.split(key, n_steps)
+                (tok, kv, recent), toks = jax.lax.scan(body, (tok0, kv, recent), keys)
+                return toks, kv
+
+            self._fused_loop = loop
+        return self._fused_loop
+
+    def decode_fused(
+        self,
+        token_id: int,
+        n_steps: int = 32,
+        sampler: SamplerParams | None = None,
+        recent_ids: list[int] | None = None,
+        key=None,
+    ) -> list[int]:
+        """Feed ``token_id`` and decode ``n_steps`` tokens in ONE device
+        dispatch (on-device sampling; see class comment above).  Advances the
+        cache by ``n_steps``; returns the sampled token ids."""
+        sp = sampler or SamplerParams(greedy=True)
+        greedy = sp.greedy or sp.temp <= 0
+        B = self.batch_size
+        recent = np.full((B, 64), -1, np.int32)
+        if recent_ids and sp.penalty_repeat != 1.0:
+            tail = list(recent_ids)[-64:]
+            recent[0, -len(tail):] = tail
+        if key is None:
+            seed = sp.seed if sp.seed != 0xFFFFFFFF else 0
+            key = jax.random.PRNGKey(seed)
+        t0 = time.perf_counter()
+        toks, self.kv = self._fused_loop_fn()(
+            self.params, self.cfg,
+            jnp.full((B,), token_id, jnp.int32), self.kv, key,
+            jnp.full((B,), 0.0 if greedy else sp.temp, jnp.float32),
+            jnp.full((B,), 0 if greedy else sp.top_k, jnp.int32),
+            jnp.full((B,), 1.0 if greedy else sp.top_p, jnp.float32),
+            jnp.full((B,), 0.0 if greedy else sp.min_p, jnp.float32),
+            jnp.full((B,), sp.penalty_repeat, jnp.float32),
+            jnp.asarray(recent), n_steps=n_steps,
+        )
+        out = [int(t) for t in np.asarray(toks[:, 0])]
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += n_steps
+        return out
+
+    def generate_fused(
+        self,
+        prompt: str,
+        n_predict: int = 64,
+        sampler: SamplerParams | None = None,
+        stop_on_eog: bool = True,
+        stream_cb=None,
+        chunk: int = 32,
+    ) -> tuple[str, list[int]]:
+        """``generate`` on the fused decode path: one device dispatch per
+        ``chunk`` tokens instead of per token.  EOG is checked on the host
+        between chunks; surplus KV rows past the stop point are rewound."""
+        sp = sampler or SamplerParams(greedy=True)
+        ids = self.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+        if len(ids) + n_predict > self.max_seq:
+            raise ValueError(
+                f"prompt ({len(ids)}) + n_predict ({n_predict}) exceeds max_seq {self.max_seq}"
+            )
+        self.reset()
+        logits = self.prefill(ids)
+        chain = SamplerChain(sp, self.cfg.n_vocab)
+        first = chain.sample(logits, ids)
+        eog = self.tokenizer.vocab.special.eog_ids()
+        out_ids: list[int] = [first]
+        if stop_on_eog and first in eog:
+            return "", []
+        if stream_cb is not None:
+            stream_cb(first)
+        key = jax.random.PRNGKey(sp.seed if sp.seed != 0xFFFFFFFF else 0)
+        while len(out_ids) < n_predict:
+            key, sub = jax.random.split(key)
+            n_before = self.n_past
+            toks = self.decode_fused(
+                out_ids[-1], n_steps=chunk, sampler=sp,
+                recent_ids=ids + out_ids, key=sub,
+            )
+            stop_j = None
+            for j, t in enumerate(toks):
+                if (stop_on_eog and t in eog) or len(out_ids) + j + 1 > n_predict:
+                    stop_j = j
+                    break
+            if stop_j is not None:
+                kept = toks[:stop_j]
+                # feeds consumed: tok0 + kept — rewind the surplus KV rows
+                self.set_n_past(n_before + 1 + len(kept))
+                if stop_on_eog and stop_j < len(toks) and toks[stop_j] in eog:
+                    out_ids.extend(kept)
+                    if stream_cb is not None:
+                        for t in kept:
+                            stream_cb(t)
+                    break
+                toks = kept
+            out_ids.extend(toks)
+            if stream_cb is not None:
+                for t in toks:
+                    stream_cb(t)
+        out_ids = out_ids[:n_predict]
+        return self.tokenizer.detokenize(out_ids), out_ids
+
     # -- adapters (llama_adapter_lora / cvec analogs) -------------------------
 
     def apply_lora_file(self, path: str, scale: float = 1.0):

@@ -135,3 +135,42 @@ def test_quantized_model_close(gguf_path, tmp_path):
     # correlation-style check: top-1 agrees and values are close
     assert int(np.argmax(got)) == int(np.argmax(ref))
     assert np.mean(np.abs(got - ref)) < 0.05 * (np.abs(ref).mean() + 1)
+
+
+def test_fused_decode_matches_generate(gguf_path):
+    """Device-side fused loop (lax.scan forward→sample→feedback) must equal
+    the per-token host loop exactly under greedy sampling — including EOG
+    rewind bookkeeping (Engine.generate_fused)."""
+    path, _ = gguf_path
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    sp = SamplerParams(greedy=True)
+    text, ids = eng.generate("<t1><t2>", n_predict=10, sampler=sp, stop_on_eog=False)
+    text_f, ids_f = eng.generate_fused("<t1><t2>", n_predict=10, sampler=sp,
+                                       stop_on_eog=False, chunk=4)
+    assert ids_f == ids
+    assert text_f == text
+    # n_predict not a multiple of chunk → partial last chunk + rewind
+    _, ids10 = eng.generate_fused("<t1><t2>", n_predict=7, sampler=sp,
+                                  stop_on_eog=False, chunk=4)
+    assert ids10 == ids[:7]
+
+
+def test_decode_fused_advances_cache(gguf_path):
+    """decode_fused(tok, n) advances n_past by n and its tokens match n
+    decode_one steps."""
+    path, _ = gguf_path
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    prompt = [3, 17, 42, 9]
+    logits = eng.prefill(prompt)
+    tok = int(np.argmax(logits))
+    ref = []
+    cur = tok
+    for _ in range(6):
+        logits = eng.decode_one(cur)
+        cur = int(np.argmax(logits))
+        ref.append(cur)
+    eng.reset()
+    eng.prefill(prompt)
+    got = eng.decode_fused(tok, n_steps=6)
+    assert got == ref
+    assert eng.n_past == len(prompt) + 6
