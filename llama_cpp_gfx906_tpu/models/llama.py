@@ -401,11 +401,23 @@ def forward(
             x = x + p["cvec"].astype(x.dtype)
         return (x,), (k_cache_l, v_cache_l)
 
-    scan_xs = (params["layers"], kv.k, kv.v, windows, inv_freq_layers, rope_on,
-               linear_attn)
-    if has_shared:
-        scan_xs = scan_xs + (kv.shared_k, kv.shared_v)
-    (x,), (k_new, v_new) = jax.lax.scan(layer_step, (x,), scan_xs)
+    # single-token decode on supported configs: ONE Pallas kernel for the
+    # whole layer stack (ops/decode_step.py) instead of ~6 launches/layer
+    fused = None
+    if (B == 1 and T == 1 and embeds is None and lora_gain is None
+            and mrope_pos is None and jax.default_backend() == "tpu"):
+        from ..ops.decode_step import _fused_ok, fused_decode_step
+
+        if _fused_ok(params, cfg, kv, B, T):
+            fused = fused_decode_step(params, cfg, x, kv)
+    if fused is not None:
+        x, k_new, v_new = fused
+    else:
+        scan_xs = (params["layers"], kv.k, kv.v, windows, inv_freq_layers,
+                   rope_on, linear_attn)
+        if has_shared:
+            scan_xs = scan_xs + (kv.shared_k, kv.shared_v)
+        (x,), (k_new, v_new) = jax.lax.scan(layer_step, (x,), scan_xs)
 
     if return_hidden != "raw":  # "raw": pipeline mid-stage — no final norm
         x = _norm(x, params["out_norm"], params.get("out_norm_b"), cfg)
