@@ -247,16 +247,18 @@ def main() -> None:
     logits, kv = fwd(params, cfg, prompt, kv)
     tok = jnp.reshape(logits[:, -1].argmax(-1).astype(jnp.int32), (1, 1))
 
-    # warmup: compile + once more for the donated-buffer steady state
+    # warmup: compile + once more for the donated-buffer steady state.
+    # 64-step device loops: the tunnel costs tens of ms per dispatch, so
+    # the loop length sets how much of it leaks into the tok/s number
     for _ in range(2):
-        toks, kv = decode_steps(params, tok, kv, 32)
+        toks, kv = decode_steps(params, tok, kv, 64)
         tok = toks[-1:].reshape(1, 1)
     np.asarray(tok)  # hard sync (block_until_ready is unreliable over axon)
 
-    n_decode = 128
+    n_decode = 256
     t0 = time.perf_counter()
-    for _ in range(n_decode // 32):
-        toks, kv = decode_steps(params, tok, kv, 32)
+    for _ in range(n_decode // 64):
+        toks, kv = decode_steps(params, tok, kv, 64)
         tok = toks[-1:].reshape(1, 1)
     np.asarray(tok)
     dt = time.perf_counter() - t0

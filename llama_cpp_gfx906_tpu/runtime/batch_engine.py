@@ -319,7 +319,27 @@ class BatchedEngine:
             logits, kv = forward(params, cfg, tokens, kv)
             return logits[:, -1].argmax(-1).astype(jnp.int32), kv
 
+        @partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                 donate_argnames=("kv",))
+        def _decode_argmax_scan(params, cfg, tokens, kv, n_steps):
+            """The whole K-token draft proposal in ONE dispatch: greedy
+            feedback stays on device (lax.scan), only the (K, B) token
+            matrix leaves the chip.  Replaces K per-token host round trips
+            — ruinous over the tunnel (reference drafts on-host too, but
+            its device is on PCIe: common_speculative.cpp:270-292)."""
+            def body(carry, _):
+                toks, kv = carry
+                logits, kv = forward(params, cfg, toks, kv)
+                nxt = logits[:, -1].argmax(-1).astype(jnp.int32)
+                return (nxt[:, None], kv), nxt
+
+            (_, kv), drafts = jax.lax.scan(
+                body, (tokens, kv), None, length=n_steps
+            )
+            return drafts, kv  # (K, B)
+
         self._decode_argmax = _decode_argmax
+        self._decode_argmax_scan = _decode_argmax_scan
         self._prefill = _prefill
         self._insert = _insert
         self._decode = _decode
@@ -803,14 +823,13 @@ class BatchedEngine:
             draft_n_past[s.id] = len(self.draft_ctx[s.id])
             cur[s.id, 0] = s.current_token
         dkv = KVCache(self.draft_kv.k, self.draft_kv.v, jnp.asarray(draft_n_past))
-        drafts: dict[int, list[int]] = {s.id: [] for s in active}
-        toks = jnp.asarray(cur)
-        for _ in range(K):
-            nxt, dkv = self._decode_argmax(self.draft_params, self.draft_cfg, toks, dkv)
-            nxt_h = np.asarray(nxt)
-            for s in active:
-                drafts[s.id].append(int(nxt_h[s.id]))
-            toks = nxt.reshape(self.n_slots, 1)
+        drafts_dev, dkv = self._decode_argmax_scan(
+            self.draft_params, self.draft_cfg, jnp.asarray(cur), dkv, n_steps=K
+        )
+        drafts_h = np.asarray(drafts_dev)  # (K, B) — single host sync
+        drafts: dict[int, list[int]] = {
+            s.id: [int(t) for t in drafts_h[:, s.id]] for s in active
+        }
         self.draft_kv = KVCache(dkv.k, dkv.v, n_past=self.draft_kv.n_past)
         for s in active:  # rows now hold hist + drafts[:-1]
             self.draft_ctx[s.id] = (
