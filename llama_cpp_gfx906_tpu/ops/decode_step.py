@@ -17,6 +17,19 @@ GEMV, one persistent kernel per stack); the layer math mirrors
   rms → fused-qkv int8 GEMV → rope → KV insert → GQA attention
       → wo → residual → rms → fused-gateup GEMV → act·mul → down → residual
 
+The KV cache never enters the automatic block pipeline: it stays in HBM
+(aliased in-place) and the kernel (a) writes only the aligned 8-row tile
+holding the new row (a DMA'd read-modify-write — partial HBM tiles can't
+be DMA-written) and
+(b) streams only the LIVE prefix back in as double-buffered BK-row chunks
+with flash-style online-softmax accumulation.  VMEM residency and HBM
+traffic are therefore ∝ ``n_past``, independent of ``max_seq`` — the
+long-context decode asymptotics the reference gets from its cell-count
+bookkeeping (``llama-kv-cache-unified.cpp``), obtained here at the DMA
+level.  The current token's own K/V never round-trips through HBM: its
+attention score is an in-register "self term" folded into the online
+softmax after the streamed chunks.
+
 Scope (``_fused_ok``): B=1, T=1, pre-norm RMS llama family, full-dim rope
 (NORM or NEOX mode), int8-format QuantTensor weights (Q8_0/Q6_K lineage),
 plain bf16/f32 KV cache, no MoE / qk-norm / softcap / SWA / ALiBi / biases.
@@ -50,22 +63,53 @@ def _act_f32(x, act_fn):
     return jax.nn.silu(x)
 
 
-def _kernel(npast_ref, x0_ref, cos_ref, ssig_ref, anorm_ref, fnorm_ref,
+def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
+            anorm_ref, fnorm_ref, qn_ref, kn_ref, pa_ref, pf_ref,
             qkv_q, qkv_s, wo_q, wo_s, gu_q, gu_s, dn_q, dn_s,
             kin_ref, vin_ref,
             xout_ref, kout_ref, vout_ref,
-            *, Hq, Hkv, Dh, F, S, g_qkv, g_o, g_gu, g_dn,
-            scale, eps, act_fn, interleaved):
+            kbuf, vbuf, krow, vrow, ksem, vsem, isem,
+            *, Hq, Hkv, Dh, F, BK, g_qkv, g_o, g_gu, g_dn,
+            scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     l = pl.program_id(0)
     np_ = npast_ref[0]
+    window = win_ref[l]  # sliding window for this layer; <= 0 disables
 
     @pl.when(l == 0)
     def _():
         xout_ref[:] = x0_ref[:]
 
     x = xout_ref[:]  # (1, D) f32 carry, persists across grid steps
+
+    # issue this layer's KV DMAs first so they hide under the qkv GEMV:
+    # the insert's read-modify-write tile and the first streamed chunk
+    base = pl.multiple_of((np_ // 8) * 8, 8)
+    k_tin = pltpu.make_async_copy(kin_ref.at[l, pl.ds(base, 8), :], krow, isem.at[0])
+    v_tin = pltpu.make_async_copy(vin_ref.at[l, pl.ds(base, 8), :], vrow, isem.at[1])
+    k_tin.start()
+    v_tin.start()
+    # live row range: [lo, n_past) — a sliding window drops leading chunks
+    lo = jnp.where(window > 0, jnp.maximum(np_ - window + 1, 0), 0)
+    c0 = lo // BK
+    n_chunks = (np_ + BK - 1) // BK  # ceil(n_past / BK); 0 on first token
+
+    def kdma(slot, i):
+        return pltpu.make_async_copy(
+            kin_ref.at[l, pl.ds(i * BK, BK), :], kbuf.at[slot], ksem.at[slot]
+        )
+
+    def vdma(slot, i):
+        return pltpu.make_async_copy(
+            vin_ref.at[l, pl.ds(i * BK, BK), :], vbuf.at[slot], vsem.at[slot]
+        )
+
+    @pl.when(c0 < n_chunks)
+    def _():
+        kdma(jax.lax.rem(c0, 2), c0).start()
+        vdma(jax.lax.rem(c0, 2), c0).start()
 
     def rms(v, w):
         sc = jax.lax.rsqrt(jnp.mean(v * v, axis=-1, keepdims=True) + eps)
@@ -101,8 +145,11 @@ def _kernel(npast_ref, x0_ref, cos_ref, ssig_ref, anorm_ref, fnorm_ref,
     # returns the activation dtype) so both paths see identical values
     qkv = qkv.astype(jnp.bfloat16).astype(jnp.float32)
 
-    C = cos_ref[:]  # (1, Dh) lane-expanded cos
-    Ss = ssig_ref[:]  # (1, Dh) lane-expanded signed sin
+    # rope tables (2, Dh): row 0 = global base, row 1 = local base (gemma3
+    # SWA layers); static-slice + select avoids a dynamic sublane load
+    use_local = swa_ref[l] > 0
+    C = jnp.where(use_local, cos_ref[1:2, :], cos_ref[0:1, :])  # (1, Dh)
+    Ss = jnp.where(use_local, ssig_ref[1:2, :], ssig_ref[0:1, :])
     half = Dh // 2
 
     def rope1(v):  # (1, Dh) f32 → rotated
@@ -119,58 +166,128 @@ def _kernel(npast_ref, x0_ref, cos_ref, ssig_ref, anorm_ref, fnorm_ref,
 
     Dq = Hq * Dh
     Dkv = Hkv * Dh
-    q_rows = [rope1(qkv[:, i * Dh:(i + 1) * Dh]) for i in range(Hq)]
-    k_rows = [rope1(qkv[:, Dq + i * Dh:Dq + (i + 1) * Dh]) for i in range(Hkv)]
+    if has_qk:  # per-head rms q/k norms BEFORE rope (gemma3/qwen3 style)
+        qn = qn_ref[0].astype(jnp.float32)  # (1, Dh)
+        kn = kn_ref[0].astype(jnp.float32)
+        q_rows = [rope1(rms(qkv[:, i * Dh:(i + 1) * Dh], qn).astype(
+            jnp.bfloat16).astype(jnp.float32)) for i in range(Hq)]
+        k_rows = [rope1(rms(qkv[:, Dq + i * Dh:Dq + (i + 1) * Dh], kn).astype(
+            jnp.bfloat16).astype(jnp.float32)) for i in range(Hkv)]
+    else:
+        q_rows = [rope1(qkv[:, i * Dh:(i + 1) * Dh]) for i in range(Hq)]
+        k_rows = [rope1(qkv[:, Dq + i * Dh:Dq + (i + 1) * Dh])
+                  for i in range(Hkv)]
     v_vec = qkv[:, Dq + Dkv:]
     k_vec = jnp.concatenate(k_rows, axis=-1) if Hkv > 1 else k_rows[0]
 
-    # KV insert at row n_past (ggml_set_rows analog), then attend over the
-    # updated block — matches mha_with_cache's insert-then-mask ordering.
-    # The block is copied through anyway (aliased in/out), so the insert is
-    # a masked select folded into that copy (a lone dynamic sublane store
-    # would need a provable 8-multiple row index, which n_past is not).
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-    kout_ref[0] = jnp.where(row == np_, k_vec.astype(kout_ref.dtype), kin_ref[0])
-    vout_ref[0] = jnp.where(row == np_, v_vec.astype(vout_ref.dtype), vin_ref[0])
+    # KV insert (ggml_set_rows analog): the cache stays in HBM (aliased
+    # in-place) — write ONLY the tile holding the new row and stream only
+    # the LIVE prefix back in, so both VMEM residency and HBM traffic are
+    # ∝ n_past, not max_seq.  DMA cannot write a partial (8, 128) HBM
+    # tile, so the insert is a read-modify-write of the aligned 8-row tile
+    # containing row n_past (a masked select in VMEM, tile read issued at
+    # kernel top); live rows in that tile are rewritten with their
+    # original values, which is benign.  The new row is never read by its
+    # own token (its score is the in-register self term below), so the
+    # writeback can complete lazily.
+    k_tin.wait()
+    v_tin.wait()
+    t_iota = base + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    krow[:] = jnp.where(t_iota == np_, k_vec.astype(krow.dtype), krow[:])
+    vrow[:] = jnp.where(t_iota == np_, v_vec.astype(vrow.dtype), vrow[:])
+    k_ins = pltpu.make_async_copy(krow, kout_ref.at[l, pl.ds(base, 8), :], isem.at[0])
+    v_ins = pltpu.make_async_copy(vrow, vout_ref.at[l, pl.ds(base, 8), :], isem.at[1])
+    k_ins.start()
+    v_ins.start()
 
-    # per-q-head attention: (1, S) score rows keep every intermediate
-    # naturally (1, ·)-shaped (no sublane-offset row extraction, which
-    # Mosaic's concat lowering rejects); M=1 dots pad to the same 8-row
-    # MXU tile a (G, Dh) batch would
+    # flash-style streamed attention over rows [0, n_past): double-buffered
+    # BK-row chunks DMA'd from the HBM cache, per-q-head running (m, l, acc)
     G = Hq // Hkv
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    qb = [q.astype(jnp.bfloat16) for q in q_rows]
+    init = tuple(
+        (jnp.zeros((1, Dh), jnp.float32),  # acc
+         jnp.full((1, 1), NEG_INF, jnp.float32),  # running max
+         jnp.zeros((1, 1), jnp.float32))  # denominator
+        for _ in range(Hq)
+    )
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BK), 1)
+
+    def chunk_body(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            kdma(1 - slot, i + 1).start()
+            vdma(1 - slot, i + 1).start()
+
+        kdma(slot, i).wait()
+        vdma(slot, i).wait()
+        kc = kbuf[slot]  # (BK, Hkv·Dh)
+        vc = vbuf[slot]
+        rows = i * BK + c_iota
+        live = (rows >= lo) & (rows < np_)  # (1, BK); lo applies the window
+        out = []
+        for h_i in range(Hkv):
+            kch = kc[:, h_i * Dh:(h_i + 1) * Dh]  # (BK, Dh)
+            vch = vc[:, h_i * Dh:(h_i + 1) * Dh]
+            for g_i in range(G):
+                qi = h_i * G + g_i
+                acc, m, den = carry[qi]
+                sc = jax.lax.dot_general(
+                    qb[qi], kch, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # (1, BK)
+                sc = jnp.where(live, sc, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                p = jnp.exp(sc - m_new)
+                alpha = jnp.exp(m - m_new)
+                den = den * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vch, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (1, Dh)
+                out.append((acc * alpha + pv, m_new, den))
+        return tuple(out)
+
+    carry = jax.lax.fori_loop(c0, n_chunks, chunk_body, init)
+
+    # self term: the current token's own K/V (held in registers), then the
+    # normalized output row feeds its wo slice (flatten-free attn @ wo)
     attn_out = jnp.zeros((1, wo_q.shape[2]), jnp.float32)
+    kb = k_vec.astype(jnp.bfloat16).astype(jnp.float32)
+    vb = v_vec.astype(jnp.bfloat16).astype(jnp.float32)
     for h_i in range(Hkv):
-        kc = kout_ref[0, :, h_i * Dh:(h_i + 1) * Dh]  # (S, Dh)
-        vc = vout_ref[0, :, h_i * Dh:(h_i + 1) * Dh]
+        k_h = kb[:, h_i * Dh:(h_i + 1) * Dh]
+        v_h = vb[:, h_i * Dh:(h_i + 1) * Dh]
         for g_i in range(G):
-            i = h_i * G + g_i
-            sc = jax.lax.dot_general(
-                q_rows[i].astype(jnp.bfloat16), kc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # (1, S)
-            sc = jnp.where(s_iota <= np_, sc, NEG_INF)
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp(sc - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            o_row = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, Dh)
-            # wo contribution of this head: rows [i·Dh, (i+1)·Dh) — the
-            # flatten-free equivalent of attn_flat @ wo
-            qs = wo_q[0, i * Dh:(i + 1) * Dh, :]
+            qi = h_i * G + g_i
+            acc, m, den = carry[qi]
+            s_self = jnp.sum(
+                qb[qi].astype(jnp.float32) * k_h, axis=-1, keepdims=True
+            ) * scale  # (1, 1)
+            m_new = jnp.maximum(m, s_self)
+            p = jnp.exp(s_self - m_new)
+            alpha = jnp.exp(m - m_new)
+            den = den * alpha + p
+            o_row = (acc * alpha + p * v_h) / den  # (1, Dh)
+            qs = wo_q[0, qi * Dh:(qi + 1) * Dh, :]
             sg = jnp.repeat(
-                wo_s[0, i * Dh // g_o:(i + 1) * Dh // g_o, :], g_o, axis=0
+                wo_s[0, qi * Dh // g_o:(qi + 1) * Dh // g_o, :], g_o, axis=0
             )
             w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
             attn_out = attn_out + jax.lax.dot(
                 o_row.astype(jnp.bfloat16), w,
                 preferred_element_type=jnp.float32,
             )
+    k_ins.wait()
+    v_ins.wait()
     # mirror the scanned path's dtype walk: attn and mlp round to bf16
     # before joining the bf16 residual stream
-    x = (x.astype(jnp.bfloat16) + attn_out.astype(jnp.bfloat16)).astype(jnp.float32)
+    attn_b = attn_out.astype(jnp.bfloat16)
+    if has_post:  # gemma-style post-attention norm (before the residual)
+        attn_b = rms(attn_b.astype(jnp.float32),
+                     pa_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    x = (x.astype(jnp.bfloat16) + attn_b).astype(jnp.float32)
 
     # ---- MLP ---------------------------------------------------------------
     h2 = rms(x, fnorm_ref[0].astype(jnp.float32))
@@ -179,7 +296,11 @@ def _kernel(npast_ref, x0_ref, cos_ref, ssig_ref, anorm_ref, fnorm_ref,
     u_b = gu[:, F:].astype(jnp.bfloat16)
     y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16) * u_b)
     mlp = qdot(y, dn_q, dn_s, g_dn)
-    x = (x.astype(jnp.bfloat16) + mlp.astype(jnp.bfloat16)).astype(jnp.float32)
+    mlp_b = mlp.astype(jnp.bfloat16)
+    if has_post:
+        mlp_b = rms(mlp_b.astype(jnp.float32),
+                    pf_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    x = (x.astype(jnp.bfloat16) + mlp_b).astype(jnp.float32)
 
     xout_ref[:] = x
 
@@ -199,8 +320,6 @@ def _fused_ok(params, cfg, kv, B: int, T: int) -> bool:
         return False
     if not isinstance(kv.k, jnp.ndarray):  # QuantKV cache
         return False
-    if kv.k.shape[2] > 4096:  # long max_seq: flash_decode's live-block
-        return False          # indexing has the right asymptotics instead
     p = params["layers"]
     if not all(k in p for k in ("wqkv_fused", "wgateup_fused", "wo", "w_down",
                                 "attn_norm", "ffn_norm")):
@@ -209,19 +328,32 @@ def _fused_ok(params, cfg, kv, B: int, T: int) -> bool:
                                         "w_down")):
         return False
     blocked = ("bqkv_fused", "bo", "b_down", "moe_gate_inp", "ffn_norm_exps",
-               "attn_sub_norm", "post_attn_norm", "post_ffn_norm", "sinks",
-               "q_norm", "k_norm", "cvec", "attn_norm_b", "ffn_norm_b")
+               "attn_sub_norm", "sinks", "cvec", "attn_norm_b", "ffn_norm_b",
+               "q_norm_b", "k_norm_b")
     if any(k in p for k in blocked) or any(k.endswith("_lora_a") for k in p):
         return False
+    if cfg.qk_norm:  # per-head rms q/k norms supported (gemma3/qwen3 style)
+        if (cfg.qk_norm_layer or cfg.qk_norm_after_rope
+                or "q_norm" not in p or "k_norm" not in p
+                or p["q_norm"].ndim != 2 or p["q_norm"].shape[1] != cfg.head_dim):
+            return False
+    elif "q_norm" in p or "k_norm" in p:
+        return False
+    if cfg.post_attn_norm or cfg.post_ffn_norm:  # gemma post norms
+        if not ("post_attn_norm" in p and "post_ffn_norm" in p
+                and cfg.post_attn_norm and cfg.post_ffn_norm):
+            return False
+    elif "post_attn_norm" in p or "post_ffn_norm" in p:
+        return False
+    if any(cfg.swa_layers) and cfg.sliding_window <= 0:
+        return False
     if not (cfg.pre_norm and cfg.norm_type == "rms" and cfg.pos_emb == "rope"
-            and not cfg.mrope_sections and cfg.rope_local_base <= 0
-            and not any(cfg.swa_layers) and all(cfg.rope_layers)
+            and not cfg.mrope_sections and all(cfg.rope_layers)
             and not cfg.attn_linear_layers and not cfg.alibi
-            and cfg.clamp_kqv <= 0 and not cfg.qk_norm and not cfg.qk_norm_full
+            and cfg.clamp_kqv <= 0 and not cfg.qk_norm_full
             and not cfg.qk_norm_l2 and cfg.attn_temp_scale <= 0
             and cfg.attn_logit_softcap <= 0 and not cfg.parallel_residual
             and cfg.residual_scale == 1.0 and cfg.ffn_gated
-            and cfg.embedding_scale == 1.0
             and cfg.act_fn in ("silu", "gelu", "gelu_tanh", "gelu_erf")):
         return False
     D, Dh, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
@@ -257,16 +389,42 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
 
     x0 = x.reshape(1, D).astype(jnp.float32)
 
-    inv_freq = jnp.asarray(rope_frequencies(cfg), jnp.float32)  # (Dh/2,)
-    ang = kv.n_past[0].astype(jnp.float32) * inv_freq
-    c, s = jnp.cos(ang), jnp.sin(ang)
-    if cfg.rope_interleaved:
-        C = jnp.repeat(c, 2)[None, :]
-        sign = jnp.where(jnp.arange(Dh) % 2 == 0, -1.0, 1.0)
-        Ss = jnp.repeat(s, 2)[None, :] * sign
+    def rope_rows(inv_freq):  # lane-expanded (Dh,) cos / signed-sin rows
+        ang = kv.n_past[0].astype(jnp.float32) * inv_freq
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        if cfg.rope_interleaved:
+            sign = jnp.where(jnp.arange(Dh) % 2 == 0, -1.0, 1.0)
+            return jnp.repeat(c, 2), jnp.repeat(s, 2) * sign
+        return jnp.concatenate([c, c]), jnp.concatenate([-s, s])
+
+    c_g, s_g = rope_rows(jnp.asarray(rope_frequencies(cfg), jnp.float32))
+    if cfg.rope_local_base > 0:  # gemma3 SWA layers rotate with local base
+        from ..gguf.constants import RopeScalingType
+
+        local_cfg = cfg.with_(rope_base=cfg.rope_local_base,
+                              rope_scaling=RopeScalingType.NONE)
+        c_l, s_l = rope_rows(jnp.asarray(rope_frequencies(local_cfg),
+                                         jnp.float32))
     else:
-        C = jnp.concatenate([c, c])[None, :]
-        Ss = jnp.concatenate([-s, s])[None, :]
+        c_l, s_l = c_g, s_g
+    C = jnp.stack([c_g, c_l])  # (2, Dh): row 0 global, row 1 local
+    Ss = jnp.stack([s_g, s_l])
+
+    import numpy as _np
+
+    windows = jnp.asarray(
+        [cfg.sliding_window if w else 0 for w in cfg.swa_layers], jnp.int32)
+    swa_flags = jnp.asarray(_np.asarray(cfg.swa_layers, _np.int32))
+    has_qk = bool(cfg.qk_norm)
+    has_post = bool(cfg.post_attn_norm)
+    qn = (p["q_norm"].astype(jnp.float32).reshape(L, 1, Dh) if has_qk
+          else jnp.zeros((L, 1, Dh), jnp.float32))
+    kn = (p["k_norm"].astype(jnp.float32).reshape(L, 1, Dh) if has_qk
+          else jnp.zeros((L, 1, Dh), jnp.float32))
+    pa = (p["post_attn_norm"].astype(jnp.float32).reshape(L, 1, D) if has_post
+          else jnp.zeros((L, 1, D), jnp.float32))
+    pf = (p["post_ffn_norm"].astype(jnp.float32).reshape(L, 1, D) if has_post
+          else jnp.zeros((L, 1, D), jnp.float32))
 
     k3 = kv.k.reshape(L, S, HD)
     v3 = kv.v.reshape(L, S, HD)
@@ -274,11 +432,13 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
     gu_qt, dn_qt = p["wgateup_fused"], p["w_down"]
     Nqkv = qkv_qt.q.shape[-1]
 
+    BK = next(t for t in (512, 256, 128) if S % t == 0)
     kern = functools.partial(
-        _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, S=S,
+        _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK,
         g_qkv=qkv_qt.group, g_o=wo_qt.group, g_gu=gu_qt.group,
         g_dn=dn_qt.group, scale=float(scale), eps=float(cfg.rms_eps),
         act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
+        has_qk=has_qk, has_post=has_post,
     )
 
     def wspec(arr):  # per-layer weight block (1, K, N)
@@ -294,43 +454,61 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
         grid=(L,),
         in_specs=[
             pl.BlockSpec((1,), lambda l: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L,), lambda l: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L,), lambda l: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dh), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dh), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Dh), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Dh), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             wspec(qkv_qt.q), wspec(qkv_qt.s),
             wspec(wo_qt.q), wspec(wo_qt.s),
             wspec(gu_qt.q), wspec(gu_qt.s),
             wspec(dn_qt.q), wspec(dn_qt.s),
-            pl.BlockSpec((1, S, HD), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, HD), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            # KV stays in HBM: the kernel streams live BK-row chunks and
+            # writes only the new row (manual DMA, see kernel)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, HD), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, HD), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((L, S, HD), k3.dtype),
             jax.ShapeDtypeStruct((L, S, HD), v3.dtype),
         ],
-        input_output_aliases={14: 1, 15: 2},
+        input_output_aliases={20: 1, 21: 2},
+        scratch_shapes=[
+            pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf (double-buffered)
+            pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
+            pltpu.VMEM((8, HD), k3.dtype),  # krow (insert RMW tile)
+            pltpu.VMEM((8, HD), v3.dtype),  # vrow
+            pltpu.SemaphoreType.DMA((2,)),  # ksem
+            pltpu.SemaphoreType.DMA((2,)),  # vsem
+            pltpu.SemaphoreType.DMA((2,)),  # isem (row inserts)
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=w_bytes + 4 * L * S * HD * k3.dtype.itemsize,
+            bytes_accessed=w_bytes + 2 * L * S * HD * k3.dtype.itemsize,
             transcendentals=L * (2 * F + Hq * S),
         ),
         interpret=interpret,
     )(
-        kv.n_past.astype(jnp.int32), x0, C.astype(jnp.float32),
-        Ss.astype(jnp.float32),
+        kv.n_past.astype(jnp.int32), windows, swa_flags, x0,
+        C.astype(jnp.float32), Ss.astype(jnp.float32),
         p["attn_norm"].astype(jnp.float32).reshape(L, 1, D),
         p["ffn_norm"].astype(jnp.float32).reshape(L, 1, D),
+        qn, kn, pa, pf,
         qkv_qt.q, qkv_qt.s, wo_qt.q, wo_qt.s,
         gu_qt.q, gu_qt.s, dn_qt.q, dn_qt.s,
         k3, v3,

@@ -16,7 +16,7 @@ from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
 from llama_cpp_gfx906_tpu.ops.decode_step import _fused_ok, fused_decode_step
 from llama_cpp_gfx906_tpu.runtime.weights import fuse_projections
 
-L, D, HQ, HKV, DH, F, V, S = 3, 128, 2, 1, 128, 256, 64, 128
+L, D, HQ, HKV, DH, F, V, S = 3, 128, 2, 1, 128, 256, 64, 256
 
 
 def make_cfg(**kw):
@@ -56,8 +56,12 @@ def make_params(rng):
     }
 
 
-@pytest.mark.parametrize("interleaved", [True, False])
-def test_fused_matches_scan(interleaved):
+@pytest.mark.parametrize("interleaved,n_prompt", [
+    (True, 7),     # n_past < one KV chunk (BK=128): self-term + 1 chunk
+    (False, 7),
+    (True, 135),   # n_past crosses a chunk boundary: 2-chunk stream loop
+])
+def test_fused_matches_scan(interleaved, n_prompt):
     rng = np.random.default_rng(3)
     cfg = make_cfg(rope_interleaved=interleaved)
     params = make_params(rng)
@@ -65,7 +69,7 @@ def test_fused_matches_scan(interleaved):
     assert _fused_ok(params, cfg, kv, 1, 1)
 
     # prefill via the scanned path, then decode with BOTH paths in lockstep
-    prompt = jnp.asarray([list(rng.integers(0, V, 7))], jnp.int32)
+    prompt = jnp.asarray([list(rng.integers(0, V, n_prompt))], jnp.int32)
     _, kv = forward(params, cfg, prompt, kv)
     kv_f = KVCache(k=kv.k, v=kv.v, n_past=kv.n_past)
 
@@ -110,3 +114,113 @@ def test_gate_rejects_unsupported():
     assert not _fused_ok(params, make_cfg(), kv, 2, 1)  # batch
     qkv = KVCache.create(make_cfg(), batch=1, max_seq=S, dtype="q8")
     assert not _fused_ok(params, make_cfg(), qkv, 1, 1)
+
+
+def test_fused_gemma3_features():
+    """qk-norms + post norms + per-layer SWA windows + local rope — the
+    gemma3 decode configuration (llm_build_gemma3_iswa analog)."""
+    rng = np.random.default_rng(9)
+    cfg = make_cfg(
+        rope_interleaved=True, qk_norm=True, post_attn_norm=True,
+        post_ffn_norm=True, sliding_window=16, swa_pattern=2,
+        rope_local_base=10000.0, rope_base=1000000.0,
+    )
+    params = make_params(rng)
+    layers = dict(params["layers"])
+    layers["q_norm"] = jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal((L, DH)), jnp.float32)
+    layers["k_norm"] = jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal((L, DH)), jnp.float32)
+    layers["post_attn_norm"] = jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal((L, D)), jnp.float32)
+    layers["post_ffn_norm"] = jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal((L, D)), jnp.float32)
+    params = dict(params, layers=layers)
+    kv = KVCache.create(cfg, batch=1, max_seq=S, dtype=jnp.bfloat16)
+    assert _fused_ok(params, cfg, kv, 1, 1)
+
+    # prefill long enough that SWA layers actually window (window 16 < 40)
+    prompt = jnp.asarray([list(rng.integers(0, V, 40))], jnp.int32)
+    _, kv = forward(params, cfg, prompt, kv)
+    kv_f = KVCache(k=kv.k, v=kv.v, n_past=kv.n_past)
+
+    from llama_cpp_gfx906_tpu.ops.norms import rms_norm
+    from llama_cpp_gfx906_tpu.ops.quant_matmul import linear
+
+    tok = jnp.asarray([[5]], jnp.int32)
+    for _ in range(3):
+        logits_ref, kv = forward(params, cfg, tok, kv)
+        x = params["tok_emb"][tok]
+        x2, k_new, v_new = fused_decode_step(params, cfg, x, kv_f,
+                                             interpret=True)
+        kv_f = KVCache(k=k_new, v=v_new, n_past=kv_f.n_past + 1)
+        hid = rms_norm(x2, params["out_norm"], cfg.rms_eps)
+        logits = linear(hid, params["lm_head"]).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(logits[0, 0]), np.asarray(logits_ref[0, 0]),
+            rtol=2e-2, atol=2e-2,
+        )
+        assert int(np.argmax(logits)) == int(np.argmax(logits_ref))
+        tok = jnp.asarray([[int(np.argmax(logits_ref))]], jnp.int32)
+
+
+def test_fused_eligible_for_real_gemma3_gguf(tmp_path):
+    """A Q8_0-converted gemma3 checkpoint (the reference's benchmark model
+    family) must pass the megakernel gate through the REAL loader path —
+    guards loader/gate drift (fused projections, norm dtypes, cache type).
+    Decode parity vs the scanned path on the loaded params."""
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+    from llama_cpp_gfx906_tpu.runtime.engine import Engine
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_gemma
+
+    def dummy_vocab():
+        n = 96
+        return {
+            "model": "llama",
+            "tokens": ["<s>", "</s>", "<unk>"] + [f"<t{i}>" for i in range(n - 3)],
+            "scores": [0.0] * n,
+            "token_types": [3, 3, 2] + [4] * (n - 3), "bos": 0, "eos": 1,
+        }
+
+    torch.manual_seed(12)
+    hf = Gemma3ForCausalLM(Gemma3TextConfig(
+        vocab_size=96, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, query_pre_attn_scalar=128, sliding_window=16,
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        rope_scaling=None,
+    )).eval()
+    path = str(tmp_path / "tiny-gemma3-q8.gguf")
+    convert_hf_gemma(hf, dummy_vocab(), path, quant_type=GGMLType.Q8_0,
+                     arch="gemma3")
+    eng = Engine.from_gguf(path, max_seq=256, dtype=jnp.bfloat16)
+    assert _fused_ok(eng.params, eng.cfg, eng.kv, 1, 1)
+
+    ids = [3, 17, 42, 9, 88, 5, 63, 21] * 3
+    eng.prefill(ids)
+    kv_f = KVCache(k=eng.kv.k, v=eng.kv.v, n_past=eng.kv.n_past)
+
+    from llama_cpp_gfx906_tpu.ops.norms import rms_norm
+    from llama_cpp_gfx906_tpu.ops.quant_matmul import linear
+
+    tok = jnp.asarray([[5]], jnp.int32)
+    for _ in range(2):
+        logits_ref, kv_ref = forward(eng.params, eng.cfg, tok, eng.kv)
+        eng.kv = kv_ref
+        x = eng.params["tok_emb"][tok]
+        if eng.cfg.embedding_scale != 1.0:
+            x = (x.astype(jnp.float32) * eng.cfg.embedding_scale).astype(x.dtype)
+        x2, k_new, v_new = fused_decode_step(eng.params, eng.cfg, x, kv_f,
+                                             interpret=True)
+        kv_f = KVCache(k=k_new, v=v_new, n_past=kv_f.n_past + 1)
+        hid = rms_norm(x2, eng.params["out_norm"], eng.cfg.rms_eps)
+        logits = linear(hid, eng.params["lm_head"]).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(logits[0, 0]), np.asarray(logits_ref[0, 0]),
+            rtol=4e-2, atol=4e-2,
+        )
+        assert int(np.argmax(logits)) == int(np.argmax(logits_ref))
+        tok = jnp.asarray([[int(np.argmax(logits_ref))]], jnp.int32)
