@@ -402,9 +402,10 @@ def forward(
         return (x,), (k_cache_l, v_cache_l)
 
     # single-token decode on supported configs: ONE Pallas kernel for the
-    # whole layer stack (ops/decode_step.py) instead of ~6 launches/layer
+    # whole layer stack (ops/decode_step.py) instead of ~6 launches/layer;
+    # covers batched server decode up to 8 slots
     fused = None
-    if (B == 1 and T == 1 and embeds is None and lora_gain is None
+    if (T == 1 and embeds is None and lora_gain is None
             and mrope_pos is None and jax.default_backend() == "tpu"):
         from ..ops.decode_step import _fused_ok, fused_decode_step
 

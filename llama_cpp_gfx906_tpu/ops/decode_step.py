@@ -69,54 +69,51 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             kin_ref, vin_ref,
             xout_ref, kout_ref, vout_ref,
             kbuf, vbuf, krow, vrow, ksem, vsem, isem,
-            *, Hq, Hkv, Dh, F, BK, g_qkv, g_o, g_gu, g_dn,
+            *, B, Hq, Hkv, Dh, F, BK, g_qkv, g_o, g_gu, g_dn,
             scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     l = pl.program_id(0)
-    np_ = npast_ref[0]
     window = win_ref[l]  # sliding window for this layer; <= 0 disables
 
     @pl.when(l == 0)
     def _():
         xout_ref[:] = x0_ref[:]
 
-    x = xout_ref[:]  # (1, D) f32 carry, persists across grid steps
+    x = xout_ref[:]  # (B, D) f32 carry, persists across grid steps
 
-    # issue this layer's KV DMAs first so they hide under the qkv GEMV:
-    # the insert's read-modify-write tile and the first streamed chunk
-    base = pl.multiple_of((np_ // 8) * 8, 8)
-    k_tin = pltpu.make_async_copy(kin_ref.at[l, pl.ds(base, 8), :], krow, isem.at[0])
-    v_tin = pltpu.make_async_copy(vin_ref.at[l, pl.ds(base, 8), :], vrow, isem.at[1])
-    k_tin.start()
-    v_tin.start()
-    # live row range: [lo, n_past) — a sliding window drops leading chunks
-    lo = jnp.where(window > 0, jnp.maximum(np_ - window + 1, 0), 0)
-    c0 = lo // BK
-    n_chunks = (np_ + BK - 1) // BK  # ceil(n_past / BK); 0 on first token
+    np_b = [npast_ref[b] for b in range(B)]
+    bases = [pl.multiple_of((np_b[b] // 8) * 8, 8) for b in range(B)]
 
-    def kdma(slot, i):
-        return pltpu.make_async_copy(
-            kin_ref.at[l, pl.ds(i * BK, BK), :], kbuf.at[slot], ksem.at[slot]
-        )
+    # issue every slot's insert-tile read at kernel top so the DMA latency
+    # hides under the qkv GEMV
+    k_tins, v_tins = [], []
+    for b in range(B):
+        kt = pltpu.make_async_copy(
+            kin_ref.at[l, b, pl.ds(bases[b], 8), :],
+            krow.at[pl.ds(b * 8, 8)], isem.at[0, b])
+        vt = pltpu.make_async_copy(
+            vin_ref.at[l, b, pl.ds(bases[b], 8), :],
+            vrow.at[pl.ds(b * 8, 8)], isem.at[1, b])
+        kt.start()
+        vt.start()
+        k_tins.append(kt)
+        v_tins.append(vt)
 
-    def vdma(slot, i):
-        return pltpu.make_async_copy(
-            vin_ref.at[l, pl.ds(i * BK, BK), :], vbuf.at[slot], vsem.at[slot]
-        )
-
-    @pl.when(c0 < n_chunks)
-    def _():
-        kdma(jax.lax.rem(c0, 2), c0).start()
-        vdma(jax.lax.rem(c0, 2), c0).start()
+    def row(mat, b):  # extract row b of (B, X) without sublane-offset slices
+        if B == 1:
+            return mat
+        sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == b
+        return jnp.sum(jnp.where(sel, mat, jnp.zeros_like(mat)),
+                       axis=0, keepdims=True)
 
     def rms(v, w):
         sc = jax.lax.rsqrt(jnp.mean(v * v, axis=-1, keepdims=True) + eps)
         return v * sc * w
 
     def qdot(xb, qref, sref, g):
-        """(1, K) bf16 @ int8 (1, K, N) with per-g scales → (1, N) f32.
+        """(B, K) bf16 @ int8 (1, K, N) with per-g scales → (B, N) f32.
 
         Chunked so the dequantized bf16 temp stays small (VMEM budget)."""
         K, N = qref.shape[1], qref.shape[2]
@@ -124,7 +121,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         TK = next((t for t in _TK_CAPS if K % t == 0 and t % g == 0), K)
         outs = []
         for j0 in range(0, N, TN):
-            acc = jnp.zeros((1, TN), jnp.float32)
+            acc = jnp.zeros((xb.shape[0], TN), jnp.float32)
             for k0 in range(0, K, TK):
                 qs = qref[0, k0:k0 + TK, j0:j0 + TN]
                 sg = jnp.repeat(
@@ -140,25 +137,23 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     # ---- attention ---------------------------------------------------------
     h = rms(x, anorm_ref[0].astype(jnp.float32))
     hb = h.astype(jnp.bfloat16)
-    qkv = qdot(hb, qkv_q, qkv_s, g_qkv)  # (1, Dq + 2·Dkv)
+    qkv = qdot(hb, qkv_q, qkv_s, g_qkv)  # (B, Dq + 2·Dkv)
     # round through bf16 exactly where the scanned path does (linear()
     # returns the activation dtype) so both paths see identical values
     qkv = qkv.astype(jnp.bfloat16).astype(jnp.float32)
 
-    # rope tables (2, Dh): row 0 = global base, row 1 = local base (gemma3
-    # SWA layers); static-slice + select avoids a dynamic sublane load
+    # rope tables (2, B, Dh): row 0 = global base, row 1 = local base
+    # (gemma3 SWA layers); static-slice + select, per-slot positions
     use_local = swa_ref[l] > 0
-    C = jnp.where(use_local, cos_ref[1:2, :], cos_ref[0:1, :])  # (1, Dh)
-    Ss = jnp.where(use_local, ssig_ref[1:2, :], ssig_ref[0:1, :])
+    C = jnp.where(use_local, cos_ref[1], cos_ref[0])  # (B, Dh)
+    Ss = jnp.where(use_local, ssig_ref[1], ssig_ref[0])
     half = Dh // 2
 
-    def rope1(v):  # (1, Dh) f32 → rotated
-        from jax.experimental.pallas import tpu as pltpu
-
+    def rope1(v):  # (B, Dh) f32 → rotated (rowwise, per-slot tables)
         if interleaved:  # ggml NORM mode: pairs (2i, 2i+1)
             xl = pltpu.roll(v, Dh - 1, 1)  # lane i ← lane i+1 (mod Dh)
             xr = pltpu.roll(v, 1, 1)  # lane i ← lane i-1
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, Dh), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
             partner = jnp.where(lane % 2 == 0, xl, xr)
         else:  # NEOX mode: pairs (i, i + Dh/2)
             partner = pltpu.roll(v, half, 1)
@@ -177,110 +172,145 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         q_rows = [rope1(qkv[:, i * Dh:(i + 1) * Dh]) for i in range(Hq)]
         k_rows = [rope1(qkv[:, Dq + i * Dh:Dq + (i + 1) * Dh])
                   for i in range(Hkv)]
-    v_vec = qkv[:, Dq + Dkv:]
+    v_vec = qkv[:, Dq + Dkv:]  # (B, Hkv·Dh)
     k_vec = jnp.concatenate(k_rows, axis=-1) if Hkv > 1 else k_rows[0]
 
     # KV insert (ggml_set_rows analog): the cache stays in HBM (aliased
-    # in-place) — write ONLY the tile holding the new row and stream only
-    # the LIVE prefix back in, so both VMEM residency and HBM traffic are
-    # ∝ n_past, not max_seq.  DMA cannot write a partial (8, 128) HBM
-    # tile, so the insert is a read-modify-write of the aligned 8-row tile
-    # containing row n_past (a masked select in VMEM, tile read issued at
-    # kernel top); live rows in that tile are rewritten with their
-    # original values, which is benign.  The new row is never read by its
-    # own token (its score is the in-register self term below), so the
-    # writeback can complete lazily.
-    k_tin.wait()
-    v_tin.wait()
-    t_iota = base + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    krow[:] = jnp.where(t_iota == np_, k_vec.astype(krow.dtype), krow[:])
-    vrow[:] = jnp.where(t_iota == np_, v_vec.astype(vrow.dtype), vrow[:])
-    k_ins = pltpu.make_async_copy(krow, kout_ref.at[l, pl.ds(base, 8), :], isem.at[0])
-    v_ins = pltpu.make_async_copy(vrow, vout_ref.at[l, pl.ds(base, 8), :], isem.at[1])
-    k_ins.start()
-    v_ins.start()
-
-    # flash-style streamed attention over rows [0, n_past): double-buffered
-    # BK-row chunks DMA'd from the HBM cache, per-q-head running (m, l, acc)
+    # in-place) — write ONLY the aligned 8-row tile holding each slot's new
+    # row and stream only the LIVE prefix back in, so VMEM residency and
+    # HBM traffic are ∝ n_past, not max_seq.  DMA cannot write a partial
+    # (8, 128) HBM tile, so the insert is a read-modify-write (masked
+    # select in VMEM; live rows rewritten with their original values,
+    # which is benign).  The new row is never read by its own token (its
+    # score is the in-register self term), so the writeback is lazy.
     G = Hq // Hkv
-    qb = [q.astype(jnp.bfloat16) for q in q_rows]
-    init = tuple(
-        (jnp.zeros((1, Dh), jnp.float32),  # acc
-         jnp.full((1, 1), NEG_INF, jnp.float32),  # running max
-         jnp.zeros((1, 1), jnp.float32))  # denominator
-        for _ in range(Hq)
-    )
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BK), 1)
+    t8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    attn_slot_rows = []
+    ins_dmas = []
+    for b in range(B):
+        np_ = np_b[b]
+        lo = jnp.where(window > 0, jnp.maximum(np_ - window + 1, 0), 0)
+        c0 = lo // BK
+        n_chunks = (np_ + BK - 1) // BK  # ceil; 0 on a slot's first token
 
-    def chunk_body(i, carry):
-        slot = jax.lax.rem(i, 2)
+        kvk_b = row(k_vec, b)
+        kvv_b = row(v_vec, b)
+        k_tins[b].wait()
+        v_tins[b].wait()
+        t_iota = bases[b] + t8
+        krow[b * 8:(b + 1) * 8] = jnp.where(
+            t_iota == np_, kvk_b.astype(krow.dtype), krow[b * 8:(b + 1) * 8])
+        vrow[b * 8:(b + 1) * 8] = jnp.where(
+            t_iota == np_, kvv_b.astype(vrow.dtype), vrow[b * 8:(b + 1) * 8])
+        k_ins = pltpu.make_async_copy(
+            krow.at[pl.ds(b * 8, 8)],
+            kout_ref.at[l, b, pl.ds(bases[b], 8), :], isem.at[0, b])
+        v_ins = pltpu.make_async_copy(
+            vrow.at[pl.ds(b * 8, 8)],
+            vout_ref.at[l, b, pl.ds(bases[b], 8), :], isem.at[1, b])
+        k_ins.start()
+        v_ins.start()
+        ins_dmas += [k_ins, v_ins]
 
-        @pl.when(i + 1 < n_chunks)
+        # flash-style streamed attention over this slot's live rows:
+        # double-buffered BK-row chunks, per-q-head running (m, l, acc)
+        def kdma(slot, i, b=b):
+            return pltpu.make_async_copy(
+                kin_ref.at[l, b, pl.ds(i * BK, BK), :],
+                kbuf.at[slot], ksem.at[slot])
+
+        def vdma(slot, i, b=b):
+            return pltpu.make_async_copy(
+                vin_ref.at[l, b, pl.ds(i * BK, BK), :],
+                vbuf.at[slot], vsem.at[slot])
+
+        @pl.when(c0 < n_chunks)
         def _():
-            kdma(1 - slot, i + 1).start()
-            vdma(1 - slot, i + 1).start()
+            kdma(jax.lax.rem(c0, 2), c0).start()
+            vdma(jax.lax.rem(c0, 2), c0).start()
 
-        kdma(slot, i).wait()
-        vdma(slot, i).wait()
-        kc = kbuf[slot]  # (BK, Hkv·Dh)
-        vc = vbuf[slot]
-        rows = i * BK + c_iota
-        live = (rows >= lo) & (rows < np_)  # (1, BK); lo applies the window
-        out = []
+        qbs = [row(q_rows[i], b).astype(jnp.bfloat16) for i in range(Hq)]
+        init = tuple(
+            (jnp.zeros((1, Dh), jnp.float32),  # acc
+             jnp.full((1, 1), NEG_INF, jnp.float32),  # running max
+             jnp.zeros((1, 1), jnp.float32))  # denominator
+            for _ in range(Hq)
+        )
+
+        def chunk_body(i, carry, np_=np_, lo=lo, n_chunks=n_chunks,
+                       kdma=kdma, vdma=vdma, qbs=qbs):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                kdma(1 - slot, i + 1).start()
+                vdma(1 - slot, i + 1).start()
+
+            kdma(slot, i).wait()
+            vdma(slot, i).wait()
+            kc = kbuf[slot]  # (BK, Hkv·Dh)
+            vc = vbuf[slot]
+            rows = i * BK + c_iota
+            live = (rows >= lo) & (rows < np_)  # (1, BK)
+            out = []
+            for h_i in range(Hkv):
+                kch = kc[:, h_i * Dh:(h_i + 1) * Dh]  # (BK, Dh)
+                vch = vc[:, h_i * Dh:(h_i + 1) * Dh]
+                for g_i in range(G):
+                    qi = h_i * G + g_i
+                    acc, m, den = carry[qi]
+                    sc = jax.lax.dot_general(
+                        qbs[qi], kch, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale  # (1, BK)
+                    sc = jnp.where(live, sc, NEG_INF)
+                    m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                    p = jnp.exp(sc - m_new)
+                    alpha = jnp.exp(m - m_new)
+                    den = den * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p.astype(jnp.bfloat16), vch, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, Dh)
+                    out.append((acc * alpha + pv, m_new, den))
+            return tuple(out)
+
+        carry = jax.lax.fori_loop(c0, n_chunks, chunk_body, init)
+
+        # self term: the slot's own K/V (in registers), then the normalized
+        # output row feeds its wo slice (flatten-free attn @ wo)
+        attn_out = jnp.zeros((1, wo_q.shape[2]), jnp.float32)
+        kb = kvk_b.astype(jnp.bfloat16).astype(jnp.float32)
+        vb = kvv_b.astype(jnp.bfloat16).astype(jnp.float32)
         for h_i in range(Hkv):
-            kch = kc[:, h_i * Dh:(h_i + 1) * Dh]  # (BK, Dh)
-            vch = vc[:, h_i * Dh:(h_i + 1) * Dh]
+            k_h = kb[:, h_i * Dh:(h_i + 1) * Dh]
+            v_h = vb[:, h_i * Dh:(h_i + 1) * Dh]
             for g_i in range(G):
                 qi = h_i * G + g_i
                 acc, m, den = carry[qi]
-                sc = jax.lax.dot_general(
-                    qb[qi], kch, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale  # (1, BK)
-                sc = jnp.where(live, sc, NEG_INF)
-                m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
-                p = jnp.exp(sc - m_new)
+                s_self = jnp.sum(
+                    qbs[qi].astype(jnp.float32) * k_h, axis=-1, keepdims=True
+                ) * scale  # (1, 1)
+                m_new = jnp.maximum(m, s_self)
+                p = jnp.exp(s_self - m_new)
                 alpha = jnp.exp(m - m_new)
-                den = den * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16), vch, (((1,), (0,)), ((), ())),
+                den = den * alpha + p
+                o_row = (acc * alpha + p * v_h) / den  # (1, Dh)
+                qs = wo_q[0, qi * Dh:(qi + 1) * Dh, :]
+                sg = jnp.repeat(
+                    wo_s[0, qi * Dh // g_o:(qi + 1) * Dh // g_o, :],
+                    g_o, axis=0)
+                w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
+                attn_out = attn_out + jax.lax.dot(
+                    o_row.astype(jnp.bfloat16), w,
                     preferred_element_type=jnp.float32,
-                )  # (1, Dh)
-                out.append((acc * alpha + pv, m_new, den))
-        return tuple(out)
-
-    carry = jax.lax.fori_loop(c0, n_chunks, chunk_body, init)
-
-    # self term: the current token's own K/V (held in registers), then the
-    # normalized output row feeds its wo slice (flatten-free attn @ wo)
-    attn_out = jnp.zeros((1, wo_q.shape[2]), jnp.float32)
-    kb = k_vec.astype(jnp.bfloat16).astype(jnp.float32)
-    vb = v_vec.astype(jnp.bfloat16).astype(jnp.float32)
-    for h_i in range(Hkv):
-        k_h = kb[:, h_i * Dh:(h_i + 1) * Dh]
-        v_h = vb[:, h_i * Dh:(h_i + 1) * Dh]
-        for g_i in range(G):
-            qi = h_i * G + g_i
-            acc, m, den = carry[qi]
-            s_self = jnp.sum(
-                qb[qi].astype(jnp.float32) * k_h, axis=-1, keepdims=True
-            ) * scale  # (1, 1)
-            m_new = jnp.maximum(m, s_self)
-            p = jnp.exp(s_self - m_new)
-            alpha = jnp.exp(m - m_new)
-            den = den * alpha + p
-            o_row = (acc * alpha + p * v_h) / den  # (1, Dh)
-            qs = wo_q[0, qi * Dh:(qi + 1) * Dh, :]
-            sg = jnp.repeat(
-                wo_s[0, qi * Dh // g_o:(qi + 1) * Dh // g_o, :], g_o, axis=0
-            )
-            w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
-            attn_out = attn_out + jax.lax.dot(
-                o_row.astype(jnp.bfloat16), w,
-                preferred_element_type=jnp.float32,
-            )
-    k_ins.wait()
-    v_ins.wait()
+                )
+        attn_slot_rows.append(attn_out)
+    attn_out = (attn_slot_rows[0] if B == 1
+                else jnp.concatenate(attn_slot_rows, axis=0))  # (B, D)
+    for d in ins_dmas:
+        d.wait()
     # mirror the scanned path's dtype walk: attn and mlp round to bf16
     # before joining the bf16 residual stream
     attn_b = attn_out.astype(jnp.bfloat16)
@@ -291,7 +321,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
 
     # ---- MLP ---------------------------------------------------------------
     h2 = rms(x, fnorm_ref[0].astype(jnp.float32))
-    gu = qdot(h2.astype(jnp.bfloat16), gu_q, gu_s, g_gu)  # (1, 2F)
+    gu = qdot(h2.astype(jnp.bfloat16), gu_q, gu_s, g_gu)  # (B, 2F)
     g_b = gu[:, :F].astype(jnp.bfloat16)
     u_b = gu[:, F:].astype(jnp.bfloat16)
     y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16) * u_b)
@@ -314,11 +344,18 @@ def _int8_qt(t):
 
 def _fused_ok(params, cfg, kv, B: int, T: int) -> bool:
     """Static scope gate — see module docstring."""
-    if _DISABLE or B != 1 or T != 1:
+    # the kernel generalizes to B ≤ 8 (per-slot n_past/rope/streams — see
+    # test_fused_batched_slots), but measured on-chip the scan path already
+    # matches it for B ≥ 2 (launch overhead amortizes across rows: B=2
+    # 2952 vs 2960 tok/s, B=4 5132 vs 5108, B=8 7863 vs 7847) — only the
+    # single-stream case is launch-bound, so only it dispatches here
+    if _DISABLE or T != 1 or B != 1:
         return False
     if kv.pos is not None or kv.shared_k is not None:
         return False
     if not isinstance(kv.k, jnp.ndarray):  # QuantKV cache
+        return False
+    if kv.k.ndim != 5 or kv.k.shape[1] != B:
         return False
     p = params["layers"]
     if not all(k in p for k in ("wqkv_fused", "wgateup_fused", "wo", "w_down",
@@ -372,9 +409,9 @@ def _fused_ok(params, cfg, kv, B: int, T: int) -> bool:
 
 
 def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
-    """Run the full layer stack for one token.  ``x`` is the embedded input
-    (1, 1, D).  Returns (x' (1, 1, D) bf16-valued, k_new, v_new) with
-    cache shapes matching ``kv.k``/``kv.v``."""
+    """Run the full layer stack for one token per slot.  ``x`` is the
+    embedded input (B, 1, D).  Returns (x' (B, 1, D) bf16-valued, k_new,
+    v_new) with cache shapes matching ``kv.k``/``kv.v``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -383,19 +420,19 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
     p = params["layers"]
     L, D, Dh, F = cfg.n_layers, cfg.n_embd, cfg.head_dim, cfg.n_ff
     Hq, Hkv = cfg.n_heads, cfg.n_kv_heads
-    S = kv.k.shape[2]
+    B, S = kv.k.shape[1], kv.k.shape[2]
     HD = Hkv * Dh
     scale = cfg.attn_scale or Dh ** -0.5
 
-    x0 = x.reshape(1, D).astype(jnp.float32)
+    x0 = x.reshape(B, D).astype(jnp.float32)
 
-    def rope_rows(inv_freq):  # lane-expanded (Dh,) cos / signed-sin rows
-        ang = kv.n_past[0].astype(jnp.float32) * inv_freq
+    def rope_rows(inv_freq):  # lane-expanded (B, Dh) cos / signed-sin rows
+        ang = kv.n_past[:, None].astype(jnp.float32) * inv_freq  # (B, Dh/2)
         c, s = jnp.cos(ang), jnp.sin(ang)
         if cfg.rope_interleaved:
             sign = jnp.where(jnp.arange(Dh) % 2 == 0, -1.0, 1.0)
-            return jnp.repeat(c, 2), jnp.repeat(s, 2) * sign
-        return jnp.concatenate([c, c]), jnp.concatenate([-s, s])
+            return jnp.repeat(c, 2, -1), jnp.repeat(s, 2, -1) * sign
+        return jnp.concatenate([c, c], -1), jnp.concatenate([-s, s], -1)
 
     c_g, s_g = rope_rows(jnp.asarray(rope_frequencies(cfg), jnp.float32))
     if cfg.rope_local_base > 0:  # gemma3 SWA layers rotate with local base
@@ -407,7 +444,7 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
                                          jnp.float32))
     else:
         c_l, s_l = c_g, s_g
-    C = jnp.stack([c_g, c_l])  # (2, Dh): row 0 global, row 1 local
+    C = jnp.stack([c_g, c_l])  # (2, B, Dh): 0 = global base, 1 = local
     Ss = jnp.stack([s_g, s_l])
 
     import numpy as _np
@@ -426,15 +463,15 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
     pf = (p["post_ffn_norm"].astype(jnp.float32).reshape(L, 1, D) if has_post
           else jnp.zeros((L, 1, D), jnp.float32))
 
-    k3 = kv.k.reshape(L, S, HD)
-    v3 = kv.v.reshape(L, S, HD)
+    k3 = kv.k.reshape(L, B, S, HD)
+    v3 = kv.v.reshape(L, B, S, HD)
     qkv_qt, wo_qt = p["wqkv_fused"], p["wo"]
     gu_qt, dn_qt = p["wgateup_fused"], p["w_down"]
     Nqkv = qkv_qt.q.shape[-1]
 
     BK = next(t for t in (512, 256, 128) if S % t == 0)
     kern = functools.partial(
-        _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK,
+        _kernel, B=B, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK,
         g_qkv=qkv_qt.group, g_o=wo_qt.group, g_gu=gu_qt.group,
         g_dn=dn_qt.group, scale=float(scale), eps=float(cfg.rms_eps),
         act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
@@ -453,12 +490,12 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
         kern,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((1,), lambda l: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda l: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((L,), lambda l: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((L,), lambda l: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Dh), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Dh), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B, Dh), lambda l: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B, Dh), lambda l: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
@@ -475,24 +512,24 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((L, S, HD), k3.dtype),
-            jax.ShapeDtypeStruct((L, S, HD), v3.dtype),
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, S, HD), k3.dtype),
+            jax.ShapeDtypeStruct((L, B, S, HD), v3.dtype),
         ],
         input_output_aliases={20: 1, 21: 2},
         scratch_shapes=[
             pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf (double-buffered)
             pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
-            pltpu.VMEM((8, HD), k3.dtype),  # krow (insert RMW tile)
-            pltpu.VMEM((8, HD), v3.dtype),  # vrow
+            pltpu.VMEM((8 * B, HD), k3.dtype),  # krow (per-slot RMW tiles)
+            pltpu.VMEM((8 * B, HD), v3.dtype),  # vrow
             pltpu.SemaphoreType.DMA((2,)),  # ksem
             pltpu.SemaphoreType.DMA((2,)),  # vsem
-            pltpu.SemaphoreType.DMA((2,)),  # isem (row inserts)
+            pltpu.SemaphoreType.DMA((2, B)),  # isem (per-slot inserts)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -515,5 +552,5 @@ def fused_decode_step(params, cfg, x, kv, interpret: bool = False):
     )
 
     kvs = kv.k.shape
-    return (x_out.reshape(1, 1, D).astype(x.dtype),
+    return (x_out.reshape(B, 1, D).astype(x.dtype),
             k_new.reshape(kvs), v_new.reshape(kvs))

@@ -224,3 +224,46 @@ def test_fused_eligible_for_real_gemma3_gguf(tmp_path):
         )
         assert int(np.argmax(logits)) == int(np.argmax(logits_ref))
         tok = jnp.asarray([[int(np.argmax(logits_ref))]], jnp.int32)
+
+
+def test_fused_batched_slots():
+    """B>1 (server slots): per-slot n_past, per-slot rope positions and
+    KV inserts must match the scanned batched forward row-for-row."""
+    rng = np.random.default_rng(11)
+    cfg = make_cfg(rope_interleaved=True)
+    params = make_params(rng)
+    B = 3
+    kv = KVCache.create(cfg, batch=B, max_seq=S, dtype=jnp.bfloat16)
+    # B>1 is gated OFF in forward (scan path matches it on-chip for B>=2)
+    # but the kernel itself must stay correct for per-slot state
+    assert not _fused_ok(params, cfg, kv, B, 1)
+
+    # stagger the slots: valid prompt lengths 8 / 5 / 3 in one padded batch
+    toks = jnp.asarray(rng.integers(3, V, (B, 8)), jnp.int32)
+    n_tok = jnp.asarray([8, 5, 3], jnp.int32)
+    _, kv = forward(params, cfg, toks, kv, n_tokens=n_tok)
+    assert [int(t) for t in kv.n_past] == [8, 5, 3]
+    kv_f = KVCache(k=kv.k, v=kv.v, n_past=kv.n_past)
+
+    from llama_cpp_gfx906_tpu.ops.norms import rms_norm
+    from llama_cpp_gfx906_tpu.ops.quant_matmul import linear
+
+    tok = jnp.asarray([[5], [9], [12]], jnp.int32)
+    for _ in range(2):
+        logits_ref, kv = forward(params, cfg, tok, kv)
+        x = params["tok_emb"][tok]
+        x2, k_new, v_new = fused_decode_step(params, cfg, x, kv_f,
+                                             interpret=True)
+        kv_f = KVCache(k=k_new, v=v_new, n_past=kv_f.n_past + 1)
+        hid = rms_norm(x2, params["out_norm"], cfg.rms_eps)
+        logits = linear(hid, params["lm_head"]).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 0]), np.asarray(logits_ref[:, 0]),
+            rtol=2e-2, atol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kv_f.k, np.float32), np.asarray(kv.k, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+        tok = jnp.asarray(np.argmax(np.asarray(logits_ref[:, 0]), -1)[:, None],
+                          jnp.int32)
