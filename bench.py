@@ -95,6 +95,9 @@ def bench_8b() -> dict:
         "lm_head": qmm.pad_qt_n(synth_q6k(keys[8], D, V)),
         "layers": fuse_projections(layers),
     }
+    # the pre-fusion gate/up buffers (~2.8 GB) must not stay alive through
+    # the dict — the leg budgets ~13 GB peak against 16 GB HBM
+    layers = None
 
     def qt_bytes(qt):
         return qt.q.nbytes + qt.s.nbytes + (qt.m.nbytes if qt.m is not None else 0)
@@ -152,6 +155,41 @@ def bench_8b() -> dict:
         times.append(time.perf_counter() - t0)
     pp_dt = sorted(times)[len(times) // 2]
 
+    # --- lossless int8 repack (Engine repack_int8): same dequantized
+    #     values, 2× weight bytes, DMA-bound instead of VPU-bound.  Repack
+    #     CONSUMES the nib4 layer tensors one by one (16 GB HBM cannot
+    #     hold the 4-bit and int8 stacks side by side plus temps);
+    #     scales/mins and the already-int8 head stay shared --------------
+    layers_src = dict(params["layers"])
+    tok_emb, out_norm, lm_head = (params["tok_emb"], params["out_norm"],
+                                  params["lm_head"])
+    kv = logits = toks = params = None
+    rp_layers = {}
+    for name in list(layers_src):
+        t = layers_src.pop(name)
+        rp_layers[name] = (qmm.repack_nib4_to_int8(t)
+                           if isinstance(t, qmm.QuantTensor) else t)
+    params_rp = {"tok_emb": tok_emb, "out_norm": out_norm,
+                 "lm_head": lm_head, "layers": rp_layers}
+    streamed_rp = sum(
+        qt_bytes(t) for t in jax.tree_util.tree_leaves(
+            params_rp["layers"], is_leaf=lambda x: isinstance(x, qmm.QuantTensor))
+        if isinstance(t, qmm.QuantTensor)
+    ) + qt_bytes(params_rp["lm_head"])
+    rp_kv = KVCache.create(cfg, batch=1, max_seq=1024, dtype=jnp.bfloat16)
+    logits, rp_kv = fwd(params_rp, cfg, prompt, rp_kv)
+    tok = jnp.reshape(logits[:, -1].argmax(-1).astype(jnp.int32), (1, 1))
+    for _ in range(2):
+        toks, rp_kv = decode_steps(params_rp, tok, rp_kv, 16)
+        tok = toks[-1:].reshape(1, 1)
+    np.asarray(tok)
+    t0 = time.perf_counter()
+    for _ in range(n_decode // 16):
+        toks, rp_kv = decode_steps(params_rp, tok, rp_kv, 16)
+        tok = toks[-1:].reshape(1, 1)
+    np.asarray(tok)
+    rp_tok_s = n_decode / (time.perf_counter() - t0)
+
     mi50_roofline = streamed / 1e12  # s/token at 1 TB/s, zero overhead
     return {
         "decode_tok_s_8b_q4km": round(tok_s, 2),
@@ -160,6 +198,9 @@ def bench_8b() -> dict:
         "streamed_gb_per_tok_8b": round(streamed / 1e9, 2),
         "eff_bw_gb_s_8b": round(streamed * tok_s / 1e9, 1),
         "vs_mi50_roofline_8b": round(tok_s * mi50_roofline, 3),
+        # same checkpoint, lossless int8 repack (quality bit-identical)
+        "decode_tok_s_8b_q4km_int8rp": round(rp_tok_s, 2),
+        "eff_bw_gb_s_8b_int8rp": round(streamed_rp * rp_tok_s / 1e9, 1),
     }
 
 
@@ -172,6 +213,24 @@ def main() -> None:
 
     from llama_cpp_gfx906_tpu.gguf import GGMLType, quantize
     from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
+
+    # 8B leg in a SUBPROCESS: it peaks at ~12 GB HBM (4-bit + int8-repacked
+    # stacks transiently coexist) and the allocator does not return the
+    # chip to a clean state in-process — isolating the leg frees its HBM
+    # when the child exits, keeping both legs inside the chip's 16 GB
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, __file__, "--leg-8b"],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        extra_8b = json.loads(line[-1]) if line else {
+            "bench_8b_error": (r.stderr[-200:] or "no output")}
+    except Exception as e:  # keep the headline line even if the 8B leg dies
+        extra_8b = {"bench_8b_error": f"{type(e).__name__}: {e}"[:200]}
 
     # Gemma-3-270M dimensions (run as llama-style arch for now)
     cfg = ModelConfig(
@@ -311,12 +370,18 @@ def main() -> None:
         "batched_decode_tok_s": round(batched_tok_s, 2),
         "batched_decode_vs_baseline": round(batched_tok_s / baseline, 3),
     }
-    try:
-        out.update(bench_8b())
-    except Exception as e:  # keep the headline line even if the 8B leg dies
-        out["bench_8b_error"] = f"{type(e).__name__}: {e}"[:200]
+    out.update(extra_8b)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--leg-8b" in _sys.argv:
+        try:
+            print(json.dumps(bench_8b()))
+        except Exception as e:
+            print(json.dumps(
+                {"bench_8b_error": f"{type(e).__name__}: {e}"[:200]}))
+    else:
+        main()

@@ -74,6 +74,11 @@ REGISTRY: list[Flag] = [
     _f(["-ngl", "--gpu-layers", "--n-gpu-layers"], "n_gpu_layers",
        "accepted for llama.cpp CLI compatibility (all layers always run "
        "on the TPU)", env="LLAMA_ARG_N_GPU_LAYERS", type=int, default=999),
+    _f(["--repack-int8"], "repack_int8",
+       "losslessly repack 4-bit weights to int8 at load: 2x weight memory "
+       "for the DMA-bound GEMV path (identical outputs, faster decode)",
+       env="LLAMA_ARG_REPACK_INT8", action="store_true",
+       scopes={"cli", "server"}),
     _f(["-ctk", "--cache-type-k"], "cache_type_k",
        "KV cache storage type (q8 halves KV memory)",
        env="LLAMA_ARG_CACHE_TYPE_K", choices=("f32", "bf16", "q8")),

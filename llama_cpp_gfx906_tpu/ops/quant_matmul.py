@@ -352,6 +352,43 @@ def pack_gguf_tensor(
     )
 
 
+def repack_nib4_to_int8(qt: QuantTensor) -> QuantTensor:
+    """EXACTLY re-express a 4-bit (nib4) tensor in the int8 format.
+
+    Unpacks the split-K nibbles to int8 values (0..15) and keeps the same
+    per-group scales/mins, so every dequantized value is bit-identical —
+    quality is unchanged.  Costs 2× the weight bytes but switches the
+    decode GEMV from the VPU-dequant-bound nib4 kernel (~110-160 GB/s on
+    this chip) to the DMA-bound int8 kernel (~600-690 GB/s); a
+    memory-for-bandwidth trade for serving (docs/perf.md round-3 table).
+    The analog of a load-time requant, except lossless."""
+    if qt.fmt != "nib4":
+        return qt
+    return QuantTensor(
+        q=_unpack_nib4(qt.q), s=qt.s, m=qt.m,
+        fmt="int8", group=qt.group, shape=qt.shape,
+    )
+
+
+@jax.jit
+def _unpack_nib4(q):
+    # int8-native bitwise unpack, jitted so XLA fuses the mask/shift into
+    # the concat's output writes — eager ops would materialize lo/hi temps
+    # (multi-GB transients on an 8B stack; the &0x0F after >>4 kills the
+    # arithmetic-shift sign extension)
+    lo = q & 0x0F  # k rows [0, K/2), values 0..15
+    hi = (q >> 4) & 0x0F  # k rows [K/2, K)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def repack_params_int8(params):
+    """Apply repack_nib4_to_int8 over every weight in a param tree."""
+    return jax.tree_util.tree_map(
+        lambda t: repack_nib4_to_int8(t) if isinstance(t, QuantTensor) else t,
+        params, is_leaf=lambda t: isinstance(t, QuantTensor),
+    )
+
+
 # ---------------------------------------------------------------------------
 # XLA fallback path (CPU tests, golden oracle for the Pallas kernel)
 # ---------------------------------------------------------------------------

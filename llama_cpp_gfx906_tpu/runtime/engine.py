@@ -106,6 +106,9 @@ class Engine:
         keep_quantized: bool = True,
         kv_cache_dtype=None,  # None → dtype; "q8" → int8 KV (type_k/type_v)
         swa_ring: bool = False,
+        repack_int8: bool = False,  # lossless 4-bit → int8 weight repack:
+        # 2× weight HBM for the DMA-bound GEMV path (~4× decode BW on this
+        # chip vs the VPU-bound nib4 kernel); values are bit-identical
     ) -> "Engine":
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
@@ -116,6 +119,10 @@ class Engine:
         params = get_family(cfg).load_params(
             reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
         )
+        if repack_int8:
+            from ..ops.quant_matmul import repack_params_int8
+
+            params = repack_params_int8(params)
         eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq,
                   batch_size=batch_size, kv_dtype=kv_cache_dtype or dtype,
                   swa_ring=swa_ring)

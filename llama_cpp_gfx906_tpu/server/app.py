@@ -808,6 +808,10 @@ def main(argv=None) -> int:
     tokenizer = tokenizer_from_gguf(reader.readers[0])
     # LoRA hooks target per-projection weights: skip loader fusion then
     params = load_llama_params_quantized(reader, cfg, fuse=False if args.lora else None)
+    if getattr(args, "repack_int8", False):
+        from ..ops.quant_matmul import repack_params_int8
+
+        params = repack_params_int8(params)
     draft = None
     if args.draft_model:
         d_reader = GGUFModelReader(args.draft_model)

@@ -97,7 +97,9 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         kv_dtype = jnp.float32
-    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size, kv_cache_dtype=kv_dtype)
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
+                           kv_cache_dtype=kv_dtype,
+                           repack_int8=getattr(args, "repack_int8", False))
     for lora_path in args.lora:
         eng.apply_lora_file(lora_path, args.lora_scale)
     for cv_path in args.control_vector:

@@ -147,3 +147,31 @@ def test_quantized_engine_end_to_end(tmp_path):
     ld = eng_d.prefill(ids)
     assert int(np.argmax(lq)) == int(np.argmax(ld))
     assert np.abs(lq - ld).max() < 0.05 * (np.abs(ld).max() + 1)
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K])
+def test_repack_nib4_to_int8_bit_exact(qtype):
+    """Lossless 4-bit → int8 repack: dequantized values must be
+    BIT-IDENTICAL (memory-for-bandwidth trade, Engine repack_int8)."""
+    qt, ref_w = make_qt(qtype)
+    assert qt.fmt == "nib4"
+    rp = qmm.repack_nib4_to_int8(qt)
+    assert rp.fmt == "int8" and rp.shape == qt.shape
+    a = np.asarray(qmm.dequantize_qt(qt, jnp.float32))
+    b = np.asarray(qmm.dequantize_qt(rp, jnp.float32))
+    np.testing.assert_array_equal(a, b)
+    # matmul parity through the dispatcher
+    x = jnp.asarray(RNG.standard_normal((3, qt.shape[0])), jnp.float32)
+    y0 = np.asarray(qmm.quant_matmul(x, qt, use_pallas=False))
+    y1 = np.asarray(qmm.quant_matmul(x, rp, use_pallas=False))
+    np.testing.assert_allclose(y1, y0, rtol=2e-2, atol=2e-2)
+
+
+def test_repack_params_tree():
+    qt, _ = make_qt(GGMLType.Q4_K)
+    q8, _ = make_qt(GGMLType.Q8_0)
+    tree = {"a": qt, "b": q8, "c": jnp.ones(4)}
+    out = qmm.repack_params_int8(tree)
+    assert out["a"].fmt == "int8" and out["a"].q.shape[-2] == qt.shape[0]
+    assert out["b"] is q8  # already int8: untouched
+    assert out["c"] is tree["c"]
