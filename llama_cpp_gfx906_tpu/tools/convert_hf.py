@@ -99,17 +99,7 @@ def convert_hf_llama(
     for k, v in (extra_kv or {}).items():
         w.add_kv(k, v)
 
-    if tokenizer_vocab:
-        tv = tokenizer_vocab
-        w.add_string(Keys.Tokenizer.MODEL, tv.get("model", "llama"))
-        w.add_array(Keys.Tokenizer.LIST, tv["tokens"])
-        if "scores" in tv:
-            w.add_array(Keys.Tokenizer.SCORES, np.asarray(tv["scores"], np.float32))
-        if "token_types" in tv:
-            w.add_array(Keys.Tokenizer.TOKEN_TYPE, np.asarray(tv["token_types"], np.int32))
-        for key, kv_key in [("bos", Keys.Tokenizer.BOS_ID), ("eos", Keys.Tokenizer.EOS_ID)]:
-            if tv.get(key) is not None:
-                w.add_uint32(kv_key, tv[key])
+    _write_vocab(w, tokenizer_vocab)
 
     from ..gguf.constants import GGML_BLOCK_SIZES
 
@@ -201,15 +191,30 @@ def _write_vocab(w: GGUFWriter, tv: dict | None):
         w.add_array(Keys.Tokenizer.SCORES, np.asarray(tv["scores"], np.float32))
     if "token_types" in tv:
         w.add_array(Keys.Tokenizer.TOKEN_TYPE, np.asarray(tv["token_types"], np.int32))
+    if tv.get("pre"):
+        w.add_string(Keys.Tokenizer.PRE, tv["pre"])
+    if tv.get("merges"):
+        w.add_array(Keys.Tokenizer.MERGES, tv["merges"])
     for key, kv_key in [
         ("bos", Keys.Tokenizer.BOS_ID),
         ("eos", Keys.Tokenizer.EOS_ID),
+        ("eot", Keys.Tokenizer.EOT_ID),
         ("sep", Keys.Tokenizer.SEP_ID),
         ("pad", Keys.Tokenizer.PAD_ID),
         ("unk", Keys.Tokenizer.UNK_ID),
+        ("mask", Keys.Tokenizer.MASK_ID),
     ]:
         if tv.get(key) is not None:
             w.add_uint32(kv_key, tv[key])
+    for key, kv_key in [
+        ("add_bos", Keys.Tokenizer.ADD_BOS),
+        ("add_eos", Keys.Tokenizer.ADD_EOS),
+        ("add_space_prefix", Keys.Tokenizer.ADD_PREFIX),
+    ]:
+        if tv.get(key) is not None:
+            w.add_bool(kv_key, bool(tv[key]))
+    if tv.get("chat_template"):
+        w.add_string(Keys.Tokenizer.CHAT_TEMPLATE, tv["chat_template"])
 
 
 def convert_hf_gpt2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
