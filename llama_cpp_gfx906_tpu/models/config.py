@@ -678,6 +678,17 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             # no MoE: every layer loads/scans through the dense group
             n_layer_dense_lead=int(g(Keys.LLM.BLOCK_COUNT)),
         )
+    elif arch == "deepseek":
+        # v1: llama attention + dense-lead MoE, softmax routing without
+        # top-k renorm, scaled experts + added shared experts
+        # (reference llm_build_deepseek, src/llama-model.cpp:12529;
+        # hparams :1369-1381)
+        cfg = cfg.with_(
+            n_layer_dense_lead=int(g(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, 0)),
+            n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
+            expert_weights_norm=bool(g(Keys.LLM.EXPERT_WEIGHTS_NORM, False)),
+            expert_weights_scale=float(g(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
+        )
     elif arch == "bailingmoe":
         # dense-lead MoE with shared experts, NORM rope, optional qkv bias
         # (reference llm_build_bailingmoe, src/llama-model.cpp:16006;

@@ -19,7 +19,7 @@ ATTENTION_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe",
     "gemma", "gemma2", "gemma3",
     "gpt2", "starcoder", "phi2", "phi3", "gptneox", "stablelm", "falcon",
-    "deepseek", "olmo", "olmoe", "smollm", "smollm3", "internlm2",
+    "olmo", "olmoe", "smollm", "smollm3", "internlm2",
     "granite", "granitemoe", "glm4", "dbrx", "cohere2", "command-r", "minicpm",
     "ernie4_5", "gpt-oss", "olmo2",
     "starcoder2", "nemotron", "exaone4", "arcee", "xverse", "qwen2vl",
@@ -41,7 +41,7 @@ RWKV_ARCHS = {"rwkv6"}
 RWKV7_ARCHS = {"rwkv7"}
 RWKV_HYBRID_ARCHS = {"rwkv6qwen2", "arwkv7"}
 MLA_ARCHS = {"deepseek2", "minicpm3", "plm"}
-MOE_LEAD_ARCHS = {"glm4moe", "dots1", "bailingmoe", "ernie4_5-moe"}
+MOE_LEAD_ARCHS = {"glm4moe", "dots1", "bailingmoe", "ernie4_5-moe", "deepseek"}
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..gguf.constants import GGMLType, Keys, RopeScalingType, TokenType
 from ..gguf.writer import GGUFWriter
+from . import convert_extra as CE
 from . import convert_hf as C
 
 # ---------------------------------------------------------------------------
@@ -470,6 +471,25 @@ MODEL_TYPE_MAP: dict = {
     "qwen": lambda m, tv, o, q: C.convert_hf_qwen_v1(m, tv, o, q),
     "qwen2_vl": lambda m, tv, o, q: C.convert_hf_qwen2vl(m, tv, o, q),
     "llama4": lambda m, tv, o, q: C.convert_hf_llama4(m, tv, o, q),
+    # real-HF layouts with non-llama tensor naming (convert_extra.py)
+    "exaone": CE.convert_hf_exaone,
+    "baichuan": CE.convert_hf_baichuan,
+    "orion": CE.convert_hf_orion,
+    "stablelm": CE.convert_hf_stablelm,
+    "stablelm_epoch": CE.convert_hf_stablelm,
+    "internlm2": CE.convert_hf_internlm2,
+    "plamo": CE.convert_hf_plamo,
+    "gpt_refact": CE.convert_hf_refact,
+    "jais": CE.convert_hf_jais,
+    "codeshell": CE.convert_hf_codeshell,
+    "deepseek": CE.convert_hf_deepseek_v1,
+    "llada": CE.convert_hf_llada,
+    "dream": CE.convert_hf_dream,
+    "falcon": CE.convert_hf_falcon,
+    "RefinedWeb": CE.convert_hf_falcon,
+    "RefinedWebModel": CE.convert_hf_falcon,
+    "gpt_neox": CE.convert_hf_gptneox,
+    "gpt_bigcode": CE.convert_hf_gpt_bigcode,
 }
 
 OUTTYPE = {

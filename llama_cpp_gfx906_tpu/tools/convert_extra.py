@@ -1,0 +1,642 @@
+"""HF-layout converters for checkpoints with non-llama tensor naming.
+
+Each function takes a real HuggingFace checkpoint layout (renaming,
+de-fusing fused QKV blocks, splitting gate_up projections) and emits the
+canonical GGUF ``blk.N.*`` scheme this engine and llama.cpp share.  The
+name maps follow the public GGUF conventions (spec:
+``gguf-py/gguf/tensor_mapping.py`` and the per-arch ``Model`` subclasses
+of ``convert_hf_to_gguf.py`` in the reference); the implementations are
+original and funnel through :func:`convert_hf.convert_hf_llama` wherever
+the target layout is llama-shaped.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys
+from ..gguf.writer import GGUFWriter
+from .convert_hf import (
+    _common_header,
+    _write_vocab,
+    convert_hf_llama,
+    permute_qk,
+)
+
+# ---------------------------------------------------------------------------
+# shims
+# ---------------------------------------------------------------------------
+
+
+class _Shim:
+    """Converter-facing stand-in: ``.config`` + ``.state_dict()``."""
+
+    def __init__(self, config, state):
+        self.config = config
+        self._state = state
+
+    def state_dict(self):
+        return self._state
+
+
+class _Cfg:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _to_t(arr):
+    import torch
+
+    return arr if hasattr(arr, "detach") else torch.as_tensor(np.asarray(arr))
+
+
+def _np_state(model) -> dict:
+    return {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+
+def _rename(state: dict, rules: list[tuple[str, str]]) -> dict:
+    """Regex-rename every key; unmatched keys pass through."""
+    out = {}
+    for k, v in state.items():
+        nk = k
+        for pat, rep in rules:
+            nk = re.sub(pat, rep, nk)
+        out[nk] = _to_t(v)
+    return out
+
+
+def _g(cfg, *names, default=None):
+    for n in names:
+        v = getattr(cfg, n, None)
+        if v is not None:
+            return v
+    return default
+
+
+def _llama_cfg(hf, **extra) -> _Cfg:
+    """Normalize config attribute aliases into the llama-converter names."""
+    n_head = _g(hf, "num_attention_heads", "n_head", "n_heads")
+    kw = dict(
+        num_attention_heads=n_head,
+        num_key_value_heads=_g(hf, "num_key_value_heads", "n_kv_heads",
+                               "num_kv_heads", default=n_head),
+        hidden_size=_g(hf, "hidden_size", "n_embd", "d_model"),
+        intermediate_size=_g(hf, "intermediate_size", "n_inner",
+                             "mlp_hidden_size", "ffn_hidden_size", default=0),
+        num_hidden_layers=_g(hf, "num_hidden_layers", "n_layer", "n_layers",
+                             "num_layers"),
+        max_position_embeddings=_g(hf, "max_position_embeddings", "n_positions",
+                                   "max_sequence_length", default=2048),
+        vocab_size=_g(hf, "vocab_size", "padded_vocab_size"),
+        rope_theta=_g(hf, "rope_theta", "rotary_emb_base", default=10000.0),
+        name_or_path=_g(hf, "name_or_path", default="hf-convert"),
+    )
+    eps = _g(hf, "rms_norm_eps", "layer_norm_epsilon", "layer_norm_eps",
+             "norm_eps", default=1e-5)
+    kw["rms_norm_eps"] = eps
+    hd = _g(hf, "head_dim")
+    if hd:
+        kw["head_dim"] = hd
+    kw.update(extra)
+    return _Cfg(**kw)
+
+
+_BIAS_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("input_layernorm.bias", "attn_norm.bias"),
+    ("self_attn.q_proj.weight", "attn_q.weight"),
+    ("self_attn.q_proj.bias", "attn_q.bias"),
+    ("self_attn.k_proj.weight", "attn_k.weight"),
+    ("self_attn.k_proj.bias", "attn_k.bias"),
+    ("self_attn.v_proj.weight", "attn_v.weight"),
+    ("self_attn.v_proj.bias", "attn_v.bias"),
+    ("self_attn.q_norm.weight", "attn_q_norm.weight"),
+    ("self_attn.k_norm.weight", "attn_k_norm.weight"),
+    ("self_attn.o_proj.weight", "attn_output.weight"),
+    ("self_attn.o_proj.bias", "attn_output.bias"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("post_attention_layernorm.bias", "ffn_norm.bias"),
+    ("mlp.gate_proj.weight", "ffn_gate.weight"),
+    ("mlp.gate_proj.bias", "ffn_gate.bias"),
+    ("mlp.up_proj.weight", "ffn_up.weight"),
+    ("mlp.up_proj.bias", "ffn_up.bias"),
+    ("mlp.down_proj.weight", "ffn_down.weight"),
+    ("mlp.down_proj.bias", "ffn_down.bias"),
+]
+
+
+# ---------------------------------------------------------------------------
+# llama-shaped renames
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_exaone(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """ExaoneForCausalLM → GGUF arch "exaone" (NEOX rope).
+
+    HF names transformer.h.N.{ln_1, attn.attention.*, ln_2,
+    mlp.c_fc_0(gate)/c_fc_1(up)/c_proj} (spec: tensor_mapping.py exaone
+    rows; llm_build_exaone src/llama-model.cpp:14052)."""
+    state = _rename(model.state_dict(), [
+        (r"^transformer\.wte\.", "model.embed_tokens."),
+        (r"^transformer\.ln_f\.", "model.norm."),
+        (r"^transformer\.h\.(\d+)\.ln_1\.", r"model.layers.\1.input_layernorm."),
+        (r"^transformer\.h\.(\d+)\.ln_2\.", r"model.layers.\1.post_attention_layernorm."),
+        (r"^transformer\.h\.(\d+)\.attn\.attention\.out_proj\.", r"model.layers.\1.self_attn.o_proj."),
+        (r"^transformer\.h\.(\d+)\.attn\.attention\.", r"model.layers.\1.self_attn."),
+        (r"^transformer\.h\.(\d+)\.mlp\.c_fc_0\.", r"model.layers.\1.mlp.gate_proj."),
+        (r"^transformer\.h\.(\d+)\.mlp\.c_fc_1\.", r"model.layers.\1.mlp.up_proj."),
+        (r"^transformer\.h\.(\d+)\.mlp\.c_proj\.", r"model.layers.\1.mlp.down_proj."),
+    ])
+    if "lm_head.weight" not in state:
+        state["lm_head.weight"] = state["model.embed_tokens.weight"]
+    cfg = _llama_cfg(model.config)
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="exaone", permute=False)
+
+
+def convert_hf_baichuan(model, tokenizer_vocab, out_path: str,
+                        quant_type=GGMLType.F16) -> str:
+    """BaichuanForCausalLM → GGUF arch "baichuan".
+
+    Fused ``W_pack`` splits into thirds [q|k|v]; q/k permute to the
+    interleaved NORM layout (13B+ is ALiBi where the per-head permutation
+    cancels in q·k) — spec: BaichuanModel in convert_hf_to_gguf.py,
+    llm_build_baichuan src/llama-model.cpp:6464."""
+    import torch
+
+    state = {k: _to_t(v) for k, v in model.state_dict().items()}
+    out = {}
+    for k, v in state.items():
+        m = re.match(r"^model\.layers\.(\d+)\.self_attn\.W_pack\.weight$", k)
+        if m:
+            D = v.shape[0] // 3
+            p = f"model.layers.{m.group(1)}.self_attn."
+            out[p + "q_proj.weight"] = v[:D]
+            out[p + "k_proj.weight"] = v[D:2 * D]
+            out[p + "v_proj.weight"] = v[2 * D:]
+        else:
+            out[k] = v
+    cfg = _llama_cfg(model.config)
+    return convert_hf_llama(_Shim(cfg, out), tokenizer_vocab, out_path,
+                            quant_type, arch="baichuan", permute=True)
+
+
+_ORION_MAP = [p for p in _BIAS_LAYER_MAP if "q_norm" not in p[0] and "k_norm" not in p[0]]
+
+
+def convert_hf_orion(model, tokenizer_vocab, out_path: str,
+                     quant_type=GGMLType.F16) -> str:
+    """OrionForCausalLM → GGUF arch "orion" (LayerNorm+bias blocks, NEOX
+    rope) — spec: llm_build_orion src/llama-model.cpp:9614."""
+    cfg = _llama_cfg(model.config)
+    return convert_hf_llama(_Shim(cfg, {k: _to_t(v) for k, v in model.state_dict().items()}),
+                            tokenizer_vocab, out_path, quant_type, arch="orion",
+                            permute=False, layer_map=_ORION_MAP)
+
+
+def convert_hf_stablelm(model, tokenizer_vocab, out_path: str,
+                        quant_type=GGMLType.F16) -> str:
+    """StableLmForCausalLM → GGUF arch "stablelm" (partial rotary via
+    rope.dimension_count, LayerNorm biases, optional qkv biases) — spec:
+    StableLMModel in convert_hf_to_gguf.py."""
+    hf = model.config
+    cfg = _llama_cfg(hf)
+    hd = cfg.hidden_size // cfg.num_attention_heads
+    rope_dim = int(hd * _g(hf, "partial_rotary_factor", "rope_pct", default=0.25))
+    return convert_hf_llama(_Shim(cfg, {k: _to_t(v) for k, v in model.state_dict().items()}),
+                            tokenizer_vocab, out_path, quant_type, arch="stablelm",
+                            permute=False, layer_map=_BIAS_LAYER_MAP,
+                            rope_dim=rope_dim)
+
+
+def convert_hf_internlm2(model, tokenizer_vocab, out_path: str,
+                         quant_type=GGMLType.F16) -> str:
+    """InternLM2ForCausalLM → GGUF arch "internlm2".
+
+    Fused ``attention.wqkv`` is grouped per kv-head as [g q-heads | k | v];
+    de-grouped to separate q/k/v then permuted to the interleaved layout
+    (spec: InternLM2Model.modify_tensors in convert_hf_to_gguf.py)."""
+    hf = model.config
+    cfg = _llama_cfg(hf)
+    n_head, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
+    hd = getattr(cfg, "head_dim", None) or cfg.hidden_size // n_head
+    g = n_head // n_kv
+    out = {}
+    for k, v in model.state_dict().items():
+        v = _to_t(v)
+        m = re.match(r"^model\.layers\.(\d+)\.attention\.wqkv\.weight$", k)
+        if m:
+            p = f"model.layers.{m.group(1)}.self_attn."
+            w = v.reshape(n_kv, g + 2, hd, -1)
+            out[p + "q_proj.weight"] = w[:, :g].reshape(n_head * hd, -1)
+            out[p + "k_proj.weight"] = w[:, g].reshape(n_kv * hd, -1)
+            out[p + "v_proj.weight"] = w[:, g + 1].reshape(n_kv * hd, -1)
+            continue
+        k = re.sub(r"^model\.tok_embeddings\.", "model.embed_tokens.", k)
+        k = re.sub(r"^output\.", "lm_head.", k)
+        k = re.sub(r"\.attention_norm\.", ".input_layernorm.", k)
+        k = re.sub(r"\.attention\.wo\.", ".self_attn.o_proj.", k)
+        k = re.sub(r"\.ffn_norm\.", ".post_attention_layernorm.", k)
+        k = re.sub(r"\.feed_forward\.w1\.", ".mlp.gate_proj.", k)
+        k = re.sub(r"\.feed_forward\.w3\.", ".mlp.up_proj.", k)
+        k = re.sub(r"\.feed_forward\.w2\.", ".mlp.down_proj.", k)
+        out[k] = v
+    return convert_hf_llama(_Shim(cfg, out), tokenizer_vocab, out_path,
+                            quant_type, arch="internlm2", permute=True)
+
+
+_PLAMO_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("self_attn.q_proj.weight", "attn_q.weight"),
+    ("self_attn.k_proj.weight", "attn_k.weight"),
+    ("self_attn.v_proj.weight", "attn_v.weight"),
+    ("self_attn.o_proj.weight", "attn_output.weight"),
+    ("mlp.gate_proj.weight", "ffn_gate.weight"),
+    ("mlp.up_proj.weight", "ffn_up.weight"),
+    ("mlp.down_proj.weight", "ffn_down.weight"),
+]
+
+
+def convert_hf_plamo(model, tokenizer_vocab, out_path: str,
+                     quant_type=GGMLType.F16) -> str:
+    """PlamoForCausalLM → GGUF arch "plamo" (shared-norm parallel residual,
+    NEOX rope) — spec: llm_build_plamo src/llama-model.cpp:9275; HF names
+    model.layers.layers.N.* (tensor_mapping.py plamo rows)."""
+    state = _rename(model.state_dict(), [
+        (r"^model\.layers\.layers\.(\d+)\.norm\.", r"model.layers.\1.input_layernorm."),
+        (r"^model\.layers\.layers\.(\d+)\.", r"model.layers.\1."),
+    ])
+    cfg = _llama_cfg(model.config)
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="plamo", permute=False,
+                            layer_map=_PLAMO_MAP)
+
+
+def convert_hf_refact(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """GPTRefactForCausalLM → GGUF arch "refact" (RMS + ALiBi MQA).
+
+    ``attn.kv`` splits into k/v (1 kv head), ``mlp.gate_up_proj`` splits
+    at ff_dim — spec: RefactModel.modify_tensors
+    convert_hf_to_gguf.py:1825-1851."""
+    hf = model.config
+    D = _g(hf, "n_embd", "hidden_size")
+    inner = 4 * D
+    ff = 256 * ((int(2 * inner / 3) + 255) // 256)
+    n_head = _g(hf, "n_head", "num_attention_heads")
+    hd = D // n_head
+    out = {}
+    for k, v in model.state_dict().items():
+        v = _to_t(v)
+        m = re.match(r"^transformer\.h\.(\d+)\.attn\.kv\.weight$", k)
+        if m:
+            p = f"model.layers.{m.group(1)}.self_attn."
+            out[p + "k_proj.weight"] = v[:hd]
+            out[p + "v_proj.weight"] = v[hd:]
+            continue
+        m = re.match(r"^transformer\.h\.(\d+)\.mlp\.gate_up_proj\.weight$", k)
+        if m:
+            p = f"model.layers.{m.group(1)}.mlp."
+            out[p + "gate_proj.weight"] = v[:ff]
+            out[p + "up_proj.weight"] = v[ff:]
+            continue
+        k = re.sub(r"^transformer\.wte\.", "model.embed_tokens.", k)
+        k = re.sub(r"^transformer\.ln_f\.", "model.norm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.ln_1\.", r"model.layers.\1.input_layernorm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.ln_2\.", r"model.layers.\1.post_attention_layernorm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.attn\.q\.", r"model.layers.\1.self_attn.q_proj.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.attn\.c_proj\.", r"model.layers.\1.self_attn.o_proj.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.mlp\.c_proj\.", r"model.layers.\1.mlp.down_proj.", k)
+        out[k] = v
+    if "lm_head.weight" not in out:
+        out["lm_head.weight"] = out["model.embed_tokens.weight"]
+    cfg = _llama_cfg(hf, num_key_value_heads=1, intermediate_size=ff)
+    return convert_hf_llama(_Shim(cfg, out), tokenizer_vocab, out_path,
+                            quant_type, arch="refact", permute=False,
+                            layer_map=_PLAMO_MAP + [
+                                ("post_attention_layernorm.weight", "ffn_norm.weight")])
+
+
+def convert_hf_jais(model, tokenizer_vocab, out_path: str,
+                    quant_type=GGMLType.F16) -> str:
+    """JAISLMHeadModel → GGUF arch "jais" (gpt2-style Conv1D transposed
+    weights, fused c_attn, ALiBi, swiglu c_fc2=gate/c_fc=up) — spec:
+    JaisModel in convert_hf_to_gguf.py; llm_build_jais
+    src/llama-model.cpp:13385."""
+    import torch
+
+    hf = model.config
+    D = _g(hf, "n_embd", "hidden_size")
+    out = {}
+    for k, v in model.state_dict().items():
+        v = _to_t(v)
+        if k.endswith(".weight") and v.ndim == 2 and ".wte" not in k \
+                and "relative_pe" not in k and "lm_head" not in k:
+            v = v.t().contiguous()  # Conv1D stores (in, out)
+        m = re.match(r"^transformer\.h\.(\d+)\.attn\.c_attn\.(weight|bias)$", k)
+        if m:
+            p, kind = f"model.layers.{m.group(1)}.self_attn.", m.group(2)
+            out[p + f"q_proj.{kind}"] = v[:D] if kind == "weight" else v[:D]
+            out[p + f"k_proj.{kind}"] = v[D:2 * D]
+            out[p + f"v_proj.{kind}"] = v[2 * D:]
+            continue
+        if "relative_pe" in k:
+            continue  # ALiBi slopes are recomputed, not stored
+        k = re.sub(r"^transformer\.wte\.", "model.embed_tokens.", k)
+        k = re.sub(r"^transformer\.ln_f\.", "model.norm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.ln_1\.", r"model.layers.\1.input_layernorm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.ln_2\.", r"model.layers.\1.post_attention_layernorm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.attn\.c_proj\.", r"model.layers.\1.self_attn.o_proj.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.mlp\.c_fc2\.", r"model.layers.\1.mlp.gate_proj.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.mlp\.c_fc\.", r"model.layers.\1.mlp.up_proj.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.mlp\.c_proj\.", r"model.layers.\1.mlp.down_proj.", k)
+        out[k] = v
+    if "lm_head.weight" not in out:
+        out["lm_head.weight"] = out["model.embed_tokens.weight"]
+    cfg = _llama_cfg(hf)
+    return convert_hf_llama(_Shim(cfg, out), tokenizer_vocab, out_path,
+                            quant_type, arch="jais", permute=False,
+                            layer_map=_BIAS_LAYER_MAP)
+
+
+def convert_hf_codeshell(model, tokenizer_vocab, out_path: str,
+                         quant_type=GGMLType.F16) -> str:
+    """CodeShellForCausalLM → GGUF arch "codeshell" (gpt-bigcode body +
+    NEOX rope, fused MQA c_attn [q|k|v] rows, ungated GELU FFN) — spec:
+    CodeShellModel in convert_hf_to_gguf.py; llm_build_codeshell
+    src/llama-model.cpp:9500."""
+    hf = model.config
+    n_head = _g(hf, "n_head", "num_attention_heads")
+    n_kv = _g(hf, "num_query_groups", "num_key_value_heads", default=1)
+    D = _g(hf, "n_embd", "hidden_size")
+    hd = D // n_head
+    out = {}
+    for k, v in model.state_dict().items():
+        v = _to_t(v)
+        m = re.match(r"^transformer\.h\.(\d+)\.attn\.c_attn\.(weight|bias)$", k)
+        if m:
+            p, kind = f"model.layers.{m.group(1)}.self_attn.", m.group(2)
+            Dq, Dkv = n_head * hd, n_kv * hd
+            out[p + f"q_proj.{kind}"] = v[:Dq]
+            out[p + f"k_proj.{kind}"] = v[Dq:Dq + Dkv]
+            out[p + f"v_proj.{kind}"] = v[Dq + Dkv:Dq + 2 * Dkv]
+            continue
+        k = re.sub(r"^transformer\.wte\.", "model.embed_tokens.", k)
+        k = re.sub(r"^transformer\.ln_f\.", "model.norm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.ln_1\.", r"model.layers.\1.input_layernorm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.ln_2\.", r"model.layers.\1.post_attention_layernorm.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.attn\.c_proj\.", r"model.layers.\1.self_attn.o_proj.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.mlp\.c_fc\.", r"model.layers.\1.mlp.up_proj.", k)
+        k = re.sub(r"^transformer\.h\.(\d+)\.mlp\.c_proj\.", r"model.layers.\1.mlp.down_proj.", k)
+        out[k] = v
+    if "lm_head.weight" not in out:
+        out["lm_head.weight"] = out["model.embed_tokens.weight"]
+    cfg = _llama_cfg(hf, num_key_value_heads=n_kv)
+    no_gate = [p for p in _BIAS_LAYER_MAP if "ffn_gate" not in p[1]]
+    return convert_hf_llama(_Shim(cfg, out), tokenizer_vocab, out_path,
+                            quant_type, arch="codeshell", permute=False,
+                            layer_map=no_gate)
+
+
+def convert_hf_deepseek_v1(model, tokenizer_vocab, out_path: str,
+                           quant_type=GGMLType.F16) -> str:
+    """DeepseekForCausalLM (v1) → GGUF arch "deepseek" (dense-lead MoE,
+    plural ``shared_experts``) — spec: DeepseekModel in
+    convert_hf_to_gguf.py."""
+    hf = model.config
+    state = _rename(model.state_dict(), [
+        (r"\.mlp\.shared_experts\.", ".mlp.shared_expert."),
+    ])
+    extra = {
+        Keys.LLM.LEADING_DENSE_BLOCK_COUNT: int(_g(hf, "first_k_dense_replace", default=0)),
+        Keys.LLM.EXPERT_SHARED_COUNT: int(_g(hf, "n_shared_experts", default=0)),
+    }
+    cfg = _llama_cfg(hf, num_experts=_g(hf, "n_routed_experts", default=0),
+                     moe_intermediate_size=_g(hf, "moe_intermediate_size", default=0),
+                     num_experts_per_tok=_g(hf, "num_experts_per_tok", default=0),
+                     norm_topk_prob=_g(hf, "norm_topk_prob", default=False))
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="deepseek", permute=True,
+                            extra_kv=extra)
+
+
+def convert_hf_llada(model, tokenizer_vocab, out_path: str,
+                     quant_type=GGMLType.F16) -> str:
+    """LLaDAModelLM → GGUF arch "llada" (diffusion LM, llama block under
+    OLMo-lineage names model.transformer.blocks.N.*) — spec: LLaDAModel
+    in convert_hf_to_gguf.py:3039-3090 and tensor_mapping.py llada rows."""
+    state = _rename(model.state_dict(), [
+        (r"^model\.transformer\.wte\.", "model.embed_tokens."),
+        (r"^model\.transformer\.ln_f\.", "model.norm."),
+        (r"^model\.transformer\.ff_out\.", "lm_head."),
+        (r"^model\.transformer\.blocks\.(\d+)\.attn_norm\.", r"model.layers.\1.input_layernorm."),
+        (r"^model\.transformer\.blocks\.(\d+)\.ff_norm\.", r"model.layers.\1.post_attention_layernorm."),
+        (r"^model\.transformer\.blocks\.(\d+)\.q_proj\.", r"model.layers.\1.self_attn.q_proj."),
+        (r"^model\.transformer\.blocks\.(\d+)\.k_proj\.", r"model.layers.\1.self_attn.k_proj."),
+        (r"^model\.transformer\.blocks\.(\d+)\.v_proj\.", r"model.layers.\1.self_attn.v_proj."),
+        (r"^model\.transformer\.blocks\.(\d+)\.attn_out\.", r"model.layers.\1.self_attn.o_proj."),
+        (r"^model\.transformer\.blocks\.(\d+)\.ff_proj\.", r"model.layers.\1.mlp.gate_proj."),
+        (r"^model\.transformer\.blocks\.(\d+)\.up_proj\.", r"model.layers.\1.mlp.up_proj."),
+        (r"^model\.transformer\.blocks\.(\d+)\.ff_out\.", r"model.layers.\1.mlp.down_proj."),
+    ])
+    cfg = _llama_cfg(model.config)
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="llada", permute=True)
+
+
+def convert_hf_dream(model, tokenizer_vocab, out_path: str,
+                     quant_type=GGMLType.F16) -> str:
+    """DreamForCausalLM → GGUF arch "dream" (diffusion LM over the qwen2
+    block shape; NEOX rope so no permutation) — spec: DreamModel in
+    convert_hf_to_gguf.py."""
+    cfg = _llama_cfg(model.config)
+    return convert_hf_llama(_Shim(cfg, {k: _to_t(v) for k, v in model.state_dict().items()}),
+                            tokenizer_vocab, out_path, quant_type, arch="dream",
+                            permute=False)
+
+
+# ---------------------------------------------------------------------------
+# fused-QKV classics with bespoke GGUF layouts
+# ---------------------------------------------------------------------------
+
+
+def _qt_fn(quant_type):
+    from ..gguf.constants import GGML_BLOCK_SIZES
+
+    blck, _ = GGML_BLOCK_SIZES[quant_type]
+
+    def qt(name, arr):
+        if arr.ndim == 1 or "norm" in name:
+            return GGMLType.F32
+        return quant_type if arr.shape[-1] % blck == 0 else GGMLType.F16
+    return qt
+
+
+def convert_hf_falcon(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """FalconForCausalLM (7B layout: single norm, parallel residual) →
+    GGUF arch "falcon".
+
+    Fused ``query_key_value`` is grouped per kv-head [g q | k | v];
+    de-grouped to contiguous q/k/v (spec: FalconModel.modify_tensors in
+    convert_hf_to_gguf.py). The two-norm 40B layout (ln_attn/ln_mlp) is
+    not supported by the engine's falcon graph and raises."""
+    hf = model.config
+    state = _np_state(model)
+    if any("ln_attn" in k for k in state):
+        raise NotImplementedError("falcon 40B two-norm layout (ln_attn/ln_mlp)")
+    n_head = _g(hf, "num_attention_heads", "n_head")
+    if _g(hf, "new_decoder_architecture", default=False):
+        n_kv = _g(hf, "num_kv_heads", "n_head_kv", default=n_head)
+    elif _g(hf, "multi_query", default=False):
+        n_kv = 1
+    else:
+        n_kv = n_head
+    D = _g(hf, "hidden_size", "n_embd")
+    hd = D // n_head
+    g = n_head // n_kv
+    L = _g(hf, "num_hidden_layers", "n_layer")
+    eps = _g(hf, "layer_norm_epsilon", default=1e-5)
+
+    w = GGUFWriter(out_path, "falcon")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="falcon-convert"))
+    cfg = _Cfg(max_position_embeddings=_g(hf, "max_position_embeddings", default=2048),
+               hidden_size=D, num_hidden_layers=L, vocab_size=hf.vocab_size)
+    _common_header(w, cfg, n_head, n_kv, hd, Keys.Attention.LAYERNORM_EPS, eps)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, _g(hf, "ffn_hidden_size", default=4 * D))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, hd)
+    w.add_float32(Keys.Rope.FREQ_BASE, _g(hf, "rope_theta", default=10000.0))
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, arr, qt(name, arr))
+
+    add("token_embd.weight", state["transformer.word_embeddings.weight"])
+    for i in range(L):
+        p, b = f"transformer.h.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_norm.bias", state[p + "input_layernorm.bias"])
+        qkv = state[p + "self_attention.query_key_value.weight"]
+        wq = qkv.reshape(n_kv, g + 2, hd, D)
+        add(b + "attn_q.weight", wq[:, :g].reshape(n_head * hd, D))
+        add(b + "attn_k.weight", wq[:, g].reshape(n_kv * hd, D))
+        add(b + "attn_v.weight", wq[:, g + 1].reshape(n_kv * hd, D))
+        add(b + "attn_output.weight", state[p + "self_attention.dense.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.dense_h_to_4h.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.dense_4h_to_h.weight"])
+    add("output_norm.weight", state["transformer.ln_f.weight"])
+    add("output_norm.bias", state["transformer.ln_f.bias"])
+    add("output.weight", state.get("lm_head.weight",
+                                   state["transformer.word_embeddings.weight"]))
+    return w.write()
+
+
+def convert_hf_gptneox(model, tokenizer_vocab, out_path: str,
+                       quant_type=GGMLType.F16) -> str:
+    """GPTNeoXForCausalLM → GGUF arch "gptneox".
+
+    Fused ``query_key_value`` interleaves q/k/v *per head* ((nh, 3, hd)
+    rows); de-interleaved to contiguous q/k/v (+biases) — spec:
+    GPTNeoXModel.modify_tensors in convert_hf_to_gguf.py."""
+    hf = model.config
+    state = _np_state(model)
+    n_head = _g(hf, "num_attention_heads")
+    D = _g(hf, "hidden_size")
+    hd = D // n_head
+    L = _g(hf, "num_hidden_layers")
+
+    w = GGUFWriter(out_path, "gptneox")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="gptneox-convert"))
+    cfg = _Cfg(max_position_embeddings=_g(hf, "max_position_embeddings", default=2048),
+               hidden_size=D, num_hidden_layers=L, vocab_size=hf.vocab_size)
+    _common_header(w, cfg, n_head, n_head, hd, Keys.Attention.LAYERNORM_EPS,
+                   _g(hf, "layer_norm_eps", default=1e-5))
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, _g(hf, "intermediate_size", default=4 * D))
+    rot = int(hd * _g(hf, "rotary_pct", default=1.0))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, rot)
+    w.add_float32(Keys.Rope.FREQ_BASE, _g(hf, "rotary_emb_base", "rope_theta", default=10000.0))
+    w.add_bool("gptneox.use_parallel_residual", bool(_g(hf, "use_parallel_residual", default=True)))
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, arr, qt(name, arr))
+
+    add("token_embd.weight", state["gpt_neox.embed_in.weight"])
+    for i in range(L):
+        p, b = f"gpt_neox.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "attn_norm.bias", state[p + "input_layernorm.bias"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "ffn_norm.bias", state[p + "post_attention_layernorm.bias"])
+        qkv = state[p + "attention.query_key_value.weight"].reshape(n_head, 3, hd, D)
+        add(b + "attn_q.weight", qkv[:, 0].reshape(n_head * hd, D))
+        add(b + "attn_k.weight", qkv[:, 1].reshape(n_head * hd, D))
+        add(b + "attn_v.weight", qkv[:, 2].reshape(n_head * hd, D))
+        qkvb = state[p + "attention.query_key_value.bias"].reshape(n_head, 3, hd)
+        add(b + "attn_q.bias", qkvb[:, 0].reshape(-1))
+        add(b + "attn_k.bias", qkvb[:, 1].reshape(-1))
+        add(b + "attn_v.bias", qkvb[:, 2].reshape(-1))
+        add(b + "attn_output.weight", state[p + "attention.dense.weight"])
+        add(b + "attn_output.bias", state[p + "attention.dense.bias"])
+        add(b + "ffn_up.weight", state[p + "mlp.dense_h_to_4h.weight"])
+        add(b + "ffn_up.bias", state[p + "mlp.dense_h_to_4h.bias"])
+        add(b + "ffn_down.weight", state[p + "mlp.dense_4h_to_h.weight"])
+        add(b + "ffn_down.bias", state[p + "mlp.dense_4h_to_h.bias"])
+    add("output_norm.weight", state["gpt_neox.final_layer_norm.weight"])
+    add("output_norm.bias", state["gpt_neox.final_layer_norm.bias"])
+    add("output.weight", state.get("embed_out.weight", state["gpt_neox.embed_in.weight"]))
+    return w.write()
+
+
+def convert_hf_gpt_bigcode(model, tokenizer_vocab, out_path: str,
+                           quant_type=GGMLType.F16) -> str:
+    """GPTBigCodeForCausalLM (starcoder v1) → GGUF arch "starcoder".
+
+    MQA ``c_attn`` is already contiguous [q|k|v] so stays fused as
+    attn_qkv (the loader splits it); learned positions ride
+    position_embd — spec: StarCoderModel in convert_hf_to_gguf.py."""
+    hf = model.config
+    state = _np_state(model)
+    n_head = _g(hf, "n_head", "num_attention_heads")
+    n_kv = 1 if _g(hf, "multi_query", default=True) else n_head
+    D = _g(hf, "n_embd", "hidden_size")
+    L = _g(hf, "n_layer", "num_hidden_layers")
+
+    w = GGUFWriter(out_path, "starcoder")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="starcoder-convert"))
+    cfg = _Cfg(max_position_embeddings=_g(hf, "n_positions", default=2048),
+               hidden_size=D, num_hidden_layers=L, vocab_size=hf.vocab_size)
+    _common_header(w, cfg, n_head, n_kv, D // n_head, Keys.Attention.LAYERNORM_EPS,
+                   _g(hf, "layer_norm_epsilon", default=1e-5))
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, _g(hf, "n_inner", default=4 * D))
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, arr, qt(name, arr))
+
+    add("token_embd.weight", state["transformer.wte.weight"])
+    add("position_embd.weight", state["transformer.wpe.weight"])
+    for i in range(L):
+        p, b = f"transformer.h.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "ln_1.weight"])
+        add(b + "attn_norm.bias", state[p + "ln_1.bias"])
+        add(b + "attn_qkv.weight", state[p + "attn.c_attn.weight"])
+        add(b + "attn_qkv.bias", state[p + "attn.c_attn.bias"])
+        add(b + "attn_output.weight", state[p + "attn.c_proj.weight"])
+        add(b + "attn_output.bias", state[p + "attn.c_proj.bias"])
+        add(b + "ffn_norm.weight", state[p + "ln_2.weight"])
+        add(b + "ffn_norm.bias", state[p + "ln_2.bias"])
+        add(b + "ffn_up.weight", state[p + "mlp.c_fc.weight"])
+        add(b + "ffn_up.bias", state[p + "mlp.c_fc.bias"])
+        add(b + "ffn_down.weight", state[p + "mlp.c_proj.weight"])
+        add(b + "ffn_down.bias", state[p + "mlp.c_proj.bias"])
+    add("output_norm.weight", state["transformer.ln_f.weight"])
+    add("output_norm.bias", state["transformer.ln_f.bias"])
+    add("output.weight", state.get("lm_head.weight", state["transformer.wte.weight"]))
+    return w.write()

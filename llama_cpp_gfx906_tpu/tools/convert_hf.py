@@ -52,6 +52,7 @@ def convert_hf_llama(
     extra_kv: dict | None = None,
     permute: bool | None = None,  # q/k rope-layout permutation; default by arch
     layer_map: list | None = None,  # override _LAYER_MAP (per-arch tensor names)
+    rope_dim: int | None = None,  # partial-rotary archs (stablelm rope_pct)
 ) -> str:
     """Write a transformers *LlamaForCausalLM-style* model to GGUF.
 
@@ -85,7 +86,7 @@ def convert_hf_llama(
                 if getattr(hf_cfg, k, None) is not None), 1e-5)
     w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, eps)
     w.add_float32(Keys.Attention.LAYERNORM_EPS, eps)
-    w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, rope_dim or head_dim)
     w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf_cfg, "rope_theta", 10000.0))
     w.add_uint32(Keys.LLM.VOCAB_SIZE, hf_cfg.vocab_size)
 

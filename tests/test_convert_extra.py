@@ -1,0 +1,508 @@
+"""Converter breadth: real-HF checkpoint layouts → GGUF (convert_extra.py).
+
+Two tiers (behavioral contract: the per-arch ``Model`` subclasses of the
+reference's ``convert_hf_to_gguf.py`` + ``tensor_mapping.py`` name maps):
+
+- transformers-class parity — gpt_neox / falcon / gpt_bigcode / stablelm
+  random-init HF models convert and the engine forward matches HF logits.
+- layout equality — trust_remote_code families (exaone, baichuan,
+  internlm2, plamo, refact, jais, codeshell, deepseek v1, llada) whose HF
+  classes aren't in this environment: the HF-native tensor naming must
+  convert to value-identical GGUF tensors as the canonical llama-named
+  path through ``convert_hf_llama`` (which the wave-5/arch-parity tests
+  already pin against oracles).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType
+from llama_cpp_gfx906_tpu.gguf.reader import GGUFReader
+from llama_cpp_gfx906_tpu.runtime.engine import Engine
+from llama_cpp_gfx906_tpu.tools import convert_extra as CE
+from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+
+VOCAB = 96
+
+
+def dummy_vocab():
+    tokens = ["<s>", "</s>", "<unk>"] + [f"<t{i}>" for i in range(VOCAB - 3)]
+    return {
+        "model": "gpt2",
+        "tokens": tokens,
+        "token_types": [3, 3, 2] + [4] * (VOCAB - 3),
+        "bos": 0,
+        "eos": 1,
+    }
+
+
+class Shim:
+    def __init__(self, config, state):
+        self.config = config
+        self._state = state
+
+    def state_dict(self):
+        return self._state
+
+
+class Cfg:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _tensors(path):
+    return {n: t.to_f32() for n, t in GGUFReader(path).tensors.items()}
+
+
+def _assert_same_gguf_tensors(path_a, path_b):
+    ta, tb = _tensors(path_a), _tensors(path_b)
+    assert set(ta) == set(tb), (sorted(set(ta) ^ set(tb)))
+    for n in ta:
+        np.testing.assert_array_equal(ta[n], tb[n], err_msg=n)
+
+
+def _check_hf(path, hf, arch, ids=(3, 17, 42, 9, 88), rtol=3e-3):
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.cfg.arch == arch
+    with torch.no_grad():
+        ref = hf(torch.tensor([list(ids)])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.llama import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([list(ids)], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=rtol, atol=rtol)
+    return eng
+
+
+# -- transformers-class parity ----------------------------------------------
+
+
+@pytest.mark.parametrize("parallel", [True, False])
+def test_gptneox_hf_parity(tmp_path, parallel):
+    """Fused per-head-interleaved query_key_value de-interleaves; partial
+    rotary_pct rides rope.dimension_count (GPTNeoXModel.modify_tensors)."""
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    torch.manual_seed(60)
+    hf = GPTNeoXForCausalLM(GPTNeoXConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.5,
+        max_position_embeddings=128, use_parallel_residual=parallel,
+    )).eval()
+    path = str(tmp_path / "neox.gguf")
+    CE.convert_hf_gptneox(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check_hf(path, hf, "gptneox")
+    assert eng.cfg.parallel_residual is parallel
+    assert eng.cfg.rope_dim == 4  # 0.5 * head_dim
+
+
+def test_falcon_hf_parity(tmp_path):
+    """7B layout: MQA fused query_key_value splits [q|k|v], single norm,
+    parallel residual (FalconModel.modify_tensors)."""
+    from transformers import FalconConfig, FalconForCausalLM
+
+    torch.manual_seed(61)
+    hf = FalconForCausalLM(FalconConfig(
+        vocab_size=VOCAB, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+    )).eval()
+    path = str(tmp_path / "falcon.gguf")
+    CE.convert_hf_falcon(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check_hf(path, hf, "falcon")
+    assert eng.cfg.n_kv_heads == 1 and eng.cfg.parallel_residual
+
+
+def test_falcon_40b_layout_rejected(tmp_path):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    hf = FalconForCausalLM(FalconConfig(
+        vocab_size=VOCAB, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, num_kv_heads=2, multi_query=False,
+        parallel_attn=True, new_decoder_architecture=True, bias=False,
+    )).eval()
+    with pytest.raises(NotImplementedError):
+        CE.convert_hf_falcon(hf, dummy_vocab(), str(tmp_path / "x.gguf"))
+
+
+def test_gpt_bigcode_hf_parity(tmp_path):
+    """starcoder v1: fused MQA c_attn stays fused (loader splits), learned
+    positions ride position_embd (StarCoderModel spec)."""
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    torch.manual_seed(62)
+    hf = GPTBigCodeForCausalLM(GPTBigCodeConfig(
+        vocab_size=VOCAB, n_embd=32, n_inner=64, n_layer=2, n_head=4,
+        n_positions=128, multi_query=True,
+    )).eval()
+    path = str(tmp_path / "bigcode.gguf")
+    CE.convert_hf_gpt_bigcode(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    _check_hf(path, hf, "starcoder")
+
+
+def test_stablelm_hf_parity(tmp_path):
+    """LayerNorm+bias blocks, partial_rotary_factor → rope.dimension_count
+    (StableLMModel spec)."""
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    torch.manual_seed(63)
+    hf = StableLmForCausalLM(StableLmConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+    )).eval()
+    path = str(tmp_path / "stablelm.gguf")
+    CE.convert_hf_stablelm(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check_hf(path, hf, "stablelm")
+    assert eng.cfg.rope_dim == 4
+
+
+# -- layout-equality families ------------------------------------------------
+
+
+def _canon_llama_state(seed, L=2, D=32, n_head=4, n_kv=2, ff=64, vocab=VOCAB,
+                       hd=None, biases=False, tied=False):
+    """Random canonical llama-named torch state dict."""
+    g = torch.Generator().manual_seed(seed)
+    hd = hd or D // n_head
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    s = {"model.embed_tokens.weight": t(vocab, D),
+         "model.norm.weight": 1 + t(D) * 0}
+    if not tied:
+        s["lm_head.weight"] = t(vocab, D)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        s[p + "input_layernorm.weight"] = 1 + t(D)
+        s[p + "post_attention_layernorm.weight"] = 1 + t(D)
+        s[p + "self_attn.q_proj.weight"] = t(n_head * hd, D)
+        s[p + "self_attn.k_proj.weight"] = t(n_kv * hd, D)
+        s[p + "self_attn.v_proj.weight"] = t(n_kv * hd, D)
+        s[p + "self_attn.o_proj.weight"] = t(D, n_head * hd)
+        s[p + "mlp.gate_proj.weight"] = t(ff, D)
+        s[p + "mlp.up_proj.weight"] = t(ff, D)
+        s[p + "mlp.down_proj.weight"] = t(D, ff)
+        if biases:
+            for k, dim in (("input_layernorm", D), ("post_attention_layernorm", D)):
+                s[p + k + ".bias"] = t(dim)
+    return s
+
+
+_CANON_CFG = dict(num_attention_heads=4, num_key_value_heads=2, hidden_size=32,
+                  intermediate_size=64, num_hidden_layers=2,
+                  max_position_embeddings=128, vocab_size=VOCAB,
+                  rms_norm_eps=1e-5, rope_theta=10000.0,
+                  name_or_path="t")
+
+
+def test_exaone_rename(tmp_path):
+    canon = _canon_llama_state(70)
+    hf = {}
+    for k, v in canon.items():
+        nk = (k.replace("model.embed_tokens.", "transformer.wte.")
+               .replace("model.norm.", "transformer.ln_f."))
+        nk = nk.replace("model.layers.", "transformer.h.")
+        nk = (nk.replace(".input_layernorm.", ".ln_1.")
+                .replace(".post_attention_layernorm.", ".ln_2.")
+                .replace(".self_attn.o_proj.", ".attn.attention.out_proj.")
+                .replace(".self_attn.", ".attn.attention.")
+                .replace(".mlp.gate_proj.", ".mlp.c_fc_0.")
+                .replace(".mlp.up_proj.", ".mlp.c_fc_1.")
+                .replace(".mlp.down_proj.", ".mlp.c_proj."))
+        hf[nk] = v
+    cfg = Cfg(**{**_CANON_CFG, "num_layers": 2})
+    a = str(tmp_path / "a.gguf")
+    b = str(tmp_path / "b.gguf")
+    CE.convert_hf_exaone(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    convert_hf_llama(Shim(Cfg(**_CANON_CFG), canon), dummy_vocab(), b,
+                     GGMLType.F32, arch="exaone", permute=False)
+    _assert_same_gguf_tensors(a, b)
+
+
+def test_baichuan_wpack_split(tmp_path):
+    canon = _canon_llama_state(71, n_kv=4)  # W_pack is MHA-only
+    hf = {}
+    done = set()
+    for k, v in canon.items():
+        if ".self_attn.q_proj." in k:
+            p = k.split("q_proj")[0]
+            hf[p + "W_pack.weight"] = torch.cat(
+                [canon[p + "q_proj.weight"], canon[p + "k_proj.weight"],
+                 canon[p + "v_proj.weight"]])
+            done.add(p)
+        elif ".self_attn.k_proj." in k or ".self_attn.v_proj." in k:
+            continue
+        else:
+            hf[k] = v
+    assert done
+    cfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4})
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_baichuan(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    convert_hf_llama(Shim(cfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="baichuan", permute=True)
+    _assert_same_gguf_tensors(a, b)
+
+
+def test_internlm2_wqkv_degroup(tmp_path):
+    n_head, n_kv, hd, D = 4, 2, 8, 32
+    canon = _canon_llama_state(72, n_head=n_head, n_kv=n_kv)
+    g = n_head // n_kv
+    hf = {"model.tok_embeddings.weight": canon["model.embed_tokens.weight"],
+          "model.norm.weight": canon["model.norm.weight"],
+          "output.weight": canon["lm_head.weight"]}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        q = canon[p + "self_attn.q_proj.weight"].reshape(n_kv, g, hd, D)
+        k = canon[p + "self_attn.k_proj.weight"].reshape(n_kv, 1, hd, D)
+        v = canon[p + "self_attn.v_proj.weight"].reshape(n_kv, 1, hd, D)
+        hf[p + "attention.wqkv.weight"] = torch.cat([q, k, v], dim=1).reshape(-1, D)
+        hf[p + "attention.wo.weight"] = canon[p + "self_attn.o_proj.weight"]
+        hf[p + "attention_norm.weight"] = canon[p + "input_layernorm.weight"]
+        hf[p + "ffn_norm.weight"] = canon[p + "post_attention_layernorm.weight"]
+        hf[p + "feed_forward.w1.weight"] = canon[p + "mlp.gate_proj.weight"]
+        hf[p + "feed_forward.w3.weight"] = canon[p + "mlp.up_proj.weight"]
+        hf[p + "feed_forward.w2.weight"] = canon[p + "mlp.down_proj.weight"]
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_internlm2(Shim(Cfg(**_CANON_CFG), hf), dummy_vocab(), a, GGMLType.F32)
+    convert_hf_llama(Shim(Cfg(**_CANON_CFG), canon), dummy_vocab(), b,
+                     GGMLType.F32, arch="internlm2", permute=True)
+    _assert_same_gguf_tensors(a, b)
+
+
+def test_plamo_shared_norm_rename(tmp_path):
+    canon = _canon_llama_state(73, n_kv=4)
+    hf = {}
+    for k, v in canon.items():
+        if ".post_attention_layernorm." in k:
+            continue  # plamo has one shared norm per block
+        nk = k.replace(".input_layernorm.", ".norm.")
+        nk = nk.replace("model.layers.", "model.layers.layers.")
+        hf[nk] = v
+    canon2 = {k: v for k, v in canon.items() if ".post_attention_layernorm." not in k}
+    cfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4})
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_plamo(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    convert_hf_llama(Shim(cfg, canon2), dummy_vocab(), b, GGMLType.F32,
+                     arch="plamo", permute=False, layer_map=CE._PLAMO_MAP)
+    _assert_same_gguf_tensors(a, b)
+
+
+def test_refact_fused_split(tmp_path):
+    D, n_head = 32, 4
+    hd = D // n_head
+    inner = 4 * D
+    ff = 256 * ((int(2 * inner / 3) + 255) // 256)
+    canon = _canon_llama_state(74, n_head=n_head, n_kv=1, ff=ff, tied=True)
+    hf = {"transformer.wte.weight": canon["model.embed_tokens.weight"],
+          "transformer.ln_f.weight": canon["model.norm.weight"]}
+    for i in range(2):
+        p, q = f"model.layers.{i}.", f"transformer.h.{i}."
+        hf[q + "ln_1.weight"] = canon[p + "input_layernorm.weight"]
+        hf[q + "ln_2.weight"] = canon[p + "post_attention_layernorm.weight"]
+        hf[q + "attn.q.weight"] = canon[p + "self_attn.q_proj.weight"]
+        hf[q + "attn.kv.weight"] = torch.cat(
+            [canon[p + "self_attn.k_proj.weight"], canon[p + "self_attn.v_proj.weight"]])
+        hf[q + "attn.c_proj.weight"] = canon[p + "self_attn.o_proj.weight"]
+        hf[q + "mlp.gate_up_proj.weight"] = torch.cat(
+            [canon[p + "mlp.gate_proj.weight"], canon[p + "mlp.up_proj.weight"]])
+        hf[q + "mlp.c_proj.weight"] = canon[p + "mlp.down_proj.weight"]
+    cfg = Cfg(n_embd=D, n_head=n_head, n_layer=2, vocab_size=VOCAB,
+              layer_norm_epsilon=1e-5)
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_refact(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    canon["lm_head.weight"] = canon["model.embed_tokens.weight"]
+    ccfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 1, "intermediate_size": ff})
+    convert_hf_llama(Shim(ccfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="refact", permute=False,
+                     layer_map=CE._PLAMO_MAP + [("post_attention_layernorm.weight",
+                                                 "ffn_norm.weight")])
+    _assert_same_gguf_tensors(a, b)
+    assert Engine.from_gguf(a, max_seq=32, dtype=jnp.float32).cfg.arch == "refact"
+
+
+def test_jais_conv1d_and_fused_attn(tmp_path):
+    D = 32
+    canon = _canon_llama_state(75, n_kv=4, biases=True)
+    for i in range(2):  # jais carries projection biases too
+        p = f"model.layers.{i}."
+        g2 = torch.Generator().manual_seed(200 + i)
+        for proj, dim in (("self_attn.q_proj", D), ("self_attn.k_proj", D),
+                          ("self_attn.v_proj", D), ("self_attn.o_proj", D),
+                          ("mlp.gate_proj", 64), ("mlp.up_proj", 64),
+                          ("mlp.down_proj", D)):
+            canon[p + proj + ".bias"] = torch.randn(dim, generator=g2) * 0.05
+    canon["model.norm.bias"] = torch.randn(D) * 0.05
+    canon["lm_head.weight"] = canon["model.embed_tokens.weight"]
+    hf = {"transformer.wte.weight": canon["model.embed_tokens.weight"],
+          "transformer.ln_f.weight": canon["model.norm.weight"],
+          "transformer.ln_f.bias": canon["model.norm.bias"],
+          "transformer.relative_pe.slopes": torch.zeros(4)}
+    for i in range(2):
+        p, q = f"model.layers.{i}.", f"transformer.h.{i}."
+        hf[q + "ln_1.weight"] = canon[p + "input_layernorm.weight"]
+        hf[q + "ln_1.bias"] = canon[p + "input_layernorm.bias"]
+        hf[q + "ln_2.weight"] = canon[p + "post_attention_layernorm.weight"]
+        hf[q + "ln_2.bias"] = canon[p + "post_attention_layernorm.bias"]
+        # Conv1D stores (in, out): transpose of the canonical (out, in)
+        hf[q + "attn.c_attn.weight"] = torch.cat(
+            [canon[p + "self_attn.q_proj.weight"], canon[p + "self_attn.k_proj.weight"],
+             canon[p + "self_attn.v_proj.weight"]]).t().contiguous()
+        hf[q + "attn.c_attn.bias"] = torch.cat(
+            [canon[p + "self_attn.q_proj.bias"], canon[p + "self_attn.k_proj.bias"],
+             canon[p + "self_attn.v_proj.bias"]])
+        hf[q + "attn.c_proj.weight"] = canon[p + "self_attn.o_proj.weight"].t().contiguous()
+        hf[q + "attn.c_proj.bias"] = canon[p + "self_attn.o_proj.bias"]
+        hf[q + "mlp.c_fc2.weight"] = canon[p + "mlp.gate_proj.weight"].t().contiguous()
+        hf[q + "mlp.c_fc2.bias"] = canon[p + "mlp.gate_proj.bias"]
+        hf[q + "mlp.c_fc.weight"] = canon[p + "mlp.up_proj.weight"].t().contiguous()
+        hf[q + "mlp.c_fc.bias"] = canon[p + "mlp.up_proj.bias"]
+        hf[q + "mlp.c_proj.weight"] = canon[p + "mlp.down_proj.weight"].t().contiguous()
+        hf[q + "mlp.c_proj.bias"] = canon[p + "mlp.down_proj.bias"]
+    cfg = Cfg(n_embd=D, n_head=4, n_layer=2, n_inner=64, n_positions=128,
+              vocab_size=VOCAB, layer_norm_epsilon=1e-5)
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_jais(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    ccfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4})
+    convert_hf_llama(Shim(ccfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="jais", permute=False, layer_map=CE._BIAS_LAYER_MAP)
+    _assert_same_gguf_tensors(a, b)
+
+
+def test_codeshell_fused_mqa(tmp_path):
+    D, n_head, n_kv = 32, 4, 1
+    canon = _canon_llama_state(76, n_kv=n_kv, tied=True)
+    canon["lm_head.weight"] = canon["model.embed_tokens.weight"]
+    del canon["model.layers.0.mlp.gate_proj.weight"]
+    del canon["model.layers.1.mlp.gate_proj.weight"]
+    hf = {"transformer.wte.weight": canon["model.embed_tokens.weight"],
+          "transformer.ln_f.weight": canon["model.norm.weight"]}
+    for i in range(2):
+        p, q = f"model.layers.{i}.", f"transformer.h.{i}."
+        hf[q + "ln_1.weight"] = canon[p + "input_layernorm.weight"]
+        hf[q + "ln_2.weight"] = canon[p + "post_attention_layernorm.weight"]
+        hf[q + "attn.c_attn.weight"] = torch.cat(
+            [canon[p + "self_attn.q_proj.weight"], canon[p + "self_attn.k_proj.weight"],
+             canon[p + "self_attn.v_proj.weight"]])
+        hf[q + "attn.c_proj.weight"] = canon[p + "self_attn.o_proj.weight"]
+        hf[q + "mlp.c_fc.weight"] = canon[p + "mlp.up_proj.weight"]
+        hf[q + "mlp.c_proj.weight"] = canon[p + "mlp.down_proj.weight"]
+    cfg = Cfg(n_embd=D, n_head=n_head, num_query_groups=n_kv, n_layer=2,
+              vocab_size=VOCAB, layer_norm_epsilon=1e-5, n_inner=64)
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_codeshell(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    ccfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": n_kv})
+    no_gate = [x for x in CE._BIAS_LAYER_MAP if "ffn_gate" not in x[1]]
+    convert_hf_llama(Shim(ccfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="codeshell", permute=False, layer_map=no_gate)
+    _assert_same_gguf_tensors(a, b)
+
+
+def test_deepseek_v1_moe(tmp_path):
+    torch.manual_seed(77)
+
+    def t(*shape):
+        return torch.randn(*shape) * 0.05
+
+    D, ff, mff, n_exp = 32, 64, 16, 4
+    canon = _canon_llama_state(77, D=D, ff=ff)
+    # layer 0 dense (first_k_dense_replace=1); layer 1 MoE
+    p = "model.layers.1."
+    for k in ("gate_proj", "up_proj", "down_proj"):
+        del canon[p + f"mlp.{k}.weight"]
+    canon[p + "mlp.gate.weight"] = t(n_exp, D)
+    for e in range(n_exp):
+        canon[p + f"mlp.experts.{e}.gate_proj.weight"] = t(mff, D)
+        canon[p + f"mlp.experts.{e}.up_proj.weight"] = t(mff, D)
+        canon[p + f"mlp.experts.{e}.down_proj.weight"] = t(D, mff)
+    hf = {k.replace(".mlp.shared_expert.", ".mlp.shared_experts."): v
+          for k, v in canon.items()}
+    hf[p + "mlp.shared_experts.gate_proj.weight"] = t(mff, D)
+    hf[p + "mlp.shared_experts.up_proj.weight"] = t(mff, D)
+    hf[p + "mlp.shared_experts.down_proj.weight"] = t(D, mff)
+    canon[p + "mlp.shared_expert.gate_proj.weight"] = hf[p + "mlp.shared_experts.gate_proj.weight"]
+    canon[p + "mlp.shared_expert.up_proj.weight"] = hf[p + "mlp.shared_experts.up_proj.weight"]
+    canon[p + "mlp.shared_expert.down_proj.weight"] = hf[p + "mlp.shared_experts.down_proj.weight"]
+    from llama_cpp_gfx906_tpu.gguf.constants import Keys
+
+    cfg = Cfg(**{**_CANON_CFG, "n_routed_experts": n_exp,
+                 "num_experts_per_tok": 2, "moe_intermediate_size": mff,
+                 "first_k_dense_replace": 1, "n_shared_experts": 1})
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_deepseek_v1(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    extra = {Keys.LLM.LEADING_DENSE_BLOCK_COUNT: 1, Keys.LLM.EXPERT_SHARED_COUNT: 1}
+    ccfg = Cfg(**{**_CANON_CFG, "num_experts": n_exp, "num_experts_per_tok": 2,
+                  "moe_intermediate_size": mff})
+    convert_hf_llama(Shim(ccfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="deepseek", permute=True, extra_kv=extra)
+    _assert_same_gguf_tensors(a, b)
+    r = GGUFReader(a)
+    assert r.get(Keys.LLM.LEADING_DENSE_BLOCK_COUNT, arch="deepseek") == 1
+    assert r.get(Keys.LLM.EXPERT_SHARED_COUNT, arch="deepseek") == 1
+    assert Engine.from_gguf(a, max_seq=32, dtype=jnp.float32).cfg.arch == "deepseek"
+
+
+def test_llada_olmo_rename(tmp_path):
+    canon = _canon_llama_state(78)
+    hf = {}
+    for k, v in canon.items():
+        nk = (k.replace("model.embed_tokens.", "model.transformer.wte.")
+               .replace("model.norm.", "model.transformer.ln_f.")
+               .replace("lm_head.", "model.transformer.ff_out."))
+        nk = nk.replace("model.layers.", "model.transformer.blocks.")
+        nk = (nk.replace(".input_layernorm.", ".attn_norm.")
+                .replace(".post_attention_layernorm.", ".ff_norm.")
+                .replace(".self_attn.q_proj.", ".q_proj.")
+                .replace(".self_attn.k_proj.", ".k_proj.")
+                .replace(".self_attn.v_proj.", ".v_proj.")
+                .replace(".self_attn.o_proj.", ".attn_out.")
+                .replace(".mlp.gate_proj.", ".ff_proj.")
+                .replace(".mlp.up_proj.", ".up_proj.")
+                .replace(".mlp.down_proj.", ".ff_out."))
+        hf[nk] = v
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_llada(Shim(Cfg(**_CANON_CFG), hf), dummy_vocab(), a, GGMLType.F32)
+    convert_hf_llama(Shim(Cfg(**_CANON_CFG), canon), dummy_vocab(), b,
+                     GGMLType.F32, arch="llada", permute=True)
+    _assert_same_gguf_tensors(a, b)
+    from llama_cpp_gfx906_tpu.runtime.diffusion import DiffusionEngine
+
+    assert DiffusionEngine.from_gguf(a, dtype=jnp.float32).cfg.arch == "llada"
+
+
+# -- auto-dispatch through a real HF directory -------------------------------
+
+
+def test_auto_dispatch_gptneox_dir(tmp_path):
+    """convert_hf_auto picks the gpt_neox converter from config.json and the
+    result matches HF logits (reference entrypoint behavior)."""
+    from safetensors.torch import save_file
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_auto import convert_hf_auto
+
+    torch.manual_seed(64)
+    cfg = GPTNeoXConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=1.0,
+        max_position_embeddings=128, bos_token_id=0, eos_token_id=1,
+    )
+    hf = GPTNeoXForCausalLM(cfg).eval()
+    d = tmp_path / "hfdir"
+    d.mkdir()
+    (d / "config.json").write_text(cfg.to_json_string())
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()},
+              str(d / "model.safetensors"))
+    toks = {f"<t{i}>": i for i in range(VOCAB)}
+    tj = {"model": {"type": "BPE", "vocab": toks, "merges": []},
+          "added_tokens": []}
+    (d / "tokenizer.json").write_text(json.dumps(tj))
+    out = str(tmp_path / "auto.gguf")
+    convert_hf_auto(d, out, outtype="f32")
+    _check_hf(out, hf, "gptneox")
