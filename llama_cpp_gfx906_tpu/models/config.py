@@ -423,6 +423,14 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             n_shared_experts=int(g(Keys.LLM.EXPERT_SHARED_COUNT, 0)),
             expert_gating_func=int(g(Keys.LLM.EXPERT_GATING_FUNC, 1)),
         )
+    elif arch == "olmo":
+        # v1: non-parametric LayerNorm (converter writes ones-weights) and
+        # optional qkv clamp; NORM rope (reference llm_build_olmo,
+        # src/llama-model.cpp:11740; clamp at :11764)
+        cfg = cfg.with_(
+            norm_type="layer",
+            clamp_kqv=float(g(Keys.Attention.CLAMP_KQV, 0.0)),
+        )
     elif arch == "olmo2":
         # post-norm blocks + full-width q/k norms (reference: llm_build_olmo2)
         cfg = cfg.with_(

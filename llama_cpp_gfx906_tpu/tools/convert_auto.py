@@ -490,6 +490,11 @@ MODEL_TYPE_MAP: dict = {
     "RefinedWebModel": CE.convert_hf_falcon,
     "gpt_neox": CE.convert_hf_gptneox,
     "gpt_bigcode": CE.convert_hf_gpt_bigcode,
+    "olmo": CE.convert_hf_olmo,
+    "grok": CE.convert_hf_grok,
+    "grok-1": CE.convert_hf_grok,
+    "arctic": CE.convert_hf_arctic,
+    "smallthinker": CE.convert_hf_smallthinker,
 }
 
 OUTTYPE = {

@@ -640,3 +640,149 @@ def convert_hf_gpt_bigcode(model, tokenizer_vocab, out_path: str,
     add("output_norm.bias", state["transformer.ln_f.bias"])
     add("output.weight", state.get("lm_head.weight", state["transformer.wte.weight"]))
     return w.write()
+
+
+# ---------------------------------------------------------------------------
+# wave 2: olmo / grok / arctic / smallthinker
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_olmo(model, tokenizer_vocab, out_path: str,
+                    quant_type=GGMLType.F16) -> str:
+    """OlmoForCausalLM (v1) → GGUF arch "olmo".
+
+    OLMo's non-parametric LayerNorm stores no tensors; ones-weights are
+    synthesized so the engine's LayerNorm path computes the identical
+    standardization.  clip_qkv rides attention.clamp_kqv — spec: OlmoModel
+    in convert_hf_to_gguf.py:5819; llm_build_olmo src/llama-model.cpp:11740."""
+    import torch
+
+    hf = model.config
+    state = {k: _to_t(v) for k, v in model.state_dict().items()}
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    ones = torch.ones(D)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        state.setdefault(p + "input_layernorm.weight", ones)
+        state.setdefault(p + "post_attention_layernorm.weight", ones)
+    state.setdefault("model.norm.weight", ones)
+    extra = {}
+    clip = _g(hf, "clip_qkv")
+    if clip:
+        extra[Keys.Attention.CLAMP_KQV] = float(clip)
+    cfg = _llama_cfg(hf)
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="olmo", permute=True,
+                            extra_kv=extra or None)
+
+
+_GROK_MAP = None  # built lazily below
+
+
+def convert_hf_grok(model, tokenizer_vocab, out_path: str,
+                    quant_type=GGMLType.F16) -> str:
+    """GrokForCausalLM → GGUF arch "grok" (GELU MoE, post-attention +
+    post-ffn norms, tied head).
+
+    HF names transformer.decoder_layer.N.{rms_norm..rms_norm_3,
+    multi_head_attention.*, router, moe.X.{linear,linear_1,linear_v}}
+    (spec: GrokModel convert_hf_to_gguf.py:2619 + tensor_mapping grok
+    rows; llm_build_grok src/llama-model.cpp:6821)."""
+    state = _rename(model.state_dict(), [
+        (r"^transformer\.in_out_embed\.", "model.embed_tokens."),
+        (r"^transformer\.rms_norm\.", "model.norm."),
+        (r"^transformer\.decoder_layer\.(\d+)\.rms_norm\.", r"model.layers.\1.input_layernorm."),
+        (r"^transformer\.decoder_layer\.(\d+)\.rms_norm_1\.", r"model.layers.\1.post_attn_norm."),
+        (r"^transformer\.decoder_layer\.(\d+)\.rms_norm_2\.", r"model.layers.\1.post_attention_layernorm."),
+        (r"^transformer\.decoder_layer\.(\d+)\.rms_norm_3\.", r"model.layers.\1.layer_out_norm."),
+        (r"^transformer\.decoder_layer\.(\d+)\.multi_head_attention\.query\.", r"model.layers.\1.self_attn.q_proj."),
+        (r"^transformer\.decoder_layer\.(\d+)\.multi_head_attention\.key\.", r"model.layers.\1.self_attn.k_proj."),
+        (r"^transformer\.decoder_layer\.(\d+)\.multi_head_attention\.value\.", r"model.layers.\1.self_attn.v_proj."),
+        (r"^transformer\.decoder_layer\.(\d+)\.multi_head_attention\.linear\.", r"model.layers.\1.self_attn.o_proj."),
+        (r"^transformer\.decoder_layer\.(\d+)\.router\.", r"model.layers.\1.mlp.gate."),
+        (r"^transformer\.decoder_layer\.(\d+)\.moe\.(\d+)\.linear\.", r"model.layers.\1.mlp.experts.\2.gate_proj."),
+        (r"^transformer\.decoder_layer\.(\d+)\.moe\.(\d+)\.linear_v\.", r"model.layers.\1.mlp.experts.\2.up_proj."),
+        (r"^transformer\.decoder_layer\.(\d+)\.moe\.(\d+)\.linear_1\.", r"model.layers.\1.mlp.experts.\2.down_proj."),
+    ])
+    from .convert_hf import _LAYER_MAP
+
+    lm = _LAYER_MAP + [
+        ("post_attn_norm.weight", "attn_output_norm.weight"),
+        ("layer_out_norm.weight", "layer_output_norm.weight"),
+    ]
+    hf = model.config
+    cfg = _llama_cfg(hf,
+                     num_experts=_g(hf, "num_local_experts", "num_experts", default=0),
+                     num_experts_per_tok=_g(hf, "num_experts_per_tok", default=2))
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="grok", permute=False,
+                            layer_map=lm)
+
+
+def convert_hf_arctic(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """ArcticForCausalLM → GGUF arch "arctic" (dense residual FFN +
+    parallel MoE branch on the layer input).
+
+    residual_mlp.w1/w3/w2 are the dense FFN; block_sparse_moe rides the
+    mixtral stacker; residual_layernorm → ffn_norm and the HF
+    post_attention_layernorm → ffn_norm_exps (spec: ArcticModel
+    convert_hf_to_gguf.py:6004 + arch-override rows tensor_mapping.py:1436;
+    llm_build_arctic src/llama-model.cpp:12391)."""
+    state = _rename(model.state_dict(), [
+        # order matters: stash the MoE-branch norm before renaming the
+        # dense-residual norm onto post_attention_layernorm (→ ffn_norm)
+        (r"\.post_attention_layernorm\.", ".moe_norm."),
+        (r"\.residual_layernorm\.", ".post_attention_layernorm."),
+        (r"\.residual_mlp\.w1\.", ".mlp.gate_proj."),
+        (r"\.residual_mlp\.w3\.", ".mlp.up_proj."),
+        (r"\.residual_mlp\.w2\.", ".mlp.down_proj."),
+    ])
+    from .convert_hf import _LAYER_MAP
+
+    lm = _LAYER_MAP + [("moe_norm.weight", "ffn_norm_exps.weight")]
+    hf = model.config
+    cfg = _llama_cfg(hf,
+                     num_local_experts=_g(hf, "num_local_experts", default=0),
+                     num_experts_per_tok=_g(hf, "num_experts_per_tok", default=2))
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="arctic", permute=True,
+                            layer_map=lm)
+
+
+def convert_hf_smallthinker(model, tokenizer_vocab, out_path: str,
+                            quant_type=GGMLType.F16) -> str:
+    """SmallThinkerForCausalLM → GGUF arch "smallthinker" (gated-ReLU MoE,
+    pre-norm router, optional dense-first iSWA).
+
+    block_sparse_moe.primary_router → ffn_gate_inp, experts.X.{gate,up,
+    down} stack via the qwen2moe path (spec: SmallThinkerModel
+    convert_hf_to_gguf.py:8298; llm_build_smallthinker
+    src/llama-model.cpp:17918)."""
+    state = _rename(model.state_dict(), [
+        (r"\.block_sparse_moe\.primary_router\.", ".mlp.gate."),
+        (r"\.block_sparse_moe\.experts\.(\d+)\.gate\.", r".mlp.experts.\1.gate_proj."),
+        (r"\.block_sparse_moe\.experts\.(\d+)\.up\.", r".mlp.experts.\1.up_proj."),
+        (r"\.block_sparse_moe\.experts\.(\d+)\.down\.", r".mlp.experts.\1.down_proj."),
+    ])
+    hf = model.config
+    n_exp = _g(hf, "num_experts", "moe_num_primary_experts", default=0)
+    used = _g(hf, "num_experts_per_tok", "moe_num_active_primary_experts", default=2)
+    mff = _g(hf, "moe_ffn_hidden_size", default=0)
+    extra = {
+        Keys.LLM.EXPERT_GATING_FUNC:
+            1 if _g(hf, "moe_primary_router_apply_softmax", default=False) else 2,
+    }
+    layout = _g(hf, "sliding_window_layout") or []
+    if any(layout):
+        sw = _g(hf, "sliding_window_size", default=0)
+        if sw:
+            extra[Keys.Attention.SLIDING_WINDOW] = int(sw)
+    cfg = _llama_cfg(hf, num_experts=n_exp, num_experts_per_tok=used,
+                     moe_intermediate_size=mff,
+                     intermediate_size=_g(hf, "intermediate_size",
+                                          "moe_ffn_hidden_size", default=0))
+    return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
+                            quant_type, arch="smallthinker", permute=False,
+                            extra_kv=extra)

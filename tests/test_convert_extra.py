@@ -506,3 +506,154 @@ def test_auto_dispatch_gptneox_dir(tmp_path):
     out = str(tmp_path / "auto.gguf")
     convert_hf_auto(d, out, outtype="f32")
     _check_hf(out, hf, "gptneox")
+
+
+# -- wave 2: olmo / grok / arctic / smallthinker -----------------------------
+
+
+def test_olmo_hf_parity(tmp_path):
+    """OLMo v1: non-parametric LayerNorm → synthesized ones-weights;
+    clip_qkv → attention.clamp_kqv (OlmoModel spec)."""
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    torch.manual_seed(65)
+    hf = OlmoForCausalLM(OlmoConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, clip_qkv=0.2, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "olmo.gguf")
+    CE.convert_hf_olmo(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = _check_hf(path, hf, "olmo")
+    assert eng.cfg.norm_type == "layer" and eng.cfg.clamp_kqv == pytest.approx(0.2)
+
+
+def test_grok_rename(tmp_path):
+    torch.manual_seed(80)
+
+    def t(*s):
+        return torch.randn(*s) * 0.05
+
+    D, F, E, L = 32, 64, 4, 2
+    canon = {"model.embed_tokens.weight": t(VOCAB, D),
+             "model.norm.weight": 1 + t(D)}
+    hf = {"transformer.in_out_embed.weight": canon["model.embed_tokens.weight"],
+          "transformer.rms_norm.weight": canon["model.norm.weight"]}
+    for i in range(L):
+        p, q = f"model.layers.{i}.", f"transformer.decoder_layer.{i}."
+        for cn, gn in (("input_layernorm", "rms_norm"),
+                       ("post_attn_norm", "rms_norm_1"),
+                       ("post_attention_layernorm", "rms_norm_2"),
+                       ("layer_out_norm", "rms_norm_3")):
+            canon[p + cn + ".weight"] = 1 + t(D)
+            hf[q + gn + ".weight"] = canon[p + cn + ".weight"]
+        for cn, gn in (("self_attn.q_proj", "multi_head_attention.query"),
+                       ("self_attn.k_proj", "multi_head_attention.key"),
+                       ("self_attn.v_proj", "multi_head_attention.value"),
+                       ("self_attn.o_proj", "multi_head_attention.linear")):
+            canon[p + cn + ".weight"] = t(D, D)
+            hf[q + gn + ".weight"] = canon[p + cn + ".weight"]
+        canon[p + "mlp.gate.weight"] = t(E, D)
+        hf[q + "router.weight"] = canon[p + "mlp.gate.weight"]
+        for e in range(E):
+            for cn, gn, shp in (("gate_proj", "linear", (F, D)),
+                                ("up_proj", "linear_v", (F, D)),
+                                ("down_proj", "linear_1", (D, F))):
+                canon[p + f"mlp.experts.{e}.{cn}.weight"] = t(*shp)
+                hf[q + f"moe.{e}.{gn}.weight"] = canon[p + f"mlp.experts.{e}.{cn}.weight"]
+    cfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4,
+                 "num_local_experts": E, "num_experts_per_tok": 2})
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_grok(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    from llama_cpp_gfx906_tpu.tools.convert_hf import _LAYER_MAP
+
+    lm = _LAYER_MAP + [("post_attn_norm.weight", "attn_output_norm.weight"),
+                       ("layer_out_norm.weight", "layer_output_norm.weight")]
+    ccfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4,
+                  "num_experts": E, "num_experts_per_tok": 2})
+    convert_hf_llama(Shim(ccfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="grok", permute=False, layer_map=lm)
+    _assert_same_gguf_tensors(a, b)
+    assert Engine.from_gguf(a, max_seq=32, dtype=jnp.float32).cfg.arch == "grok"
+
+
+def test_arctic_rename(tmp_path):
+    torch.manual_seed(81)
+
+    def t(*s):
+        return torch.randn(*s) * 0.05
+
+    D, F, E = 32, 64, 4
+    canon = _canon_llama_state(81, n_kv=4)
+    hf = {}
+    for k, v in canon.items():
+        nk = (k.replace(".post_attention_layernorm.", ".residual_layernorm.")
+               .replace(".mlp.gate_proj.", ".residual_mlp.w1.")
+               .replace(".mlp.up_proj.", ".residual_mlp.w3.")
+               .replace(".mlp.down_proj.", ".residual_mlp.w2."))
+        hf[nk] = v
+    for i in range(2):
+        p = f"model.layers.{i}."
+        moe_norm = 1 + t(D)
+        hf[p + "post_attention_layernorm.weight"] = moe_norm
+        canon[p + "moe_norm.weight"] = moe_norm
+        gate = t(E, D)
+        hf[p + "block_sparse_moe.gate.weight"] = gate
+        canon[p + "block_sparse_moe.gate.weight"] = gate
+        for e in range(E):
+            for wn, shp in (("w1", (F, D)), ("w3", (F, D)), ("w2", (D, F))):
+                w_ = t(*shp)
+                hf[p + f"block_sparse_moe.experts.{e}.{wn}.weight"] = w_
+                canon[p + f"block_sparse_moe.experts.{e}.{wn}.weight"] = w_
+    cfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4,
+                 "num_local_experts": E, "num_experts_per_tok": 2})
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_arctic(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    from llama_cpp_gfx906_tpu.tools.convert_hf import _LAYER_MAP
+
+    lm = _LAYER_MAP + [("moe_norm.weight", "ffn_norm_exps.weight")]
+    convert_hf_llama(Shim(cfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="arctic", permute=True, layer_map=lm)
+    _assert_same_gguf_tensors(a, b)
+    assert Engine.from_gguf(a, max_seq=32, dtype=jnp.float32).cfg.arch == "arctic"
+
+
+def test_smallthinker_rename(tmp_path):
+    torch.manual_seed(82)
+
+    def t(*s):
+        return torch.randn(*s) * 0.05
+
+    D, mff, E = 32, 16, 4
+    canon = _canon_llama_state(82, n_kv=4)
+    for i in range(2):  # MoE everywhere: drop the dense FFN
+        for k in ("gate_proj", "up_proj", "down_proj"):
+            del canon[f"model.layers.{i}.mlp.{k}.weight"]
+    hf = dict(canon)
+    for i in range(2):
+        p = f"model.layers.{i}."
+        canon[p + "mlp.gate.weight"] = t(E, D)
+        hf[p + "block_sparse_moe.primary_router.weight"] = canon[p + "mlp.gate.weight"]
+        for e in range(E):
+            for cn, gn, shp in (("gate_proj", "gate", (mff, D)),
+                                ("up_proj", "up", (mff, D)),
+                                ("down_proj", "down", (D, mff))):
+                canon[p + f"mlp.experts.{e}.{cn}.weight"] = t(*shp)
+                hf[p + f"block_sparse_moe.experts.{e}.{gn}.weight"] = \
+                    canon[p + f"mlp.experts.{e}.{cn}.weight"]
+    from llama_cpp_gfx906_tpu.gguf.constants import Keys
+
+    cfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4, "num_experts": E,
+                 "num_experts_per_tok": 2, "moe_ffn_hidden_size": mff,
+                 "moe_primary_router_apply_softmax": True})
+    a, b = str(tmp_path / "a.gguf"), str(tmp_path / "b.gguf")
+    CE.convert_hf_smallthinker(Shim(cfg, hf), dummy_vocab(), a, GGMLType.F32)
+    ccfg = Cfg(**{**_CANON_CFG, "num_key_value_heads": 4, "num_experts": E,
+                  "num_experts_per_tok": 2, "moe_intermediate_size": mff})
+    convert_hf_llama(Shim(ccfg, canon), dummy_vocab(), b, GGMLType.F32,
+                     arch="smallthinker", permute=False,
+                     extra_kv={Keys.LLM.EXPERT_GATING_FUNC: 1})
+    _assert_same_gguf_tensors(a, b)
+    r = GGUFReader(a)
+    assert r.get(Keys.LLM.EXPERT_GATING_FUNC, arch="smallthinker") == 1
+    assert Engine.from_gguf(a, max_seq=32, dtype=jnp.float32).cfg.arch == "smallthinker"
