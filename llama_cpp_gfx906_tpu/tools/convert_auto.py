@@ -495,6 +495,12 @@ MODEL_TYPE_MAP: dict = {
     "grok-1": CE.convert_hf_grok,
     "arctic": CE.convert_hf_arctic,
     "smallthinker": CE.convert_hf_smallthinker,
+    "openelm": CE.convert_hf_openelm,
+    "deci": CE.convert_hf_deci,
+    "deci_lm": CE.convert_hf_deci,
+    "nemotron-nas": CE.convert_hf_deci,
+    "minicpm3": CE.convert_hf_minicpm3,
+    "plm": CE.convert_hf_plm,
 }
 
 OUTTYPE = {

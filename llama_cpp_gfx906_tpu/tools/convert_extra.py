@@ -786,3 +786,233 @@ def convert_hf_smallthinker(model, tokenizer_vocab, out_path: str,
     return convert_hf_llama(_Shim(cfg, state), tokenizer_vocab, out_path,
                             quant_type, arch="smallthinker", permute=False,
                             extra_kv=extra)
+
+
+# ---------------------------------------------------------------------------
+# wave 3: ragged per-layer archs (openelm / deci)
+# ---------------------------------------------------------------------------
+
+
+def _make_divisible(v, divisor: int) -> int:
+    # apple's rounding rule (configuration_openelm.py make_divisible)
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def convert_hf_openelm(model, tokenizer_vocab, out_path: str,
+                       quant_type=GGMLType.F16) -> str:
+    """OpenELMForCausalLM → GGUF arch "openelm" (per-layer head counts and
+    FFN widths as header arrays, fused qkv kept fused, per-head q/k norms,
+    tied head) — spec: OpenELMModel convert_hf_to_gguf.py:5929;
+    llm_build_openelm src/llama-model.cpp:12116."""
+    hf = model.config
+    state = _np_state(model)
+    D = _g(hf, "model_dim", "hidden_size")
+    L = _g(hf, "num_transformer_layers", "num_hidden_layers")
+    hd = _g(hf, "head_dim")
+    heads = list(_g(hf, "num_query_heads"))
+    kvs = list(_g(hf, "num_kv_heads"))
+    div = _g(hf, "ffn_dim_divisor", default=256)
+    ffs = [_make_divisible(m * D, div) for m in _g(hf, "ffn_multipliers")]
+
+    w = GGUFWriter(out_path, "openelm")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="openelm-convert"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, _g(hf, "max_context_length", default=2048))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_array(Keys.LLM.FEED_FORWARD_LENGTH, np.asarray(ffs, np.uint32))
+    w.add_array(Keys.Attention.HEAD_COUNT, np.asarray(heads, np.uint32))
+    w.add_array(Keys.Attention.HEAD_COUNT_KV, np.asarray(kvs, np.uint32))
+    w.add_uint32(Keys.Attention.KEY_LENGTH, hd)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, hd)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, 1e-6)
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, hd)
+    w.add_float32(Keys.Rope.FREQ_BASE, _g(hf, "rope_freq_constant", default=10000.0))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, arr, qt(name, arr))
+
+    add("token_embd.weight", state["transformer.token_embeddings.weight"])
+    for i in range(L):
+        p, b = f"transformer.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "attn_norm.weight"])
+        add(b + "attn_qkv.weight", state[p + "attn.qkv_proj.weight"])
+        add(b + "attn_q_norm.weight", state[p + "attn.q_norm.weight"])
+        add(b + "attn_k_norm.weight", state[p + "attn.k_norm.weight"])
+        add(b + "attn_output.weight", state[p + "attn.out_proj.weight"])
+        add(b + "ffn_norm.weight", state[p + "ffn_norm.weight"])
+        gate_up = state[p + "ffn.proj_1.weight"]
+        add(b + "ffn_gate.weight", gate_up[:ffs[i]])
+        add(b + "ffn_up.weight", gate_up[ffs[i]:])
+        add(b + "ffn_down.weight", state[p + "ffn.proj_2.weight"])
+    add("output_norm.weight", state["transformer.norm.weight"])
+    if "lm_head.weight" in state:
+        add("output.weight", state["lm_head.weight"])
+    return w.write()
+
+
+def convert_hf_deci(model, tokenizer_vocab, out_path: str,
+                    quant_type=GGMLType.F16) -> str:
+    """DeciLMForCausalLM (NAS llama) → GGUF arch "deci".
+
+    Handles both layouts: Llama-3_1-Nemotron block_configs (per-layer
+    n_heads_in_group / replace_with_linear / ffn_mult → head-count and
+    FFN-width header arrays) and DeciLM-7B num_key_value_heads_per_layer.
+    q/k permute per-layer with that layer's counts; linear-attention
+    layers carry a lone ``self_attn.linear_attn`` → attn_output — spec:
+    DeciModel convert_hf_to_gguf.py:2401; llm_build_deci
+    src/llama-model.cpp:6308."""
+    hf = model.config
+    state = _np_state(model)
+    n_head = _g(hf, "num_attention_heads")
+    D = _g(hf, "hidden_size")
+    hd = _g(hf, "head_dim") or D // n_head
+    L = _g(hf, "num_hidden_layers")
+    blocks = _g(hf, "block_configs")
+    if blocks is not None:
+        heads, kvs, ffs = [], [], []
+        for bc in blocks:
+            attn = bc["attention"] if isinstance(bc, dict) else bc.attention
+            ffn = bc["ffn"] if isinstance(bc, dict) else bc.ffn
+            gv = (lambda o, k: o.get(k) if isinstance(o, dict) else getattr(o, k, None))
+            nig = gv(attn, "n_heads_in_group")
+            if nig is None:
+                heads.append(n_head if gv(attn, "replace_with_linear") else 0)
+                kvs.append(0)
+            else:
+                heads.append(n_head)
+                kvs.append(n_head // nig)
+            mult = gv(ffn, "ffn_mult")
+            if mult is None:
+                ffs.append(0)
+            else:
+                inner = int(2 * mult * D / 3)
+                ffs.append(inner + (-inner) % 256)
+    else:
+        heads = [n_head] * L
+        kvs = list(_g(hf, "num_key_value_heads_per_layer",
+                      default=[_g(hf, "num_key_value_heads", default=n_head)] * L))
+        ffs = [_g(hf, "intermediate_size")] * L
+
+    w = GGUFWriter(out_path, "deci")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="deci-convert"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, _g(hf, "max_position_embeddings", default=2048))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_array(Keys.LLM.FEED_FORWARD_LENGTH, np.asarray(ffs, np.uint32))
+    w.add_array(Keys.Attention.HEAD_COUNT, np.asarray(heads, np.uint32))
+    w.add_array(Keys.Attention.HEAD_COUNT_KV, np.asarray(kvs, np.uint32))
+    w.add_uint32(Keys.Attention.KEY_LENGTH, hd)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, hd)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, _g(hf, "rms_norm_eps", default=1e-5))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, hd)
+    w.add_float32(Keys.Rope.FREQ_BASE, _g(hf, "rope_theta", default=10000.0))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, arr, qt(name, arr))
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(L):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        nh, nkv = heads[i], kvs[i]
+        if p + "input_layernorm.weight" in state:
+            add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        if nh > 0 and nkv > 0:
+            add(b + "attn_q.weight", permute_qk(state[p + "self_attn.q_proj.weight"], nh))
+            add(b + "attn_k.weight", permute_qk(state[p + "self_attn.k_proj.weight"], nkv))
+            add(b + "attn_v.weight", state[p + "self_attn.v_proj.weight"])
+            add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        elif nh > 0:  # linear attention: lone replacement projection
+            add(b + "attn_output.weight", state[p + "self_attn.linear_attn.weight"])
+        if ffs[i] and p + "mlp.gate_proj.weight" in state:
+            add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+            add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+            add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+            add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    add("output.weight", state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    return w.write()
+
+
+# ---------------------------------------------------------------------------
+# wave 4: MLA archs (minicpm3 / plm)
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_minicpm3(model, tokenizer_vocab, out_path: str,
+                        quant_type=GGMLType.F16) -> str:
+    """MiniCPM3ForCausalLM → GGUF arch "minicpm3": deepseek2's MLA layout
+    (q_a/q_b low-rank, kv_b split into k_b/v_b) under minicpm3 keys, plus
+    longrope factor tensors — spec: MiniCPM3Model
+    convert_hf_to_gguf.py:2796; llm_build_minicpm3
+    src/llama-model.cpp:9868."""
+    from .convert_hf import convert_hf_deepseek2
+
+    return convert_hf_deepseek2(model, tokenizer_vocab, out_path, quant_type,
+                                arch="minicpm3")
+
+
+def convert_hf_plm(model, tokenizer_vocab, out_path: str,
+                   quant_type=GGMLType.F16) -> str:
+    """PLMForCausalLM → GGUF arch "plm" (MLA without the q low-rank,
+    ungated relu² FFN).
+
+    kv_b_proj splits per head into attn_k_b (transposed to (rank, nope))
+    and attn_v_b like deepseek2 — spec: PLMModel
+    convert_hf_to_gguf.py:6459; llm_build_plm src/llama-model.cpp:15834."""
+    hf = model.config
+    state = _np_state(model)
+    H = _g(hf, "num_attention_heads")
+    rope_d = _g(hf, "qk_rope_head_dim")
+    nope_d = _g(hf, "qk_nope_head_dim")
+    v_d = _g(hf, "v_head_dim")
+    rank = _g(hf, "kv_lora_rank")
+    L = _g(hf, "num_hidden_layers")
+
+    w = GGUFWriter(out_path, "plm")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="plm-convert"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, _g(hf, "max_position_embeddings", default=2048))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, _g(hf, "hidden_size"))
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, _g(hf, "intermediate_size"))
+    w.add_uint32(Keys.Attention.HEAD_COUNT, H)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, 1)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, nope_d + rope_d)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, v_d)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, _g(hf, "rms_norm_eps", default=1e-5))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, rope_d)
+    w.add_float32(Keys.Rope.FREQ_BASE, _g(hf, "rope_theta", default=10000.0))
+    w.add_uint32(Keys.Attention.KV_LORA_RANK, rank)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, arr, qt(name, arr))
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(L):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "attn_q.weight", state[p + "self_attn.q_proj.weight"])
+        add(b + "attn_kv_a_mqa.weight", state[p + "self_attn.kv_a_proj_with_mqa.weight"])
+        add(b + "attn_kv_a_norm.weight", state[p + "self_attn.kv_a_layernorm.weight"])
+        kv_b = state[p + "self_attn.kv_b_proj.weight"].reshape(H, nope_d + v_d, rank)
+        add(b + "attn_k_b.weight",
+            np.ascontiguousarray(kv_b[:, :nope_d, :].transpose(0, 2, 1)))
+        add(b + "attn_v_b.weight", np.ascontiguousarray(kv_b[:, nope_d:, :]))
+        add(b + "attn_output.weight", state[p + "self_attn.o_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    add("output.weight", state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    return w.write()

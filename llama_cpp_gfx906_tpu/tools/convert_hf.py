@@ -564,13 +564,16 @@ def convert_hf_t5(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16
     return w.write()
 
 
-def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
+def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16,
+                         arch: str = "deepseek2") -> str:
     """transformers DeepseekV2ForCausalLM → GGUF (arch "deepseek2").
 
     Follows the reference converter's MLA transforms
     (convert_hf_to_gguf.py DeepseekV2Model): kv_b_proj splits into
     attn_k_b (per-head, transposed to (rank, nope)) and attn_v_b;
-    metadata key/value lengths describe the compressed MQA view."""
+    metadata key/value lengths describe the compressed MQA view.
+    ``arch="minicpm3"`` reuses the layout (MiniCPM3Model spec) plus
+    longrope factor tensors (rope_factors_{long,short}.weight)."""
     hf = model.config
     state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
     H = hf.num_attention_heads
@@ -579,8 +582,8 @@ def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLT
     v_d = hf.v_head_dim
     rank = hf.kv_lora_rank
 
-    w = GGUFWriter(out_path, "deepseek2")
-    w.add_string(Keys.General.NAME, "deepseek2-convert")
+    w = GGUFWriter(out_path, arch)
+    w.add_string(Keys.General.NAME, f"{arch}-convert")
     w.add_uint32(Keys.LLM.CONTEXT_LENGTH, hf.max_position_embeddings)
     w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
     w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)
@@ -609,6 +612,18 @@ def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLT
         w.add_bool(Keys.LLM.EXPERT_WEIGHTS_NORM, bool(getattr(hf, "norm_topk_prob", False)))
         w.add_uint32(Keys.LLM.EXPERT_GATING_FUNC,
                      2 if getattr(hf, "scoring_func", "softmax") == "sigmoid" else 1)
+    rs = getattr(hf, "rope_scaling", None)
+    if rs is not None:
+        lf = rs.get("long_factor") if isinstance(rs, dict) else getattr(rs, "long_factor", None)
+        sf = rs.get("short_factor") if isinstance(rs, dict) else getattr(rs, "short_factor", None)
+        octx = (rs.get("original_max_position_embeddings") if isinstance(rs, dict)
+                else getattr(rs, "original_max_position_embeddings", None))
+        if lf and sf:
+            w.add_string(Keys.Rope.SCALING_TYPE, "longrope")
+            if octx:
+                w.add_uint32(Keys.Rope.SCALING_ORIG_CTX_LEN, int(octx))
+    else:
+        lf = sf = None
     _write_vocab(w, tokenizer_vocab)
 
     def add(name, arr):
@@ -617,6 +632,9 @@ def convert_hf_deepseek2(model, tokenizer_vocab, out_path: str, quant_type=GGMLT
         )
         w.add_tensor(name, arr, t)
 
+    if lf and sf:
+        w.add_tensor("rope_factors_long.weight", np.asarray(lf, np.float32), GGMLType.F32)
+        w.add_tensor("rope_factors_short.weight", np.asarray(sf, np.float32), GGMLType.F32)
     add("token_embd.weight", state["model.embed_tokens.weight"])
     for i in range(hf.num_hidden_layers):
         p = f"model.layers.{i}."

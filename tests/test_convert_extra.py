@@ -657,3 +657,184 @@ def test_smallthinker_rename(tmp_path):
     r = GGUFReader(a)
     assert r.get(Keys.LLM.EXPERT_GATING_FUNC, arch="smallthinker") == 1
     assert Engine.from_gguf(a, max_seq=32, dtype=jnp.float32).cfg.arch == "smallthinker"
+
+
+# -- wave 3: ragged per-layer archs ------------------------------------------
+
+
+def test_openelm_convert(tmp_path):
+    """Per-layer head counts / FFN widths become header arrays; proj_1
+    splits at the per-layer ff_dim; qkv stays fused (OpenELMModel spec)."""
+    torch.manual_seed(83)
+
+    def t(*s):
+        return torch.randn(*s) * 0.05
+
+    D, hd, L = 32, 8, 2
+    heads, kvs, mults = [4, 2], [2, 1], [1.0, 1.5]
+    ffs = [32, 48]  # _make_divisible(m * 32, 16)
+    state = {"transformer.token_embeddings.weight": t(VOCAB, D),
+             "transformer.norm.weight": 1 + t(D)}
+    for i in range(L):
+        p = f"transformer.layers.{i}."
+        q, kv, ff = heads[i], kvs[i], ffs[i]
+        state[p + "attn_norm.weight"] = 1 + t(D)
+        state[p + "attn.qkv_proj.weight"] = t((q + 2 * kv) * hd, D)
+        state[p + "attn.q_norm.weight"] = 1 + t(hd)
+        state[p + "attn.k_norm.weight"] = 1 + t(hd)
+        state[p + "attn.out_proj.weight"] = t(D, q * hd)
+        state[p + "ffn_norm.weight"] = 1 + t(D)
+        state[p + "ffn.proj_1.weight"] = t(2 * ff, D)
+        state[p + "ffn.proj_2.weight"] = t(D, ff)
+    cfg = Cfg(model_dim=D, num_transformer_layers=L, head_dim=hd,
+              num_query_heads=heads, num_kv_heads=kvs, ffn_multipliers=mults,
+              ffn_dim_divisor=16, rope_freq_constant=10000.0,
+              max_context_length=128, vocab_size=VOCAB)
+    path = str(tmp_path / "openelm.gguf")
+    CE.convert_hf_openelm(Shim(cfg, state), dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    np.testing.assert_array_equal(
+        got["blk.1.ffn_gate.weight"],
+        state["transformer.layers.1.ffn.proj_1.weight"][:48].numpy())
+    np.testing.assert_array_equal(
+        got["blk.1.ffn_up.weight"],
+        state["transformer.layers.1.ffn.proj_1.weight"][48:].numpy())
+    np.testing.assert_array_equal(
+        got["blk.0.attn_qkv.weight"],
+        state["transformer.layers.0.attn.qkv_proj.weight"].numpy())
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.arch == "openelm" and eng.cfg.qk_norm
+
+
+def test_deci_convert(tmp_path):
+    """block_configs → per-layer head/kv/ffn arrays; linear-attention
+    layers keep a lone linear_attn → attn_output; per-layer q/k permute
+    (DeciModel spec)."""
+    from llama_cpp_gfx906_tpu.tools.convert_hf import permute_qk
+
+    torch.manual_seed(84)
+
+    def t(*s):
+        return torch.randn(*s) * 0.05
+
+    D, hd, n_head, L = 32, 8, 4, 3
+    blocks = [
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": True},
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+    ]
+    ff = int(2 * 1.0 * D / 3)
+    ff += (-ff) % 256  # 256 for tiny D → 256
+    state = {"model.embed_tokens.weight": t(VOCAB, D),
+             "model.norm.weight": 1 + t(D),
+             "lm_head.weight": t(VOCAB, D)}
+    p0 = "model.layers.0."
+    state[p0 + "input_layernorm.weight"] = 1 + t(D)
+    state[p0 + "self_attn.q_proj.weight"] = t(n_head * hd, D)
+    state[p0 + "self_attn.k_proj.weight"] = t(2 * hd, D)
+    state[p0 + "self_attn.v_proj.weight"] = t(2 * hd, D)
+    state[p0 + "self_attn.o_proj.weight"] = t(D, n_head * hd)
+    p1 = "model.layers.1."
+    state[p1 + "input_layernorm.weight"] = 1 + t(D)
+    state[p1 + "self_attn.linear_attn.weight"] = t(D, D)
+    for p in (p0, p1, "model.layers.2."):
+        state[p + "post_attention_layernorm.weight"] = 1 + t(D)
+        state[p + "mlp.gate_proj.weight"] = t(ff, D)
+        state[p + "mlp.up_proj.weight"] = t(ff, D)
+        state[p + "mlp.down_proj.weight"] = t(D, ff)
+    cfg = Cfg(num_attention_heads=n_head, hidden_size=D, head_dim=hd,
+              num_hidden_layers=L, block_configs=blocks, rms_norm_eps=1e-5,
+              max_position_embeddings=128, vocab_size=VOCAB)
+    path = str(tmp_path / "deci.gguf")
+    CE.convert_hf_deci(Shim(cfg, state), dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    np.testing.assert_array_equal(
+        got["blk.0.attn_k.weight"],
+        permute_qk(state[p0 + "self_attn.k_proj.weight"].numpy(), 2))
+    np.testing.assert_array_equal(
+        got["blk.1.attn_output.weight"],
+        state[p1 + "self_attn.linear_attn.weight"].numpy())
+    assert "blk.2.attn_q.weight" not in got  # attention-free layer
+    r = GGUFReader(path)
+    assert list(r.get("deci.attention.head_count", arch="deci")) == [4, 4, 0]
+    assert list(r.get("deci.attention.head_count_kv", arch="deci")) == [2, 0, 0]
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.arch == "deci"
+    assert eng.cfg.attn_linear_layers == (False, True, False)
+
+
+# -- wave 4: MLA archs -------------------------------------------------------
+
+
+def _mla_state(seed, L=2, D=32, H=4, rope_d=4, nope_d=8, v_d=8, rank=16,
+               ff=64, q_lora=None):
+    torch.manual_seed(seed)
+
+    def t(*s):
+        return torch.randn(*s) * 0.05
+
+    s = {"model.embed_tokens.weight": t(VOCAB, D),
+         "model.norm.weight": 1 + t(D),
+         "lm_head.weight": t(VOCAB, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        s[p + "input_layernorm.weight"] = 1 + t(D)
+        s[p + "post_attention_layernorm.weight"] = 1 + t(D)
+        if q_lora:
+            s[p + "self_attn.q_a_proj.weight"] = t(q_lora, D)
+            s[p + "self_attn.q_a_layernorm.weight"] = 1 + t(q_lora)
+            s[p + "self_attn.q_b_proj.weight"] = t(H * (nope_d + rope_d), q_lora)
+        else:
+            s[p + "self_attn.q_proj.weight"] = t(H * (nope_d + rope_d), D)
+        s[p + "self_attn.kv_a_proj_with_mqa.weight"] = t(rank + rope_d, D)
+        s[p + "self_attn.kv_a_layernorm.weight"] = 1 + t(rank)
+        s[p + "self_attn.kv_b_proj.weight"] = t(H * (nope_d + v_d), rank)
+        s[p + "self_attn.o_proj.weight"] = t(D, H * v_d)
+        s[p + "mlp.up_proj.weight"] = t(ff, D)
+        s[p + "mlp.down_proj.weight"] = t(D, ff)
+        s[p + "mlp.gate_proj.weight"] = t(ff, D)
+    return s
+
+
+def test_minicpm3_convert(tmp_path):
+    """MLA under minicpm3 keys + longrope factor tensors (MiniCPM3Model
+    spec)."""
+    state = _mla_state(85, q_lora=12)
+    cfg = Cfg(num_attention_heads=4, hidden_size=32, num_hidden_layers=2,
+              intermediate_size=64, qk_rope_head_dim=4, qk_nope_head_dim=8,
+              v_head_dim=8, kv_lora_rank=16, q_lora_rank=12,
+              max_position_embeddings=128, vocab_size=VOCAB, rms_norm_eps=1e-5,
+              rope_scaling={"long_factor": [1.0, 2.0], "short_factor": [1.0, 1.0],
+                            "original_max_position_embeddings": 64})
+    path = str(tmp_path / "mini3.gguf")
+    CE.convert_hf_minicpm3(Shim(cfg, state), dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    assert "rope_factors_long.weight" in got and "blk.0.attn_q_b.weight" in got
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.arch == "minicpm3" and eng.cfg.embedding_scale == 12.0
+
+
+def test_plm_convert(tmp_path):
+    """MLA without q low-rank; kv_b splits into transposed k_b + v_b (PLM
+    spec)."""
+    H, rope_d, nope_d, v_d, rank = 4, 4, 8, 8, 16
+    state = _mla_state(86)
+    for i in range(2):  # plm is ungated relu²
+        del state[f"model.layers.{i}.mlp.gate_proj.weight"]
+    cfg = Cfg(num_attention_heads=H, hidden_size=32, num_hidden_layers=2,
+              intermediate_size=64, qk_rope_head_dim=rope_d,
+              qk_nope_head_dim=nope_d, v_head_dim=v_d, kv_lora_rank=rank,
+              max_position_embeddings=128, vocab_size=VOCAB, rms_norm_eps=1e-5)
+    path = str(tmp_path / "plm.gguf")
+    CE.convert_hf_plm(Shim(cfg, state), dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    kv_b = state["model.layers.0.self_attn.kv_b_proj.weight"].numpy().reshape(
+        H, nope_d + v_d, rank)
+    np.testing.assert_array_equal(got["blk.0.attn_k_b.weight"],
+                                  kv_b[:, :nope_d, :].transpose(0, 2, 1))
+    np.testing.assert_array_equal(got["blk.0.attn_v_b.weight"], kv_b[:, nope_d:, :])
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.arch == "plm" and eng.cfg.act_fn == "relu2" and not eng.cfg.ffn_gated
