@@ -204,8 +204,13 @@ def load_params(reader, cfg: ModelConfig, dtype=jnp.float32, device_put_fn=None)
             "w_down": g("ffn_down.weight"),
         }
         if is7:
+            lf = t[b + "time_mix_lerp_fused.weight"].to_f32()
             p.update(
-                lerp_fused=g("time_mix_lerp_fused.weight", False),
+                # normalize (n,1,1,D)/(n,1,D) → (n,D) like models/rwkv7.py:251
+                lerp_fused=put(
+                    np.ascontiguousarray(
+                        lf.reshape(lf.shape[0], -1).astype(np.float32)),
+                    b + "lerp_fused"),
                 w0=g("time_mix_w0.weight", False, reshape=(-1,)),
                 w1=g("time_mix_w1.weight"),
                 w2=g("time_mix_w2.weight"),

@@ -501,6 +501,11 @@ MODEL_TYPE_MAP: dict = {
     "nemotron-nas": CE.convert_hf_deci,
     "minicpm3": CE.convert_hf_minicpm3,
     "plm": CE.convert_hf_plm,
+    "rwkv6": CE.convert_hf_rwkv6,
+    "rwkv7": CE.convert_hf_rwkv7,
+    "rwkv6qwen2": CE.convert_hf_rwkv6qwen2,
+    "rwkv_hybrid": CE.convert_hf_arwkv7,
+    "arwkv7": CE.convert_hf_arwkv7,
 }
 
 OUTTYPE = {

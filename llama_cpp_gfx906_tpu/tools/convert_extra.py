@@ -1016,3 +1016,286 @@ def convert_hf_plm(model, tokenizer_vocab, out_path: str,
     add("output_norm.weight", state["model.norm.weight"])
     add("output.weight", state.get("lm_head.weight", state["model.embed_tokens.weight"]))
     return w.write()
+
+
+# ---------------------------------------------------------------------------
+# wave 5: RWKV family
+# ---------------------------------------------------------------------------
+
+
+def _rwkv_vocab_header(w, D, L, ff, eps, S, vocab, tokenizer_vocab, arch,
+                       rms=False, n_kv=None):
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 1 << 20)  # not context limited
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, ff)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, D // S)
+    if n_kv is not None:
+        w.add_uint32(Keys.Attention.HEAD_COUNT_KV, n_kv)
+    if rms:
+        w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, eps)
+    else:
+        w.add_float32(Keys.Attention.LAYERNORM_EPS, eps)
+    w.add_uint32(f"{arch}.wkv.head_size", S)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, vocab)
+    _write_vocab(w, tokenizer_vocab)
+
+
+def convert_hf_rwkv6(model, tokenizer_vocab, out_path: str,
+                     quant_type=GGMLType.F16) -> str:
+    """RWKV6 (Finch) HF layout ``rwkv.blocks.N.*`` → GGUF arch "rwkv6".
+
+    time_maa_{w,k,v,r,g} fuse into one (5,1,D) lerp tensor, the low-rank
+    projections transpose to GGUF (out,in) and time_maa_w2 permutes to
+    (5,D,extra) — spec: Rwkv6Model convert_hf_to_gguf.py:5197.  The
+    reference's fp16 rescale_every weight division is intentionally NOT
+    applied: this engine runs the wkv state in fp32 and computes the
+    unscaled function directly (the residual scale is absorbed by the
+    final LayerNorm)."""
+    hf = model.config
+    state = _np_state(model)
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    S = _g(hf, "head_size", default=64)
+    eps = _g(hf, "layer_norm_epsilon", default=1e-5)
+    ff = _g(hf, "intermediate_size") or int((D * 3.5) // 32 * 32)
+
+    w = GGUFWriter(out_path, "rwkv6")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="rwkv6-convert"))
+    _rwkv_vocab_header(w, D, L, ff, eps, S, hf.vocab_size, tokenizer_vocab, "rwkv6")
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr), qt(name, arr))
+
+    add("token_embd.weight", state["rwkv.embeddings.weight"])
+    add("token_embd_norm.weight", state["rwkv.blocks.0.pre_ln.weight"])
+    add("token_embd_norm.bias", state["rwkv.blocks.0.pre_ln.bias"])
+    for i in range(L):
+        p, b = f"rwkv.blocks.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "ln1.weight"])
+        add(b + "attn_norm.bias", state[p + "ln1.bias"])
+        add(b + "attn_norm_2.weight", state[p + "ln2.weight"])
+        add(b + "attn_norm_2.bias", state[p + "ln2.bias"])
+        a = p + "attention."
+        add(b + "time_mix_lerp_x.weight", state[a + "time_maa_x"].squeeze())
+        fused = np.stack([state[a + f"time_maa_{c}"].squeeze()[None, :]
+                          for c in "wkvrg"])  # (5, 1, D)
+        add(b + "time_mix_lerp_fused.weight", fused)
+        add(b + "time_mix_w1.weight", state[a + "time_maa_w1"].T)
+        add(b + "time_mix_w2.weight", state[a + "time_maa_w2"].transpose(0, 2, 1))
+        add(b + "time_mix_decay.weight", state[a + "time_decay"].squeeze())
+        add(b + "time_mix_decay_w1.weight", state[a + "time_decay_w1"].T)
+        add(b + "time_mix_decay_w2.weight", state[a + "time_decay_w2"].T)
+        add(b + "time_mix_first.weight", state[a + "time_faaaa"])
+        for hf_n, gg in (("receptance", "time_mix_receptance"),
+                         ("key", "time_mix_key"), ("value", "time_mix_value"),
+                         ("gate", "time_mix_gate"), ("output", "time_mix_output")):
+            add(b + gg + ".weight", state[a + hf_n + ".weight"])
+        add(b + "time_mix_ln.weight", state[a + "ln_x.weight"])
+        add(b + "time_mix_ln.bias", state[a + "ln_x.bias"])
+        f = p + "feed_forward."
+        add(b + "channel_mix_lerp_k.weight", state[f + "time_maa_k"].squeeze())
+        add(b + "channel_mix_lerp_r.weight", state[f + "time_maa_r"].squeeze())
+        add(b + "channel_mix_key.weight", state[f + "key.weight"])
+        add(b + "channel_mix_receptance.weight", state[f + "receptance.weight"])
+        add(b + "channel_mix_value.weight", state[f + "value.weight"])
+    add("output_norm.weight", state["rwkv.ln_out.weight"])
+    add("output_norm.bias", state["rwkv.ln_out.bias"])
+    add("output.weight", state.get("head.weight", state["rwkv.embeddings.weight"]))
+    return w.write()
+
+
+_Q6_PERM = [3, 1, 2, 0, 4]  # HF rkvwg → GGUF wkvrg component order
+
+
+def convert_hf_rwkv6qwen2(model, tokenizer_vocab, out_path: str,
+                          quant_type=GGMLType.F16) -> str:
+    """RWKV6Qwen2ForCausalLM (qrwkv) → GGUF arch "rwkv6qwen2": rwkv6
+    time-mix inside a qwen2 shell.  The fused low-rank tensors store
+    components in rkvwg order; permuted here to the wkvrg GGUF order —
+    spec: RWKV6Qwen2Model convert_hf_to_gguf.py:5270."""
+    hf = model.config
+    state = _np_state(model)
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    n_head = _g(hf, "num_attention_heads")
+    S = D // n_head
+    ff = _g(hf, "intermediate_size")
+
+    w = GGUFWriter(out_path, "rwkv6qwen2")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="rwkv6qwen2-convert"))
+    _rwkv_vocab_header(w, D, L, ff, _g(hf, "rms_norm_eps", default=1e-5), S,
+                       hf.vocab_size, tokenizer_vocab, "rwkv6qwen2", rms=True,
+                       n_kv=_g(hf, "num_key_value_heads", default=n_head))
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr), qt(name, arr))
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(L):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        a = p + "self_attn."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        add(b + "time_mix_lerp_x.weight", state[a + "time_maa_x"].squeeze())
+        fused = np.stack([state[a + f"time_maa_{c}"].squeeze()[None, :]
+                          for c in "wkvrg"])
+        add(b + "time_mix_lerp_fused.weight", fused)
+        w1 = state[a + "time_maa_w1"].T  # (5R, D), rkvwg groups
+        R = w1.shape[0] // 5
+        add(b + "time_mix_w1.weight",
+            w1.reshape(5, R, -1)[_Q6_PERM].reshape(5 * R, -1))
+        w2 = state[a + "time_maa_w2"].transpose(0, 2, 1)  # (5, D, R)
+        add(b + "time_mix_w2.weight", w2[_Q6_PERM])
+        add(b + "time_mix_decay.weight", state[a + "time_decay"].squeeze())
+        add(b + "time_mix_decay_w1.weight", state[a + "time_decay_w1"].T)
+        add(b + "time_mix_decay_w2.weight", state[a + "time_decay_w2"].T)
+        for hf_n, gg in (("q_proj", "time_mix_receptance"),
+                         ("k_proj", "time_mix_key"), ("v_proj", "time_mix_value"),
+                         ("gate", "time_mix_gate"), ("o_proj", "time_mix_output")):
+            add(b + gg + ".weight", state[a + hf_n + ".weight"])
+            if a + hf_n + ".bias" in state:
+                add(b + gg + ".bias", state[a + hf_n + ".bias"])
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    add("output.weight", state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    return w.write()
+
+
+def _v7_time_mix(add, b, st, a, i, has_gate=True, fla=False):
+    """Shared rwkv7 time-mix emission.  ``a`` is the HF attention prefix;
+    ``fla`` marks fla-hub lora layouts (already (out,in), no transpose) —
+    spec: Rwkv7Model.modify_tensors convert_hf_to_gguf.py:5324."""
+    comps = "rwkva" + ("g" if has_gate else "")
+    if a + "x_x" in st:
+        fused = st[a + "x_x"].reshape(len(comps), 1, 1, -1)
+    else:
+        fused = np.stack([st[a + f"x_{c}"].squeeze()[None, None, :] for c in comps])
+    add(b + "time_mix_lerp_fused.weight", fused)
+
+    def lora(hf_lo, hf_hi, hf_base, gg):
+        if a + hf_lo in st:  # plain layout: (D,R)/(R,D), transpose both
+            add(b + gg + "1.weight", st[a + hf_lo].T)
+            add(b + gg + "2.weight", st[a + hf_hi].T)
+            if hf_base and a + hf_base in st:
+                add(b + gg + "0.weight", st[a + hf_base].squeeze())
+        else:  # fla _lora.lora.{0,2} layout: already (out,in)
+            nm = hf_lo.split("1")[0]
+            add(b + gg + "1.weight", st[a + nm + "_lora.lora.0.weight"])
+            add(b + gg + "2.weight", st[a + nm + "_lora.lora.2.weight"])
+            bias = a + nm + "_lora.lora.2.bias"
+            if hf_base and bias in st:
+                add(b + gg + "0.weight", st[bias].squeeze())
+
+    lora("w1", "w2", "w0", "time_mix_w")
+    lora("a1", "a2", "a0", "time_mix_a")
+    if i > 0 and (a + "v1" in st or a + "v_lora.lora.0.weight" in st):
+        lora("v1", "v2", "v0", "time_mix_v")
+    if has_gate:
+        lora("g1", "g2", None, "time_mix_g")
+    add(b + "time_mix_k_k.weight", st[a + "k_k"].squeeze())
+    add(b + "time_mix_k_a.weight", st[a + "k_a"].squeeze())
+    add(b + "time_mix_r_k.weight", st[a + "r_k"].reshape(-1))
+    for hf_names, gg in ((("receptance", "r_proj"), "time_mix_receptance"),
+                         (("key", "k_proj"), "time_mix_key"),
+                         (("value", "v_proj"), "time_mix_value"),
+                         (("output", "o_proj"), "time_mix_output")):
+        for n in hf_names:
+            if a + n + ".weight" in st:
+                add(b + gg + ".weight", st[a + n + ".weight"])
+                break
+    for n in ("ln_x", "g_norm"):
+        if a + n + ".weight" in st:
+            add(b + "time_mix_ln.weight", st[a + n + ".weight"])
+            add(b + "time_mix_ln.bias", st[a + n + ".bias"])
+            break
+
+
+def convert_hf_rwkv7(model, tokenizer_vocab, out_path: str,
+                     quant_type=GGMLType.F16) -> str:
+    """RWKV7 (Goose) ``model.layers.N.*`` → GGUF arch "rwkv7" — spec:
+    Rwkv7Model convert_hf_to_gguf.py:5324 (x_* fused lerp, low-rank
+    w/a/v/g pairs, layer-0 dummy v ignored, r_k flattened)."""
+    hf = model.config
+    state = _np_state(model)
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    S = _g(hf, "head_size", "head_dim", default=64)
+    eps = _g(hf, "layer_norm_epsilon", "norm_eps", default=1e-5)
+    ff = _g(hf, "intermediate_size") or D * 4
+
+    w = GGUFWriter(out_path, "rwkv7")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="rwkv7-convert"))
+    _rwkv_vocab_header(w, D, L, ff, eps, S, hf.vocab_size, tokenizer_vocab, "rwkv7")
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr), qt(name, arr))
+
+    emb = state.get("model.embeddings.weight", state.get("model.embed_tokens.weight"))
+    add("token_embd.weight", emb)
+    pre = ("model.pre_ln.weight" if "model.pre_ln.weight" in state
+           else "model.layers.0.pre_norm.weight")
+    add("token_embd_norm.weight", state[pre])
+    add("token_embd_norm.bias", state[pre[:-6] + "bias"])
+    for i in range(L):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        a = p + ("attention." if p + "attention.ln_x.weight" in state
+                 or p + "attention.r_k" in state else "attn.")
+        if p + "ln1.weight" in state:
+            add(b + "attn_norm.weight", state[p + "ln1.weight"])
+            add(b + "attn_norm.bias", state[p + "ln1.bias"])
+        ln2 = p + ("ln2" if p + "ln2.weight" in state else "feed_forward_norm")
+        add(b + "attn_norm_2.weight", state[ln2 + ".weight"])
+        add(b + "attn_norm_2.bias", state[ln2 + ".bias"])
+        _v7_time_mix(add, b, state, a, i)
+        f = p + ("feed_forward." if p + "feed_forward.key.weight" in state else "ffn.")
+        add(b + "channel_mix_lerp_k.weight", state[f + "x_k"].squeeze())
+        add(b + "channel_mix_key.weight", state[f + "key.weight"])
+        add(b + "channel_mix_value.weight", state[f + "value.weight"])
+    add("output_norm.weight", state["model.ln_out.weight"])
+    add("output_norm.bias", state["model.ln_out.bias"])
+    add("output.weight", state.get("head.weight",
+                                   state.get("lm_head.weight", emb)))
+    return w.write()
+
+
+def convert_hf_arwkv7(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """RwkvHybridForCausalLM (ARWKV) → GGUF arch "arwkv7": rwkv7 time-mix
+    (under self_attn.time_mixer.*) inside a qwen-style RMS/gated-FFN
+    shell — spec: ARwkv7Model convert_hf_to_gguf.py:5443."""
+    hf = model.config
+    state = _np_state(model)
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    S = _g(hf, "head_size", default=64)
+    ff = _g(hf, "intermediate_size")
+    has_gate = bool(_g(hf, "wkv_has_gate", default=True))
+
+    w = GGUFWriter(out_path, "arwkv7")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="arwkv7-convert"))
+    _rwkv_vocab_header(w, D, L, ff, _g(hf, "rms_norm_eps", default=1e-5), S,
+                       hf.vocab_size, tokenizer_vocab, "arwkv7", rms=True)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(arr), qt(name, arr))
+
+    add("token_embd.weight", state["model.embed_tokens.weight"])
+    for i in range(L):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
+        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        _v7_time_mix(add, b, state, p + "self_attn.time_mixer.", i,
+                     has_gate=has_gate)
+        add(b + "ffn_gate.weight", state[p + "mlp.gate_proj.weight"])
+        add(b + "ffn_up.weight", state[p + "mlp.up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+    add("output_norm.weight", state["model.norm.weight"])
+    add("output.weight", state.get("lm_head.weight", state["model.embed_tokens.weight"]))
+    return w.write()

@@ -838,3 +838,207 @@ def test_plm_convert(tmp_path):
     np.testing.assert_array_equal(got["blk.0.attn_v_b.weight"], kv_b[:, nope_d:, :])
     eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
     assert eng.cfg.arch == "plm" and eng.cfg.act_fn == "relu2" and not eng.cfg.ffn_gated
+
+
+# -- wave 5: RWKV family -----------------------------------------------------
+
+
+def _decode_ok(path, n=3):
+    eng = Engine.from_gguf(path, max_seq=16, dtype=jnp.float32)
+    text, ids = eng.generate("<t3><t7>", n_predict=n, stop_on_eog=False)
+    assert len(ids) == n and np.isfinite(
+        np.asarray(eng.family.forward(eng.params, eng.cfg,
+                                      jnp.asarray([[3, 7]], jnp.int32),
+                                      eng.kv)[0])).all()
+    return eng
+
+
+def test_rwkv6_convert(tmp_path):
+    rng = np.random.default_rng(90)
+    D, S, L, E, FF = 32, 8, 2, 8, 64
+    H = D // S
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"rwkv.embeddings.weight": r(VOCAB, D),
+          "rwkv.blocks.0.pre_ln.weight": 1 + r(D), "rwkv.blocks.0.pre_ln.bias": r(D),
+          "rwkv.ln_out.weight": 1 + r(D), "rwkv.ln_out.bias": r(D),
+          "head.weight": r(VOCAB, D)}
+    for i in range(L):
+        p = f"rwkv.blocks.{i}."
+        st[p + "ln1.weight"] = 1 + r(D); st[p + "ln1.bias"] = r(D)
+        st[p + "ln2.weight"] = 1 + r(D); st[p + "ln2.bias"] = r(D)
+        a = p + "attention."
+        st[a + "time_maa_x"] = r(1, 1, D)
+        for c in "wkvrg":
+            st[a + f"time_maa_{c}"] = r(1, 1, D)
+        st[a + "time_maa_w1"] = r(D, 5 * E)
+        st[a + "time_maa_w2"] = r(5, E, D)
+        st[a + "time_decay"] = r(1, 1, D)
+        st[a + "time_decay_w1"] = r(D, E)
+        st[a + "time_decay_w2"] = r(E, D)
+        st[a + "time_faaaa"] = r(H, S)
+        for nn in ("receptance", "key", "value", "gate", "output"):
+            st[a + nn + ".weight"] = r(D, D)
+        st[a + "ln_x.weight"] = 1 + r(D); st[a + "ln_x.bias"] = r(D)
+        f = p + "feed_forward."
+        st[f + "time_maa_k"] = r(1, 1, D)
+        st[f + "time_maa_r"] = r(1, 1, D)
+        st[f + "key.weight"] = r(FF, D)
+        st[f + "receptance.weight"] = r(D, D)
+        st[f + "value.weight"] = r(D, FF)
+    cfg = Cfg(hidden_size=D, num_hidden_layers=L, head_size=S,
+              layer_norm_epsilon=1e-5, intermediate_size=FF, vocab_size=VOCAB,
+              rescale_every=6)
+    path = str(tmp_path / "rwkv6.gguf")
+    CE.convert_hf_rwkv6(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                        dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    a0 = "rwkv.blocks.0.attention."
+    np.testing.assert_array_equal(
+        got["blk.0.time_mix_lerp_fused.weight"].reshape(5, D),
+        np.stack([st[a0 + f"time_maa_{c}"].squeeze() for c in "wkvrg"]))
+    np.testing.assert_array_equal(got["blk.0.time_mix_w1.weight"],
+                                  st[a0 + "time_maa_w1"].T)
+    np.testing.assert_array_equal(got["blk.0.time_mix_w2.weight"],
+                                  st[a0 + "time_maa_w2"].transpose(0, 2, 1))
+    # rescale division must NOT be applied (engine computes unscaled)
+    np.testing.assert_array_equal(got["blk.1.time_mix_output.weight"],
+                                  st["rwkv.blocks.1.attention.output.weight"])
+    _decode_ok(path)
+
+
+def test_rwkv6qwen2_convert(tmp_path):
+    rng = np.random.default_rng(91)
+    D, S, L, R, FF = 32, 8, 2, 8, 64
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"model.embed_tokens.weight": r(VOCAB, D),
+          "model.norm.weight": 1 + r(D), "lm_head.weight": r(VOCAB, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        a = p + "self_attn."
+        st[p + "input_layernorm.weight"] = 1 + r(D)
+        st[p + "post_attention_layernorm.weight"] = 1 + r(D)
+        st[a + "time_maa_x"] = r(1, 1, D)
+        for c in "wkvrg":
+            st[a + f"time_maa_{c}"] = r(1, 1, D)
+        st[a + "time_maa_w1"] = r(D, 5 * R)
+        st[a + "time_maa_w2"] = r(5, R, D)
+        st[a + "time_decay"] = r(1, 1, D)
+        st[a + "time_decay_w1"] = r(D, R)
+        st[a + "time_decay_w2"] = r(R, D)
+        for nn in ("q_proj", "k_proj", "v_proj", "gate", "o_proj"):
+            st[a + nn + ".weight"] = r(D, D)
+        for nn in ("q_proj", "k_proj", "v_proj"):
+            st[a + nn + ".bias"] = r(D)
+        st[p + "mlp.gate_proj.weight"] = r(FF, D)
+        st[p + "mlp.up_proj.weight"] = r(FF, D)
+        st[p + "mlp.down_proj.weight"] = r(D, FF)
+    cfg = Cfg(hidden_size=D, num_hidden_layers=L, num_attention_heads=D // S,
+              num_key_value_heads=D // S, rms_norm_eps=1e-5,
+              intermediate_size=FF, vocab_size=VOCAB)
+    path = str(tmp_path / "q6.gguf")
+    CE.convert_hf_rwkv6qwen2(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                             dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    a0 = "model.layers.0.self_attn."
+    # rkvwg → wkvrg reorder of the 5 low-rank groups
+    w1 = st[a0 + "time_maa_w1"].T.reshape(5, R, D)
+    np.testing.assert_array_equal(got["blk.0.time_mix_w1.weight"].reshape(5, R, D),
+                                  w1[[3, 1, 2, 0, 4]])
+    w2 = st[a0 + "time_maa_w2"].transpose(0, 2, 1)
+    np.testing.assert_array_equal(got["blk.0.time_mix_w2.weight"],
+                                  w2[[3, 1, 2, 0, 4]])
+    np.testing.assert_array_equal(got["blk.0.time_mix_receptance.bias"],
+                                  st[a0 + "q_proj.bias"])
+    _decode_ok(path)
+
+
+def _v7_attn_state(r, D, R, with_v):
+    a = {"x_r": r(1, 1, D), "x_w": r(1, 1, D), "x_k": r(1, 1, D),
+         "x_v": r(1, 1, D), "x_a": r(1, 1, D), "x_g": r(1, 1, D),
+         "w0": r(1, 1, D), "w1": r(D, R), "w2": r(R, D),
+         "a0": r(1, 1, D), "a1": r(D, R), "a2": r(R, D),
+         "g1": r(D, R), "g2": r(R, D),
+         "k_k": r(1, 1, D), "k_a": r(1, 1, D), "r_k": r(D // 8, 8),
+         "receptance.weight": r(D, D), "key.weight": r(D, D),
+         "value.weight": r(D, D), "output.weight": r(D, D),
+         "ln_x.weight": 1 + r(D), "ln_x.bias": r(D)}
+    if with_v:
+        a.update({"v0": r(1, 1, D), "v1": r(D, R), "v2": r(R, D)})
+    return a
+
+
+def test_rwkv7_convert(tmp_path):
+    rng = np.random.default_rng(92)
+    D, S, L, R, FF = 32, 8, 2, 8, 64
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"model.embeddings.weight": r(VOCAB, D),
+          "model.pre_ln.weight": 1 + r(D), "model.pre_ln.bias": r(D),
+          "model.ln_out.weight": 1 + r(D), "model.ln_out.bias": r(D),
+          "head.weight": r(VOCAB, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        st[p + "ln1.weight"] = 1 + r(D); st[p + "ln1.bias"] = r(D)
+        st[p + "ln2.weight"] = 1 + r(D); st[p + "ln2.bias"] = r(D)
+        for k, v in _v7_attn_state(r, D, R, with_v=i > 0).items():
+            st[p + "attention." + k] = v
+        st[p + "feed_forward.x_k"] = r(1, 1, D)
+        st[p + "feed_forward.key.weight"] = r(FF, D)
+        st[p + "feed_forward.value.weight"] = r(D, FF)
+    cfg = Cfg(hidden_size=D, num_hidden_layers=L, head_size=S,
+              layer_norm_epsilon=1e-5, intermediate_size=FF, vocab_size=VOCAB)
+    path = str(tmp_path / "rwkv7.gguf")
+    CE.convert_hf_rwkv7(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                        dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    a0 = "model.layers.0.attention."
+    np.testing.assert_array_equal(
+        got["blk.0.time_mix_lerp_fused.weight"].reshape(6, D),
+        np.stack([st[a0 + f"x_{c}"].squeeze() for c in "rwkvag"]))
+    np.testing.assert_array_equal(got["blk.0.time_mix_w1.weight"],
+                                  st[a0 + "w1"].T)
+    np.testing.assert_array_equal(got["blk.1.time_mix_v1.weight"],
+                                  st["model.layers.1.attention.v1"].T)
+    assert "blk.0.time_mix_v1.weight" not in got  # layer-0 dummy v skipped
+    np.testing.assert_array_equal(got["blk.0.time_mix_r_k.weight"],
+                                  st[a0 + "r_k"].reshape(-1))
+    _decode_ok(path)
+
+
+def test_arwkv7_convert(tmp_path):
+    rng = np.random.default_rng(93)
+    D, S, L, R, FF = 32, 8, 2, 8, 64
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"model.embed_tokens.weight": r(VOCAB, D),
+          "model.norm.weight": 1 + r(D), "lm_head.weight": r(VOCAB, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        st[p + "input_layernorm.weight"] = 1 + r(D)
+        st[p + "post_attention_layernorm.weight"] = 1 + r(D)
+        a7 = _v7_attn_state(r, D, R, with_v=i > 0)
+        del a7["ln_x.weight"], a7["ln_x.bias"]  # arwkv7 group norm only
+        for k, v in a7.items():
+            st[p + "self_attn.time_mixer." + k] = v
+        st[p + "mlp.gate_proj.weight"] = r(FF, D)
+        st[p + "mlp.up_proj.weight"] = r(FF, D)
+        st[p + "mlp.down_proj.weight"] = r(D, FF)
+    cfg = Cfg(hidden_size=D, num_hidden_layers=L, head_size=S,
+              rms_norm_eps=1e-5, intermediate_size=FF, vocab_size=VOCAB,
+              wkv_has_gate=True, wkv_version=7)
+    path = str(tmp_path / "arwkv7.gguf")
+    CE.convert_hf_arwkv7(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                         dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    assert "blk.0.ffn_gate.weight" in got and "blk.1.time_mix_v2.weight" in got
+    _decode_ok(path)
