@@ -18,6 +18,10 @@ Variants steered by ModelConfig:
 - neo-bert:        pre-norm RMS blocks, fused qkv, interleaved (NORM)
                    rope, split-swiglu FFN (llm_build_neo_bert,
                    src/llama-model.cpp:7502)
+- jina-bert-v2:    bidirectional ALiBi (max_bias=8, no position inputs),
+                   gated-GELU FFN (split gate or fused GEGLU), optional
+                   full-width q/k LayerNorms and attn_norm_2
+                   (src/llama-model.cpp:760-766, :7465-7471)
 """
 
 from __future__ import annotations
@@ -56,6 +60,19 @@ def forward(
     valid = jnp.arange(T)[None, :] < n_tokens[:, None]  # (B, T)
     attn_bias = jnp.where(valid, 0.0, NEG_INF)[:, None, None, :]  # (B,1,1,T)
     scale = cfg.attn_scale or cfg.head_dim**-0.5
+    if cfg.alibi:
+        # jina-bert-v2: bidirectional ALiBi — slope_h * -|i-j| added to the
+        # scores (reference builds the mask as -fabs(p1-p0) and soft_max_ext
+        # scales per head; llama-kv-cache set_input_kq_mask + max_bias=8)
+        from ..ops.attention import alibi_slopes_for
+
+        slopes = alibi_slopes_for(cfg.n_heads)  # (Hq,)
+        dist = -jnp.abs(jnp.arange(T)[:, None] - jnp.arange(T)[None, :])
+        alibi_bias = (
+            slopes.reshape(cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads)[
+                :, :, None, None]
+            * dist[None, None].astype(jnp.float32)
+        )  # (Hkv, G, T, T)
     if cfg.pos_emb == "rope":
         inv_freq = jnp.asarray(rope_frequencies(cfg))
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
@@ -72,6 +89,12 @@ def forward(
             q = q + p["bq"]
             k = k + p["bk"]
             v = v + p["bv"]
+        # jina-bert-v2 optional full-width q/k LayerNorms (applied on the
+        # flat projection before the head reshape, llm_build_bert :7380)
+        if "q_norm" in p:
+            q = layer_norm(q, p["q_norm"], p.get("q_norm_b"), cfg.rms_eps)
+        if "k_norm" in p:
+            k = layer_norm(k, p["k_norm"], p.get("k_norm_b"), cfg.rms_eps)
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -84,6 +107,8 @@ def forward(
             "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
         ) * scale
         scores = scores + attn_bias[:, :, None]
+        if cfg.alibi:
+            scores = scores + alibi_bias[None]
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum(
             "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
@@ -97,7 +122,12 @@ def forward(
             hf_in = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
         else:
             # post-norm: residual then LayerNorm (attn_output_norm)
+            inp = x
             x = layer_norm(x + attn, p["attn_out_norm"], p.get("attn_out_norm_b"), cfg.rms_eps)
+            if "attn_norm_2" in p:
+                # jina-v2-code: re-add the layer input, second LayerNorm
+                # (llm_build_bert attn_norm_2 branch :7434)
+                x = layer_norm(x + inp, p["attn_norm_2"], p.get("attn_norm_2_b"), cfg.rms_eps)
             hf_in = x
 
         if "moe_gate_inp" in p:
@@ -117,7 +147,13 @@ def forward(
                 out = out + topv[:, j:j + 1] * d
             hf = out.reshape(B, T, -1).astype(x.dtype)
         elif cfg.ffn_gated and "w_gate" in p:
-            hf = jax.nn.silu((hf_in @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype) * (hf_in @ p["w_up"])
+            # nomic-bert swiglu / jina-bert-v2 gated gelu (split gate)
+            def act(a):
+                if cfg.act_fn.startswith("gelu"):
+                    return jax.nn.gelu(a, approximate=False)
+                return jax.nn.silu(a)
+
+            hf = act((hf_in @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype) * (hf_in @ p["w_up"])
             hf = hf @ p["w_down"]
         elif pre:
             # neo-bert split-swiglu: one up matrix holds [gate|up]
@@ -125,6 +161,14 @@ def forward(
             F = gu.shape[-1] // 2
             hf = (jax.nn.silu(gu[..., :F].astype(jnp.float32)).astype(x.dtype)
                   * gu[..., F:]) @ p["w_down"]
+        elif cfg.ffn_gated:
+            # jina-bert-v2 fused GEGLU: w_up holds [act-half | linear-half]
+            # (ffn_up is {n_embd, 2*n_ff} when ffn_gate is absent,
+            # src/llama-model.cpp:2741-2742)
+            gu = hf_in @ p["w_up"]
+            F = gu.shape[-1] // 2
+            hf = (jax.nn.gelu(gu[..., :F].astype(jnp.float32), approximate=False)
+                  .astype(x.dtype) * gu[..., F:]) @ p["w_down"]
         else:
             hf = hf_in @ p["w_up"]
             if "b_up" in p:
@@ -189,6 +233,14 @@ _LAYER_NAMES = {
     "attn_out_norm": "attn_output_norm.weight",
     "attn_out_norm_b": "attn_output_norm.bias",
     "attn_norm": "attn_norm.weight",  # neo-bert pre-norm rms
+    # jina-bert-v2 optional tensors (full-width q/k LayerNorms and the
+    # jina-v2-code second post-attention norm)
+    "q_norm": "attn_q_norm.weight",
+    "q_norm_b": "attn_q_norm.bias",
+    "k_norm": "attn_k_norm.weight",
+    "k_norm_b": "attn_k_norm.bias",
+    "attn_norm_2": "attn_norm_2.weight",
+    "attn_norm_2_b": "attn_norm_2.bias",
     "ffn_norm": "ffn_norm.weight",
     "w_gate": "ffn_gate.weight",
     "w_up": "ffn_up.weight",
@@ -256,6 +308,11 @@ def load_params(reader, cfg: ModelConfig, dtype=jnp.float32, device_put_fn=None)
             mk(b + "attn_q.weight", qkv[:Dq])
             mk(b + "attn_k.weight", qkv[Dq:Dq + Dkv])
             mk(b + "attn_v.weight", qkv[Dq + Dkv:Dq + 2 * Dkv])
+            if b + "attn_qkv.bias" in tensors:  # nomic-bert-moe fused bias
+                qkv_b = tensors[b + "attn_qkv.bias"].to_f32()
+                mk(b + "attn_q.bias", qkv_b[:Dq])
+                mk(b + "attn_k.bias", qkv_b[Dq:Dq + Dkv])
+                mk(b + "attn_v.bias", qkv_b[Dq + Dkv:Dq + 2 * Dkv])
 
     has_moe = any(f"blk.{i}.ffn_gate_inp.weight" in tensors
                   for i in range(cfg.n_layers))

@@ -829,12 +829,24 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
         )
     elif arch == "ernie4_5":
         pass  # plain llama graph with NORM rope (llm_build_ernie4_5)
-    elif arch in ("bert", "jina-bert-v2"):
+    elif arch == "bert":
         cfg = cfg.with_(
             norm_type="layer",
             pos_emb="learned",
             act_fn="gelu_erf",
             ffn_gated=False,
+            rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-12)),
+        )
+    elif arch == "jina-bert-v2":
+        # ALiBi attention (f_max_alibi_bias=8, no position inputs) and a
+        # gated-GELU FFN — llm_build_bert JINA_BERT_V2 branches
+        # (src/llama-model.cpp:760-766, :7465-7471)
+        cfg = cfg.with_(
+            norm_type="layer",
+            pos_emb="none",
+            alibi=True,
+            act_fn="gelu",
+            ffn_gated=True,
             rms_eps=float(g(Keys.Attention.LAYERNORM_EPS, 1e-12)),
         )
     elif arch in ("nomic-bert", "nomic-bert-moe"):

@@ -295,7 +295,35 @@ def extract_hf_vocab(path: str | Path, pre: str | None = None) -> dict:
         cfg = json.loads((path / "config.json").read_text())
     model_type = cfg.get("model_type", "")
 
-    if (path / "tokenizer.model").exists():
+    if (path / "tokenizer.jsonl").exists():
+        # PLaMo-2 custom tokenizer: one [token, score, type, ...] JSON
+        # list per line (spec: Plamo2Model.set_vocab,
+        # convert_hf_to_gguf.py:4019)
+        tokens, scores, types = [], [], []
+        for line in (path / "tokenizer.jsonl").read_text().splitlines():
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            tok = row[0]
+            tokens.append(tok)
+            scores.append(float(row[1]))
+            tstr = row[2] if len(row) > 2 else "NORMAL"
+            if tstr == "UNKNOWN":
+                types.append(int(TokenType.UNKNOWN))
+            elif tstr == "CONTROL" or (tok.startswith("<|plamo:") and tok.endswith("|>")):
+                types.append(int(TokenType.CONTROL))
+            elif tstr == "BYTE":
+                types.append(int(TokenType.BYTE))
+            else:
+                types.append(int(TokenType.NORMAL))
+        vocab_size = int(cfg.get("vocab_size", len(tokens)))
+        for i in range(1, vocab_size - len(tokens) + 1):
+            tokens.append(f"[PAD{i}]")
+            scores.append(-1000.0)
+            types.append(int(TokenType.UNUSED))
+        tv = {"model": "plamo2", "tokens": tokens, "scores": scores,
+              "token_types": types, "eot": 4, "add_space_prefix": False}
+    elif (path / "tokenizer.model").exists():
         tv = parse_spm_model((path / "tokenizer.model").read_bytes())
     elif (path / "tokenizer.json").exists():
         tv = _vocab_from_tokenizer_json(path, model_type, pre)
@@ -506,6 +534,9 @@ MODEL_TYPE_MAP: dict = {
     "rwkv6qwen2": CE.convert_hf_rwkv6qwen2,
     "rwkv_hybrid": CE.convert_hf_arwkv7,
     "arwkv7": CE.convert_hf_arwkv7,
+    "nomic_bert": CE.convert_hf_nomic_bert,
+    "neobert": CE.convert_hf_neobert,
+    "plamo2": CE.convert_hf_plamo2,
 }
 
 OUTTYPE = {
@@ -528,7 +559,12 @@ def convert_hf_auto(hf_dir: str | Path, out_path: str, outtype: str = "f16",
         w.add_string(Keys.General.NAME, hf_dir.name)
         C._write_vocab(w, tv)
         return w.write()
-    conv = MODEL_TYPE_MAP.get(model_type)
+    archs = cfg.get("architectures") or []
+    if model_type == "bert" and any("JinaBert" in a for a in archs):
+        # jina-bert-v2 ships model_type "bert" with JinaBert* architectures
+        conv = CE.convert_hf_jina_bert_v2
+    else:
+        conv = MODEL_TYPE_MAP.get(model_type)
     if conv is None:
         known = ", ".join(sorted(MODEL_TYPE_MAP))
         raise NotImplementedError(

@@ -1299,3 +1299,318 @@ def convert_hf_arwkv7(model, tokenizer_vocab, out_path: str,
     add("output_norm.weight", state["model.norm.weight"])
     add("output.weight", state.get("lm_head.weight", state["model.embed_tokens.weight"]))
     return w.write()
+
+
+# ---------------------------------------------------------------------------
+# wave 6: encoder families (nomic-bert, neo-bert, jina-bert-v2) + plamo2
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_nomic_bert(model, tokenizer_vocab, out_path: str,
+                          quant_type=GGMLType.F16) -> str:
+    """NomicBertModel → GGUF arch "nomic-bert" / "nomic-bert-moe".
+
+    Spec: NomicBertModel (convert_hf_to_gguf.py:4752) — fused Wqkv stays
+    fused, swiglu fc11/fc12 become ffn_up/ffn_gate (dense), MoE experts
+    w1 viewed (E, n_inner, n_embd) and w2 additionally transposed to
+    (E, n_embd, n_inner); the trained-context clamp mirrors the
+    reference's n_positions/max_trained_positions table."""
+    hf = model.config
+    state = _np_state(model)
+    D = _g(hf, "n_embd", "hidden_size")
+    L = _g(hf, "n_layer", "num_hidden_layers")
+    H = _g(hf, "n_head", "num_attention_heads")
+    FF = _g(hf, "n_inner", "intermediate_size")
+    every = _g(hf, "moe_every_n_layers", default=0) or 0
+    arch = "nomic-bert-moe" if every else "nomic-bert"
+
+    npos = _g(hf, "n_positions", default=2048)
+    mtp = _g(hf, "max_trained_positions", default=2048)
+    if npos == 8192 and mtp == 2048:
+        npos = 2048  # nomic-embed-text v1/v1.5
+    elif npos == 2048 and mtp == 2048:
+        npos = 512  # nomic-embed-text-v2-moe
+
+    w = GGUFWriter(out_path, arch)
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="nomic-convert"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, npos)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, FF)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, H)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, H)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, D // H)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, D // H)
+    w.add_float32(Keys.Attention.LAYERNORM_EPS,
+                  _g(hf, "layer_norm_epsilon", default=1e-12))
+    w.add_bool(Keys.Attention.CAUSAL, False)
+    w.add_float32(Keys.Rope.FREQ_BASE, _g(hf, "rotary_emb_base", default=10000.0))
+    if every:
+        w.add_uint32(f"{arch}.moe_every_n_layers", every)
+        w.add_uint32(Keys.LLM.EXPERT_COUNT, _g(hf, "num_experts"))
+        w.add_uint32(Keys.LLM.EXPERT_USED_COUNT, _g(hf, "moe_top_k", default=2))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr, f32=False):
+        arr = np.ascontiguousarray(arr)
+        w.add_tensor(name, arr, GGMLType.F32 if f32 else qt(name, arr))
+
+    add("token_embd.weight", state["embeddings.word_embeddings.weight"])
+    if "embeddings.token_type_embeddings.weight" in state:
+        add("token_types.weight", state["embeddings.token_type_embeddings.weight"], f32=True)
+    add("token_embd_norm.weight", state["emb_ln.weight"], f32=True)
+    add("token_embd_norm.bias", state["emb_ln.bias"], f32=True)
+    for i in range(L):
+        p, b = f"encoder.layers.{i}.", f"blk.{i}."
+        add(b + "attn_qkv.weight", state[p + "attn.Wqkv.weight"])
+        if p + "attn.Wqkv.bias" in state:
+            add(b + "attn_qkv.bias", state[p + "attn.Wqkv.bias"], f32=True)
+        add(b + "attn_output.weight", state[p + "attn.out_proj.weight"])
+        if p + "attn.out_proj.bias" in state:
+            add(b + "attn_output.bias", state[p + "attn.out_proj.bias"], f32=True)
+        add(b + "attn_output_norm.weight", state[p + "norm1.weight"], f32=True)
+        add(b + "attn_output_norm.bias", state[p + "norm1.bias"], f32=True)
+        add(b + "layer_output_norm.weight", state[p + "norm2.weight"], f32=True)
+        add(b + "layer_output_norm.bias", state[p + "norm2.bias"], f32=True)
+        if p + "mlp.experts.mlp.w1" in state:  # MoE layer
+            E = _g(hf, "num_experts")
+            add(b + "ffn_gate_inp.weight", state[p + "mlp.router.layer.weight"])
+            w1 = state[p + "mlp.experts.mlp.w1"].reshape(E, FF, D)
+            add(b + "ffn_up_exps.weight", w1)
+            w2 = state[p + "mlp.experts.mlp.w2"].reshape(E, FF, D)
+            add(b + "ffn_down_exps.weight", w2.transpose(0, 2, 1))
+        elif p + "mlp.fc11.weight" in state:  # dense swiglu
+            add(b + "ffn_up.weight", state[p + "mlp.fc11.weight"])
+            add(b + "ffn_gate.weight", state[p + "mlp.fc12.weight"])
+            add(b + "ffn_down.weight", state[p + "mlp.fc2.weight"])
+        else:  # dense ungated GELU (moe models' even layers)
+            add(b + "ffn_up.weight", state[p + "mlp.fc1.weight"])
+            if p + "mlp.fc1.bias" in state:
+                add(b + "ffn_up.bias", state[p + "mlp.fc1.bias"], f32=True)
+            add(b + "ffn_down.weight", state[p + "mlp.fc2.weight"])
+        if p + "mlp.fc2.bias" in state:
+            add(b + "ffn_down.bias", state[p + "mlp.fc2.bias"], f32=True)
+    return w.write()
+
+
+def convert_hf_neobert(model, tokenizer_vocab, out_path: str,
+                       quant_type=GGMLType.F16) -> str:
+    """NeoBERT → GGUF arch "neo-bert" (spec: NeoBert,
+    convert_hf_to_gguf.py:4834 — "model." prefix stripped, "decoder."
+    LM-head tensors dropped, fused qkv and fused w12 [gate|up] kept;
+    n_ff is the actual swiglu width, i.e. w12 rows / 2)."""
+    hf = model.config
+    state = {k[6:] if k.startswith("model.") else k: v
+             for k, v in _np_state(model).items() if not k.startswith("decoder.")}
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    H = _g(hf, "num_attention_heads")
+    w12 = state["transformer_encoder.0.ffn.w12.weight"]
+    FF = w12.shape[0] // 2
+
+    w = GGUFWriter(out_path, "neo-bert")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="neobert-convert"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, _g(hf, "max_length",
+                                             "max_position_embeddings", default=4096))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, FF)
+    w.add_uint32(Keys.Attention.HEAD_COUNT, H)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, H)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, D // H)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, D // H)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, _g(hf, "norm_eps", default=1e-6))
+    w.add_bool(Keys.Attention.CAUSAL, False)
+    w.add_float32(Keys.Rope.FREQ_BASE, 10000.0)
+    w.add_uint32(Keys.LLM.POOLING_TYPE, 2)  # CLS
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr, f32=False):
+        arr = np.ascontiguousarray(arr)
+        w.add_tensor(name, arr, GGMLType.F32 if f32 else qt(name, arr))
+
+    add("token_embd.weight", state["encoder.weight"])
+    for i in range(L):
+        p, b = f"transformer_encoder.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "attention_norm.weight"], f32=True)
+        add(b + "attn_qkv.weight", state[p + "qkv.weight"])
+        add(b + "attn_output.weight", state[p + "wo.weight"])
+        add(b + "ffn_norm.weight", state[p + "ffn_norm.weight"], f32=True)
+        add(b + "ffn_up.weight", state[p + "ffn.w12.weight"])
+        add(b + "ffn_down.weight", state[p + "ffn.w3.weight"])
+    add("output_norm.weight", state["layer_norm.weight"], f32=True)
+    return w.write()
+
+
+def convert_hf_jina_bert_v2(model, tokenizer_vocab, out_path: str,
+                            quant_type=GGMLType.F16) -> str:
+    """JinaBertModel (model_type "bert" + JinaBert* architectures) → GGUF
+    arch "jina-bert-v2" (spec: JinaBertV2Model convert_hf_to_gguf.py:5911
+    + the tensor table src/llama-model.cpp:2705-2748).  ALiBi encoder —
+    no position table is emitted; the gated-GELU FFN keeps the fused
+    [act|linear] gated_layers/up_gated_layer as ffn_up, or splits
+    gated_layers_w/_v into ffn_gate/ffn_up (legacy layout)."""
+    hf = model.config
+    state = _np_state(model)
+    state = {k[5:] if k.startswith("bert.") else k: v for k, v in state.items()}
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    H = _g(hf, "num_attention_heads")
+
+    w = GGUFWriter(out_path, "jina-bert-v2")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="jina-convert"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, _g(hf, "max_position_embeddings", default=8192))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, _g(hf, "intermediate_size"))
+    w.add_uint32(Keys.Attention.HEAD_COUNT, H)
+    w.add_uint32(Keys.Attention.HEAD_COUNT_KV, H)
+    w.add_uint32(Keys.Attention.KEY_LENGTH, D // H)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, D // H)
+    w.add_float32(Keys.Attention.LAYERNORM_EPS, _g(hf, "layer_norm_eps", default=1e-12))
+    w.add_bool(Keys.Attention.CAUSAL, False)
+    w.add_uint32(Keys.LLM.POOLING_TYPE, 1)  # mean
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr, f32=False):
+        arr = np.ascontiguousarray(arr)
+        w.add_tensor(name, arr, GGMLType.F32 if f32 else qt(name, arr))
+
+    add("token_embd.weight", state["embeddings.word_embeddings.weight"])
+    if "embeddings.token_type_embeddings.weight" in state:
+        add("token_types.weight", state["embeddings.token_type_embeddings.weight"], f32=True)
+    add("token_embd_norm.weight", state["embeddings.LayerNorm.weight"], f32=True)
+    add("token_embd_norm.bias", state["embeddings.LayerNorm.bias"], f32=True)
+    for i in range(L):
+        p, b = f"encoder.layer.{i}.", f"blk.{i}."
+        for hf_n, gg in (("attention.self.query", "attn_q"),
+                         ("attention.self.key", "attn_k"),
+                         ("attention.self.value", "attn_v"),
+                         ("attention.output.dense", "attn_output")):
+            add(b + gg + ".weight", state[p + hf_n + ".weight"])
+            add(b + gg + ".bias", state[p + hf_n + ".bias"], f32=True)
+        for hf_n, gg in (("attention.self.layer_norm_q", "attn_q_norm"),
+                         ("attention.self.layer_norm_k", "attn_k_norm"),
+                         ("attention.output.LayerNorm", "attn_output_norm"),
+                         ("layer_norm_1", "attn_norm_2")):
+            if p + hf_n + ".weight" in state:
+                add(b + gg + ".weight", state[p + hf_n + ".weight"], f32=True)
+                add(b + gg + ".bias", state[p + hf_n + ".bias"], f32=True)
+        if p + "mlp.gated_layers_w.weight" in state:  # legacy split layout
+            add(b + "ffn_gate.weight", state[p + "mlp.gated_layers_w.weight"])
+            add(b + "ffn_up.weight", state[p + "mlp.gated_layers_v.weight"])
+        elif p + "mlp.gated_layers.weight" in state:
+            add(b + "ffn_up.weight", state[p + "mlp.gated_layers.weight"])
+        else:  # jina-v2-code fused layout
+            add(b + "ffn_up.weight", state[p + "mlp.up_gated_layer.weight"])
+        down = "mlp.wo" if p + "mlp.wo.weight" in state else "mlp.down_layer"
+        add(b + "ffn_down.weight", state[p + down + ".weight"])
+        if p + down + ".bias" in state:
+            add(b + "ffn_down.bias", state[p + down + ".bias"], f32=True)
+        for hf_n in ("mlp.layernorm", "layer_norm_2"):
+            if p + hf_n + ".weight" in state:
+                add(b + "layer_output_norm.weight", state[p + hf_n + ".weight"], f32=True)
+                add(b + "layer_output_norm.bias", state[p + hf_n + ".bias"], f32=True)
+                break
+    if "pooler.dense.weight" in state:
+        add("cls.weight", state["pooler.dense.weight"])
+        add("cls.bias", state["pooler.dense.bias"], f32=True)
+    return w.write()
+
+
+def convert_hf_plamo2(model, tokenizer_vocab, out_path: str,
+                      quant_type=GGMLType.F16) -> str:
+    """Plamo2ForCausalLM → GGUF arch "plamo2" (spec: Plamo2Model
+    convert_hf_to_gguf.py:4019).  Transforms: A_log → -exp, conv1d
+    squeezed to 2-D, the five residual-norm offsets (+1 on
+    pre_mixer/pre_mlp/final norm, +1/5 post_mixer, +1/5^1.5 post_mlp),
+    q/k per-head norm renames, and the per-layer head_count_kv array that
+    marks mamba layers with 0 (mamba_step pattern)."""
+    hf = model.config
+    state = _np_state(model)
+    D = _g(hf, "hidden_size")
+    L = _g(hf, "num_hidden_layers")
+    H = _g(hf, "num_attention_heads", default=32)
+    HKV = _g(hf, "num_key_value_heads", default=4)
+    Dh = _g(hf, "hidden_size_per_head", default=128)
+    n_ssm_head = _g(hf, "mamba_num_heads", default=64)
+    d_inner = n_ssm_head * Dh
+
+    step = _g(hf, "mamba_step", default=2)
+    enabled = _g(hf, "mamba_enabled", default=True)
+    kv_arr = []
+    for i in range(L):
+        if not enabled:
+            kv_arr.append(HKV)
+            continue
+        if L <= step // 2:
+            is_mamba = i != L - 1
+        else:
+            is_mamba = (i % step) != (step // 2)
+        kv_arr.append(0 if is_mamba else HKV)
+
+    w = GGUFWriter(out_path, "plamo2")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="plamo2-convert"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH, _g(hf, "max_position_embeddings", default=2048))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, L)
+    w.add_uint32(Keys.LLM.FEED_FORWARD_LENGTH, _g(hf, "intermediate_size", default=13312))
+    w.add_uint32(Keys.Attention.HEAD_COUNT, H)
+    w.add_array(Keys.Attention.HEAD_COUNT_KV, np.asarray(kv_arr, np.int32))
+    w.add_uint32(Keys.Attention.KEY_LENGTH, Dh)
+    w.add_uint32(Keys.Attention.VALUE_LENGTH, Dh)
+    w.add_float32(Keys.Attention.LAYERNORM_RMS_EPS, _g(hf, "rms_norm_eps", default=1e-6))
+    w.add_uint32(Keys.Rope.DIMENSION_COUNT, Dh)
+    w.add_float32(Keys.Rope.FREQ_BASE, _g(hf, "rope_theta", default=10000.0))
+    w.add_uint32(Keys.SSM.STATE_SIZE, _g(hf, "mamba_d_state", default=64))
+    w.add_uint32(Keys.SSM.CONV_KERNEL, _g(hf, "mamba_d_conv", default=4))
+    w.add_uint32(Keys.SSM.TIME_STEP_RANK, n_ssm_head)
+    w.add_uint32(Keys.SSM.INNER_SIZE, d_inner)
+    w.add_uint32(Keys.SSM.GROUP_COUNT, 1)
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    _write_vocab(w, tokenizer_vocab)
+    qt = _qt_fn(quant_type)
+
+    def add(name, arr, f32=False):
+        arr = np.ascontiguousarray(arr)
+        w.add_tensor(name, arr, GGMLType.F32 if f32 else qt(name, arr))
+
+    emb = state["model.embed_tokens.weight"]
+    add("token_embd.weight", emb)
+    for i in range(L):
+        p, b = f"model.layers.layers.{i}.", f"blk.{i}."
+        add(b + "attn_norm.weight", state[p + "pre_mixer_norm.weight"] + 1.0, f32=True)
+        add(b + "post_attention_norm.weight",
+            state[p + "post_mixer_norm.weight"] + 1.0 / 5, f32=True)
+        add(b + "ffn_norm.weight", state[p + "pre_mlp_norm.weight"] + 1.0, f32=True)
+        add(b + "post_ffw_norm.weight",
+            state[p + "post_mlp_norm.weight"] + 1.0 / (5 ** 1.5), f32=True)
+        add(b + "ffn_up.weight", state[p + "mlp.gate_up_proj.weight"])
+        add(b + "ffn_down.weight", state[p + "mlp.down_proj.weight"])
+        m = p + "mixer."
+        if m + "in_proj.weight" in state:  # mamba layer
+            add(b + "ssm_in.weight", state[m + "in_proj.weight"])
+            add(b + "ssm_conv1d.weight", np.squeeze(state[m + "conv1d.weight"]))
+            add(b + "ssm_x.weight", state[m + "bcdt_proj.weight"])
+            add(b + "ssm_dt.weight", state[m + "dt_proj.weight"])
+            add(b + "ssm_dt.bias", state[m + "dt_bias"], f32=True)
+            add(b + "ssm_a", -np.exp(state[m + "A_log"]), f32=True)
+            add(b + "ssm_d", state[m + "D"], f32=True)
+            add(b + "ssm_dt_norm.weight", state[m + "dt_norm_weight"], f32=True)
+            add(b + "ssm_b_norm.weight", state[m + "B_norm_weight"], f32=True)
+            add(b + "ssm_c_norm.weight", state[m + "C_norm_weight"], f32=True)
+            add(b + "ssm_out.weight", state[m + "out_proj.weight"])
+        else:  # attention layer
+            add(b + "attn_qkv.weight", state[m + "qkv_proj.weight"])
+            add(b + "attn_output.weight", state[m + "o_proj.weight"])
+            add(b + "attn_q_norm.weight", state[m + "q_weight"], f32=True)
+            add(b + "attn_k_norm.weight", state[m + "k_weight"], f32=True)
+    add("output_norm.weight", state["model.norm.weight"] + 1.0, f32=True)
+    add("output.weight", state.get("lm_head.weight", emb))
+    return w.write()

@@ -1042,3 +1042,234 @@ def test_arwkv7_convert(tmp_path):
     got = _tensors(path)
     assert "blk.0.ffn_gate.weight" in got and "blk.1.time_mix_v2.weight" in got
     _decode_ok(path)
+
+
+# -- wave 6: encoder families + plamo2 ---------------------------------------
+
+
+def _enc_forward_ok(path, arch):
+    from llama_cpp_gfx906_tpu.gguf.reader import GGUFReader
+    from llama_cpp_gfx906_tpu.models.bert import forward, load_params
+    from llama_cpp_gfx906_tpu.models.config import config_from_gguf
+
+    reader = GGUFReader(path)
+    cfg = config_from_gguf(reader)
+    assert cfg.arch == arch
+    params = load_params(reader, cfg)
+    out = forward(params, cfg, jnp.asarray([[3, 7, 9]], jnp.int32),
+                  jnp.asarray([3], jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
+    return cfg
+
+
+def test_nomic_bert_convert(tmp_path):
+    rng = np.random.default_rng(60)
+    D, H, L, FF = 32, 4, 2, 48
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"embeddings.word_embeddings.weight": r(VOCAB, D),
+          "embeddings.token_type_embeddings.weight": r(2, D),
+          "emb_ln.weight": 1 + r(D), "emb_ln.bias": r(D)}
+    for i in range(L):
+        p = f"encoder.layers.{i}."
+        st[p + "attn.Wqkv.weight"] = r(3 * D, D)
+        st[p + "attn.out_proj.weight"] = r(D, D)
+        st[p + "norm1.weight"] = 1 + r(D); st[p + "norm1.bias"] = r(D)
+        st[p + "norm2.weight"] = 1 + r(D); st[p + "norm2.bias"] = r(D)
+        st[p + "mlp.fc11.weight"] = r(FF, D)
+        st[p + "mlp.fc12.weight"] = r(FF, D)
+        st[p + "mlp.fc2.weight"] = r(D, FF)
+    cfg = Cfg(n_embd=D, n_layer=L, n_head=H, n_inner=FF, n_positions=8192,
+              max_trained_positions=2048, layer_norm_epsilon=1e-12,
+              rotary_emb_base=1000.0, vocab_size=VOCAB)
+    path = str(tmp_path / "nomic.gguf")
+    CE.convert_hf_nomic_bert(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                             dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    np.testing.assert_array_equal(got["blk.0.attn_qkv.weight"],
+                                  st["encoder.layers.0.attn.Wqkv.weight"])
+    np.testing.assert_array_equal(got["blk.0.ffn_gate.weight"],
+                                  st["encoder.layers.0.mlp.fc12.weight"])
+    ecfg = _enc_forward_ok(path, "nomic-bert")
+    assert ecfg.n_ctx_train == 2048 and ecfg.rope_base == 1000.0  # clamp table
+
+
+def test_nomic_bert_moe_convert(tmp_path):
+    rng = np.random.default_rng(61)
+    D, H, L, FF, E = 32, 4, 2, 48, 4
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"embeddings.word_embeddings.weight": r(VOCAB, D),
+          "emb_ln.weight": 1 + r(D), "emb_ln.bias": r(D)}
+    for i in range(L):
+        p = f"encoder.layers.{i}."
+        st[p + "attn.Wqkv.weight"] = r(3 * D, D)
+        st[p + "attn.Wqkv.bias"] = r(3 * D)
+        st[p + "attn.out_proj.weight"] = r(D, D)
+        st[p + "attn.out_proj.bias"] = r(D)
+        st[p + "norm1.weight"] = 1 + r(D); st[p + "norm1.bias"] = r(D)
+        st[p + "norm2.weight"] = 1 + r(D); st[p + "norm2.bias"] = r(D)
+        if i % 2 == 1:  # MoE layers at il % every == 1
+            st[p + "mlp.router.layer.weight"] = r(E, D)
+            st[p + "mlp.experts.mlp.w1"] = r(E * FF, D)
+            st[p + "mlp.experts.mlp.w2"] = r(E * FF, D)
+            st[p + "mlp.experts.bias"] = r(E)  # must be skipped
+        else:
+            st[p + "mlp.fc1.weight"] = r(FF, D)
+            st[p + "mlp.fc1.bias"] = r(FF)
+            st[p + "mlp.fc2.weight"] = r(D, FF)
+            st[p + "mlp.fc2.bias"] = r(D)
+    cfg = Cfg(n_embd=D, n_layer=L, n_head=H, n_inner=FF, n_positions=2048,
+              max_trained_positions=2048, layer_norm_epsilon=1e-12,
+              rotary_emb_base=10000.0, vocab_size=VOCAB,
+              moe_every_n_layers=2, num_experts=E, moe_top_k=2)
+    path = str(tmp_path / "nomicmoe.gguf")
+    CE.convert_hf_nomic_bert(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                             dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    p1 = "encoder.layers.1."
+    np.testing.assert_array_equal(got["blk.1.ffn_up_exps.weight"],
+                                  st[p1 + "mlp.experts.mlp.w1"].reshape(E, FF, D))
+    np.testing.assert_array_equal(
+        got["blk.1.ffn_down_exps.weight"],
+        st[p1 + "mlp.experts.mlp.w2"].reshape(E, FF, D).transpose(0, 2, 1))
+    assert "blk.1.ffn_up.weight" not in got
+    _enc_forward_ok(path, "nomic-bert-moe")
+
+
+def test_neobert_convert(tmp_path):
+    rng = np.random.default_rng(62)
+    D, H, L, FF = 32, 4, 2, 48
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"model.encoder.weight": r(VOCAB, D),
+          "model.layer_norm.weight": 1 + r(D),
+          "decoder.weight": r(VOCAB, D)}  # LM head: dropped
+    for i in range(L):
+        p = f"model.transformer_encoder.{i}."
+        st[p + "attention_norm.weight"] = 1 + r(D)
+        st[p + "qkv.weight"] = r(3 * D, D)
+        st[p + "wo.weight"] = r(D, D)
+        st[p + "ffn_norm.weight"] = 1 + r(D)
+        st[p + "ffn.w12.weight"] = r(2 * FF, D)
+        st[p + "ffn.w3.weight"] = r(D, FF)
+    cfg = Cfg(hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+              intermediate_size=3 * FF // 2, norm_eps=1e-6, max_length=1024,
+              vocab_size=VOCAB)
+    path = str(tmp_path / "neobert.gguf")
+    CE.convert_hf_neobert(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                          dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    assert "decoder.weight" not in got and "output.weight" not in got
+    np.testing.assert_array_equal(got["blk.0.ffn_up.weight"],
+                                  st["model.transformer_encoder.0.ffn.w12.weight"])
+    cfg2 = _enc_forward_ok(path, "neo-bert")
+    assert cfg2.n_ff == FF  # derived from the actual w12 width
+
+
+def test_jina_bert_v2_convert(tmp_path):
+    rng = np.random.default_rng(63)
+    D, H, L, FF = 32, 4, 2, 48
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"embeddings.word_embeddings.weight": r(VOCAB, D),
+          "embeddings.token_type_embeddings.weight": r(2, D),
+          "embeddings.LayerNorm.weight": 1 + r(D),
+          "embeddings.LayerNorm.bias": r(D)}
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        for n in ("attention.self.query", "attention.self.key",
+                  "attention.self.value", "attention.output.dense"):
+            st[p + n + ".weight"] = r(D, D)
+            st[p + n + ".bias"] = r(D)
+        st[p + "attention.output.LayerNorm.weight"] = 1 + r(D)
+        st[p + "attention.output.LayerNorm.bias"] = r(D)
+        st[p + "mlp.gated_layers.weight"] = r(2 * FF, D)  # fused GEGLU
+        st[p + "mlp.wo.weight"] = r(D, FF)
+        st[p + "mlp.wo.bias"] = r(D)
+        st[p + "mlp.layernorm.weight"] = 1 + r(D)
+        st[p + "mlp.layernorm.bias"] = r(D)
+    cfg = Cfg(hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+              intermediate_size=FF, layer_norm_eps=1e-12,
+              max_position_embeddings=8192, vocab_size=VOCAB)
+    path = str(tmp_path / "jina.gguf")
+    CE.convert_hf_jina_bert_v2(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                               dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    assert "position_embd.weight" not in got  # ALiBi: no position table
+    np.testing.assert_array_equal(got["blk.0.ffn_up.weight"],
+                                  st["encoder.layer.0.mlp.gated_layers.weight"])
+    cfg2 = _enc_forward_ok(path, "jina-bert-v2")
+    assert cfg2.alibi and cfg2.ffn_gated
+
+
+def test_plamo2_convert(tmp_path):
+    rng = np.random.default_rng(64)
+    D, L = 32, 2
+    H, HKV, Dh = 4, 2, 8
+    NH, P, NS, DC = 4, 8, 8, 4  # ssm heads, head dim, state, conv
+    D_INNER = NH * P
+    FF = 32
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    st = {"model.embed_tokens.weight": r(VOCAB, D),
+          "model.norm.weight": r(D), "lm_head.weight": r(VOCAB, D)}
+    for i in range(L):
+        p = f"model.layers.layers.{i}."
+        for n in ("pre_mixer_norm", "post_mixer_norm", "pre_mlp_norm",
+                  "post_mlp_norm"):
+            st[p + n + ".weight"] = r(D)
+        st[p + "mlp.gate_up_proj.weight"] = r(2 * FF, D)
+        st[p + "mlp.down_proj.weight"] = r(D, FF)
+        m = p + "mixer."
+        if i % 2 == 0:  # mamba layer (mamba_step=2 → even layers)
+            st[m + "in_proj.weight"] = r(2 * D_INNER, D)
+            st[m + "conv1d.weight"] = r(D_INNER, 1, DC)
+            st[m + "bcdt_proj.weight"] = r(2 * NS + 16, D_INNER)
+            st[m + "dt_proj.weight"] = r(NH, 16)
+            st[m + "dt_bias"] = r(NH)
+            st[m + "A_log"] = r(NH)
+            st[m + "D"] = r(NH)
+            st[m + "dt_norm_weight"] = 1 + r(16)
+            st[m + "B_norm_weight"] = 1 + r(NS)
+            st[m + "C_norm_weight"] = 1 + r(NS)
+            st[m + "out_proj.weight"] = r(D, D_INNER)
+        else:
+            st[m + "qkv_proj.weight"] = r((H + 2 * HKV) * Dh, D)
+            st[m + "o_proj.weight"] = r(D, H * Dh)
+            st[m + "q_weight"] = 1 + r(Dh)
+            st[m + "k_weight"] = 1 + r(Dh)
+    cfg = Cfg(hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+              num_key_value_heads=HKV, hidden_size_per_head=Dh,
+              mamba_num_heads=NH, mamba_d_state=NS, mamba_d_conv=DC,
+              mamba_step=2, mamba_enabled=True, intermediate_size=FF,
+              rms_norm_eps=1e-5, rope_theta=10000.0,
+              max_position_embeddings=2048, vocab_size=VOCAB)
+    path = str(tmp_path / "plamo2.gguf")
+    CE.convert_hf_plamo2(Shim(cfg, {k: torch.tensor(v) for k, v in st.items()}),
+                         dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    m0 = "model.layers.layers.0.mixer."
+    np.testing.assert_allclose(got["blk.0.ssm_a"], -np.exp(st[m0 + "A_log"]),
+                               rtol=1e-6)
+    assert got["blk.0.ssm_conv1d.weight"].shape == (D_INNER, DC)
+    np.testing.assert_allclose(
+        got["blk.0.attn_norm.weight"],
+        st["model.layers.layers.0.pre_mixer_norm.weight"] + 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        got["blk.0.post_attention_norm.weight"],
+        st["model.layers.layers.0.post_mixer_norm.weight"] + 0.2, rtol=1e-6)
+    eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+    assert eng.cfg.arch == "plamo2"
+    text, ids = eng.generate("<t3><t7>", n_predict=3, stop_on_eog=False)
+    assert len(ids) == 3
