@@ -37,6 +37,11 @@ def bucket_len(n: int) -> int:
     return ((n + 4095) // 4096) * 4096
 
 
+class ModelLoadCancelled(RuntimeError):
+    """Raised when ``progress_callback`` returns False mid-load (the
+    reference's cancellable llama_progress_callback, llama.h:276-279)."""
+
+
 @dataclass
 class PerfCounters:
     """llama_perf_context analog (llama.h:1419)."""
@@ -109,6 +114,9 @@ class Engine:
         repack_int8: bool = False,  # lossless 4-bit → int8 weight repack:
         # 2× weight HBM for the DMA-bound GEMV path (~4× decode BW on this
         # chip vs the VPU-bound nib4 kernel); values are bit-identical
+        progress_callback=None,  # f(fraction)->bool; False cancels the load
+        # (the llama_progress_callback contract, llama.h:276-279 /
+        # test-model-load-cancel): raises ModelLoadCancelled
     ) -> "Engine":
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
@@ -116,9 +124,24 @@ class Engine:
         tok = tokenizer_from_gguf(reader.readers[0])
         from ..models.registry import get_family
 
+        if progress_callback is not None:
+            total = max(len(reader.tensors), 1)
+            inner = device_put_fn
+            seen = {"n": 0}
+
+            def device_put_fn(arr, name, _inner=inner):  # noqa: F811
+                seen["n"] += 1
+                if progress_callback(min(seen["n"] / total, 1.0)) is False:
+                    raise ModelLoadCancelled(
+                        f"model load cancelled at tensor {name!r} "
+                        f"({seen['n']}/{total})")
+                return _inner(arr, name) if _inner is not None else jnp.asarray(arr)
+
         params = get_family(cfg).load_params(
             reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
         )
+        if progress_callback is not None:
+            progress_callback(1.0)
         if repack_int8:
             from ..ops.quant_matmul import repack_params_int8
 
@@ -298,6 +321,7 @@ class Engine:
         stop_on_eog: bool = True,
         stream_cb=None,
         chunk: int = 32,
+        abort_callback=None,  # checked between fused chunks
     ) -> tuple[str, list[int]]:
         """``generate`` on the fused decode path: one device dispatch per
         ``chunk`` tokens instead of per token.  EOG is checked on the host
@@ -320,6 +344,8 @@ class Engine:
             stream_cb(first)
         key = jax.random.PRNGKey(sp.seed if sp.seed != 0xFFFFFFFF else 0)
         while len(out_ids) < n_predict:
+            if abort_callback is not None and abort_callback():
+                break
             key, sub = jax.random.split(key)
             n_before = self.n_past
             toks = self.decode_fused(
@@ -503,6 +529,9 @@ class Engine:
         sampler: SamplerParams | SamplerChain | None = None,
         stop_on_eog: bool = True,
         stream_cb=None,
+        abort_callback=None,  # f()->bool; True stops decoding between
+        # steps and returns the tokens so far (ggml_abort_callback
+        # analog, llama.h:328-329 / :975)
     ) -> tuple[str, list[int]]:
         if isinstance(sampler, SamplerChain):
             chain = sampler
@@ -519,6 +548,8 @@ class Engine:
         all_ids = list(ids)
         eog = self.tokenizer.vocab.special.eog_ids()
         for _ in range(n_predict):
+            if abort_callback is not None and abort_callback():
+                break
             tok = chain.sample(logits, all_ids)
             chain.accept(tok, is_eog=tok in eog)
             if stop_on_eog and tok in eog:
