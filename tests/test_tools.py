@@ -205,3 +205,34 @@ def test_flag_registry_completion(capsys):
     assert maybe_print_completion(args, "cli", "llama-cli")
     out = capsys.readouterr().out
     assert "complete -F" in out and "--model" in out
+
+
+def test_run_tool_oneshot_and_repl(f16_gguf, tmp_path, capsys, monkeypatch):
+    from llama_cpp_gfx906_tpu.tools import run as run_tool
+
+    # one-shot prompt with streamed output
+    rc = run_tool.main([f16_gguf, "hello", "--temp", "0", "-c", "64",
+                        "--n-predict", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.strip()
+
+    # REPL: commands + multiline continuation + save/load round trip
+    save = str(tmp_path / "conv.json")
+    lines = iter(["/help", "hi \\", "there", f"/save {save}", "/clear",
+                  f"/load {save}", "/regen", "/bye"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+    rc = run_tool.main([f16_gguf, "--temp", "0", "-c", "64", "--n-predict", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "commands:" in out and "(saved)" in out and "(loaded" in out
+    conv = json.load(open(save))
+    assert conv[0]["role"] == "user" and conv[0]["content"] == "hi \nthere"
+
+
+def test_run_tool_rejects_network_protocols():
+    from llama_cpp_gfx906_tpu.tools import run as run_tool
+
+    with pytest.raises(SystemExit):
+        run_tool._resolve_model("hf://org/model")
+    assert run_tool._resolve_model("file:///x/y.gguf") == "/x/y.gguf"
