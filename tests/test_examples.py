@@ -183,3 +183,19 @@ def test_llama2c_converter_cli(model_path, tmp_path):
         capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-1500:]
     assert os.path.exists(out_path)
+
+
+def test_gguf_format_example(tmp_path):
+    out = _run("gguf.py", str(tmp_path / "demo.gguf"))
+    assert "all verified" in out
+
+
+def test_vim_plugins_parse():
+    # the vim plugins must target endpoints the server actually exposes
+    import re
+
+    app_src = open("llama_cpp_gfx906_tpu/server/app.py").read()
+    for vim_file in ("examples/llm.vim", "examples/llama.vim"):
+        src = open(vim_file).read()
+        for url in re.findall(r"http://127\.0\.0\.1:8080(/[a-z_]+)", src):
+            assert f'"{url}"' in app_src, (vim_file, url)
