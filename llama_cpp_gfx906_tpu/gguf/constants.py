@@ -196,6 +196,7 @@ class Keys:
         STATE_SIZE = "{arch}.ssm.state_size"
         TIME_STEP_RANK = "{arch}.ssm.time_step_rank"
         GROUP_COUNT = "{arch}.ssm.group_count"
+        DT_B_C_RMS = "{arch}.ssm.dt_b_c_rms"  # falcon-mamba
 
     class Tokenizer:
         MODEL = "tokenizer.ggml.model"

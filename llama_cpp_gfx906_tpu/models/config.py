@@ -75,6 +75,7 @@ class ModelConfig:
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0  # mamba1: dt low-rank; mamba2: head count (reference :11163)
     ssm_n_group: int = 1  # mamba2 B/C group count ({arch}.ssm.group_count)
+    ssm_dt_b_c_rms: bool = False  # falcon-mamba: unweighted rms on dt/B/C
     # MLA (deepseek2 family) hyperparameters
     q_lora_rank: int = 0
     kv_lora_rank: int = 0
@@ -869,6 +870,7 @@ def config_from_gguf(reader: GGUFReader | GGUFModelReader) -> ModelConfig:
             ssm_d_inner=int(g(Keys.SSM.INNER_SIZE, 2 * n_embd)),
             ssm_d_state=int(g(Keys.SSM.STATE_SIZE, 16)),
             ssm_dt_rank=int(g(Keys.SSM.TIME_STEP_RANK, (n_embd + 15) // 16)),
+            ssm_dt_b_c_rms=bool(g(Keys.SSM.DT_B_C_RMS, False)),
         )
     elif arch == "falcon-h1":
         # parallel attention+mamba2 layers; NEOX rope; all Falcon-H1

@@ -80,6 +80,15 @@ def forward(
         dt = dbc[..., : cfg.ssm_dt_rank]
         Bm = dbc[..., cfg.ssm_dt_rank : cfg.ssm_dt_rank + cfg.ssm_d_state]
         Cm = dbc[..., cfg.ssm_dt_rank + cfg.ssm_d_state :]
+        if cfg.ssm_dt_b_c_rms:
+            # falcon-mamba: unweighted rms on the dt/B/C splits
+            # (llm_build_mamba, src/llama-model.cpp:11096-11101)
+            def urms(a):
+                af = a.astype(jnp.float32)
+                return (af * jax.lax.rsqrt(
+                    (af * af).mean(-1, keepdims=True) + cfg.rms_eps)).astype(a.dtype)
+
+            dt, Bm, Cm = urms(dt), urms(Bm), urms(Cm)
         dt = linear(dt, p["ssm_dt"]) + p["ssm_dt_b"]
         dt = jax.nn.softplus(dt.astype(jnp.float32))
         dt = (dt * valid).astype(x.dtype)  # dt=0 → exp(dt·A)=1, dBx=0: no-op step

@@ -537,6 +537,12 @@ MODEL_TYPE_MAP: dict = {
     "nomic_bert": CE.convert_hf_nomic_bert,
     "neobert": CE.convert_hf_neobert,
     "plamo2": CE.convert_hf_plamo2,
+    "roberta": CE.convert_hf_roberta,
+    "camembert": CE.convert_hf_roberta,
+    "distilbert": CE.convert_hf_distilbert,
+    "falcon_mamba": lambda m, tv, o, q: C.convert_hf_mamba(m, tv, o, q, dt_b_c_rms=True),
+    "internlm3": _llama_like("llama"),
+    "mt5": lambda m, tv, o, q: C.convert_hf_t5(m, tv, o, q),
 }
 
 OUTTYPE = {

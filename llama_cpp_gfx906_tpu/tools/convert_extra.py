@@ -1614,3 +1614,75 @@ def convert_hf_plamo2(model, tokenizer_vocab, out_path: str,
     add("output_norm.weight", state["model.norm.weight"] + 1.0, f32=True)
     add("output.weight", state.get("lm_head.weight", emb))
     return w.write()
+
+
+def convert_hf_roberta(model, tokenizer_vocab, out_path: str,
+                       quant_type=GGMLType.F16) -> str:
+    """RobertaModel / CamembertModel / roberta rerankers → GGUF arch
+    "bert" (spec: RobertaModel convert_hf_to_gguf.py:4709 — strip the
+    "roberta." prefix, chop the first 1+pad_token_id position-embedding
+    rows so position 0 lands on the row the HF model actually uses)."""
+    from .convert_hf import convert_hf_bert
+
+    hf = model.config
+    state = {k[8:] if k.startswith("roberta.") else k: v
+             for k, v in _np_state(model).items()}
+    pad = _g(hf, "pad_token_id")
+    if pad is not None and "embeddings.position_embeddings.weight" in state:
+        off = 1 + int(pad)
+        state["embeddings.position_embeddings.weight"] = \
+            state["embeddings.position_embeddings.weight"][off:]
+        if getattr(hf, "max_position_embeddings", None) is not None:
+            hf = _Cfg(**{**hf.__dict__,
+                         "max_position_embeddings": hf.max_position_embeddings - off})
+    return convert_hf_bert(_Shim(hf, {k: _to_t(v) for k, v in state.items()}),
+                           tokenizer_vocab, out_path, quant_type)
+
+
+_DISTILBERT_MAP = [
+    ("attention.q_lin", "attention.self.query"),
+    ("attention.k_lin", "attention.self.key"),
+    ("attention.v_lin", "attention.self.value"),
+    ("attention.out_lin", "attention.output.dense"),
+    ("sa_layer_norm", "attention.output.LayerNorm"),
+    ("ffn.lin1", "intermediate.dense"),
+    ("ffn.lin2", "output.dense"),
+    ("output_layer_norm", "output.LayerNorm"),
+]
+
+
+def convert_hf_distilbert(model, tokenizer_vocab, out_path: str,
+                          quant_type=GGMLType.F16) -> str:
+    """DistilBertModel → GGUF arch "bert" (spec: DistilBertModel
+    convert_hf_to_gguf.py:4689 + the distillbert rows of
+    tensor_mapping.py: transformer.layer.N.{q_lin,sa_layer_norm,ffn.lin*}
+    renames; vocab_* MLM-head tensors dropped; no token types)."""
+    from .convert_hf import convert_hf_bert
+
+    hf = model.config
+    raw = {k[11:] if k.startswith("distilbert.") else k: v
+           for k, v in _np_state(model).items()}
+    state = {}
+    for k, v in raw.items():
+        if k.startswith("vocab_"):
+            continue  # MLM head
+        if k.startswith("transformer.layer."):
+            rest = k[len("transformer.layer."):]
+            i, _, tail = rest.partition(".")
+            for hf_n, bert_n in _DISTILBERT_MAP:
+                if tail.startswith(hf_n + "."):
+                    tail = bert_n + tail[len(hf_n):]
+                    break
+            state[f"encoder.layer.{i}.{tail}"] = v
+        else:
+            state[k] = v
+    cfg = _Cfg(num_attention_heads=_g(hf, "n_heads", "num_attention_heads"),
+               hidden_size=_g(hf, "dim", "hidden_size"),
+               num_hidden_layers=_g(hf, "n_layers", "num_hidden_layers"),
+               intermediate_size=_g(hf, "hidden_dim", "intermediate_size"),
+               layer_norm_eps=1e-12,
+               max_position_embeddings=_g(hf, "max_position_embeddings", default=512),
+               vocab_size=hf.vocab_size,
+               name_or_path=_g(hf, "name_or_path", default="distilbert-convert"))
+    return convert_hf_bert(_Shim(cfg, {k: _to_t(v) for k, v in state.items()}),
+                           tokenizer_vocab, out_path, quant_type)

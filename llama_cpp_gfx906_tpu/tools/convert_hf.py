@@ -298,7 +298,8 @@ def convert_hf_bert(model, tokenizer_vocab, out_path: str,
 
     add("token_embd.weight", state["embeddings.word_embeddings.weight"])
     add("position_embd.weight", state["embeddings.position_embeddings.weight"], force_f32=True)
-    add("token_types.weight", state["embeddings.token_type_embeddings.weight"], force_f32=True)
+    if "embeddings.token_type_embeddings.weight" in state:  # absent: distilbert
+        add("token_types.weight", state["embeddings.token_type_embeddings.weight"], force_f32=True)
     add("token_embd_norm.weight", state["embeddings.LayerNorm.weight"])
     add("token_embd_norm.bias", state["embeddings.LayerNorm.bias"])
     for i in range(hf.num_hidden_layers):
@@ -953,16 +954,23 @@ def convert_hf_jamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.
     return w.write()
 
 
-def convert_hf_mamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
-    """transformers MambaForCausalLM → GGUF (arch "mamba").
+def convert_hf_mamba(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16,
+                     dt_b_c_rms: bool = False) -> str:
+    """transformers MambaForCausalLM / FalconMambaForCausalLM → GGUF
+    (arch "mamba").
 
     Mirrors the reference converter's transforms (convert_hf_to_gguf.py
-    MambaModel): A_log → -exp(A_log), conv1d weight squeezed to (d_inner, K)."""
+    MambaModel, which also registers FalconMambaForCausalLM): A_log →
+    -exp(A_log), conv1d weight squeezed to (d_inner, K); falcon-mamba
+    additionally sets the {arch}.ssm.dt_b_c_rms flag (unweighted rms on
+    the dt/B/C splits, convert_hf_to_gguf.py:5541)."""
     hf = model.config
     state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
 
     w = GGUFWriter(out_path, "mamba")
     w.add_string(Keys.General.NAME, "mamba-convert")
+    if dt_b_c_rms:
+        w.add_bool(Keys.SSM.DT_B_C_RMS, True)
     w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 2**20)  # recurrent: unbounded
     w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
     w.add_uint32(Keys.LLM.BLOCK_COUNT, hf.num_hidden_layers)

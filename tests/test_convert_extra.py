@@ -1273,3 +1273,60 @@ def test_plamo2_convert(tmp_path):
     assert eng.cfg.arch == "plamo2"
     text, ids = eng.generate("<t3><t7>", n_predict=3, stop_on_eog=False)
     assert len(ids) == 3
+
+
+def test_roberta_convert_parity(tmp_path):
+    from transformers import RobertaConfig, RobertaModel
+
+    torch.manual_seed(7)
+    hf = RobertaModel(RobertaConfig(
+        vocab_size=VOCAB, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=34, pad_token_id=1, type_vocab_size=1,
+        layer_norm_eps=1e-12), add_pooling_layer=False).eval()
+    path = str(tmp_path / "roberta.gguf")
+    CE.convert_hf_roberta(hf, dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    # position table chopped by 1+pad_token_id
+    assert got["position_embd.weight"].shape[0] == 34 - 2
+
+    from llama_cpp_gfx906_tpu.gguf.reader import GGUFReader
+    from llama_cpp_gfx906_tpu.models.bert import forward, load_params
+    from llama_cpp_gfx906_tpu.models.config import config_from_gguf
+
+    reader = GGUFReader(path)
+    cfg = config_from_gguf(reader)
+    params = load_params(reader, cfg)
+    ids = [5, 17, 42, 9]
+    out = forward(params, cfg, jnp.asarray([ids], jnp.int32),
+                  jnp.asarray([len(ids)], jnp.int32))
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_distilbert_convert_parity(tmp_path):
+    from transformers import DistilBertConfig, DistilBertModel
+
+    torch.manual_seed(8)
+    hf = DistilBertModel(DistilBertConfig(
+        vocab_size=VOCAB, dim=32, n_layers=2, n_heads=4, hidden_dim=48,
+        max_position_embeddings=64, activation="gelu")).eval()
+    path = str(tmp_path / "distilbert.gguf")
+    CE.convert_hf_distilbert(hf, dummy_vocab(), path, GGMLType.F32)
+    got = _tensors(path)
+    assert "token_types.weight" not in got  # distilbert has no segments
+
+    from llama_cpp_gfx906_tpu.gguf.reader import GGUFReader
+    from llama_cpp_gfx906_tpu.models.bert import forward, load_params
+    from llama_cpp_gfx906_tpu.models.config import config_from_gguf
+
+    reader = GGUFReader(path)
+    cfg = config_from_gguf(reader)
+    params = load_params(reader, cfg)
+    ids = [5, 17, 42, 9]
+    out = forward(params, cfg, jnp.asarray([ids], jnp.int32),
+                  jnp.asarray([len(ids)], jnp.int32))
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=2e-3, atol=2e-3)

@@ -103,3 +103,31 @@ def test_mamba_padding_state_clean(mamba_pair):
 
     np.testing.assert_allclose(np.asarray(st_a.ssm), np.asarray(st_b.ssm), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st_a.conv), np.asarray(st_b.conv), rtol=1e-5, atol=1e-6)
+
+
+def test_falcon_mamba_logits_parity(tmp_path):
+    """falcon-mamba: the dt/B/C unweighted-rms flag
+    (MambaModel/FalconMamba registration, convert_hf_to_gguf.py:5485/:5541;
+    llm_build_mamba rms branch src/llama-model.cpp:11096-11101)."""
+    from transformers import FalconMambaConfig, FalconMambaForCausalLM
+
+    torch.manual_seed(1)
+    hf = FalconMambaForCausalLM(
+        FalconMambaConfig(
+            vocab_size=VOCAB, hidden_size=48, state_size=8,
+            num_hidden_layers=2, conv_kernel=4, expand=2, time_step_rank=8,
+            use_conv_bias=True, use_bias=False,
+        )
+    ).eval()
+    path = str(tmp_path / "tiny-falcon-mamba-f32.gguf")
+    convert_hf_mamba(hf, dummy_vocab(), path, quant_type=GGMLType.F32,
+                     dt_b_c_rms=True)
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.cfg.ssm_dt_b_c_rms
+    ids = [3, 17, 42, 9, 88, 5]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.mamba import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=2e-3, atol=2e-3)
