@@ -486,7 +486,9 @@ MODEL_TYPE_MAP: dict = {
     "bailing_moe": lambda m, tv, o, q: C.convert_hf_moe_lead(m, tv, o, "bailingmoe", q),
     "ernie4_5_moe": lambda m, tv, o, q: C.convert_hf_moe_lead(m, tv, o, "ernie4_5-moe", q),
     "granitemoe": lambda m, tv, o, q: C.convert_hf_granitemoe(m, tv, o, q),
+    "granitemoeshared": lambda m, tv, o, q: C.convert_hf_granitemoe(m, tv, o, q),
     "granitemoehybrid": lambda m, tv, o, q: C.convert_hf_granitehybrid(m, tv, o, q),
+    "bamba": lambda m, tv, o, q: C.convert_hf_granitehybrid(m, tv, o, q),
     "minicpm": lambda m, tv, o, q: C.convert_hf_minicpm(m, tv, o, q),
     "dbrx": lambda m, tv, o, q: C.convert_hf_dbrx(m, tv, o, q),
     "gpt_oss": lambda m, tv, o, q: C.convert_hf_gpt_oss(m, tv, o, q),

@@ -1190,7 +1190,9 @@ def convert_hf_granitehybrid(model, tokenizer_vocab, out_path: str,
     d_inner = getattr(hf, "mamba_d_ssm", None) or hf.mamba_expand * hf.hidden_size
     n_group = hf.mamba_n_groups
     mamba_heads = hf.mamba_n_heads
-    layer_types = list(hf.layer_types)
+    # Bamba names the per-layer schedule layers_block_type
+    layer_types = list(getattr(hf, "layer_types", None)
+                       or getattr(hf, "layers_block_type"))
     shared_ff = getattr(hf, "shared_intermediate_size", 0)
 
     w = GGUFWriter(out_path, "granitehybrid")
@@ -1234,7 +1236,10 @@ def convert_hf_granitehybrid(model, tokenizer_vocab, out_path: str,
         p = f"model.layers.{i}."
         b = f"blk.{i}."
         add(b + "attn_norm.weight", state[p + "input_layernorm.weight"])
-        add(b + "ffn_norm.weight", state[p + "post_attention_layernorm.weight"])
+        # Bamba names the FFN norm pre_ff_layernorm
+        add(b + "ffn_norm.weight",
+            state.get(p + "post_attention_layernorm.weight",
+                      state.get(p + "pre_ff_layernorm.weight")))
         if layer_types[i] == "mamba":
             add(b + "ssm_in.weight", state[p + "mamba.in_proj.weight"])
             add(b + "ssm_conv1d.weight", state[p + "mamba.conv1d.weight"].squeeze(1), f32=True)
@@ -1264,13 +1269,18 @@ def convert_hf_granitehybrid(model, tokenizer_vocab, out_path: str,
             add(b + "ffn_gate_shexp.weight", np.ascontiguousarray(sh[:sff]))
             add(b + "ffn_up_shexp.weight", np.ascontiguousarray(sh[sff:]))
             add(b + "ffn_down_shexp.weight", state[p + "shared_mlp.output_linear.weight"])
-        else:
+        elif p + "shared_mlp.input_linear.weight" in state:
             sh = state[p + "shared_mlp.input_linear.weight"]  # (2ff, D)
             sff = sh.shape[0] // 2
             add(b + "ffn_gate.weight", np.ascontiguousarray(sh[:sff]))
             add(b + "ffn_up.weight", np.ascontiguousarray(sh[sff:]))
             add(b + "ffn_down.weight", state[p + "shared_mlp.output_linear.weight"])
-    add("output_norm.weight", state["model.norm.weight"])
+        else:  # Bamba: plain llama-style MLP under feed_forward.*
+            add(b + "ffn_gate.weight", state[p + "feed_forward.gate_proj.weight"])
+            add(b + "ffn_up.weight", state[p + "feed_forward.up_proj.weight"])
+            add(b + "ffn_down.weight", state[p + "feed_forward.down_proj.weight"])
+    add("output_norm.weight",
+        state.get("model.norm.weight", state.get("model.final_layernorm.weight")))
     if "lm_head.weight" in state:
         add("output.weight", state["lm_head.weight"])
     return w.write()
@@ -2216,6 +2226,9 @@ def convert_hf_granitemoe(model, tokenizer_vocab, out_path: str, quant_type=GGML
     w.add_float32(Keys.LLM.ATTENTION_SCALE, hf.attention_multiplier)
     w.add_uint32(Keys.Rope.DIMENSION_COUNT, head_dim)
     w.add_float32(Keys.Rope.FREQ_BASE, getattr(hf, "rope_theta", 10000.0))
+    shared_ff = getattr(hf, "shared_intermediate_size", 0)
+    if shared_ff:  # granitemoeshared (GraniteMoeModel spec :7387-7393)
+        w.add_uint32("granitemoe.expert_shared_feed_forward_length", shared_ff)
     _write_vocab(w, tokenizer_vocab)
 
     def add(name, arr, permute_heads=0):
@@ -2242,6 +2255,13 @@ def convert_hf_granitemoe(model, tokenizer_vocab, out_path: str, quant_type=GGML
         add(b + "ffn_up_exps.weight", np.ascontiguousarray(il[:, F:]))
         add(b + "ffn_down_exps.weight",
             np.ascontiguousarray(state[p + "block_sparse_moe.output_linear.weight"]))
+        if p + "shared_mlp.input_linear.weight" in state:
+            # granitemoeshared: fused (2*shared_F, D) shexp beside the experts
+            sh = state[p + "shared_mlp.input_linear.weight"]
+            sff = sh.shape[0] // 2
+            add(b + "ffn_gate_shexp.weight", np.ascontiguousarray(sh[:sff]))
+            add(b + "ffn_up_shexp.weight", np.ascontiguousarray(sh[sff:]))
+            add(b + "ffn_down_shexp.weight", state[p + "shared_mlp.output_linear.weight"])
     add("output_norm.weight", state["model.norm.weight"])
     if "lm_head.weight" in state:
         add("output.weight", state["lm_head.weight"])

@@ -196,3 +196,62 @@ def test_granitehybrid(tmp_path):
         got_toks.append(tok)
         logits = eng.decode_one(tok)
     assert got_toks == ids2[len(prompt):]
+
+
+def test_bamba(tmp_path):
+    """Bamba: granitehybrid layout with layers_block_type scheduling and a
+    plain llama MLP under feed_forward.* (reference: BambaForCausalLM
+    registered on GraniteHybridModel, convert_hf_to_gguf.py:7435)."""
+    from transformers import BambaConfig, BambaForCausalLM
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_granitehybrid
+
+    torch.manual_seed(31)
+    hf = BambaForCausalLM(BambaConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_indices=[1],
+        mamba_n_heads=4, mamba_d_head=16, mamba_n_groups=1, mamba_d_state=8,
+        mamba_d_conv=4, mamba_expand=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-bamba.gguf")
+    convert_hf_granitehybrid(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    assert eng.family.name == "granitehybrid"
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    from llama_cpp_gfx906_tpu.models.granite_hybrid import forward
+
+    got, _ = forward(eng.params, eng.cfg, jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
+
+
+def test_granitemoeshared(tmp_path):
+    """granitemoeshared: granitemoe + fused shared-expert MLP
+    (GraniteMoeModel shared_mlp branches, convert_hf_to_gguf.py:7381)."""
+    from transformers import (GraniteMoeSharedConfig,
+                              GraniteMoeSharedForCausalLM)
+
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_granitemoe
+
+    torch.manual_seed(32)
+    hf = GraniteMoeSharedForCausalLM(GraniteMoeSharedConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=48,
+        shared_intermediate_size=40, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny-gms.gguf")
+    convert_hf_granitemoe(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+    eng = Engine.from_gguf(path, max_seq=64, dtype=jnp.float32)
+    ids = [3, 17, 42, 9, 88]
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].float().numpy()
+    got, _ = eng.family.forward(eng.params, eng.cfg,
+                                jnp.asarray([ids], jnp.int32), eng.kv)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=3e-3, atol=3e-3)
