@@ -236,3 +236,26 @@ def test_run_tool_rejects_network_protocols():
     with pytest.raises(SystemExit):
         run_tool._resolve_model("hf://org/model")
     assert run_tool._resolve_model("file:///x/y.gguf") == "/x/y.gguf"
+
+
+def test_gguf_editor(f16_gguf, tmp_path):
+    from llama_cpp_gfx906_tpu.tools.gguf_editor import EditorState, run_command
+
+    st = EditorState(f16_gguf)
+    assert "general.architecture" not in run_command(st, "del nothing")
+    assert "token_embd.weight" in run_command(st, "tensors embd")
+    run_command(st, 'set general.name "edited-model"')
+    run_command(st, "set demo.custom 7")
+    run_command(st, "rename output.weight output2.weight")
+    out = str(tmp_path / "edited.gguf")
+    msg = run_command(st, f"save {out}")
+    assert "wrote" in msg
+
+    r = GGUFReader(out)
+    assert r.get("general.name") == "edited-model"
+    assert r.get("demo.custom") == 7
+    assert "output2.weight" in r.tensors and "output.weight" not in r.tensors
+    orig = GGUFReader(f16_gguf)
+    np.testing.assert_array_equal(
+        r.tensors["blk.0.attn_q.weight"].to_f32(),
+        orig.tensors["blk.0.attn_q.weight"].to_f32())
