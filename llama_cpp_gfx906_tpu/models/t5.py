@@ -304,7 +304,8 @@ def load_params(reader, cfg: ModelConfig, dtype=jnp.float32) -> dict:
         params["enc_layers"] = layer_group("enc", enc_keys)
         params["enc_out_norm"] = w("enc.output_norm.weight", False)
         params["enc_rel_b"] = w("enc.blk.0.attn_rel_b.weight", False)
-    params["dec_layers"] = layer_group("dec", dec_keys)
-    params["dec_out_norm"] = w("dec.output_norm.weight", False)
-    params["dec_rel_b"] = w("dec.blk.0.attn_rel_b.weight", False)
+    if "dec.blk.0.attn_q.weight" in t:  # absent for arch "t5encoder"
+        params["dec_layers"] = layer_group("dec", dec_keys)
+        params["dec_out_norm"] = w("dec.output_norm.weight", False)
+        params["dec_rel_b"] = w("dec.blk.0.attn_rel_b.weight", False)
     return params

@@ -497,14 +497,17 @@ def convert_hf_gpt_oss(model, tokenizer_vocab, out_path: str, quant_type=GGMLTyp
 
 
 def convert_hf_t5(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16) -> str:
-    """transformers T5ForConditionalGeneration → GGUF (arch "t5").
+    """transformers T5ForConditionalGeneration / T5EncoderModel → GGUF
+    (arch "t5", or "t5encoder" when the checkpoint has no decoder —
+    reference T5EncoderModel registration, convert_hf_to_gguf.py).
 
     Tensor naming per the reference T5 table (llama-arch.cpp:1452-1489);
     the relative-attention-bias table lives on block 0 only (shared)."""
     hf = model.config
     state = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    enc_only = not any(k.startswith("decoder.") for k in state)
 
-    w = GGUFWriter(out_path, "t5")
+    w = GGUFWriter(out_path, "t5encoder" if enc_only else "t5")
     w.add_string(Keys.General.NAME, "t5-convert")
     w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 512)
     w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.d_model)
@@ -557,9 +560,10 @@ def convert_hf_t5(model, tokenizer_vocab, out_path: str, quant_type=GGMLType.F16
                 add(b + "cross_attn_norm.weight", state[p + "1.layer_norm.weight"])
 
     block("enc", "encoder")
-    block("dec", "decoder")
     add("enc.output_norm.weight", state["encoder.final_layer_norm.weight"])
-    add("dec.output_norm.weight", state["decoder.final_layer_norm.weight"])
+    if not enc_only:
+        block("dec", "decoder")
+        add("dec.output_norm.weight", state["decoder.final_layer_norm.weight"])
     if "lm_head.weight" in state and not np.array_equal(state["lm_head.weight"], state["shared.weight"]):
         add("output.weight", state["lm_head.weight"])
     return w.write()

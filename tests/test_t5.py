@@ -111,3 +111,35 @@ def test_t5_generate_api(t5_pair):
     m = T5Model.from_gguf(path, max_seq=32)
     text, ids = m.generate("<t3><t4>", n_predict=5)
     assert isinstance(text, str) and len(ids) <= 5
+
+
+def test_t5encoder_arch(tmp_path):
+    """T5EncoderModel converts to arch "t5encoder" (no decoder tensors)
+    and the encoder output matches HF last_hidden_state."""
+    from transformers import T5Config, T5EncoderModel
+
+    torch.manual_seed(2)
+    hf = T5EncoderModel(T5Config(
+        vocab_size=VOCAB, d_model=48, d_kv=12, d_ff=96, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, feed_forward_proj="gated-gelu",
+        pad_token_id=0, eos_token_id=1)).eval()
+    path = str(tmp_path / "tiny-t5enc.gguf")
+    convert_hf_t5(hf, dummy_vocab(), path, quant_type=GGMLType.F32)
+
+    from llama_cpp_gfx906_tpu.gguf.reader import GGUFReader
+    from llama_cpp_gfx906_tpu.models.config import config_from_gguf
+    from llama_cpp_gfx906_tpu.models.t5 import load_params
+
+    reader = GGUFReader(path)
+    assert reader.architecture == "t5encoder"
+    assert not any(n.startswith("dec.") for n in reader.tensors)
+    cfg = config_from_gguf(reader)
+    params = load_params(reader, cfg)
+    assert "dec_layers" not in params
+    ids = [5, 17, 42, 9, 1]
+    out = encode(params, cfg, jnp.asarray([ids], jnp.int32),
+                 jnp.asarray([len(ids)], jnp.int32))
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=2e-3, atol=2e-3)

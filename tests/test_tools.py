@@ -259,3 +259,79 @@ def test_gguf_editor(f16_gguf, tmp_path):
     np.testing.assert_array_equal(
         r.tensors["blk.0.attn_q.weight"].to_f32(),
         orig.tensors["blk.0.attn_q.weight"].to_f32())
+
+
+def test_convert_llama_ggml(f16_gguf, tmp_path):
+    """Legacy GGJTv3 → GGUF migration: synthesize a GGJT file from a tiny
+    llama GGUF's tensors under legacy names, convert, and check logits
+    match the original engine (convert_llama_ggml_to_gguf analog)."""
+    import struct
+
+    from llama_cpp_gfx906_tpu.tools import convert_llama_ggml as cg
+    from llama_cpp_gfx906_tpu.runtime.engine import Engine
+    import jax.numpy as _jnp
+
+    r = GGUFReader(f16_gguf)
+    D = r.get("llama.embedding_length")
+    H = r.get("llama.attention.head_count")
+    L = r.get("llama.block_count")
+    V = r.get("llama.vocab_size")
+    inv = {v: k for k, v in cg._FIXED.items()}
+
+    def legacy_name(gguf_name):
+        if gguf_name in inv:
+            return inv[gguf_name]
+        assert gguf_name.startswith("blk.")
+        _, i, rest = gguf_name.split(".", 2)
+        linv = {v: k for k, v in cg._LAYER.items()}
+        return f"layers.{i}.{linv[rest]}"
+
+    buf = bytearray()
+    buf += b"tjgg" + struct.pack("<I", 3)
+    buf += struct.pack("<7I", V, D, 256, H, L, D // H, 1)
+    tokens = r.get("tokenizer.ggml.tokens")
+    for t in tokens:
+        bt = t.encode("utf-8")
+        buf += struct.pack("<I", len(bt)) + bt + struct.pack("<f", 0.0)
+    for name, t in r.tensors.items():
+        if name.startswith("rope_"):  # not part of the legacy format
+            continue
+        ln = legacy_name(name).encode("utf-8")
+        buf += struct.pack("<3I", len(t.ne), len(ln), int(t.ggml_type))
+        buf += struct.pack(f"<{len(t.ne)}I", *t.ne)
+        buf += ln
+        while len(buf) % 32:
+            buf += b"\0"
+        buf += bytes(np.asarray(t.data))
+    legacy = tmp_path / "legacy.bin"
+    legacy.write_bytes(bytes(buf))
+
+    out = str(tmp_path / "migrated.gguf")
+    # legacy GGML has no kv-head field: GQA rides the --gqa flag
+    gqa = H // r.get("llama.attention.head_count_kv")
+    cg.convert(str(legacy), out, context_length=128, gqa=gqa)
+
+    eng_a = Engine.from_gguf(f16_gguf, max_seq=32, dtype=_jnp.float32)
+    eng_b = Engine.from_gguf(out, max_seq=32, dtype=_jnp.float32)
+    la = eng_a.prefill([3, 14, 25])
+    eng_b.reset()
+    lb = eng_b.prefill([3, 14, 25])
+    np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-5)
+
+    # refuse a GGJTv2 file holding a Q8_0 tensor (reference guard: Q4/Q8
+    # block layouts changed between GGJTv2 and v3)
+    buf2 = bytearray()
+    buf2 += b"tjgg" + struct.pack("<I", 2)
+    buf2 += struct.pack("<7I", 4, 32, 256, 4, 1, 8, 7)
+    for _ in range(4):
+        buf2 += struct.pack("<I", 1) + b"a" + struct.pack("<f", 0.0)
+    name = b"tok_embeddings.weight"
+    buf2 += struct.pack("<3I", 2, len(name), int(GGMLType.Q8_0))
+    buf2 += struct.pack("<2I", 32, 4) + name
+    while len(buf2) % 32:
+        buf2 += b"\0"
+    buf2 += b"\0" * (4 * 34)  # 4 Q8_0 blocks
+    legacy2 = tmp_path / "legacy-v2.bin"
+    legacy2.write_bytes(bytes(buf2))
+    with pytest.raises(ValueError, match="GGJT"):
+        cg.convert(str(legacy2), str(tmp_path / "nope.gguf"))
