@@ -28,9 +28,15 @@ Runs on whatever platform JAX picks (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+if os.environ.get("BENCH_PLATFORM"):  # CPU drives / CI; the axon plugin
+    import jax  # ignores JAX_PLATFORMS, only the config flag sticks
+
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 
 def bench_8b() -> dict:
@@ -44,6 +50,8 @@ def bench_8b() -> dict:
     from llama_cpp_gfx906_tpu.models.llama import KVCache, forward
     from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
     from llama_cpp_gfx906_tpu.runtime.weights import fuse_projections
+
+    _enable_compile_cache()
 
     cfg = ModelConfig(
         arch="llama", n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8,
@@ -204,6 +212,42 @@ def bench_8b() -> dict:
     }
 
 
+def _bench_8b_subprocess(budget_s: float) -> dict:
+    """Run the 8B leg isolated in a child process with a bounded budget.
+
+    The leg peaks at ~12 GB HBM (4-bit + int8-repacked stacks transiently
+    coexist) and the allocator does not return the chip to a clean state
+    in-process — the child's exit frees its HBM, keeping both legs inside
+    the chip's 16 GB.  A wedged child is killed at ``budget_s`` so the
+    headline line (already measured by then) still prints.
+    """
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, __file__, "--leg-8b"],
+            capture_output=True, text=True, timeout=budget_s,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        return json.loads(line[-1]) if line else {
+            "bench_8b_error": (r.stderr[-200:] or "no output")}
+    except Exception as e:  # keep the headline line even if the 8B leg dies
+        return {"bench_8b_error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache — repeat driver runs skip the
+    2-5 min/kernel remote compiles on the tunneled chip."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or unsupported backend: cache is best-effort
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -214,23 +258,8 @@ def main() -> None:
     from llama_cpp_gfx906_tpu.gguf import GGMLType, quantize
     from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
 
-    # 8B leg in a SUBPROCESS: it peaks at ~12 GB HBM (4-bit + int8-repacked
-    # stacks transiently coexist) and the allocator does not return the
-    # chip to a clean state in-process — isolating the leg frees its HBM
-    # when the child exits, keeping both legs inside the chip's 16 GB
-    import subprocess
-    import sys as _sys
-
-    try:
-        r = subprocess.run(
-            [_sys.executable, __file__, "--leg-8b"],
-            capture_output=True, text=True, timeout=3000,
-        )
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        extra_8b = json.loads(line[-1]) if line else {
-            "bench_8b_error": (r.stderr[-200:] or "no output")}
-    except Exception as e:  # keep the headline line even if the 8B leg dies
-        extra_8b = {"bench_8b_error": f"{type(e).__name__}: {e}"[:200]}
+    _enable_compile_cache()
+    t_start = time.perf_counter()
 
     # Gemma-3-270M dimensions (run as llama-style arch for now)
     cfg = ModelConfig(
@@ -357,6 +386,16 @@ def main() -> None:
     np.asarray(btok)
     bdt = time.perf_counter() - t0
     batched_tok_s = NB * n_decode / bdt
+
+    # 8B leg LAST (headline numbers above are already in hand) with the
+    # remaining wall budget, capped at 40 min of compiles + measurement
+    # (BENCH_8B_BUDGET_S overrides; 0 skips the leg entirely)
+    cap = float(os.environ.get("BENCH_8B_BUDGET_S", "2400"))
+    if cap > 0:
+        extra_8b = _bench_8b_subprocess(
+            budget_s=max(min(300.0, cap), cap - (time.perf_counter() - t_start)))
+    else:
+        extra_8b = {"bench_8b_skipped": True}
 
     baseline = 214.28  # MI50 gemma-3-270M Q8_0 generation
     pp_baseline = 82.05  # MI50 gemma-3-270M Q8_0 prompt processing

@@ -7,6 +7,7 @@ grammar samplers at src/llama-sampling.cpp:1572-1718.
 
 from .gbnf import Grammar, GrammarParseError, GrammarVocab, PartialUtf8, decode_utf8, parse_gbnf
 from .json_schema import json_schema_to_gbnf
+from .lark import is_llguidance, lark_to_gbnf
 
 __all__ = [
     "Grammar",
@@ -17,6 +18,8 @@ __all__ = [
     "parse_gbnf",
     "json_schema_to_gbnf",
     "grammar_vocab_from_tokenizer",
+    "is_llguidance",
+    "lark_to_gbnf",
 ]
 
 _VOCAB_CACHE: dict[int, GrammarVocab] = {}

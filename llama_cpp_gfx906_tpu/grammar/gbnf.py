@@ -390,6 +390,13 @@ class Grammar:
 
     @classmethod
     def from_string(cls, src: str, root: str = "root", **kw) -> "Grammar":
+        from .lark import is_llguidance, lark_to_gbnf
+
+        if is_llguidance(src):
+            # the reference's routing test (common/sampling.cpp:157-159):
+            # %llguidance-prefixed grammars are Lark-dialect; translate and
+            # run on the same PDA (root rule is `start` by convention)
+            src, root = lark_to_gbnf(src), "start"
         rules, symbols = parse_gbnf(src)
         if root not in symbols:
             raise GrammarParseError(f"no '{root}' rule")

@@ -30,10 +30,13 @@ level.  The current token's own K/V never round-trips through HBM: its
 attention score is an in-register "self term" folded into the online
 softmax after the streamed chunks.
 
-Scope (``_fused_ok``): B=1, T=1, pre-norm RMS llama family, full-dim rope
-(NORM or NEOX mode), int8-format QuantTensor weights (Q8_0/Q6_K lineage),
-plain bf16/f32 KV cache, no MoE / qk-norm / softcap / SWA / ALiBi / biases.
-Everything else falls back to the scanned path.
+Scope (``_fused_ok``): B=1, T=1 (the kernel generalizes to B ≤ 8 but the
+scan path already matches it there — launches amortize across rows),
+pre-norm RMS llama/gemma family: full-dim rope (NORM or NEOX, per-layer
+dual bases), per-head qk-norms (gemma3/qwen3), gemma post-norms, per-layer
+SWA windows, int8-format QuantTensor weights (Q8_0/Q6_K lineage), plain
+bf16/f32 KV cache.  No MoE / softcap / ALiBi / biases / LoRA — those fall
+back to the scanned path.
 """
 
 from __future__ import annotations

@@ -69,6 +69,11 @@ class Slot:
     current_token: int = 0
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
     stop_reason: str | None = None
+    # per-request failure isolation: a slot whose sampling/grammar raised
+    # finishes with stop_reason "error" + the message here, instead of the
+    # exception killing the whole engine step (reference send_error +
+    # slot release, server.cpp update_slots error paths)
+    error_msg: str | None = None
     t_start: float = 0.0
     t_first_token: float = 0.0
     chain: object | None = None  # persistent SamplerChain for grammar slots
@@ -113,6 +118,7 @@ class Slot:
         self.n_truncated = 0
         self.logprobs = []
         self.stop_reason = None
+        self.error_msg = None
         self.chain = None
 
 
@@ -586,13 +592,19 @@ class BatchedEngine:
             return ns, []
 
         # prompt complete → sample the first token on host (single row)
-        if slot.chain is not None:
-            first = slot.chain.sample(np.asarray(last_logits), slot.prompt_ids)
-            slot.chain.accept(
-                first, is_eog=first in self.tokenizer.vocab.special.eog_ids()
-            )
-        else:
-            first = self._sample_host(np.asarray(last_logits), slot.prompt_ids, slot.sampler)
+        try:
+            if slot.chain is not None:
+                first = slot.chain.sample(np.asarray(last_logits), slot.prompt_ids)
+                slot.chain.accept(
+                    first, is_eog=first in self.tokenizer.vocab.special.eog_ids()
+                )
+            else:
+                first = self._sample_host(np.asarray(last_logits), slot.prompt_ids, slot.sampler)
+        except Exception as e:  # e.g. unsatisfiable grammar: fail THIS slot
+            slot.stop_reason = "error"
+            slot.error_msg = f"{type(e).__name__}: {e}"
+            slot.state = SlotState.GENERATING
+            return ns, [(slot, -1, True)]
         self._record_logprobs(slot, np.asarray(last_logits), first)
         slot.state = SlotState.GENERATING
         slot.generated = [first]
@@ -1011,11 +1023,17 @@ class BatchedEngine:
             if s in host_slots:
                 row = host_slots.index(s)
                 prev = (s.prompt_ids + s.generated)[-RECENT:]
-                if s.chain is not None:
-                    tok = s.chain.sample(sel_logits[row], prev)
-                    s.chain.accept(tok, is_eog=tok in eog)
-                else:
-                    tok = self._sample_host(sel_logits[row], prev, s.sampler)
+                try:
+                    if s.chain is not None:
+                        tok = s.chain.sample(sel_logits[row], prev)
+                        s.chain.accept(tok, is_eog=tok in eog)
+                    else:
+                        tok = self._sample_host(sel_logits[row], prev, s.sampler)
+                except Exception as e:  # grammar dead-end etc: fail THIS slot
+                    s.stop_reason = "error"
+                    s.error_msg = f"{type(e).__name__}: {e}"
+                    results.append((s, -1, True))
+                    continue
                 self._record_logprobs(s, sel_logits[row], tok)
             else:
                 tok = int(new_tokens[s.id])

@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+import logging
 import queue
 import threading
 import time
@@ -24,6 +25,8 @@ import uuid
 from aiohttp import web
 
 from ..runtime.batch_engine import BatchedEngine, SamplerConfig, Slot, SlotState
+
+log = logging.getLogger("lcg.server")
 
 
 class PendingRequest:
@@ -198,7 +201,18 @@ class InferenceServer:
             for slot_id, req in list(self.by_slot.items()):
                 if req.cancelled:
                     self._finish(self.engine.slots[slot_id])
-            results = self.engine.step()
+            try:
+                results = self.engine.step()
+            except Exception as e:
+                # the loop must survive any engine failure: error out every
+                # in-flight request, release its slot, keep serving
+                # (reference: send_error per slot, server.cpp)
+                log.exception("engine step failed")
+                for slot_id, req in list(self.by_slot.items()):
+                    req.emit(("error", f"engine: {type(e).__name__}: {e}"))
+                    self.by_slot.pop(slot_id, None)
+                    self.engine.release(self.engine.slots[slot_id])
+                continue
             if not results and not self.by_slot:
                 time.sleep(0.005)
                 continue
@@ -206,6 +220,11 @@ class InferenceServer:
                 req = self.by_slot.get(slot.id)
                 if req is None or req.cancelled:
                     self._finish(slot)
+                    continue
+                if slot.stop_reason == "error":
+                    req.emit(("error", slot.error_msg or "internal error"))
+                    self.by_slot.pop(slot.id, None)
+                    self.engine.release(slot)
                     continue
                 req.emit(("token", token))
                 if finished:

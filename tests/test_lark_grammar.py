@@ -1,0 +1,233 @@
+"""Lark-dialect (llguidance analog) grammar frontend.
+
+Reference: grammars starting with ``%llguidance`` route to a Lark-dialect
+engine (`common/sampling.cpp:157-159`, `common/llguidance.cpp`); here they
+translate onto the GBNF PDA.  Tests mirror the llguidance integration's
+observable contract: the constrained language, not the library internals.
+"""
+
+import pytest
+
+from llama_cpp_gfx906_tpu.grammar import (
+    Grammar,
+    GrammarParseError,
+    is_llguidance,
+    lark_to_gbnf,
+)
+
+
+def accepts(g: Grammar, text: str, complete: bool = True) -> bool:
+    g.reset()
+    if not g.accept_bytes(text.encode()):
+        return False
+    return g.can_stop() if complete else True
+
+
+def lark(src: str) -> Grammar:
+    return Grammar.from_string("%llguidance {}\n" + src)
+
+
+def test_routing_detection():
+    assert is_llguidance("%llguidance {}\nstart: \"a\"")
+    assert is_llguidance("  %llguidance\nstart: \"a\"")
+    assert not is_llguidance("root ::= \"a\"")
+
+
+def test_basic_alternation_and_literals():
+    g = lark('start: "yes" | "no"')
+    assert accepts(g, "yes")
+    assert accepts(g, "no")
+    assert not accepts(g, "maybe")
+    assert not accepts(g, "ye")  # prefix but not complete
+
+
+def test_rule_refs_and_repetition():
+    g = lark('''
+start: greeting name "!"
+greeting: "hi " | "hello "
+name: LETTER+
+LETTER: "a".."z"
+''')
+    assert accepts(g, "hi bob!")
+    assert accepts(g, "hello x!")
+    assert not accepts(g, "hi !")
+    assert not accepts(g, "yo bob!")
+
+
+def test_lark_repeat_operator():
+    g = lark('start: DIGIT ~ 3\nDIGIT: "0".."9"')
+    assert accepts(g, "123")
+    assert not accepts(g, "12")
+    assert not accepts(g, "1234")
+    g2 = lark('start: "a" ~ 2..4')
+    assert not accepts(g2, "a")
+    assert accepts(g2, "aa")
+    assert accepts(g2, "aaaa")
+    assert not accepts(g2, "aaaaa")
+
+
+def test_optional_brackets_and_groups():
+    g = lark('start: [SIGN] DIGIT+ ("." DIGIT+)?\nSIGN: "-" | "+"\nDIGIT: "0".."9"')
+    for ok in ("42", "-7", "+3.25", "0.5"):
+        assert accepts(g, ok), ok
+    for bad in ("-", "3.", ".5", "--1"):
+        assert not accepts(g, bad), bad
+
+
+def test_case_insensitive_literal():
+    g = lark('start: "select"i " *"')
+    assert accepts(g, "SELECT *")
+    assert accepts(g, "select *")
+    assert accepts(g, "SeLeCt *")
+    assert not accepts(g, "select*")
+
+
+def test_regex_terminal():
+    g = lark('start: /[a-f0-9]{2}(:[a-f0-9]{2})*/')
+    assert accepts(g, "de:ad:be:ef")
+    assert accepts(g, "00")
+    assert not accepts(g, "0")
+    assert not accepts(g, "de:")
+
+
+def test_regex_escapes_and_dot():
+    g = lark(r'start: /\d+\.\d+/')
+    assert accepts(g, "3.14")
+    assert not accepts(g, "3.")
+    g2 = lark('start: /a.c/')
+    assert accepts(g2, "abc")
+    assert accepts(g2, "a?c")
+    assert not accepts(g2, "a\nc")  # regex . excludes newline
+
+
+def test_regex_class_negation_and_words():
+    g = lark(r'start: "\"" /[^"\n]*/ "\""')
+    assert accepts(g, '"hello world"')
+    assert not accepts(g, '"he"llo"')
+    g2 = lark(r'start: /\w+(\s\w+)*/')
+    assert accepts(g2, "two words")
+    assert not accepts(g2, "two  ")
+
+
+def test_newline_alternation_continuation():
+    g = lark('''
+start: verb
+verb: "run"
+    | "jump"
+    | "swim"
+''')
+    for v in ("run", "jump", "swim"):
+        assert accepts(g, v)
+    assert not accepts(g, "walk")
+
+
+def test_comments_and_priorities():
+    g = lark('''
+// a lark comment
+start: item        # trailing comment
+item.2: "x" | "y"  // priorities are tree-shaping, ignored here
+''')
+    assert accepts(g, "x")
+    assert not accepts(g, "z")
+
+
+def test_json_subset_grammar():
+    g = lark(r'''
+start: value
+value: object | array | STRING | NUMBER | "true" | "false" | "null"
+object: "{" [pair ("," pair)*] "}"
+pair: STRING ":" value
+array: "[" [value ("," value)*] "]"
+STRING: "\"" /[^"\\\n]*/ "\""
+NUMBER: ["-"] DIGIT+ ["." DIGIT+]
+DIGIT: "0".."9"
+''')
+    assert accepts(g, '{"a":1,"b":[true,null],"c":{"d":"e"}}')
+    assert accepts(g, "[1,2,3]")
+    assert not accepts(g, '{"a":}')
+    assert not accepts(g, "[1,2,")
+
+
+def test_token_masking_integration():
+    """The constrained-decoding surface the sampler chain actually uses."""
+    import numpy as np
+
+    from llama_cpp_gfx906_tpu.grammar.gbnf import GrammarVocab
+
+    g = lark('start: "ab" | "cd"')
+    pieces = [b"a", b"b", b"c", b"d", b"ab", b"cd", b"x", b"</s>"]
+    gv = GrammarVocab(pieces, eog_ids={7})
+    mask = gv.mask(g)
+    assert mask.dtype == np.bool_
+    allowed = {pieces[i] for i in np.nonzero(mask)[0]}
+    assert allowed == {b"a", b"c", b"ab", b"cd"}
+    g.accept_token(0, b"a")
+    allowed = {pieces[i] for i in np.nonzero(gv.mask(g))[0]}
+    assert allowed == {b"b"}
+    g.accept_token(1, b"b")
+    allowed = set(np.nonzero(gv.mask(g))[0].tolist())
+    assert allowed == {7}  # only EOG once the literal completes
+
+
+def test_unsupported_directives_raise():
+    with pytest.raises(GrammarParseError, match="%ignore"):
+        lark_to_gbnf('%ignore WS\nstart: "a"\nWS: " "')
+    with pytest.raises(GrammarParseError, match="%import"):
+        lark_to_gbnf('%import common.WS\nstart: "a"')
+    with pytest.raises(GrammarParseError, match="anchors"):
+        lark_to_gbnf('start: /^abc$/')
+    with pytest.raises(GrammarParseError, match="flags"):
+        lark_to_gbnf('start: /abc/i')
+    with pytest.raises(GrammarParseError, match="start"):
+        lark_to_gbnf('thing: "a"')
+    with pytest.raises(GrammarParseError, match="undefined"):
+        lark_to_gbnf('start: missing_rule')
+
+
+def test_engine_generation_with_lark_grammar():
+    """End-to-end: a lark grammar constrains batched-server sampling."""
+    np = pytest.importorskip("numpy")
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from llama_cpp_gfx906_tpu.gguf import GGMLType
+    from llama_cpp_gfx906_tpu.grammar import grammar_vocab_from_tokenizer
+    from llama_cpp_gfx906_tpu.runtime.engine import Engine
+    from llama_cpp_gfx906_tpu.sampling.samplers import SamplerChain, SamplerParams
+    from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
+    from transformers import LlamaConfig, LlamaForCausalLM
+    import tempfile, os
+
+    torch.manual_seed(0)
+    vocab_toks = ["<s>", "</s>", "<unk>"] + [f"<t{i}>" for i in range(45)] + [
+        "yes", "no", "y", "e", "s", "n", "o", "x"]
+    VOCAB = len(vocab_toks)
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64)).eval()
+    vocab = {
+        "model": "llama", "tokens": vocab_toks, "scores": [0.0] * VOCAB,
+        "token_types": [3, 3, 2] + [1] * (VOCAB - 3), "bos": 0, "eos": 1,
+    }
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.gguf")
+        convert_hf_llama(hf, vocab, path, quant_type=GGMLType.F32)
+        eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
+
+    chain = SamplerChain(SamplerParams(greedy=True), VOCAB)
+    chain.set_grammar(Grammar.from_string('%llguidance {}\nstart: "yes" | "no"'),
+                      grammar_vocab_from_tokenizer(eng.tokenizer))
+    logits = eng.prefill([3, 9])
+    text = b""
+    prev = [3, 9]
+    for _ in range(6):
+        tok = chain.sample(np.asarray(logits, np.float32).reshape(-1), prev)
+        prev.append(tok)
+        chain.accept(tok)
+        piece = eng.tokenizer.token_bytes(tok) if tok != 1 else b""
+        if tok == 1:
+            break
+        text += piece
+        logits = eng.decode_one(tok)
+    assert text in (b"yes", b"no")

@@ -613,3 +613,50 @@ def test_shared_prefix_kv(tiny_gguf):
     # per-slot fill covers only the suffixes
     for i, sfx in enumerate(suffixes):
         pass  # slots recycle; the parity check above is the strong assert
+
+
+def test_unsatisfiable_grammar_errors_and_server_survives(server_client):
+    """A grammar no vocab token can satisfy must error THAT request only —
+    the engine loop keeps serving (reference: send_error per slot; a dead
+    update_slots loop would wedge every later request)."""
+    client, loop = server_client
+
+    async def run():
+        r = await client.post(
+            "/v1/completions",
+            json={
+                "prompt": "<t9>",
+                "max_tokens": 4,
+                "temperature": 0.0,
+                # 'zqx' is not spellable from the <tN> vocab pieces
+                "grammar": 'root ::= "zqx"',
+            },
+        )
+        assert r.status != 200
+        assert "acceptable" in (await r.text())
+
+        # the loop survived: a normal request still completes
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": "<t9>", "max_tokens": 3, "temperature": 0.0},
+        )
+        body = await r.json()
+        assert r.status == 200
+        assert body["choices"][0]["text"]
+
+        # lark routing over HTTP (%llguidance prefix) still constrains
+        r = await client.post(
+            "/v1/completions",
+            json={
+                "prompt": "<t9>",
+                "max_tokens": 4,
+                "temperature": 0.0,
+                "grammar": '%llguidance {}\nstart: TOK+\nTOK: "<t1>" | "<t2>"',
+            },
+        )
+        body = await r.json()
+        text = body["choices"][0]["text"]
+        import re
+        assert re.fullmatch(r"(<t1>|<t2>)+", text), body
+
+    loop.run_until_complete(run())
