@@ -177,6 +177,13 @@ def _rwkv7_family() -> ModelFamily:
 
 
 def get_family(cfg: ModelConfig) -> ModelFamily:
+    if cfg.arch == "wavtokenizer-dec":
+        # audio-codec decoder, not a causal LM: no KV/decode loop — load it
+        # through models/wavtokenizer.py via tools/tts.py (the reference
+        # also special-cases it in the tts tool)
+        raise ValueError(
+            "wavtokenizer-dec is an audio decoder; use "
+            "llama_cpp_gfx906_tpu.tools.tts / models.wavtokenizer, not Engine")
     if cfg.arch in RECURRENT_ARCHS:
         return _mamba_family()
     if cfg.arch in MAMBA2_ARCHS:

@@ -41,9 +41,12 @@ def config_from_gguf(reader) -> WavTokConfig:
         v = reader.get(key, arch=arch)
         return default if v is None else v
 
+    # reference key layout (llama-model.cpp:481-487 + convert hidden_size):
+    # embedding_length = OUTPUT spectrogram dim (n_embd, 1282);
+    # features_length = codebook embedding dim (n_embd_features, 512)
     return WavTokConfig(
-        n_embd=int(g(Keys.LLM.EMBEDDING_LENGTH)),
-        n_features=int(g("{arch}.features_length", 1282)),
+        n_embd=int(g("{arch}.features_length", 512)),
+        n_features=int(g(Keys.LLM.EMBEDDING_LENGTH)),
         posnet_embd=int(g("{arch}.posnet.embedding_length", 768)),
         posnet_layers=int(g("{arch}.posnet.block_count", 6)),
         convnext_embd=int(g("{arch}.convnext.embedding_length", 768)),

@@ -559,9 +559,14 @@ def convert_hf_auto(hf_dir: str | Path, out_path: str, outtype: str = "f16",
                     pre: str | None = None, vocab_only: bool = False) -> str:
     """Convert an HF model directory to GGUF, dispatching on model_type."""
     hf_dir = Path(hf_dir)
-    tv = extract_hf_vocab(hf_dir, pre=pre)
     cfg = json.loads((hf_dir / "config.json").read_text()) if (hf_dir / "config.json").exists() else {}
     model_type = cfg.get("model_type", "")
+    if "WavTokenizerDec" in (cfg.get("architectures") or []):
+        # audio codec: no tokenizer files, no model_type (reference
+        # WavTokenizerDecModel registers on the architectures entry)
+        return CE.convert_hf_wavtokenizer(load_hf_dir(hf_dir), None, out_path,
+                                          OUTTYPE[outtype])
+    tv = extract_hf_vocab(hf_dir, pre=pre)
     if vocab_only:
         w = GGUFWriter(out_path, model_type or "llama")
         w.add_string(Keys.General.NAME, hf_dir.name)

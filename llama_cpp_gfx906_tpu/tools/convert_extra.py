@@ -1686,3 +1686,79 @@ def convert_hf_distilbert(model, tokenizer_vocab, out_path: str,
                name_or_path=_g(hf, "name_or_path", default="distilbert-convert"))
     return convert_hf_bert(_Shim(cfg, {k: _to_t(v) for k, v in state.items()}),
                            tokenizer_vocab, out_path, quant_type)
+
+
+def convert_hf_wavtokenizer(model, tokenizer_vocab, out_path: str,
+                            quant_type=GGMLType.F16) -> str:
+    """WavTokenizerDec (HF export of WavTokenizer-large) → GGUF
+    "wavtokenizer-dec".
+
+    Spec: WavTokenizerDecModel (reference convert_hf_to_gguf.py:3478-3513)
+    + the tensor_mapping wavtokenizer rows + reference key layout
+    (llama-model.cpp:481-487: embedding_length = spectrogram dim from
+    hidden_size, features_length = codebook dim).  Codebook bookkeeping
+    tensors (cluster_size / embed_avg / inited) are dropped; no vocab
+    (_set_vocab_none).  ``tokenizer_vocab`` is ignored.
+    """
+    hf = model.config
+    state = model.state_dict()
+    w = GGUFWriter(out_path, "wavtokenizer-dec")
+    w.add_string(Keys.General.NAME, _g(hf, "name_or_path", default="wavtokenizer"))
+    w.add_uint32(Keys.LLM.CONTEXT_LENGTH,
+                 _g(hf, "max_position_embeddings", default=8192))
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, hf.hidden_size)
+    w.add_uint32(Keys.LLM.BLOCK_COUNT, _g(hf, "n_layer", default=12))
+    w.add_uint32(Keys.LLM.VOCAB_SIZE, hf.vocab_size)
+    w.add_uint32("wavtokenizer-dec.features_length", hf.n_embd_features)
+    w.add_uint32("wavtokenizer-dec.feed_forward_length",
+                 _g(hf, "n_ff", default=2304))
+    w.add_float32(Keys.Attention.LAYERNORM_EPS,
+                  _g(hf, "layer_norm_epsilon", default=1e-6))
+    w.add_float32("wavtokenizer-dec.attention.group_norm_epsilon",
+                  _g(hf, "group_norm_epsilon", default=1e-6))
+    w.add_uint32("wavtokenizer-dec.attention.group_norm_groups",
+                 _g(hf, "group_norm_groups", default=32))
+    w.add_uint32("wavtokenizer-dec.posnet.embedding_length", hf.posnet.n_embd)
+    w.add_uint32("wavtokenizer-dec.posnet.block_count", hf.posnet.n_layer)
+    w.add_uint32("wavtokenizer-dec.convnext.embedding_length",
+                 hf.convnext.n_embd)
+    w.add_uint32("wavtokenizer-dec.convnext.block_count", hf.convnext.n_layer)
+    w.add_bool("wavtokenizer-dec.attention.causal", False)
+
+    # which posnet blocks are attention blocks (their "norm" is attn_norm)
+    attn_blocks = {
+        int(m.group(1)) for k in state
+        for m in [re.match(r"backbone\.posnet\.(\d+)\.q\.", k)] if m
+    }
+    renames = [
+        (r"^backbone\.embedding\.", "token_embd."),
+        (r"^backbone\.embed\.", "conv1d."),
+        (r"^backbone\.norm\.", "token_embd_norm."),
+        (r"^backbone\.final_layer_norm\.", "output_norm."),
+        (r"^head\.out\.", "output."),
+        (r"^backbone\.posnet\.(\d+)\.proj_out\.", r"posnet.\1.attn_output."),
+        (r"^backbone\.posnet\.(\d+)\.([qkv])\.", r"posnet.\1.attn_\2."),
+        (r"^backbone\.posnet\.(\d+)\.", r"posnet.\1."),
+        (r"^backbone\.convnext\.(\d+)\.dwconv\.", r"convnext.\1.dw."),
+        (r"^backbone\.convnext\.(\d+)\.pwconv1\.", r"convnext.\1.pw1."),
+        (r"^backbone\.convnext\.(\d+)\.pwconv2\.", r"convnext.\1.pw2."),
+        (r"^backbone\.convnext\.(\d+)\.", r"convnext.\1."),
+    ]
+    for name, t in state.items():
+        if name.endswith(("codebook.cluster_size", "codebook.embed_avg",
+                          "codebook.inited")):
+            continue
+        new = name
+        for pat, rep in renames:
+            new2 = re.sub(pat, rep, new)
+            if new2 != new:
+                new = new2
+                break
+        m = re.match(r"posnet\.(\d+)\.norm\.", new)
+        if m and int(m.group(1)) in attn_blocks:
+            new = new.replace(f"posnet.{m.group(1)}.norm.",
+                              f"posnet.{m.group(1)}.attn_norm.")
+        arr = np.asarray(t.float().numpy() if hasattr(t, "float") else t,
+                         np.float32)
+        w.add_tensor(new, arr, GGMLType.F32)
+    return w.write()

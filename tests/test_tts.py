@@ -33,9 +33,11 @@ def _w(*shape, s=0.2):
 def make_wavtok_gguf(path):
     w = GGUFWriter(path, "wavtokenizer-dec")
     w.add_uint32(Keys.LLM.CONTEXT_LENGTH, 8192)
-    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, D)
+    # reference format: embedding_length = spectrogram dim, features_length
+    # = codebook dim (llama-model.cpp:481-487)
+    w.add_uint32(Keys.LLM.EMBEDDING_LENGTH, FEAT)
     w.add_uint32(Keys.LLM.BLOCK_COUNT, 0)
-    w.add_uint32("wavtokenizer-dec.features_length", FEAT)
+    w.add_uint32("wavtokenizer-dec.features_length", D)
     w.add_uint32("wavtokenizer-dec.posnet.embedding_length", PN)
     w.add_uint32("wavtokenizer-dec.posnet.block_count", 6)
     w.add_uint32("wavtokenizer-dec.convnext.embedding_length", D)
@@ -152,3 +154,73 @@ def test_save_wav16(tmp_path):
     raw = open(path, "rb").read()
     assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
     assert len(raw) == 44 + 2 * len(audio)
+
+
+def test_wavtokenizer_hf_converter_roundtrip(tmp_path):
+    """An HF-layout WavTokenizerDec checkpoint (backbone.* names, reference
+    convert_pt_to_hf.py output format) converts via convert_hf_auto and
+    produces the exact forward of the directly-authored GGUF."""
+    import json
+
+    import torch
+
+    from llama_cpp_gfx906_tpu.tools.convert_auto import convert_hf_auto
+
+    # source of truth: the fixture GGUF this file already validates
+    direct = make_wavtok_gguf(str(tmp_path / "direct.gguf"))
+    reader = GGUFReader(direct)
+    cfg = wtk.config_from_gguf(reader)
+    params = wtk.load_params(reader, cfg)
+
+    # re-express the same tensors under HF names
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    state = {}
+    t = reader.tensors
+    back = {
+        "token_embd.": "backbone.embedding.",
+        "conv1d.": "backbone.embed.",
+        "token_embd_norm.": "backbone.norm.",
+        "output_norm.": "backbone.final_layer_norm.",
+        "output.": "head.out.",
+    }
+    for name in t:
+        new = name
+        for g, h in back.items():
+            if new.startswith(g):
+                new = h + new[len(g):]
+                break
+        else:
+            import re as _re
+            new = _re.sub(r"^posnet\.(\d+)\.attn_output\.", r"backbone.posnet.\1.proj_out.", new)
+            new = _re.sub(r"^posnet\.(\d+)\.attn_([qkv])\.", r"backbone.posnet.\1.\2.", new)
+            new = _re.sub(r"^posnet\.(\d+)\.attn_norm\.", r"backbone.posnet.\1.norm.", new)
+            new = _re.sub(r"^posnet\.", "backbone.posnet.", new)
+            new = _re.sub(r"^convnext\.(\d+)\.dw\.", r"backbone.convnext.\1.dwconv.", new)
+            new = _re.sub(r"^convnext\.(\d+)\.pw1\.", r"backbone.convnext.\1.pwconv1.", new)
+            new = _re.sub(r"^convnext\.(\d+)\.pw2\.", r"backbone.convnext.\1.pwconv2.", new)
+            new = _re.sub(r"^convnext\.", "backbone.convnext.", new)
+        state[new] = torch.from_numpy(np.ascontiguousarray(t[name].to_f32()))
+    # dropped bookkeeping tensors must be tolerated
+    state["feature_extractor.encodec.quantizer.vq.layers.0._codebook.cluster_size"] = torch.zeros(4)
+    torch.save(state, hf_dir / "pytorch_model.bin")
+    (hf_dir / "config.json").write_text(json.dumps({
+        "architectures": ["WavTokenizerDec"],
+        "hidden_size": FEAT, "n_embd_features": D, "n_ff": 48,
+        "vocab_size": 100, "layer_norm_epsilon": 1e-5,
+        "group_norm_epsilon": 1e-5, "group_norm_groups": 4,
+        "max_position_embeddings": 8192, "n_layer": 2,
+        "posnet": {"n_embd": PN, "n_layer": 6},
+        "convnext": {"n_embd": D, "n_layer": 2},
+    }))
+
+    out = convert_hf_auto(hf_dir, str(tmp_path / "conv.gguf"))
+    r2 = GGUFReader(out)
+    cfg2 = wtk.config_from_gguf(r2)
+    assert (cfg2.n_embd, cfg2.n_features) == (cfg.n_embd, cfg.n_features)
+    assert cfg2.n_groups == 4
+    params2 = wtk.load_params(r2, cfg2)
+    codes = jnp.asarray(RNG.integers(0, 100, 17), jnp.int32)
+    a = np.asarray(wtk.forward(params, cfg, codes))
+    b = np.asarray(wtk.forward(params2, cfg2, codes))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
