@@ -36,7 +36,11 @@ def render_chat_template(
     **extra,
 ) -> str:
     """Render a conversation.  Uses the model's Jinja template when given;
-    falls back to the detected builtin dialect on template errors."""
+    falls back to the detected builtin dialect on template errors.  A bare
+    builtin dialect name (``--chat-template gemma`` etc., the reference's
+    common_chat_templates_init name lookup) renders that dialect directly."""
+    if template in BUILTIN_DIALECTS:
+        return apply_builtin_template(template, messages, add_generation_prompt)
     import jinja2
 
     env = jinja2.Environment(

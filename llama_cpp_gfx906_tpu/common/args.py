@@ -53,9 +53,10 @@ REGISTRY: list[Flag] = [
        env="LLAMA_ARG_N_PREDICT", type=int, default=128, scopes=GEN),
     _f(["-b", "--batch-size"], "n_batch", "prompt tokens per engine step",
        env="LLAMA_ARG_BATCH", type=int, default=256),
-    _f(["-p", "--prompt"], "prompt", "prompt text", scopes={"cli", "perplexity"}),
+    _f(["-p", "--prompt"], "prompt", "prompt text",
+       scopes={"cli", "perplexity", "embedding"}),
     _f(["-f", "--file"], "file", "read the prompt from a file",
-       scopes={"cli", "perplexity"}),
+       scopes={"cli", "perplexity", "embedding"}),
     _f(["-s", "--seed"], "seed", "RNG seed", env="LLAMA_ARG_SEED",
        type=int, default=-1, scopes=GEN),
     _f(["--temp"], "temp", "sampling temperature", type=float, default=0.8,
@@ -126,6 +127,229 @@ REGISTRY: list[Flag] = [
        choices=("cpu", "tpu")),
     _f(["--verbose", "-v"], "verbose", "verbose logging",
        action="store_true"),
+    # ---- sampling (common_params_sampling surface) ------------------------
+    _f(["--typical"], "typical", "locally-typical sampling p", type=float,
+       default=1.0, scopes=GEN),
+    _f(["--mirostat"], "mirostat", "mirostat version (0=off, 1, 2)",
+       type=int, default=0, scopes=GEN),
+    _f(["--mirostat-lr"], "mirostat_eta", "mirostat learning rate (eta)",
+       type=float, default=0.1, scopes=GEN),
+    _f(["--mirostat-ent"], "mirostat_tau", "mirostat target entropy (tau)",
+       type=float, default=5.0, scopes=GEN),
+    _f(["--xtc-probability"], "xtc_probability",
+       "XTC removal probability", type=float, default=0.0, scopes=GEN),
+    _f(["--xtc-threshold"], "xtc_threshold", "XTC probability threshold",
+       type=float, default=0.1, scopes=GEN),
+    _f(["--top-nsigma"], "top_n_sigma",
+       "top-n-sigma cutoff (<0 disables)", type=float, default=-1.0,
+       scopes=GEN),
+    _f(["--dynatemp-range"], "dynatemp_range",
+       "dynamic temperature range (0 = off)", type=float, default=0.0,
+       scopes=GEN),
+    _f(["--dynatemp-exp"], "dynatemp_exponent",
+       "dynamic temperature exponent", type=float, default=1.0, scopes=GEN),
+    _f(["--presence-penalty"], "presence_penalty",
+       "presence penalty (0 = off)", type=float, default=0.0, scopes=GEN),
+    _f(["--frequency-penalty"], "frequency_penalty",
+       "frequency penalty (0 = off)", type=float, default=0.0, scopes=GEN),
+    _f(["--dry-multiplier"], "dry_multiplier",
+       "DRY repetition penalty multiplier (0 = off)", type=float,
+       default=0.0, scopes=GEN),
+    _f(["--dry-base"], "dry_base", "DRY exponential base", type=float,
+       default=1.75, scopes=GEN),
+    _f(["--dry-allowed-length"], "dry_allowed_length",
+       "DRY allowed repeat length", type=int, default=2, scopes=GEN),
+    _f(["--dry-penalty-last-n"], "dry_penalty_last_n",
+       "DRY penalty window (-1 = ctx)", type=int, default=-1, scopes=GEN),
+    _f(["--dry-sequence-breaker"], "dry_sequence_breakers",
+       "DRY sequence-breaker string (repeatable)", repeatable=True,
+       scopes=GEN),
+    _f(["-l", "--logit-bias"], "logit_bias",
+       "TOKEN_ID(+|-)BIAS logit bias, e.g. 15043+1 (repeatable)",
+       repeatable=True, scopes=GEN),
+    _f(["--ignore-eos"], "ignore_eos",
+       "ignore end-of-generation tokens and keep sampling",
+       action="store_true", scopes=GEN),
+    _f(["--min-keep"], "min_keep",
+       "minimum candidates every sampler must keep", type=int, default=1,
+       scopes=GEN),
+    _f(["-j", "--json-schema"], "json_schema",
+       "JSON schema to constrain output (converted to grammar)",
+       scopes=GEN),
+    _f(["--json-schema-file"], "json_schema_file",
+       "JSON schema file to constrain output", scopes=GEN),
+    _f(["--samplers"], "samplers",
+       "accepted for compatibility (the chain already applies the "
+       "reference's default sampler order)", scopes=GEN),
+    # ---- prompt / generation (tools/main surface) -------------------------
+    _f(["-e", "--escape"], "escape",
+       "process prompt escape sequences (\\n, \\t, \\x..)",
+       action="store_true", scopes={"cli", "perplexity", "embedding"}),
+    _f(["-sys", "--system-prompt"], "system_prompt",
+       "system prompt prepended via the model's chat template",
+       scopes={"cli"}),
+    _f(["-r", "--reverse-prompt"], "reverse_prompt",
+       "stop generation when this string appears (repeatable)",
+       repeatable=True, scopes={"cli"}),
+    _f(["--keep", "--n-keep"], "n_keep",
+       "tokens to keep from the initial prompt on context shift",
+       type=int, default=0, scopes={"cli", "server"}),
+    _f(["--special"], "special",
+       "accepted for compatibility (special tokens always render in "
+       "the stream)", action="store_true", scopes={"cli"}),
+    _f(["--no-warmup"], "no_warmup",
+       "accepted for compatibility (no warmup run is performed)",
+       action="store_true", scopes={"cli", "embedding"}),
+    # ---- long context -----------------------------------------------------
+    _f(["--rope-scale"], "rope_scale_factor",
+       "RoPE context scaling factor N (positions compressed N-fold)",
+       env="LLAMA_ARG_ROPE_SCALE", type=float),
+    _f(["--yarn-orig-ctx"], "yarn_orig_ctx",
+       "YaRN original training context", env="LLAMA_ARG_YARN_ORIG_CTX",
+       type=int),
+    _f(["--yarn-ext-factor"], "yarn_ext_factor",
+       "accepted for compatibility (llama3-style smooth YaRN "
+       "interpolation is used)", env="LLAMA_ARG_YARN_EXT_FACTOR",
+       type=float),
+    _f(["--yarn-attn-factor"], "yarn_attn_factor",
+       "accepted for compatibility", env="LLAMA_ARG_YARN_ATTN_FACTOR",
+       type=float),
+    _f(["--yarn-beta-fast"], "yarn_beta_fast",
+       "accepted for compatibility", env="LLAMA_ARG_YARN_BETA_FAST",
+       type=float),
+    _f(["--yarn-beta-slow"], "yarn_beta_slow",
+       "accepted for compatibility", env="LLAMA_ARG_YARN_BETA_SLOW",
+       type=float),
+    _f(["-gan", "--grp-attn-n"], "grp_attn_n",
+       "self-extend group size (position compression factor)",
+       env="LLAMA_ARG_GRP_ATTN_N", type=int, default=1, scopes={"cli"}),
+    _f(["-gaw", "--grp-attn-w"], "grp_attn_w",
+       "self-extend window width", env="LLAMA_ARG_GRP_ATTN_W", type=int,
+       default=512, scopes={"cli"}),
+    _f(["--swa-full"], "swa_full",
+       "accepted for compatibility (full-size SWA cache is the default; "
+       "--swa-ring enables the small ring)", action="store_true",
+       scopes={"cli", "server"}),
+    _f(["--swa-ring"], "swa_ring",
+       "window-sized ring cache for SWA layers (memory saver)",
+       action="store_true", scopes={"cli"}),
+    _f(["--cache-reuse"], "cache_reuse",
+       "accepted for compatibility (prefix KV reuse is always on)",
+       env="LLAMA_ARG_CACHE_REUSE", type=int, scopes={"server"}),
+    # ---- model load -------------------------------------------------------
+    _f(["--override-kv"], "override_kv",
+       "override GGUF metadata: KEY=TYPE:VALUE with TYPE in "
+       "int/float/bool/str (repeatable)", repeatable=True),
+    _f(["--no-mmap"], "no_mmap",
+       "accepted for compatibility (weights always stream to device "
+       "memory)", env="LLAMA_ARG_NO_MMAP", action="store_true"),
+    _f(["--mlock"], "mlock", "accepted for compatibility",
+       env="LLAMA_ARG_MLOCK", action="store_true"),
+    _f(["-t", "--threads"], "threads",
+       "accepted for compatibility (XLA owns host threading)",
+       env="LLAMA_ARG_THREADS", type=int, default=-1),
+    _f(["-tb", "--threads-batch"], "threads_batch",
+       "accepted for compatibility", type=int, default=-1),
+    _f(["-ub", "--ubatch-size"], "ubatch_size",
+       "accepted for compatibility (prompt chunking follows "
+       "--batch-size)", env="LLAMA_ARG_UBATCH", type=int, default=512),
+    _f(["--check-tensors"], "check_tensors",
+       "validate tensor data while loading", action="store_true"),
+    _f(["-mu", "--model-url"], "model_url",
+       "rejected: this environment has no network egress; download the "
+       "GGUF out of band", env="LLAMA_ARG_MODEL_URL"),
+    _f(["-hf", "-hfr", "--hf-repo"], "hf_repo",
+       "rejected: this environment has no network egress",
+       env="LLAMA_ARG_HF_REPO"),
+    _f(["-hff", "--hf-file"], "hf_file",
+       "rejected: this environment has no network egress",
+       env="LLAMA_ARG_HF_FILE"),
+    _f(["--device"], "device",
+       "accepted for compatibility (JAX owns device selection)",
+       env="LLAMA_ARG_DEVICE"),
+    _f(["--list-devices"], "list_devices",
+       "print available accelerator devices and exit",
+       action="store_true"),
+    _f(["-sm", "--split-mode"], "split_mode",
+       "accepted for compatibility (GSPMD owns partitioning)",
+       env="LLAMA_ARG_SPLIT_MODE"),
+    _f(["-ts", "--tensor-split"], "tensor_split",
+       "accepted for compatibility (GSPMD owns partitioning)",
+       env="LLAMA_ARG_TENSOR_SPLIT"),
+    _f(["-mg", "--main-gpu"], "main_gpu",
+       "accepted for compatibility", env="LLAMA_ARG_MAIN_GPU", type=int,
+       default=0),
+    # ---- chat / templates -------------------------------------------------
+    _f(["--chat-template"], "chat_template",
+       "builtin chat template name or inline Jinja override",
+       env="LLAMA_ARG_CHAT_TEMPLATE", scopes={"server", "cli"}),
+    _f(["--chat-template-file"], "chat_template_file",
+       "file with a Jinja chat template override",
+       env="LLAMA_ARG_CHAT_TEMPLATE_FILE", scopes={"server", "cli"}),
+    _f(["--jinja"], "jinja",
+       "render chat templates with the Jinja engine",
+       env="LLAMA_ARG_JINJA", action="store_true", scopes={"server", "cli"}),
+    # ---- server -----------------------------------------------------------
+    _f(["-a", "--alias"], "alias", "model name reported by the API",
+       env="LLAMA_ARG_ALIAS", scopes={"server"}),
+    _f(["--timeout"], "timeout", "server read/write timeout (seconds)",
+       env="LLAMA_ARG_TIMEOUT", type=int, default=600, scopes={"server"}),
+    _f(["--no-webui"], "no_webui", "disable the built-in chat UI at /",
+       env="LLAMA_ARG_NO_WEBUI", action="store_true", scopes={"server"}),
+    _f(["--embeddings"], "embeddings",
+       "accepted for compatibility (/v1/embeddings is always served)",
+       env="LLAMA_ARG_EMBEDDINGS", action="store_true", scopes={"server"}),
+    _f(["--reranking"], "reranking",
+       "accepted for compatibility (serve /rerank via --rerank-model)",
+       env="LLAMA_ARG_RERANKING", action="store_true", scopes={"server"}),
+    _f(["--metrics"], "metrics",
+       "accepted for compatibility (/metrics is always served)",
+       env="LLAMA_ARG_ENDPOINT_METRICS", action="store_true",
+       scopes={"server"}),
+    _f(["--slots"], "slots",
+       "accepted for compatibility (/slots is always served)",
+       env="LLAMA_ARG_ENDPOINT_SLOTS", action="store_true",
+       scopes={"server"}),
+    _f(["--slot-save-path"], "slot_save_path",
+       "directory for slot state save/restore files", scopes={"server"}),
+    _f(["-cb", "--cont-batching"], "cont_batching",
+       "accepted for compatibility (continuous batching is always on)",
+       env="LLAMA_ARG_CONT_BATCHING", action="store_true",
+       scopes={"server"}),
+    _f(["-nocb", "--no-cont-batching"], "no_cont_batching",
+       "accepted for compatibility", env="LLAMA_ARG_NO_CONT_BATCHING",
+       action="store_true", scopes={"server"}),
+    _f(["--draft-min", "--draft-n-min"], "draft_min",
+       "accepted for compatibility (the draft proposal length is fixed "
+       "at --draft-max)", env="LLAMA_ARG_DRAFT_MIN", type=int, default=1,
+       scopes=GEN),
+    _f(["--draft-p-min"], "draft_p_min",
+       "accepted for compatibility (stochastic verification needs no "
+       "probability floor)", env="LLAMA_ARG_DRAFT_P_MIN", type=float,
+       default=0.75, scopes=GEN),
+    # ---- perplexity / evals ----------------------------------------------
+    _f(["--hellaswag"], "hellaswag", "HellaSwag eval data file",
+       scopes={"perplexity"}),
+    _f(["--winogrande"], "winogrande", "Winogrande eval data file",
+       scopes={"perplexity"}),
+    _f(["--multiple-choice"], "multiple_choice",
+       "multiple-choice eval data file", scopes={"perplexity"}),
+    _f(["--kl-divergence-base"], "kl_divergence_base",
+       "base-model logits file for KL divergence", scopes={"perplexity"}),
+    _f(["--chunks"], "chunks", "max evaluation chunks", type=int,
+       scopes={"perplexity"}),
+    # ---- embeddings -------------------------------------------------------
+    _f(["--pooling"], "pooling", "embedding pooling mode",
+       env="LLAMA_ARG_POOLING", choices=("none", "mean", "cls", "last"),
+       default="mean", scopes={"embedding", "server"}),
+    _f(["--embd-normalize"], "embd_normalize",
+       "normalization: -1=none, 2=L2 (reference numbering)", type=int,
+       default=2, scopes={"embedding"}),
+    _f(["--embd-output-format"], "embd_output_format",
+       "output format: '' (plain), 'json', 'json+', 'array'",
+       default="", scopes={"embedding"}),
+    _f(["--embd-separator"], "embd_separator",
+       "prompt separator string", default="\n", scopes={"embedding"}),
 ]
 
 

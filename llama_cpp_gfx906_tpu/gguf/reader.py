@@ -231,6 +231,15 @@ class GGUFModelReader:
                     f"split model has {len(self.tensors)} tensors, expected {want}"
                 )
 
+    def set_overrides(self, overrides: dict) -> None:
+        """Apply metadata overrides before hparam parsing (the
+        ``llama_model_kv_override`` contract, llama.h:242-253).  Keys may
+        use the ``{arch}`` placeholder or be fully resolved."""
+        for key, value in overrides.items():
+            if "{arch}" in key:
+                key = key.format(arch=self.architecture)
+            self.metadata[key] = value
+
     def get(self, key: str, default=None, arch: str | None = None):
         if "{arch}" in key:
             key = key.format(arch=arch or self.architecture)

@@ -1088,9 +1088,12 @@ class BatchedEngine:
             n_past=self.kv.n_past,
         )
         s = self.slots[slot_id]
-        s.state = SlotState.GENERATING
+        # a state captured from an idle/released slot restores as idle
+        # (reference: restoring an empty sequence is a no-op slot)
+        history = list(state["generated"]) or list(state["prompt_ids"])
+        s.state = SlotState.GENERATING if history else SlotState.IDLE
         s.prompt_ids = list(state["prompt_ids"])
         s.generated = list(state["generated"])
         s.n_past = n
-        s.current_token = (s.generated or s.prompt_ids)[-1]
+        s.current_token = history[-1] if history else 0
         self.n_past_host[slot_id] = n

@@ -117,10 +117,18 @@ class Engine:
         progress_callback=None,  # f(fraction)->bool; False cancels the load
         # (the llama_progress_callback contract, llama.h:276-279 /
         # test-model-load-cancel): raises ModelLoadCancelled
+        kv_overrides: dict | None = None,  # GGUF metadata overrides applied
+        # before hparam parsing (llama_model_kv_override, llama.h:242-253)
+        cfg_overrides: dict | None = None,  # direct ModelConfig field
+        # overrides (cparams analog: rope_base, rope_scaling, ...)
     ) -> "Engine":
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
+        if kv_overrides:
+            reader.set_overrides(kv_overrides)
         cfg = config_from_gguf(reader)
+        if cfg_overrides:
+            cfg = cfg.with_(**cfg_overrides)
         tok = tokenizer_from_gguf(reader.readers[0])
         from ..models.registry import get_family
 
@@ -215,14 +223,19 @@ class Engine:
             jnp.full((self.batch_size,), n, jnp.int32), return_hidden=True,
         )
         h = np.asarray(hidden[0, :n])  # (n, D)
-        if pooling == "mean":
+        if pooling == "none":
+            e = h  # per-token embeddings (reference LLAMA_POOLING_TYPE_NONE)
+        elif pooling == "mean":
             e = h.mean(axis=0)
         elif pooling == "cls":
             e = h[0]
         else:  # "last"
             e = h[-1]
         if normalize:
-            e = e / max(np.linalg.norm(e), 1e-12)
+            if e.ndim == 2:  # per-token rows normalize independently
+                e = e / np.maximum(np.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+            else:
+                e = e / max(np.linalg.norm(e), 1e-12)
         return e
 
     def decode_one(self, token_id: int) -> np.ndarray:

@@ -270,7 +270,9 @@ def _sampler_from_body(body: dict) -> SamplerConfig:
     )
 
 
-def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Application:
+def build_app(srv: InferenceServer, api_key: str | None = None,
+              webui: bool = True,
+              slot_save_path: str | None = None) -> web.Application:
     eng = srv.engine
     tok = eng.tokenizer
 
@@ -749,13 +751,52 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
 
     _saved_states: dict[int, dict] = {}
 
+    def _slot_file(filename: str) -> str:
+        import os as _os
+
+        base = _os.path.basename(filename)  # no path traversal
+        return _os.path.join(slot_save_path, base)
+
     async def slot_action(request):
         slot_id = int(request.match_info["slot_id"])
         action = request.query.get("action", "")
+        body = {}
+        if request.can_read_body:
+            try:
+                body = await request.json()
+            except Exception:
+                body = {}
+        filename = body.get("filename") if isinstance(body, dict) else None
         if action == "save":
-            _saved_states[slot_id] = eng.save_slot_state(slot_id)
-            return web.json_response({"saved": True, "n_past": _saved_states[slot_id]["n_past"]})
+            state = eng.save_slot_state(slot_id)
+            if slot_save_path and filename:
+                # on-disk slot files under --slot-save-path (reference
+                # server.cpp slot save endpoint); device arrays pickle as
+                # plain numpy
+                import pickle
+
+                import jax as _jax
+                import numpy as _np
+
+                host_state = _jax.tree_util.tree_map(
+                    lambda x: _np.asarray(x) if hasattr(x, "shape") else x,
+                    state)
+                with open(_slot_file(filename), "wb") as f:
+                    pickle.dump(host_state, f)
+            else:
+                _saved_states[slot_id] = state
+            return web.json_response({"saved": True, "n_past": state["n_past"]})
         if action == "restore":
+            if slot_save_path and filename:
+                import os as _os
+                import pickle
+
+                if not _os.path.exists(_slot_file(filename)):
+                    raise web.HTTPNotFound(text="no saved state file")
+                with open(_slot_file(filename), "rb") as f:
+                    state = pickle.load(f)
+                eng.load_slot_state(slot_id, state)
+                return web.json_response({"restored": True})
             if slot_id not in _saved_states:
                 raise web.HTTPNotFound(text="no saved state")
             eng.load_slot_state(slot_id, _saved_states[slot_id])
@@ -771,7 +812,8 @@ def build_app(srv: InferenceServer, api_key: str | None = None) -> web.Applicati
         return web.Response(text=WEBUI_HTML, content_type="text/html")
 
     app = web.Application(middlewares=[auth_middleware] if api_key else [])
-    app.router.add_get("/", index)
+    if webui:
+        app.router.add_get("/", index)
     app.router.add_get("/health", health)
     app.router.add_get("/props", props)
     app.router.add_get("/metrics", metrics)
@@ -811,11 +853,22 @@ def main(argv=None) -> int:
 
     if maybe_print_completion(args, "server", "llama-server"):
         return 0
+    if args.model_url or args.hf_repo or args.hf_file:
+        raise SystemExit(
+            "model downloads (--model-url/--hf-repo) are unavailable: this "
+            "environment has no network egress; fetch the GGUF out of band "
+            "and pass -m")
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
+    if args.list_devices:
+        import jax
+
+        for d in jax.devices():
+            print(d)
+        return 0
 
     from ..gguf.reader import GGUFModelReader
     from ..models.config import config_from_gguf
@@ -823,8 +876,26 @@ def main(argv=None) -> int:
     from ..tokenizers import tokenizer_from_gguf
 
     reader = GGUFModelReader(args.model)
+    if args.override_kv:
+        from ..tools.cli import parse_kv_overrides
+
+        reader.set_overrides(parse_kv_overrides(args.override_kv))
     cfg = config_from_gguf(reader)
+    if args.rope_freq_base:
+        cfg = cfg.with_(rope_base=args.rope_freq_base)
+    if args.rope_freq_scale:
+        from ..gguf.constants import RopeScalingType
+
+        cfg = cfg.with_(rope_scaling=RopeScalingType.LINEAR,
+                        rope_scale=1.0 / args.rope_freq_scale)
+    if args.yarn_orig_ctx:
+        cfg = cfg.with_(rope_orig_ctx=args.yarn_orig_ctx)
     tokenizer = tokenizer_from_gguf(reader.readers[0])
+    if args.chat_template_file:
+        with open(args.chat_template_file, encoding="utf-8") as f:
+            tokenizer.vocab.chat_template = f.read()
+    elif args.chat_template:
+        tokenizer.vocab.chat_template = args.chat_template
     # LoRA hooks target per-projection weights: skip loader fusion then
     params = load_llama_params_quantized(reader, cfg, fuse=False if args.lora else None)
     if getattr(args, "repack_int8", False):
@@ -861,10 +932,12 @@ def main(argv=None) -> int:
         from ..models.clip import load_mmproj
 
         clip = load_mmproj(_GR(args.mmproj))
-    srv = InferenceServer(engine, model_name=args.model.rsplit("/", 1)[-1],
+    srv = InferenceServer(engine,
+                          model_name=args.alias or args.model.rsplit("/", 1)[-1],
                           encoder=encoder, clip=clip)
     srv.start()
-    app = build_app(srv, api_key=args.api_key)
+    app = build_app(srv, api_key=args.api_key, webui=not args.no_webui,
+                    slot_save_path=args.slot_save_path)
     web.run_app(app, host=args.host, port=args.port)
     srv.stop()
     return 0

@@ -21,9 +21,6 @@ def build_parser() -> argparse.ArgumentParser:
     ap.prog = "llama-cli (TPU)"
     # tool-specific extras on top of the shared registry (common/arg.cpp
     # scoping analog)
-    ap.add_argument("--typical", type=float, default=1.0)
-    ap.add_argument("--mirostat", type=int, default=0)
-    ap.add_argument("--json-schema", default=None, help="JSON schema to constrain output")
     ap.add_argument(
         "--prompt-cache", default=None,
         help="session file: reuse cached prefix state and save on exit "
@@ -33,6 +30,39 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--perf", action="store_true", help="print perf counters as JSON")
     ap.set_defaults(prompt="")
     return ap
+
+
+def parse_logit_bias(entries: list[str]) -> dict[int, float]:
+    """``TOKEN_ID(+|-)BIAS`` entries (arg.cpp -l parsing): ``15043+1``,
+    ``15043-1``, ``16024-inf``."""
+    out: dict[int, float] = {}
+    for e in entries:
+        for sep in ("+", "-"):
+            head, s, tail = e.partition(sep)
+            if s and head.strip().lstrip("-").isdigit() and tail:
+                v = float("inf") if tail.strip() == "inf" else float(tail)
+                out[int(head)] = v if sep == "+" else -v
+                break
+        else:
+            raise SystemExit(f"--logit-bias: cannot parse {e!r}")
+    return out
+
+
+def parse_kv_overrides(entries: list[str]) -> dict:
+    """``KEY=TYPE:VALUE`` overrides (llama_model_kv_override analog,
+    llama.h:242-253); TYPE in int/float/bool/str."""
+    out = {}
+    for e in entries:
+        key, eq, spec = e.partition("=")
+        typ, colon, val = spec.partition(":")
+        if not eq or not colon:
+            raise SystemExit(f"--override-kv: want KEY=TYPE:VALUE, got {e!r}")
+        cast = {"int": int, "float": float, "str": str,
+                "bool": lambda s: s.lower() in ("1", "true", "yes")}.get(typ)
+        if cast is None:
+            raise SystemExit(f"--override-kv: unknown type {typ!r}")
+        out[key] = cast(val)
+    return out
 
 
 def _generate_with_cache(eng, prompt: str, args, chain, stream):
@@ -70,6 +100,42 @@ def _generate_with_cache(eng, prompt: str, args, chain, stream):
     eng.save_state(args.prompt_cache, all_ids)
 
 
+def _generate_self_extend(eng, prompt: str, args, chain, stream, state):
+    """Grouped-attention self-extend generation (tools/main ga_n/ga_w loop,
+    main.cpp:548-561): whenever the logical position passes ``ga_i + ga_w``
+    the cache positions are block-compressed by ``ga_n`` via
+    seq_add/seq_div/seq_add, letting the context run past n_ctx_train."""
+    import numpy as np
+
+    ga_n, ga_w = args.grp_attn_n, args.grp_attn_w
+    ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+    logits = eng.prefill(ids)
+    n_p = len(ids)  # logical position of the next token
+    ga_i = 0
+    eog = eng.tokenizer.vocab.special.eog_ids()
+    all_ids = list(ids)
+    for _ in range(args.n_predict):
+        if state["stopped"]:
+            break
+        while n_p >= ga_i + ga_w:
+            ib = (ga_n * ga_i) // ga_w
+            bd = (ga_w // ga_n) * (ga_n - 1)
+            dd = (ga_w // ga_n) - ib * bd - ga_w
+            eng.seq_add(ga_i, n_p, ib * bd)
+            eng.seq_div(ga_i + ib * bd, n_p + ib * bd, ga_n)
+            eng.seq_add(ga_i + ib * bd + ga_w, n_p + ib * bd, dd)
+            n_p -= bd
+            ga_i += ga_w // ga_n
+        tok_id = chain.sample(logits, all_ids)
+        chain.accept(tok_id, is_eog=tok_id in eog)
+        if tok_id in eog:
+            break
+        all_ids.append(tok_id)
+        stream(tok_id)
+        logits = eng.decode_one(tok_id)
+        n_p += 1
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..common.args import maybe_print_completion
@@ -77,11 +143,23 @@ def main(argv=None) -> int:
     if maybe_print_completion(args, "cli", "llama-cli"):
         return 0
 
+    if args.model_url or args.hf_repo or args.hf_file:
+        raise SystemExit(
+            "model downloads (--model-url/--hf-repo) are unavailable: this "
+            "environment has no network egress; fetch the GGUF out of band "
+            "and pass -m")
+
     # heavy imports after argparse so --help stays fast
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
+    if args.list_devices:
+        import jax
+
+        for d in jax.devices():
+            print(d)
+        return 0
     from ..runtime.engine import Engine
     from ..sampling.samplers import SamplerParams
 
@@ -89,6 +167,8 @@ def main(argv=None) -> int:
     if args.file:
         with open(args.file, encoding="utf-8") as f:
             prompt = f.read()
+    if args.escape:
+        prompt = prompt.encode().decode("unicode_escape").encode("latin-1").decode("utf-8", "replace")
 
     kv_dtype = None
     if args.cache_type_k == "q8":
@@ -97,25 +177,93 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         kv_dtype = jnp.float32
+    # rope/metadata overrides ride the loader (llama_model_kv_override +
+    # cparams rope overrides)
+    kv_overrides = parse_kv_overrides(args.override_kv)
+    cfg_overrides: dict = {}
+    if args.rope_freq_base:
+        cfg_overrides["rope_base"] = args.rope_freq_base
+    if args.rope_scale_factor:
+        from ..gguf.constants import RopeScalingType
+
+        cfg_overrides["rope_scaling"] = RopeScalingType.LINEAR
+        cfg_overrides["rope_scale"] = args.rope_scale_factor
+    if args.rope_freq_scale:
+        from ..gguf.constants import RopeScalingType
+
+        cfg_overrides["rope_scaling"] = RopeScalingType.LINEAR
+        cfg_overrides["rope_scale"] = 1.0 / args.rope_freq_scale
+    if args.rope_scaling:
+        from ..gguf.constants import RopeScalingType
+
+        cfg_overrides["rope_scaling"] = {
+            "none": RopeScalingType.NONE, "linear": RopeScalingType.LINEAR,
+            "yarn": RopeScalingType.YARN,
+            "longrope": RopeScalingType.LONGROPE,
+        }[args.rope_scaling]
+    if args.yarn_orig_ctx:
+        cfg_overrides["rope_orig_ctx"] = args.yarn_orig_ctx
     eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
                            kv_cache_dtype=kv_dtype,
-                           repack_int8=getattr(args, "repack_int8", False))
+                           repack_int8=getattr(args, "repack_int8", False),
+                           swa_ring=args.swa_ring,
+                           kv_overrides=kv_overrides or None,
+                           cfg_overrides=cfg_overrides or None)
     for lora_path in args.lora:
         eng.apply_lora_file(lora_path, args.lora_scale)
     for cv_path in args.control_vector:
         eng.apply_control_vector_file(cv_path, args.control_vector_scale)
+
+    logit_bias = parse_logit_bias(args.logit_bias)
+    if args.ignore_eos:  # -inf bias on every EOG token (arg.cpp --ignore-eos)
+        for t in eng.tokenizer.vocab.special.eog_ids():
+            logit_bias[t] = float("-inf")
+    dry_breakers: list[int] = []
+    for brk in args.dry_sequence_breakers or ():
+        dry_breakers.extend(
+            eng.tokenizer.tokenize(brk, add_special=False, parse_special=False))
     sampler = SamplerParams(
         temp=args.temp,
+        dynatemp_range=args.dynatemp_range,
+        dynatemp_exponent=args.dynatemp_exponent,
         top_k=args.top_k,
         top_p=args.top_p,
         min_p=args.min_p,
         typical_p=args.typical,
+        xtc_probability=args.xtc_probability,
+        xtc_threshold=args.xtc_threshold,
         penalty_repeat=args.repeat_penalty,
         penalty_last_n=args.repeat_last_n,
+        penalty_freq=args.frequency_penalty,
+        penalty_present=args.presence_penalty,
         mirostat=args.mirostat,
+        mirostat_tau=args.mirostat_tau,
+        mirostat_eta=args.mirostat_eta,
+        logit_bias=logit_bias,
+        dry_multiplier=args.dry_multiplier,
+        dry_base=args.dry_base,
+        dry_allowed_length=args.dry_allowed_length,
+        dry_penalty_last_n=args.dry_penalty_last_n,
+        dry_sequence_breakers=tuple(dry_breakers),
+        top_n_sigma=args.top_n_sigma,
+        min_keep=args.min_keep,
         seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
         greedy=args.temp <= 0,
     )
+
+    if args.system_prompt:
+        # -sys renders {system, user} through the chat template
+        # (tools/main -sys + common_chat_templates_apply)
+        from ..chat import render_chat_template
+
+        tpl = args.chat_template or eng.tokenizer.vocab.chat_template
+        if args.chat_template_file:
+            with open(args.chat_template_file, encoding="utf-8") as f:
+                tpl = f.read()
+        messages = [{"role": "system", "content": args.system_prompt}]
+        if prompt:
+            messages.append({"role": "user", "content": prompt})
+        prompt = render_chat_template(tpl, messages, add_generation_prompt=True)
 
     if not args.no_display_prompt:
         sys.stdout.write(prompt)
@@ -130,24 +278,50 @@ def main(argv=None) -> int:
     if args.grammar_file:
         with open(args.grammar_file, encoding="utf-8") as f:
             grammar_src = f.read()
-    if args.json_schema:
+    schema_src = args.json_schema
+    if args.json_schema_file:
+        with open(args.json_schema_file, encoding="utf-8") as f:
+            schema_src = f.read()
+    if schema_src:
         from ..grammar import json_schema_to_gbnf
 
-        grammar_src = json_schema_to_gbnf(json.loads(args.json_schema))
+        grammar_src = json_schema_to_gbnf(json.loads(schema_src))
     if grammar_src:
         from ..grammar import Grammar, grammar_vocab_from_tokenizer
 
         chain.set_grammar(Grammar.from_string(grammar_src), grammar_vocab_from_tokenizer(tok))
 
+    # -r stop strings (tools/main antiprompt): hold back up to the longest
+    # stop string so a matched stop never prints
+    stops: list[str] = list(args.reverse_prompt or [])
+    hold = max((len(s) for s in stops), default=0)
+    state = {"buf": "", "stopped": False}
+
     def stream(token_id: int):
-        sys.stdout.write(tok.detokenize([token_id], special=True))
+        state["buf"] += tok.detokenize([token_id], special=True)
+        for s in stops:
+            i = state["buf"].find(s)
+            if i >= 0:
+                sys.stdout.write(state["buf"][:i])
+                state["buf"] = ""
+                state["stopped"] = True
+                break
+        else:
+            if len(state["buf"]) > hold:
+                sys.stdout.write(state["buf"][:-hold] if hold else state["buf"])
+                state["buf"] = state["buf"][-hold:] if hold else ""
         sys.stdout.flush()
 
     t0 = time.perf_counter()
-    if args.prompt_cache:
+    if args.grp_attn_n > 1:
+        _generate_self_extend(eng, prompt, args, chain, stream, state)
+    elif args.prompt_cache:
         _generate_with_cache(eng, prompt, args, chain, stream)
     else:
-        eng.generate(prompt, n_predict=args.n_predict, sampler=chain, stream_cb=stream)
+        eng.generate(prompt, n_predict=args.n_predict, sampler=chain,
+                     stream_cb=stream,
+                     abort_callback=lambda: state["stopped"])
+    sys.stdout.write(state["buf"])
     sys.stdout.write("\n")
     if args.perf:
         perf = eng.perf.summary()

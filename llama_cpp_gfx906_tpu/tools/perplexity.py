@@ -107,14 +107,10 @@ def main(argv=None) -> int:
     ap = build_parser("perplexity", description="wikitext-style perplexity + evals")
     ap.prog = "llama-perplexity (TPU)"
     ap.set_defaults(ctx_size=512)
-    ap.add_argument("--chunks", type=int, default=None)
+    # (--chunks/--hellaswag/--winogrande/--multiple-choice/
+    #  --kl-divergence-base come from the shared registry)
     ap.add_argument("--no-quantized", action="store_true", help="dequantize weights to bf16")
     ap.add_argument("--save-logits", default=None)
-    ap.add_argument("--kl-divergence-base", default=None)
-    # benchmark-eval modes (JSONL task files; see tools/evals.py)
-    ap.add_argument("--hellaswag", default=None)
-    ap.add_argument("--winogrande", default=None)
-    ap.add_argument("--multiple-choice", default=None)
     ap.add_argument("--limit", type=int, default=None, help="max eval tasks")
     args = ap.parse_args(argv)
     if args.platform:

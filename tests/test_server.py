@@ -660,3 +660,45 @@ def test_unsatisfiable_grammar_errors_and_server_survives(server_client):
         assert re.fullmatch(r"(<t1>|<t2>)+", text), body
 
     loop.run_until_complete(run())
+
+
+def test_webui_gate_and_slot_save_path(tiny_gguf, batched, tmp_path):
+    """--no-webui removes GET /; --slot-save-path enables on-disk slot
+    files with a filename body (reference server slot save endpoint)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from llama_cpp_gfx906_tpu.server.app import InferenceServer, build_app
+
+    srv = InferenceServer(batched, model_name="aliased-name")
+    srv.start()
+    app = build_app(srv, webui=False, slot_save_path=str(tmp_path))
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            r = await client.get("/")
+            assert r.status == 404  # webui disabled
+
+            r = await client.get("/v1/models")
+            assert (await r.json())["data"][0]["id"] == "aliased-name"
+
+            # generate something into slot 0, save to file, restore
+            r = await client.post("/v1/completions", json={
+                "prompt": "<t5> <t6>", "max_tokens": 2, "temperature": 0.0})
+            assert r.status == 200
+            r = await client.post("/slots/0?action=save",
+                                  json={"filename": "s0.bin"})
+            assert (await r.json())["saved"] is True
+            assert (tmp_path / "s0.bin").exists()
+            r = await client.post("/slots/0?action=restore",
+                                  json={"filename": "s0.bin"})
+            assert (await r.json())["restored"] is True
+            r = await client.post("/slots/0?action=restore",
+                                  json={"filename": "missing.bin"})
+            assert r.status == 404
+        loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        srv.stop()
+        loop.close()
