@@ -408,9 +408,23 @@ def forward(
     if (T == 1 and embeds is None and lora_gain is None
             and mrope_pos is None and jax.default_backend() == "tpu"):
         from ..ops.decode_step import _fused_ok, fused_decode_step
+        from ..ops.quant_matmul import QuantTensor
 
-        if _fused_ok(params, cfg, kv, B, T):
+        # v1 pipelines whole per-layer weight blocks through VMEM —
+        # only for layers that fit (≤6 MB double-buffers inside 16 MB
+        # v5e VMEM next to the dequant temps); bigger layers stream
+        # chunks from HBM (ops/decode_stream.py)
+        layer_bytes = sum(
+            (t.q.nbytes + t.s.nbytes) // max(t.q.shape[0], 1)
+            for t in params["layers"].values()
+            if isinstance(t, QuantTensor) and t.q.ndim == 3)
+        if layer_bytes <= 6 * 2**20 and _fused_ok(params, cfg, kv, B, T):
             fused = fused_decode_step(params, cfg, x, kv)
+        elif layer_bytes > 6 * 2**20:
+            from ..ops.decode_stream import _stream_ok, fused_decode_step_streamed
+
+            if _stream_ok(params, cfg, kv, B, T):
+                fused = fused_decode_step_streamed(params, cfg, x, kv)
     if fused is not None:
         x, k_new, v_new = fused
     else:

@@ -1,0 +1,518 @@
+"""Streamed-weights fused decode: the megakernel for models whose layers
+don't fit VMEM (the 8B-class flagship).
+
+``ops/decode_step.py`` (v1) pipelines each layer's WHOLE weight block
+through VMEM via the grid — perfect for ≤270M-class layers (~6 MB), a
+compile-time OOM at 8B (~194 MB/layer int8).  This variant keeps the same
+single-launch grid-over-layers structure but the weights stay in HBM and
+the kernel streams (TK, TN) chunks through a double-buffered VMEM window,
+exactly as v1 already streams the KV prefix.  The dequant+dot chunk
+schedule is v1's ``qdot`` (static unrolled loops — the only Mosaic-proven
+vector patterns in this codebase), so the sole new machinery is the DMA
+double-buffer on the weight chunks.
+
+Per-token HBM traffic = the full int8 weight stack + scales + live KV —
+the same bytes v1 moves, just windowed — so the speed-of-light target is
+identical (~92% of HBM peak measured for v1 on the 270M shape); the
+scanned path's per-matmul launches cost it ~30% on the 8B shape.
+
+Reference analog: the fork's persistent fused-GEMM decode discipline
+(docs/gfx906/implementation_guide.md:170-287) applied at a size where
+even one projection exceeds on-chip memory.
+
+Scope (``_stream_ok``): B=1, T=1, int8-format QuantTensor weights (Q8_0 /
+Q6_K lineage / repacked nib4), bf16/f32 KV, pre-norm RMS llama/gemma
+family (qk-norms, post-norms, per-layer SWA windows, dual rope bases —
+v1's exact feature set), dims divisible by the chunk grid.  Dispatch
+picks it when the per-layer weight block is too big for v1
+(``decode_step._fused_ok`` size gate).  ``LCG_NO_FUSED_DECODE=1``
+disables both kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .decode_step import NEG_INF, _act_f32, _int8_qt
+
+# streamed chunk geometry: (TK, TN) int8 chunks double-buffer in VMEM.
+# TK×TN int8 = 1 MB/chunk at (2048, 512); dequant temps stay ≤2 MB.
+_TN_CAPS = (512, 256, 128)
+_TK_CAPS = (2048, 1024, 512, 256)
+
+
+def _pick(caps, dim, mult=1):
+    return next((t for t in caps if dim % t == 0 and t % mult == 0), None)
+
+
+def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
+            anorm_ref, fnorm_ref, qn_ref, kn_ref, pa_ref, pf_ref,
+            qkv_q, qkv_s, wo_q, wo_s, gu_q, gu_s, dn_q, dn_s,
+            kin_ref, vin_ref,
+            xout_ref, kout_ref, vout_ref,
+            kbuf, vbuf, krow, vrow, wbuf, sbuf,
+            ksem, vsem, isem, wsem, ssem,
+            *, Hq, Hkv, Dh, F, BK, g_qkv, g_o, g_gu, g_dn,
+            scale, eps, act_fn, interleaved, has_qk, has_post):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    l = pl.program_id(0)
+    window = win_ref[l]
+
+    @pl.when(l == 0)
+    def _():
+        xout_ref[:] = x0_ref[:]
+
+    x = xout_ref[:]  # (1, D) f32 carry across grid steps
+
+    np_ = npast_ref[0]
+    base = pl.multiple_of((np_ // 8) * 8, 8)
+
+    # the KV insert tile read starts now; latency hides under the qkv GEMV
+    k_tin = pltpu.make_async_copy(
+        kin_ref.at[l, 0, pl.ds(base, 8), :], krow, isem.at[0])
+    v_tin = pltpu.make_async_copy(
+        vin_ref.at[l, 0, pl.ds(base, 8), :], vrow, isem.at[1])
+    k_tin.start()
+    v_tin.start()
+
+    def rms(v, w):
+        sc = jax.lax.rsqrt(jnp.mean(v * v, axis=-1, keepdims=True) + eps)
+        return v * sc * w
+
+    def gemv_stream(xb, wq, ws, g):
+        """(1, K) bf16 @ HBM int8 (L, K, N) with per-g scales → (1, N) f32.
+
+        v1's ``qdot`` chunk schedule with the chunks DMA'd from HBM
+        through a double-buffered (TK, TN) VMEM window."""
+        K, N = wq.shape[1], wq.shape[2]
+        TN = _pick(_TN_CAPS, N)
+        TK = _pick(_TK_CAPS, K, mult=8 * g)
+        nK, nN = K // TK, N // TN
+        chunks = [(j0, k0) for j0 in range(0, N, TN) for k0 in range(0, K, TK)]
+
+        def start(t):
+            j0, k0 = chunks[t]
+            s = t % 2
+            pltpu.make_async_copy(
+                wq.at[l, pl.ds(k0, TK), pl.ds(j0, TN)],
+                wbuf.at[s, :TK, :TN], wsem.at[s]).start()
+            pltpu.make_async_copy(
+                ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
+                sbuf.at[s, :TK // g, :TN], ssem.at[s]).start()
+
+        start(0)
+        outs = []
+        acc = jnp.zeros((1, TN), jnp.float32)
+        for t, (j0, k0) in enumerate(chunks):
+            s = t % 2
+            if t + 1 < len(chunks):
+                start(t + 1)
+            pltpu.make_async_copy(
+                wq.at[l, pl.ds(k0, TK), pl.ds(j0, TN)],
+                wbuf.at[s, :TK, :TN], wsem.at[s]).wait()
+            pltpu.make_async_copy(
+                ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
+                sbuf.at[s, :TK // g, :TN], ssem.at[s]).wait()
+            qs = wbuf[s, :TK, :TN]
+            sg = jnp.repeat(sbuf[s, :TK // g, :TN], g, axis=0)
+            w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(
+                xb[:, k0:k0 + TK], w, preferred_element_type=jnp.float32)
+            if k0 + TK >= K:
+                outs.append(acc)
+                acc = jnp.zeros((1, TN), jnp.float32)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+    # ---- attention ---------------------------------------------------------
+    h = rms(x, anorm_ref[0].astype(jnp.float32))
+    qkv = gemv_stream(h.astype(jnp.bfloat16), qkv_q, qkv_s, g_qkv)
+    qkv = qkv.astype(jnp.bfloat16).astype(jnp.float32)
+
+    use_local = swa_ref[l] > 0
+    C = jnp.where(use_local, cos_ref[1], cos_ref[0])  # (1, Dh)
+    Ss = jnp.where(use_local, ssig_ref[1], ssig_ref[0])
+    half = Dh // 2
+
+    def rope1(v):
+        if interleaved:
+            xl = pltpu.roll(v, Dh - 1, 1)
+            xr = pltpu.roll(v, 1, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            partner = jnp.where(lane % 2 == 0, xl, xr)
+        else:
+            partner = pltpu.roll(v, half, 1)
+        return v * C + partner * Ss
+
+    Dq = Hq * Dh
+    Dkv = Hkv * Dh
+    if has_qk:
+        qn = qn_ref[0].astype(jnp.float32)
+        kn = kn_ref[0].astype(jnp.float32)
+        q_rows = [rope1(rms(qkv[:, i * Dh:(i + 1) * Dh], qn).astype(
+            jnp.bfloat16).astype(jnp.float32)) for i in range(Hq)]
+        k_rows = [rope1(rms(qkv[:, Dq + i * Dh:Dq + (i + 1) * Dh], kn).astype(
+            jnp.bfloat16).astype(jnp.float32)) for i in range(Hkv)]
+    else:
+        q_rows = [rope1(qkv[:, i * Dh:(i + 1) * Dh]) for i in range(Hq)]
+        k_rows = [rope1(qkv[:, Dq + i * Dh:Dq + (i + 1) * Dh])
+                  for i in range(Hkv)]
+    v_vec = qkv[:, Dq + Dkv:]
+    k_vec = jnp.concatenate(k_rows, axis=-1) if Hkv > 1 else k_rows[0]
+
+    # KV insert: masked RMW of the aligned 8-row tile (v1's scheme, B=1)
+    G = Hq // Hkv
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BK), 1)
+    t8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    lo = jnp.where(window > 0, jnp.maximum(np_ - window + 1, 0), 0)
+    c0 = lo // BK
+    n_chunks = (np_ + BK - 1) // BK
+
+    k_tin.wait()
+    v_tin.wait()
+    t_iota = base + t8
+    krow[:] = jnp.where(t_iota == np_, k_vec.astype(krow.dtype), krow[:])
+    vrow[:] = jnp.where(t_iota == np_, v_vec.astype(vrow.dtype), vrow[:])
+    k_ins = pltpu.make_async_copy(
+        krow, kout_ref.at[l, 0, pl.ds(base, 8), :], isem.at[0])
+    v_ins = pltpu.make_async_copy(
+        vrow, vout_ref.at[l, 0, pl.ds(base, 8), :], isem.at[1])
+    k_ins.start()
+    v_ins.start()
+
+    def kdma(slot, i):
+        return pltpu.make_async_copy(
+            kin_ref.at[l, 0, pl.ds(i * BK, BK), :], kbuf.at[slot],
+            ksem.at[slot])
+
+    def vdma(slot, i):
+        return pltpu.make_async_copy(
+            vin_ref.at[l, 0, pl.ds(i * BK, BK), :], vbuf.at[slot],
+            vsem.at[slot])
+
+    @pl.when(c0 < n_chunks)
+    def _():
+        kdma(jax.lax.rem(c0, 2), c0).start()
+        vdma(jax.lax.rem(c0, 2), c0).start()
+
+    qbs = [q_rows[i].astype(jnp.bfloat16) for i in range(Hq)]
+    init = tuple(
+        (jnp.zeros((1, Dh), jnp.float32),
+         jnp.full((1, 1), NEG_INF, jnp.float32),
+         jnp.zeros((1, 1), jnp.float32))
+        for _ in range(Hq)
+    )
+
+    def chunk_body(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            kdma(1 - slot, i + 1).start()
+            vdma(1 - slot, i + 1).start()
+
+        kdma(slot, i).wait()
+        vdma(slot, i).wait()
+        kc = kbuf[slot]
+        vc = vbuf[slot]
+        rows = i * BK + c_iota
+        live = (rows >= lo) & (rows < np_)
+        out = []
+        for h_i in range(Hkv):
+            kch = kc[:, h_i * Dh:(h_i + 1) * Dh]
+            vch = vc[:, h_i * Dh:(h_i + 1) * Dh]
+            for g_i in range(G):
+                qi = h_i * G + g_i
+                acc, m, den = carry[qi]
+                sc = jax.lax.dot_general(
+                    qbs[qi], kch, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                sc = jnp.where(live, sc, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                p = jnp.exp(sc - m_new)
+                alpha = jnp.exp(m - m_new)
+                den = den * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vch, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out.append((acc * alpha + pv, m_new, den))
+        return tuple(out)
+
+    carry = jax.lax.fori_loop(c0, n_chunks, chunk_body, init)
+
+    # self term, then the assembled (1, Hq·Dh) row streams through wo
+    kb = k_vec.astype(jnp.bfloat16).astype(jnp.float32)
+    vb = v_vec.astype(jnp.bfloat16).astype(jnp.float32)
+    o_rows = []
+    for h_i in range(Hkv):
+        k_h = kb[:, h_i * Dh:(h_i + 1) * Dh]
+        v_h = vb[:, h_i * Dh:(h_i + 1) * Dh]
+        for g_i in range(G):
+            qi = h_i * G + g_i
+            acc, m, den = carry[qi]
+            s_self = jnp.sum(
+                qbs[qi].astype(jnp.float32) * k_h, axis=-1, keepdims=True
+            ) * scale
+            m_new = jnp.maximum(m, s_self)
+            p = jnp.exp(s_self - m_new)
+            alpha = jnp.exp(m - m_new)
+            den = den * alpha + p
+            o_rows.append((acc * alpha + p * v_h) / den)
+    o_vec = (jnp.concatenate(o_rows, axis=-1) if len(o_rows) > 1
+             else o_rows[0])
+    attn_out = gemv_stream(o_vec.astype(jnp.bfloat16), wo_q, wo_s, g_o)
+    k_ins.wait()
+    v_ins.wait()
+
+    attn_b = attn_out.astype(jnp.bfloat16)
+    if has_post:
+        attn_b = rms(attn_b.astype(jnp.float32),
+                     pa_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    x = (x.astype(jnp.bfloat16) + attn_b).astype(jnp.float32)
+
+    # ---- MLP ---------------------------------------------------------------
+    h2 = rms(x, fnorm_ref[0].astype(jnp.float32))
+    gu = gemv_stream(h2.astype(jnp.bfloat16), gu_q, gu_s, g_gu)
+    g_b = gu[:, :F].astype(jnp.bfloat16)
+    u_b = gu[:, F:].astype(jnp.bfloat16)
+    y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16) * u_b)
+    mlp = gemv_stream(y, dn_q, dn_s, g_dn)
+    mlp_b = mlp.astype(jnp.bfloat16)
+    if has_post:
+        mlp_b = rms(mlp_b.astype(jnp.float32),
+                    pf_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    x = (x.astype(jnp.bfloat16) + mlp_b).astype(jnp.float32)
+
+    xout_ref[:] = x
+
+
+def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
+    """Same feature gate as v1's ``_fused_ok`` but sized for HBM-resident
+    weights: single-stream only, chunk grid must divide every projection."""
+    from .decode_step import _DISABLE
+
+    if _DISABLE or T != 1 or B != 1:
+        return False
+    if kv.pos is not None or kv.shared_k is not None:
+        return False
+    if not isinstance(kv.k, jnp.ndarray):
+        return False
+    if kv.k.ndim != 5 or kv.k.shape[1] != B:
+        return False
+    p = params["layers"]
+    if not all(k in p for k in ("wqkv_fused", "wgateup_fused", "wo", "w_down",
+                                "attn_norm", "ffn_norm")):
+        return False
+    if not all(_int8_qt(p[k]) for k in ("wqkv_fused", "wgateup_fused", "wo",
+                                        "w_down")):
+        return False
+    blocked = ("bqkv_fused", "bo", "b_down", "moe_gate_inp", "ffn_norm_exps",
+               "attn_sub_norm", "sinks", "cvec", "attn_norm_b", "ffn_norm_b",
+               "q_norm_b", "k_norm_b")
+    if any(k in p for k in blocked) or any(k.endswith("_lora_a") for k in p):
+        return False
+    if cfg.qk_norm:
+        if (cfg.qk_norm_layer or cfg.qk_norm_after_rope
+                or "q_norm" not in p or "k_norm" not in p
+                or p["q_norm"].ndim != 2 or p["q_norm"].shape[1] != cfg.head_dim):
+            return False
+    elif "q_norm" in p or "k_norm" in p:
+        return False
+    if cfg.post_attn_norm or cfg.post_ffn_norm:
+        if not ("post_attn_norm" in p and "post_ffn_norm" in p
+                and cfg.post_attn_norm and cfg.post_ffn_norm):
+            return False
+    elif "post_attn_norm" in p or "post_ffn_norm" in p:
+        return False
+    if any(cfg.swa_layers) and cfg.sliding_window <= 0:
+        return False
+    if not (cfg.pre_norm and cfg.norm_type == "rms" and cfg.pos_emb == "rope"
+            and not cfg.mrope_sections and all(cfg.rope_layers)
+            and not cfg.attn_linear_layers and not cfg.alibi
+            and cfg.clamp_kqv <= 0 and not cfg.qk_norm_full
+            and not cfg.qk_norm_l2 and cfg.attn_temp_scale <= 0
+            and cfg.attn_logit_softcap <= 0 and not cfg.parallel_residual
+            and cfg.residual_scale == 1.0 and cfg.ffn_gated
+            and cfg.act_fn in ("silu", "gelu", "gelu_tanh", "gelu_erf")):
+        return False
+    D, Dh, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
+    S = kv.k.shape[2]
+    if not (D % 128 == 0 and Dh % 128 == 0 and F % 128 == 0 and S % 128 == 0):
+        return False
+    from .rope import rope_frequencies
+
+    if 2 * len(rope_frequencies(cfg)) != Dh:
+        return False
+    if p["wqkv_fused"].shape != (D, (cfg.n_heads + 2 * cfg.n_kv_heads) * Dh):
+        return False
+    if p["wgateup_fused"].shape != (D, 2 * F):
+        return False
+    # every projection must factor into the streamed chunk grid
+    for qt in (p["wqkv_fused"], p["wo"], p["wgateup_fused"], p["w_down"]):
+        K, N = qt.shape
+        if _pick(_TN_CAPS, N) is None or _pick(_TK_CAPS, K, 8 * qt.group) is None:
+            return False
+    return True
+
+
+def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
+    """One decode token through the whole stack, weights streamed from HBM.
+    Same contract as ``decode_step.fused_decode_step`` (B=1 only)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .rope import rope_frequencies
+
+    p = params["layers"]
+    L, D, Dh, F = cfg.n_layers, cfg.n_embd, cfg.head_dim, cfg.n_ff
+    Hq, Hkv = cfg.n_heads, cfg.n_kv_heads
+    B, S = kv.k.shape[1], kv.k.shape[2]
+    HD = Hkv * Dh
+    scale = cfg.attn_scale or Dh ** -0.5
+
+    x0 = x.reshape(B, D).astype(jnp.float32)
+
+    def rope_rows(inv_freq):
+        ang = kv.n_past[:, None].astype(jnp.float32) * inv_freq
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        if cfg.rope_interleaved:
+            sign = jnp.where(jnp.arange(Dh) % 2 == 0, -1.0, 1.0)
+            return jnp.repeat(c, 2, -1), jnp.repeat(s, 2, -1) * sign
+        return jnp.concatenate([c, c], -1), jnp.concatenate([-s, s], -1)
+
+    c_g, s_g = rope_rows(jnp.asarray(rope_frequencies(cfg), jnp.float32))
+    if cfg.rope_local_base > 0:
+        from ..gguf.constants import RopeScalingType
+
+        local_cfg = cfg.with_(rope_base=cfg.rope_local_base,
+                              rope_scaling=RopeScalingType.NONE)
+        c_l, s_l = rope_rows(jnp.asarray(rope_frequencies(local_cfg),
+                                         jnp.float32))
+    else:
+        c_l, s_l = c_g, s_g
+    C = jnp.stack([c_g, c_l])
+    Ss = jnp.stack([s_g, s_l])
+
+    import numpy as _np
+
+    windows = jnp.asarray(
+        [cfg.sliding_window if w else 0 for w in cfg.swa_layers], jnp.int32)
+    swa_flags = jnp.asarray(_np.asarray(cfg.swa_layers, _np.int32))
+    has_qk = bool(cfg.qk_norm)
+    has_post = bool(cfg.post_attn_norm)
+    qn = (p["q_norm"].astype(jnp.float32).reshape(L, 1, Dh) if has_qk
+          else jnp.zeros((L, 1, Dh), jnp.float32))
+    kn = (p["k_norm"].astype(jnp.float32).reshape(L, 1, Dh) if has_qk
+          else jnp.zeros((L, 1, Dh), jnp.float32))
+    pa = (p["post_attn_norm"].astype(jnp.float32).reshape(L, 1, D) if has_post
+          else jnp.zeros((L, 1, D), jnp.float32))
+    pf = (p["post_ffn_norm"].astype(jnp.float32).reshape(L, 1, D) if has_post
+          else jnp.zeros((L, 1, D), jnp.float32))
+
+    k3 = kv.k.reshape(L, B, S, HD)
+    v3 = kv.v.reshape(L, B, S, HD)
+    qkv_qt, wo_qt = p["wqkv_fused"], p["wo"]
+    gu_qt, dn_qt = p["wgateup_fused"], p["w_down"]
+    Nqkv = qkv_qt.q.shape[-1]
+
+    BK = next(t for t in (512, 256, 128) if S % t == 0)
+    # shared weight-chunk window: max TK × max TN over the four projections
+    TKmax = max(_pick(_TK_CAPS, qt.shape[0], 8 * qt.group)
+                for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
+    TNmax = max(_pick(_TN_CAPS, qt.shape[1])
+                for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
+    g_min = min(qt.group for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
+
+    kern = functools.partial(
+        _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK,
+        g_qkv=qkv_qt.group, g_o=wo_qt.group, g_gu=gu_qt.group,
+        g_dn=dn_qt.group, scale=float(scale), eps=float(cfg.rms_eps),
+        act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
+        has_qk=has_qk, has_post=has_post,
+    )
+
+    w_bytes = sum(t.q.nbytes + t.s.nbytes
+                  for t in (qkv_qt, wo_qt, gu_qt, dn_qt))
+    flops = 2 * L * (D * Nqkv + Hq * Dh * D + D * 2 * F + F * D)
+
+    x_out, k_new, v_new = pl.pallas_call(
+        kern,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda l: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L,), lambda l: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L,), lambda l: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B, Dh), lambda l: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B, Dh), lambda l: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            # weights + scales stay in HBM; the kernel streams chunks
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, S, HD), k3.dtype),
+            jax.ShapeDtypeStruct((L, B, S, HD), v3.dtype),
+        ],
+        input_output_aliases={20: 1, 21: 2},
+        scratch_shapes=[
+            pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf
+            pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
+            pltpu.VMEM((8, HD), k3.dtype),  # krow
+            pltpu.VMEM((8, HD), v3.dtype),  # vrow
+            pltpu.VMEM((2, TKmax, TNmax), jnp.int8),  # wbuf
+            pltpu.VMEM((2, TKmax // g_min, TNmax), jnp.float32),  # sbuf
+            pltpu.SemaphoreType.DMA((2,)),  # ksem
+            pltpu.SemaphoreType.DMA((2,)),  # vsem
+            pltpu.SemaphoreType.DMA((2,)),  # isem
+            pltpu.SemaphoreType.DMA((2,)),  # wsem
+            pltpu.SemaphoreType.DMA((2,)),  # ssem
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=w_bytes + 2 * L * S * HD * k3.dtype.itemsize,
+            transcendentals=L * (2 * F + Hq * S),
+        ),
+        interpret=interpret,
+    )(
+        kv.n_past.astype(jnp.int32), windows, swa_flags, x0,
+        C.astype(jnp.float32), Ss.astype(jnp.float32),
+        p["attn_norm"].astype(jnp.float32).reshape(L, 1, D),
+        p["ffn_norm"].astype(jnp.float32).reshape(L, 1, D),
+        qn, kn, pa, pf,
+        qkv_qt.q, qkv_qt.s, wo_qt.q, wo_qt.s,
+        gu_qt.q, gu_qt.s, dn_qt.q, dn_qt.s,
+        k3, v3,
+    )
+
+    kvs = kv.k.shape
+    return (x_out.reshape(B, 1, D).astype(x.dtype),
+            k_new.reshape(kvs), v_new.reshape(kvs))

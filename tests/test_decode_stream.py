@@ -1,0 +1,176 @@
+"""Streamed-weights fused decode (ops/decode_stream.py) vs the scanned
+jnp path, in interpreter mode on CPU.
+
+The streamed kernel targets 8B-class layers whose weights can't sit in
+VMEM; the test shapes are scaled down but keep every structural property
+(K/N divisible by the chunk grid, multiple K-chunks per projection so the
+double-buffered DMA schedule actually cycles)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llama_cpp_gfx906_tpu.gguf import GGMLType, quantize
+from llama_cpp_gfx906_tpu.models.config import ModelConfig
+from llama_cpp_gfx906_tpu.models.llama import KVCache, forward
+from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
+from llama_cpp_gfx906_tpu.ops.decode_stream import (
+    _stream_ok,
+    fused_decode_step_streamed,
+)
+from llama_cpp_gfx906_tpu.runtime.weights import fuse_projections
+
+# K dims (D=256, HQ*DH=256, F=512) give 1-2 K-chunks at TK=256 and
+# several N-chunks at TN=128/256 — the full streamed schedule runs
+L, D, HQ, HKV, DH, F, V, S = 3, 256, 2, 1, 128, 512, 64, 256
+
+
+def make_cfg(**kw):
+    return ModelConfig(
+        arch="llama", n_layers=L, n_embd=D, n_heads=HQ, n_kv_heads=HKV,
+        head_dim=DH, n_ff=F, n_vocab=V, n_ctx_train=S, **kw,
+    )
+
+
+def qstack(rng, K, N):
+    w = rng.standard_normal((N, K), dtype=np.float32) * 0.05
+    qt = qmm.pack_gguf_tensor(quantize(w, GGMLType.Q8_0), GGMLType.Q8_0,
+                              (N, K))
+    return qmm.QuantTensor(
+        q=jnp.stack([qt.q] * L), s=jnp.stack([qt.s] * L), m=None,
+        fmt=qt.fmt, group=qt.group, shape=qt.shape,
+    )
+
+
+def make_params(rng):
+    head = rng.standard_normal((V, D), dtype=np.float32) * 0.05
+    return {
+        "tok_emb": jnp.asarray(rng.standard_normal((V, D)) * 0.1, jnp.bfloat16),
+        "out_norm": jnp.ones(D, jnp.float32),
+        "lm_head": qmm.pack_gguf_tensor(quantize(head, GGMLType.Q8_0),
+                                        GGMLType.Q8_0, (V, D)),
+        "layers": fuse_projections({
+            "attn_norm": jnp.ones((L, D), jnp.float32) * 1.1,
+            "ffn_norm": jnp.ones((L, D), jnp.float32) * 0.9,
+            "wq": qstack(rng, D, HQ * DH),
+            "wk": qstack(rng, D, HKV * DH),
+            "wv": qstack(rng, D, HKV * DH),
+            "wo": qstack(rng, HQ * DH, D),
+            "w_gate": qstack(rng, D, F),
+            "w_up": qstack(rng, D, F),
+            "w_down": qstack(rng, F, D),
+        }),
+    }
+
+
+def lockstep_check(cfg, params, n_prompt, steps=3, seed=3):
+    rng = np.random.default_rng(seed)
+    kv = KVCache.create(cfg, batch=1, max_seq=S, dtype=jnp.bfloat16)
+    assert _stream_ok(params, cfg, kv, 1, 1)
+
+    prompt = jnp.asarray([list(rng.integers(0, V, n_prompt))], jnp.int32)
+    _, kv = forward(params, cfg, prompt, kv)
+    kv_f = KVCache(k=kv.k, v=kv.v, n_past=kv.n_past)
+
+    from llama_cpp_gfx906_tpu.ops.norms import rms_norm
+    from llama_cpp_gfx906_tpu.ops.quant_matmul import linear
+
+    tok = jnp.asarray([[5]], jnp.int32)
+    for _ in range(steps):
+        logits_ref, kv = forward(params, cfg, tok, kv)
+        x = params["tok_emb"][tok]
+        x2, k_new, v_new = fused_decode_step_streamed(params, cfg, x, kv_f,
+                                                      interpret=True)
+        kv_f = KVCache(k=k_new, v=v_new, n_past=kv_f.n_past + 1)
+        hid = rms_norm(x2, params["out_norm"], cfg.rms_eps)
+        logits = linear(hid, params["lm_head"]).astype(jnp.float32)
+        lg = np.asarray(logits[0, 0])
+        lr = np.asarray(logits_ref[0, 0])
+        np.testing.assert_allclose(lg, lr, rtol=2e-2, atol=2e-2)
+        # quantized rounding walks differ slightly between the paths; the
+        # reference argmax must stay within rounding distance of the top
+        assert lg[int(np.argmax(lr))] >= lg.max() - 0.05
+        np.testing.assert_allclose(
+            np.asarray(kv_f.k, np.float32), np.asarray(kv.k, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kv_f.v, np.float32), np.asarray(kv.v, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+        tok = jnp.asarray([[int(np.argmax(logits_ref))]], jnp.int32)
+
+
+@pytest.mark.parametrize("interleaved,n_prompt", [
+    (True, 7),     # self-term + 1 KV chunk
+    (False, 7),
+    (True, 135),   # crosses a KV chunk boundary
+])
+def test_streamed_matches_scan(interleaved, n_prompt):
+    rng = np.random.default_rng(3)
+    cfg = make_cfg(rope_interleaved=interleaved)
+    lockstep_check(cfg, make_params(rng), n_prompt)
+
+
+def test_streamed_gemma3_features():
+    rng = np.random.default_rng(9)
+    cfg = make_cfg(
+        rope_interleaved=True, qk_norm=True, post_attn_norm=True,
+        post_ffn_norm=True, sliding_window=16, swa_pattern=2,
+        rope_local_base=10000.0, rope_base=1000000.0,
+    )
+    params = make_params(rng)
+    layers = dict(params["layers"])
+    layers["q_norm"] = jnp.asarray(
+        1 + rng.standard_normal((L, DH)) * 0.05, jnp.float32)
+    layers["k_norm"] = jnp.asarray(
+        1 + rng.standard_normal((L, DH)) * 0.05, jnp.float32)
+    layers["post_attn_norm"] = jnp.asarray(
+        1 + rng.standard_normal((L, D)) * 0.05, jnp.float32)
+    layers["post_ffn_norm"] = jnp.asarray(
+        1 + rng.standard_normal((L, D)) * 0.05, jnp.float32)
+    params = dict(params, layers=layers)
+    lockstep_check(cfg, params, 40, seed=9)
+
+
+def test_streamed_mixed_groups():
+    """Q6_K-lineage tensors carry group=16 scales — the Q4_K_M mix has
+    both groups live in one stack (attn_v/out at Q6_K)."""
+    rng = np.random.default_rng(5)
+    params = make_params(rng)
+    layers = dict(params["layers"])
+    qt = layers["w_down"]
+    # re-pack w_down at group 16 (same values, finer scales)
+    K, N = qt.shape
+    q = np.asarray(qt.q[0], np.int8)
+    s32 = np.asarray(qt.s[0])
+    s16 = np.repeat(s32, 2, axis=0)
+    layers["w_down"] = qmm.QuantTensor(
+        q=jnp.stack([jnp.asarray(q)] * L), s=jnp.stack([jnp.asarray(s16)] * L),
+        m=None, fmt="int8", group=16, shape=(K, N))
+    params = dict(params, layers=layers)
+    lockstep_check(make_cfg(), params, 7, seed=5)
+
+
+def test_stream_gate():
+    rng = np.random.default_rng(4)
+    params = make_params(rng)
+    cfg = make_cfg()
+    kv = KVCache.create(cfg, batch=1, max_seq=S, dtype=jnp.bfloat16)
+    assert _stream_ok(params, cfg, kv, 1, 1)
+    assert not _stream_ok(params, cfg, kv, 2, 1)  # single-stream only
+    assert not _stream_ok(params, cfg, kv, 1, 2)
+    assert not _stream_ok(params, make_cfg(alibi=True), kv, 1, 1)
+    qkv = KVCache.create(cfg, batch=1, max_seq=S, dtype="q8")
+    assert not _stream_ok(params, cfg, qkv, 1, 1)
+    # K below the minimum chunk cap is rejected (no valid TK)
+    tiny = dict(params["layers"])
+    t = tiny["wqkv_fused"]
+    tiny["wqkv_fused"] = qmm.QuantTensor(
+        q=t.q[:, :128], s=t.s[:, :4], m=None, fmt="int8", group=32,
+        shape=(128, t.shape[1]))
+    tiny_cfg = ModelConfig(
+        arch="llama", n_layers=L, n_embd=128, n_heads=HQ, n_kv_heads=HKV,
+        head_dim=DH, n_ff=F, n_vocab=V, n_ctx_train=S)
+    assert not _stream_ok(dict(params, layers=tiny), tiny_cfg, kv, 1, 1)
