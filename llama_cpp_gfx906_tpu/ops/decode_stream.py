@@ -36,7 +36,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import os
+
 from .decode_step import NEG_INF, _act_f32, _int8_qt
+
+# kill switch for just this kernel (LCG_NO_FUSED_DECODE kills both)
+_DISABLE_STREAM = os.environ.get("LCG_NO_STREAM_DECODE", "0") == "1"
 
 # streamed chunk geometry: (TK, TN) int8 chunks double-buffer in VMEM.
 # TK×TN int8 = 1 MB/chunk at (2048, 512); dequant temps stay ≤2 MB.
@@ -297,7 +302,7 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     weights: single-stream only, chunk grid must divide every projection."""
     from .decode_step import _DISABLE
 
-    if _DISABLE or T != 1 or B != 1:
+    if _DISABLE or _DISABLE_STREAM or T != 1 or B != 1:
         return False
     if kv.pos is not None or kv.shared_k is not None:
         return False
