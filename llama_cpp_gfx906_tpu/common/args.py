@@ -292,6 +292,9 @@ REGISTRY: list[Flag] = [
     # ---- server -----------------------------------------------------------
     _f(["-a", "--alias"], "alias", "model name reported by the API",
        env="LLAMA_ARG_ALIAS", scopes={"server"}),
+    _f(["--api-prefix"], "api_prefix",
+       "prefix every HTTP route with this path",
+       env="LLAMA_ARG_API_PREFIX", default="", scopes={"server"}),
     _f(["--timeout"], "timeout", "server read/write timeout (seconds)",
        env="LLAMA_ARG_TIMEOUT", type=int, default=600, scopes={"server"}),
     _f(["--no-webui"], "no_webui", "disable the built-in chat UI at /",

@@ -56,6 +56,13 @@ class InferenceServer:
                  encoder=None, clip=None):
         self.engine = engine
         self.model_name = model_name
+        # adapter bookkeeping for GET/POST /lora-adapters (names parallel
+        # the engine's attach_lora order); default scales apply to
+        # requests that carry no per-request "lora" field
+        self.lora_names: list[str] = []
+        self.default_lora: dict[int, float] | None = None
+        # POST /props overrides: merged under request bodies as defaults
+        self.props_defaults: dict = {}
         # optional EncoderEngine (BERT family): real pooled embeddings and
         # rank-head rerank (reference: --embedding / rerank models)
         self.encoder = encoder
@@ -272,7 +279,8 @@ def _sampler_from_body(body: dict) -> SamplerConfig:
 
 def build_app(srv: InferenceServer, api_key: str | None = None,
               webui: bool = True,
-              slot_save_path: str | None = None) -> web.Application:
+              slot_save_path: str | None = None,
+              api_prefix: str = "") -> web.Application:
     eng = srv.engine
     tok = eng.tokenizer
 
@@ -432,7 +440,7 @@ def build_app(srv: InferenceServer, api_key: str | None = None,
         (a bare float list is also accepted, indexed by position)."""
         spec = body.get("lora")
         if not spec:
-            return None
+            return dict(srv.default_lora) if srv.default_lora else None
         out = {}
         if isinstance(spec, dict):
             out = {int(k): float(v) for k, v in spec.items()}
@@ -445,6 +453,8 @@ def build_app(srv: InferenceServer, api_key: str | None = None,
         return out or None
 
     def _make_req(prompt_ids, body, prompt_embeds=None) -> PendingRequest:
+        if srv.props_defaults:  # POST /props generation defaults
+            body = {**srv.props_defaults, **body}
         n_predict = int(body.get("n_predict", body.get("max_tokens", 128)) or 128)
         stop = body.get("stop") or []
         if isinstance(stop, str):
@@ -811,28 +821,101 @@ def build_app(srv: InferenceServer, api_key: str | None = None,
 
         return web.Response(text=WEBUI_HTML, content_type="text/html")
 
+    async def apply_template(request):
+        """POST /apply-template: render messages through the model's chat
+        template WITHOUT generating (reference handle_apply_template)."""
+        from ..chat import render_chat_template
+
+        body = await request.json()
+        prompt = render_chat_template(
+            tok.vocab.chat_template, body.get("messages", []),
+            add_generation_prompt=bool(body.get("add_generation_prompt", True)),
+            tools=body.get("tools"),
+        )
+        return web.json_response({"prompt": prompt})
+
+    async def lora_list(request):
+        scales = srv.default_lora or {}
+        return web.json_response([
+            {"id": i, "path": p, "scale": float(scales.get(i, 0.0))}
+            for i, p in enumerate(srv.lora_names)
+        ])
+
+    async def lora_apply(request):
+        body = await request.json()
+        if not isinstance(body, list):
+            raise web.HTTPBadRequest(text="want [{id, scale}, ...]")
+        scales: dict[int, float] = {}
+        for it in body:
+            i = int(it.get("id", -1))
+            if not (0 <= i < len(srv.lora_names)):
+                raise web.HTTPBadRequest(text=f"invalid adapter id {i}")
+            scales[i] = float(it.get("scale", 1.0))
+        srv.default_lora = scales or None
+        return web.json_response({"success": True})
+
+    async def props_change(request):
+        """POST /props: update server-wide generation defaults (reference
+        handle_props_change); keys merge UNDER request bodies."""
+        body = await request.json()
+        if not isinstance(body, dict):
+            raise web.HTTPBadRequest(text="want a JSON object")
+        srv.props_defaults.update(body)
+        return web.json_response({"success": True})
+
+    async def api_tags(request):
+        # ollama-compatible model listing
+        return web.json_response({"models": [{
+            "name": srv.model_name, "model": srv.model_name,
+            "details": {"family": eng.cfg.arch,
+                        "parameter_size": f"{eng.cfg.n_layers}L"},
+        }]})
+
+    async def api_show(request):
+        # ollama-compatible model info
+        return web.json_response({
+            "model_info": {
+                "general.architecture": eng.cfg.arch,
+                f"{eng.cfg.arch}.context_length": eng.cfg.n_ctx_train,
+                f"{eng.cfg.arch}.embedding_length": eng.cfg.n_embd,
+                f"{eng.cfg.arch}.block_count": eng.cfg.n_layers,
+            },
+            "capabilities": ["completion"],
+        })
+
     app = web.Application(middlewares=[auth_middleware] if api_key else [])
+    P = api_prefix.rstrip("/")  # LLAMA_ARG_API_PREFIX analog
     if webui:
-        app.router.add_get("/", index)
-    app.router.add_get("/health", health)
-    app.router.add_get("/props", props)
-    app.router.add_get("/metrics", metrics)
-    app.router.add_get("/slots", slots)
-    app.router.add_get("/v1/models", models)
-    app.router.add_post("/tokenize", tokenize)
-    app.router.add_post("/detokenize", detokenize)
-    app.router.add_post("/completion", completions)
-    app.router.add_post("/completions", completions)
-    app.router.add_post("/v1/completions", completions)
-    app.router.add_post("/v1/chat/completions", chat_completions)
-    app.router.add_post("/embedding", embeddings)
-    app.router.add_post("/embeddings", embeddings)
-    app.router.add_post("/v1/embeddings", embeddings)
-    app.router.add_post("/slots/{slot_id}", slot_action)
-    app.router.add_post("/infill", infill)
-    app.router.add_post("/rerank", rerank)
-    app.router.add_post("/v1/rerank", rerank)
-    app.router.add_post("/reranking", rerank)
+        app.router.add_get(P + "/" if P else "/", index)
+    app.router.add_get(P + "/health", health)
+    app.router.add_get(P + "/props", props)
+    app.router.add_post(P + "/props", props_change)
+    app.router.add_get(P + "/metrics", metrics)
+    app.router.add_get(P + "/slots", slots)
+    app.router.add_get(P + "/models", models)
+    app.router.add_get(P + "/v1/models", models)
+    app.router.add_get(P + "/api/tags", api_tags)  # ollama
+    app.router.add_post(P + "/api/show", api_show)  # ollama
+    app.router.add_post(P + "/tokenize", tokenize)
+    app.router.add_post(P + "/detokenize", detokenize)
+    app.router.add_post(P + "/apply-template", apply_template)
+    app.router.add_post(P + "/completion", completions)
+    app.router.add_post(P + "/completions", completions)
+    app.router.add_post(P + "/v1/completions", completions)
+    app.router.add_post(P + "/chat/completions", chat_completions)
+    app.router.add_post(P + "/v1/chat/completions", chat_completions)
+    app.router.add_post(P + "/api/chat", chat_completions)  # ollama
+    app.router.add_post(P + "/embedding", embeddings)
+    app.router.add_post(P + "/embeddings", embeddings)
+    app.router.add_post(P + "/v1/embeddings", embeddings)
+    app.router.add_get(P + "/lora-adapters", lora_list)
+    app.router.add_post(P + "/lora-adapters", lora_apply)
+    app.router.add_post(P + "/slots/{slot_id}", slot_action)
+    app.router.add_post(P + "/infill", infill)
+    app.router.add_post(P + "/rerank", rerank)
+    app.router.add_post(P + "/v1/rerank", rerank)
+    app.router.add_post(P + "/reranking", rerank)
+    app.router.add_post(P + "/v1/reranking", rerank)
     return app
 
 
@@ -935,9 +1018,11 @@ def main(argv=None) -> int:
     srv = InferenceServer(engine,
                           model_name=args.alias or args.model.rsplit("/", 1)[-1],
                           encoder=encoder, clip=clip)
+    srv.lora_names = list(args.lora or [])
     srv.start()
     app = build_app(srv, api_key=args.api_key, webui=not args.no_webui,
-                    slot_save_path=args.slot_save_path)
+                    slot_save_path=args.slot_save_path,
+                    api_prefix=args.api_prefix or "")
     web.run_app(app, host=args.host, port=args.port)
     srv.stop()
     return 0

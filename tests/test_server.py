@@ -702,3 +702,72 @@ def test_webui_gate_and_slot_save_path(tiny_gguf, batched, tmp_path):
         loop.run_until_complete(client.close())
         srv.stop()
         loop.close()
+
+
+def test_reference_endpoint_parity(tiny_gguf, batched):
+    """The reference's full route table (server.cpp:4976-5006): ollama
+    aliases, /apply-template, /lora-adapters, POST /props, /api-prefix."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from llama_cpp_gfx906_tpu.server.app import InferenceServer, build_app
+
+    srv = InferenceServer(batched, model_name="t")
+    srv.lora_names = ["a.gguf", "b.gguf"]
+    srv.start()
+    app = build_app(srv, api_prefix="/llm")
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            # prefix applies to every route
+            assert (await client.get("/health")).status == 404
+            assert (await (await client.get("/llm/health")).json())["status"] == "ok"
+
+            r = await client.get("/llm/api/tags")
+            assert (await r.json())["models"][0]["name"] == "t"
+            r = await client.post("/llm/api/show", json={"model": "t"})
+            assert "general.architecture" in (await r.json())["model_info"]
+
+            r = await client.post("/llm/apply-template", json={
+                "messages": [{"role": "user", "content": "hi"}]})
+            prompt = (await r.json())["prompt"]
+            assert "hi" in prompt and len(prompt) > len("hi")
+
+            r = await client.get("/llm/lora-adapters")
+            lst = await r.json()
+            assert [a["path"] for a in lst] == ["a.gguf", "b.gguf"]
+            assert all(a["scale"] == 0.0 for a in lst)
+            r = await client.post("/llm/lora-adapters",
+                                  json=[{"id": 1, "scale": 0.5}])
+            assert (await r.json())["success"] is True
+            lst = await (await client.get("/llm/lora-adapters")).json()
+            assert lst[1]["scale"] == 0.5
+            r = await client.post("/llm/lora-adapters",
+                                  json=[{"id": 7, "scale": 1.0}])
+            assert r.status == 400
+            # clear the default mix (no adapters are actually attached to
+            # this engine, so a live default would 400 later requests)
+            await client.post("/llm/lora-adapters", json=[])
+
+            # POST /props sets generation defaults for later requests
+            r = await client.post("/llm/props", json={"max_tokens": 2})
+            assert (await r.json())["success"] is True
+            r = await client.post("/llm/v1/completions",
+                                  json={"prompt": "<t5>", "temperature": 0.0})
+            body = await r.json()
+            assert body["usage"]["completion_tokens"] <= 2
+
+            # non-v1 chat alias + ollama chat alias
+            for path in ("/llm/chat/completions", "/llm/api/chat"):
+                r = await client.post(path, json={
+                    "messages": [{"role": "user", "content": "x"}],
+                    "max_tokens": 2, "temperature": 0.0})
+                assert r.status == 200, path
+        loop.run_until_complete(run())
+    finally:
+        srv.default_lora = None
+        srv.props_defaults.clear()
+        loop.run_until_complete(client.close())
+        srv.stop()
+        loop.close()
