@@ -240,14 +240,25 @@ def _bench_8b_subprocess(budget_s: float) -> dict:
     import subprocess
     import sys as _sys
 
+    def last_line(text):
+        lines = [ln for ln in (text or "").splitlines() if ln.startswith("{")]
+        return json.loads(lines[-1]) if lines else None
+
     try:
         r = subprocess.run(
             [_sys.executable, __file__, "--leg-8b"],
             capture_output=True, text=True, timeout=budget_s,
         )
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        return json.loads(line[-1]) if line else {
+        return last_line(r.stdout) or {
             "bench_8b_error": (r.stderr[-200:] or "no output")}
+    except subprocess.TimeoutExpired as e:
+        # the child prints the Q4_K numbers as a partial line before the
+        # int8-repack section — keep them even when the budget kills it
+        got = last_line(e.stdout if isinstance(e.stdout, str)
+                        else (e.stdout or b"").decode("utf-8", "replace"))
+        got = got or {}
+        got["bench_8b_error"] = f"TimeoutExpired after {budget_s:.0f}s"
+        return got
     except Exception as e:  # keep the headline line even if the 8B leg dies
         return {"bench_8b_error": f"{type(e).__name__}: {e}"[:200]}
 

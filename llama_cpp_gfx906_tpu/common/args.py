@@ -193,7 +193,7 @@ REGISTRY: list[Flag] = [
        repeatable=True, scopes={"cli"}),
     _f(["--keep", "--n-keep"], "n_keep",
        "tokens to keep from the initial prompt on context shift",
-       type=int, default=0, scopes={"cli", "server"}),
+       type=int, default=0, scopes={"server"}),
     _f(["--special"], "special",
        "accepted for compatibility (special tokens always render in "
        "the stream)", action="store_true", scopes={"cli"}),

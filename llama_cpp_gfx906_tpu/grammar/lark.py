@@ -162,12 +162,16 @@ class _Lark:
 
     def parse(self) -> str:
         self._ws()
-        while self.i < len(self.src):
-            if self.src[self.i] == "%":
-                self._directive()
-            else:
-                self._rule()
-            self._ws()
+        try:
+            while self.i < len(self.src):
+                if self.src[self.i] == "%":
+                    self._directive()
+                else:
+                    self._rule()
+                self._ws()
+        except IndexError:  # truncated grammar: every raw index past EOF
+            raise GrammarParseError(
+                f"lark: unexpected end of grammar at pos {self.i}") from None
         missing = self.referenced - self.defined
         if missing:
             raise GrammarParseError(
@@ -358,7 +362,13 @@ class _Lark:
         if flags.replace("u", ""):
             raise GrammarParseError(
                 f"lark: regex flags {flags!r} are not supported")
-        return _RegexTr(pat).parse()
+        try:
+            return _RegexTr(pat).parse()
+        except (IndexError, ValueError) as e:
+            if isinstance(e, GrammarParseError):
+                raise
+            raise GrammarParseError(
+                f"lark: malformed regex {pat!r}: {e}") from None
 
 
 class _RegexTr:
@@ -478,7 +488,9 @@ class _RegexTr:
             if p[self.i] == "\\":
                 self.i += 1
                 got = self._escape(in_class=True)
-                if isinstance(got, list) and len(got) > 1:
+                # class shorthands (\d \w \s) contribute their ranges and
+                # cannot anchor a range; literal escapes are single cps
+                if len(got) > 1 or got[0][0] != got[0][1]:
                     ranges.extend(got)
                     continue
                 lo = got[0][0]
@@ -491,7 +503,7 @@ class _RegexTr:
                 if p[self.i] == "\\":
                     self.i += 1
                     got = self._escape(in_class=True)
-                    if isinstance(got, list) and len(got) > 1:
+                    if len(got) > 1 or got[0][0] != got[0][1]:
                         raise GrammarParseError(
                             "lark: class escape cannot be a range endpoint")
                     hi = got[0][0]

@@ -608,3 +608,37 @@ def _put_qt(qt: QuantTensor, logical: str, put_named) -> QuantTensor:
         group=qt.group,
         shape=qt.shape,
     )
+
+
+def check_params_finite(params) -> None:
+    """--check-tensors analog (reference llama_model_loader check_tensors:
+    validate tensor data while loading).  Raises ValueError naming the
+    first non-finite float tensor; quantized tensors validate their
+    scale/min planes (the payload ints are finite by construction)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.quant_matmul import QuantTensor
+
+    def leaf_arrays(path, leaf):
+        if isinstance(leaf, QuantTensor):
+            out = [(path + ".s", leaf.s)]
+            if leaf.m is not None:
+                out.append((path + ".m", leaf.m))
+            return out
+        if hasattr(leaf, "dtype") and jnp.issubdtype(
+                jnp.asarray(leaf).dtype, jnp.floating):
+            return [(path, leaf)]
+        return []
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=lambda x: isinstance(x, QuantTensor))
+    for key_path, leaf in flat:
+        name = jax.tree_util.keystr(key_path)
+        for sub, arr in leaf_arrays(name, leaf):
+            if not bool(jnp.isfinite(arr).all()):
+                bad = int(np.argmax(~np.asarray(jnp.isfinite(arr).reshape(-1))))
+                raise ValueError(
+                    f"--check-tensors: non-finite value in {sub} "
+                    f"(flat index {bad})")

@@ -63,6 +63,8 @@ class InferenceServer:
         self.default_lora: dict[int, float] | None = None
         # POST /props overrides: merged under request bodies as defaults
         self.props_defaults: dict = {}
+        self.timeout = 600  # per-token wait budget (--timeout)
+        self.default_n_keep = 0  # context-shift anchor default (--keep)
         # optional EncoderEngine (BERT family): real pooled embeddings and
         # rank-head rerank (reference: --embedding / rerank models)
         self.encoder = encoder
@@ -182,8 +184,11 @@ class InferenceServer:
                     n_keep=req.n_keep, truncate=req.truncate,
                     prompt_embeds=req.prompt_embeds, lora=req.lora,
                 )
-            except ValueError as e:
-                req.emit(("error", str(e)))
+            except Exception as e:
+                # admission failures (bad grammar incl. non-ValueError
+                # parse crashes, bad lora spec, ...) error THIS request;
+                # the loop thread must never die (reference send_error)
+                req.emit(("error", f"{type(e).__name__}: {e}"))
                 continue
             if slot is None:
                 self.deferred.append(req)
@@ -203,11 +208,16 @@ class InferenceServer:
 
     def _loop(self):
         while self.running:
-            self._admit()
-            # client-disconnect cancellation, including mid-prefill
-            for slot_id, req in list(self.by_slot.items()):
-                if req.cancelled:
-                    self._finish(self.engine.slots[slot_id])
+            try:
+                self._admit()
+                # client-disconnect cancellation, including mid-prefill
+                for slot_id, req in list(self.by_slot.items()):
+                    if req.cancelled:
+                        self._finish(self.engine.slots[slot_id])
+            except Exception:
+                log.exception("request admission failed")
+                time.sleep(0.05)
+                continue
             try:
                 results = self.engine.step()
             except Exception as e:
@@ -314,7 +324,8 @@ def build_app(srv: InferenceServer, api_key: str | None = None,
         meta: dict = {}
         try:
             while True:
-                kind, value = await asyncio.wait_for(req_obj.token_queue.get(), timeout=600)
+                kind, value = await asyncio.wait_for(
+                    req_obj.token_queue.get(), timeout=srv.timeout)
                 if kind == "error":
                     if stream:
                         await resp.write(b'data: {"error": ' + json.dumps(value).encode() + b"}\n\n")
@@ -465,7 +476,7 @@ def build_app(srv: InferenceServer, api_key: str | None = None,
             _sampler_from_body(body),
             stop,
             asyncio.get_event_loop(),
-            n_keep=int(body.get("n_keep", 0) or 0),
+            n_keep=int(body.get("n_keep", srv.default_n_keep) or 0),
             truncate=bool(body.get("truncate", True)),
             prompt_embeds=prompt_embeds,
             lora=_lora_from_body(body),
@@ -781,30 +792,54 @@ def build_app(srv: InferenceServer, api_key: str | None = None,
             state = eng.save_slot_state(slot_id)
             if slot_save_path and filename:
                 # on-disk slot files under --slot-save-path (reference
-                # server.cpp slot save endpoint); device arrays pickle as
-                # plain numpy
-                import pickle
-
-                import jax as _jax
+                # server.cpp slot save endpoint).  npz, NOT pickle: slot
+                # files must never be a code-execution vector (the
+                # reference uses a flat binary format for the same reason)
                 import numpy as _np
 
-                host_state = _jax.tree_util.tree_map(
-                    lambda x: _np.asarray(x) if hasattr(x, "shape") else x,
-                    state)
-                with open(_slot_file(filename), "wb") as f:
-                    pickle.dump(host_state, f)
+                def raw(a):  # bf16 has no numpy dtype: ship uint16 bits
+                    a = _np.asarray(a)
+                    if a.dtype.kind not in "fiu":
+                        return a.view(_np.uint16), "bfloat16"
+                    return a, str(a.dtype)
+
+                kr, kd = raw(state["k"])
+                vr, vd = raw(state["v"])
+                _np.savez(
+                    _slot_file(filename),
+                    k=kr, v=vr, k_dtype=kd, v_dtype=vd,
+                    n_past=_np.int64(state["n_past"]),
+                    prompt_ids=_np.asarray(state["prompt_ids"], _np.int64),
+                    generated=_np.asarray(state["generated"], _np.int64),
+                )
             else:
                 _saved_states[slot_id] = state
             return web.json_response({"saved": True, "n_past": state["n_past"]})
         if action == "restore":
             if slot_save_path and filename:
                 import os as _os
-                import pickle
 
-                if not _os.path.exists(_slot_file(filename)):
+                import numpy as _np
+
+                path = _slot_file(filename)
+                if not _os.path.exists(path) and _os.path.exists(path + ".npz"):
+                    path += ".npz"  # np.savez appends the suffix
+                if not _os.path.exists(path):
                     raise web.HTTPNotFound(text="no saved state file")
-                with open(_slot_file(filename), "rb") as f:
-                    state = pickle.load(f)
+                with _np.load(path, allow_pickle=False) as z:
+                    def unraw(a, dt):
+                        if str(dt) == "bfloat16":
+                            import ml_dtypes
+
+                            return a.view(ml_dtypes.bfloat16)
+                        return a
+                    state = {
+                        "k": unraw(z["k"], z["k_dtype"]),
+                        "v": unraw(z["v"], z["v_dtype"]),
+                        "n_past": int(z["n_past"]),
+                        "prompt_ids": z["prompt_ids"].tolist(),
+                        "generated": z["generated"].tolist(),
+                    }
                 eng.load_slot_state(slot_id, state)
                 return web.json_response({"restored": True})
             if slot_id not in _saved_states:
@@ -966,6 +1001,11 @@ def main(argv=None) -> int:
     cfg = config_from_gguf(reader)
     if args.rope_freq_base:
         cfg = cfg.with_(rope_base=args.rope_freq_base)
+    if args.rope_scale_factor:
+        from ..gguf.constants import RopeScalingType
+
+        cfg = cfg.with_(rope_scaling=RopeScalingType.LINEAR,
+                        rope_scale=args.rope_scale_factor)
     if args.rope_freq_scale:
         from ..gguf.constants import RopeScalingType
 
@@ -981,6 +1021,10 @@ def main(argv=None) -> int:
         tokenizer.vocab.chat_template = args.chat_template
     # LoRA hooks target per-projection weights: skip loader fusion then
     params = load_llama_params_quantized(reader, cfg, fuse=False if args.lora else None)
+    if args.check_tensors:
+        from ..runtime.weights import check_params_finite
+
+        check_params_finite(params)
     if getattr(args, "repack_int8", False):
         from ..ops.quant_matmul import repack_params_int8
 
@@ -1019,6 +1063,8 @@ def main(argv=None) -> int:
                           model_name=args.alias or args.model.rsplit("/", 1)[-1],
                           encoder=encoder, clip=clip)
     srv.lora_names = list(args.lora or [])
+    srv.timeout = max(args.timeout, 1)
+    srv.default_n_keep = args.n_keep
     srv.start()
     app = build_app(srv, api_key=args.api_key, webui=not args.no_webui,
                     slot_save_path=args.slot_save_path,

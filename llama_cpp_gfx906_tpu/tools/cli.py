@@ -65,7 +65,7 @@ def parse_kv_overrides(entries: list[str]) -> dict:
     return out
 
 
-def _generate_with_cache(eng, prompt: str, args, chain, stream):
+def _generate_with_cache(eng, prompt: str, args, chain, stream, abort=None):
     """Session-file generation: reuse the cached KV prefix when the new
     prompt extends the cached token history (tools/main session load,
     main.cpp:236-254 + prompt-prefix matching :336-348)."""
@@ -90,6 +90,8 @@ def _generate_with_cache(eng, prompt: str, args, chain, stream):
     all_ids = list(ids)
     eog = eng.tokenizer.vocab.special.eog_ids()
     for _ in range(args.n_predict):
+        if abort is not None and abort():
+            break
         tok_id = chain.sample(logits, all_ids)
         chain.accept(tok_id, is_eog=tok_id in eog)
         if tok_id in eog:
@@ -209,6 +211,10 @@ def main(argv=None) -> int:
                            swa_ring=args.swa_ring,
                            kv_overrides=kv_overrides or None,
                            cfg_overrides=cfg_overrides or None)
+    if args.check_tensors:
+        from ..runtime.weights import check_params_finite
+
+        check_params_finite(eng.params)
     for lora_path in args.lora:
         eng.apply_lora_file(lora_path, args.lora_scale)
     for cv_path in args.control_vector:
@@ -298,6 +304,8 @@ def main(argv=None) -> int:
     state = {"buf": "", "stopped": False}
 
     def stream(token_id: int):
+        if state["stopped"]:  # tokens raced in after the stop matched
+            return
         state["buf"] += tok.detokenize([token_id], special=True)
         for s in stops:
             i = state["buf"].find(s)
@@ -316,7 +324,8 @@ def main(argv=None) -> int:
     if args.grp_attn_n > 1:
         _generate_self_extend(eng, prompt, args, chain, stream, state)
     elif args.prompt_cache:
-        _generate_with_cache(eng, prompt, args, chain, stream)
+        _generate_with_cache(eng, prompt, args, chain, stream,
+                             abort=lambda: state["stopped"])
     else:
         eng.generate(prompt, n_predict=args.n_predict, sampler=chain,
                      stream_cb=stream,

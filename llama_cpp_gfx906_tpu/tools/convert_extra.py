@@ -1760,5 +1760,10 @@ def convert_hf_wavtokenizer(model, tokenizer_vocab, out_path: str,
                               f"posnet.{m.group(1)}.attn_norm.")
         arr = np.asarray(t.float().numpy() if hasattr(t, "float") else t,
                          np.float32)
-        w.add_tensor(new, arr, GGMLType.F32)
+        # honor --outtype for matrix weights; 1D norms/biases stay F32
+        # (the reference's F16 conversion rule)
+        if quant_type == GGMLType.F16 and arr.ndim >= 2:
+            w.add_tensor(new, arr.astype(np.float16), GGMLType.F16)
+        else:
+            w.add_tensor(new, arr, GGMLType.F32)
     return w.write()

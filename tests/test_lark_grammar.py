@@ -231,3 +231,23 @@ def test_engine_generation_with_lark_grammar():
         text += piece
         logits = eng.decode_one(tok)
     assert text in (b"yes", b"no")
+
+
+def test_class_shorthand_ranges():
+    """\\d inside a character class must contribute its full range
+    (regression: it collapsed to just '0')."""
+    g = lark(r'start: /[\d,]+/')
+    assert accepts(g, "5,91")
+    assert accepts(g, "007")
+    assert not accepts(g, "5a")
+    g2 = lark(r'start: /[\w.]+/')
+    assert accepts(g2, "a_9.Z")
+
+
+def test_truncated_grammar_raises_parse_error():
+    """Truncated grammars raise GrammarParseError (a ValueError), never
+    IndexError — the server's admission guard depends on it."""
+    for src in ("start", "start: (", 'start: "a', "start: x ~",
+                "start: /ab", "start: [x", 'start: "a".."', "start: /a{2/"):
+        with pytest.raises(GrammarParseError):
+            lark_to_gbnf(src)

@@ -635,6 +635,16 @@ def test_unsatisfiable_grammar_errors_and_server_survives(server_client):
         assert r.status != 200
         assert "acceptable" in (await r.text())
 
+        # a truncated lark grammar errors at admission (GrammarParseError,
+        # never a loop-killing IndexError)
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": "<t9>", "max_tokens": 2,
+                  "grammar": "%llguidance {}\nstart"},
+        )
+        assert r.status != 200
+        assert "lark" in (await r.text())
+
         # the loop survived: a normal request still completes
         r = await client.post(
             "/v1/completions",
@@ -690,7 +700,8 @@ def test_webui_gate_and_slot_save_path(tiny_gguf, batched, tmp_path):
             r = await client.post("/slots/0?action=save",
                                   json={"filename": "s0.bin"})
             assert (await r.json())["saved"] is True
-            assert (tmp_path / "s0.bin").exists()
+            import os
+            assert any(f.startswith("s0.bin") for f in os.listdir(tmp_path))
             r = await client.post("/slots/0?action=restore",
                                   json={"filename": "s0.bin"})
             assert (await r.json())["restored"] is True

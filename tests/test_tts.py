@@ -214,7 +214,7 @@ def test_wavtokenizer_hf_converter_roundtrip(tmp_path):
         "convnext": {"n_embd": D, "n_layer": 2},
     }))
 
-    out = convert_hf_auto(hf_dir, str(tmp_path / "conv.gguf"))
+    out = convert_hf_auto(hf_dir, str(tmp_path / "conv.gguf"), outtype="f32")
     r2 = GGUFReader(out)
     cfg2 = wtk.config_from_gguf(r2)
     assert (cfg2.n_embd, cfg2.n_features) == (cfg.n_embd, cfg.n_features)
@@ -224,3 +224,11 @@ def test_wavtokenizer_hf_converter_roundtrip(tmp_path):
     a = np.asarray(wtk.forward(params, cfg, codes))
     b = np.asarray(wtk.forward(params2, cfg2, codes))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    # --outtype f16 is honored for matrix weights (1D stays f32)
+    out16 = convert_hf_auto(hf_dir, str(tmp_path / "conv16.gguf"), outtype="f16")
+    r16 = GGUFReader(out16)
+    assert r16.tensors["token_embd.weight"].ggml_type == GGMLType.F16
+    assert r16.tensors["output_norm.weight"].ggml_type == GGMLType.F32
+    c = np.asarray(wtk.forward(wtk.load_params(r16, cfg2), cfg2, codes))
+    np.testing.assert_allclose(a, c, rtol=1e-2, atol=1e-2)
