@@ -335,3 +335,49 @@ def test_convert_llama_ggml(f16_gguf, tmp_path):
     legacy2.write_bytes(bytes(buf2))
     with pytest.raises(ValueError, match="GGJT"):
         cg.convert(str(legacy2), str(tmp_path / "nope.gguf"))
+
+
+def test_server_bench_script(f16_gguf):
+    """scripts/server_bench.py (reference scripts/server-bench.py analog):
+    spawns a server, fires concurrent streamed requests, reports
+    TTFT/throughput JSON."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    r = subprocess.run(
+        [sys.executable, "scripts/server_bench.py", "-m", f16_gguf,
+         "--spawn", "--platform", "cpu", "--port", str(port),
+         "--n-prompts", "4", "--n-predict", "4", "--parallel", "2",
+         "--prompt-length-min", "3", "--prompt-length-max", "6"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = json.loads(r.stdout.splitlines()[-1])
+    assert out["n_prompts"] == 4
+    assert out["gen_tokens"] > 0 and out["gen_tok_s"] > 0
+    assert out["ttft_p95_ms"] >= out["ttft_p50_ms"] >= 0
+
+
+def test_compare_bench_script(tmp_path):
+    """scripts/compare_bench.py (compare-llama-bench.py analog)."""
+    import subprocess
+    import sys
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    row = {"model": "m", "arch": "llama", "test": "tg64", "batch": 1,
+           "kv": "bf16", "weights": "quant", "t/s": 100.0, "stdev": 1.0}
+    a.write_text(json.dumps(row) + "\n")
+    row2 = dict(row, **{"t/s": 120.0})
+    b.write_text(json.dumps(row2) + "\n")
+    r = subprocess.run(
+        [sys.executable, "scripts/compare_bench.py", str(a), str(b),
+         "-o", "json"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out[0]["speedup"] == 1.2
