@@ -251,3 +251,45 @@ def test_truncated_grammar_raises_parse_error():
                 "start: /ab", "start: [x", 'start: "a".."', "start: /a{2/"):
         with pytest.raises(GrammarParseError):
             lark_to_gbnf(src)
+
+
+def test_regex_translation_fuzz_vs_re():
+    """Deterministic fuzz: random regexes from the supported subset must
+    accept exactly the strings Python's re.fullmatch accepts."""
+    import random
+    import re as pyre
+
+    rng = random.Random(7)
+    ATOMS = ["a", "b", "c", "0", "1", r"\d", r"\w", "[ab]", "[^a]",
+             "[a-c]", "[0-9a-f]", "."]
+    QUANTS = ["", "*", "+", "?", "{2}", "{1,3}"]
+
+    def gen_seq(depth):
+        n = rng.randint(1, 3)
+        parts = []
+        for _ in range(n):
+            if depth < 2 and rng.random() < 0.25:
+                alts = [gen_seq(depth + 1) for _ in range(rng.randint(1, 2))]
+                # an unbounded quantifier around a possibly-empty group
+                # (e.g. "(a*)*") loops the PDA — true for the reference
+                # GBNF engine too, so the fuzzer doesn't generate it
+                atom = "(" + "|".join(alts) + ")"
+            else:
+                atom = rng.choice(ATOMS) + rng.choice(QUANTS)
+            parts.append(atom)
+        return "".join(parts)
+
+    alphabet = "abc019f_-\n"
+    for trial in range(60):
+        pat = gen_seq(0)
+        try:
+            compiled = pyre.compile(pat)
+        except pyre.error:
+            continue
+        g = lark(f"start: /{pat}/")
+        for _ in range(25):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 6)))
+            want = compiled.fullmatch(s) is not None
+            got = accepts(g, s)
+            assert got == want, (pat, s, want, got)
