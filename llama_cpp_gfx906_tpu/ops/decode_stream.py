@@ -44,9 +44,12 @@ from .decode_step import NEG_INF, _act_f32, _int8_qt
 _DISABLE_STREAM = os.environ.get("LCG_NO_STREAM_DECODE", "0") == "1"
 
 # streamed chunk geometry: (TK, TN) int8 chunks double-buffer in VMEM.
-# TK×TN int8 = 1 MB/chunk at (2048, 512); dequant temps stay ≤2 MB.
+# TK×TN int8 = 512 KB/chunk at (1024, 512); the f32 dequant temps
+# (scale-expand + product before the bf16 cast) dominate the budget at
+# ~2 MB each — with the 4 MB KV double-buffers everything stays well
+# inside v5e's 16 MB VMEM
 _TN_CAPS = (512, 256, 128)
-_TK_CAPS = (2048, 1024, 512, 256)
+_TK_CAPS = (1024, 512, 256)
 
 
 def _pick(caps, dim, mult=1):
