@@ -275,7 +275,38 @@ def _enable_compile_cache() -> None:
         pass  # older jax or unsupported backend: cache is best-effort
 
 
+def _device_guard() -> None:
+    """Fail FAST with a parseable line if the accelerator is unreachable.
+
+    ``jax.devices()`` on a wedged axon tunnel blocks forever; probing in a
+    killable child turns an unbounded hang into an error record.  Skipped
+    on forced-CPU runs."""
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("BENCH_PLATFORM") == "cpu":
+        return
+    budget = float(os.environ.get("BENCH_DEVICE_PROBE_S", "600"))
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=budget,
+        )
+        if r.returncode == 0:
+            return
+        err = (r.stderr or b"").decode("utf-8", "replace")[-160:]
+    except subprocess.TimeoutExpired:
+        err = f"device init unresponsive after {budget:.0f}s"
+    print(json.dumps({
+        "metric": "decode_tok_s_gemma3_270m_shape_q8_0_single_stream",
+        "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+        "bench_error": f"accelerator unavailable: {err}",
+    }))
+    raise SystemExit(0)
+
+
 def main() -> None:
+    _device_guard()
     import jax
     import jax.numpy as jnp
 
