@@ -139,6 +139,9 @@ class BatchedEngine:
         draft: tuple | None = None,  # (draft_cfg, draft_params) — draft-model
         # speculation (reference: server.cpp:3656-3755); must share the vocab
         kv_cache_dtype=None,  # "q8" for int8 KV (llama.h type_k/type_v)
+        prefill_budget: int | None = None,  # prompt tokens prefilled per
+        # engine step ACROSS slots (reference n_batch); None → every
+        # prefilling slot advances one chunk (n_chunk × n_slots)
     ):
         self.cfg = cfg
         self.params = params
@@ -150,6 +153,8 @@ class BatchedEngine:
         self.spec_ngram = spec_ngram
         self.n_draft = n_draft
         self.n_chunk = n_chunk
+        self.prefill_budget = (prefill_budget if prefill_budget is not None
+                               else max(n_chunk, 1) * max(n_slots, 1))
         self.ctx_shift = ctx_shift
         self._prefill_rr = 0  # round-robin cursor over PREFILLING slots
         self.draft = draft
@@ -305,11 +310,17 @@ class BatchedEngine:
             return slot_put(k, k2), slot_put(v, v2)
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
-        def _prefill_suffix_embeds(params, cfg, kv_k, kv_v, embeds, n_tokens, slot, n_match, gain=None):
+        def _prefill_suffix_embeds(params, cfg, kv_k, kv_v, embeds, n_tokens,
+                                   slot, n_match, gain=None,
+                                   shared_k=None, shared_v=None):
             """Chunked prefill from precomputed embeddings (server vision
-            API: image features spliced into the prompt — mtmd chunks)."""
+            API: image features spliced into the prompt — mtmd chunks).
+            Threads the shared system-prompt segment like the token path —
+            prefilling without it would rope this slot's rows offset from
+            the positions decode later uses."""
             kv1 = KVCache(_tree_slot_slice(kv_k, slot), _tree_slot_slice(kv_v, slot),
-                          jnp.full((1,), n_match, jnp.int32))
+                          jnp.full((1,), n_match, jnp.int32),
+                          shared_k=shared_k, shared_v=shared_v)
             tokens = jnp.zeros(embeds.shape[:2], jnp.int32)
             logits, kv1 = forward(params, cfg, tokens, kv1, n_tokens, embeds=embeds,
                                   lora_gain=gain)
@@ -487,11 +498,15 @@ class BatchedEngine:
             # generate
             room = max(1, min(n_predict, self.max_seq // 4))
             target = self.max_seq - room
-            head = prompt_ids[:n_keep]
-            tail = prompt_ids[-(target - n_keep):]
+            # clamp n_keep below the target (reference server clamps the
+            # same way) — n_keep >= target would wrap the tail slice and
+            # yield a "truncated" prompt longer than max_seq
+            keep = min(n_keep, max(target - 1, 0))
+            head = prompt_ids[:keep]
+            tail = prompt_ids[-(target - keep):]
             n_truncated = len(prompt_ids) - len(head) - len(tail)
             prompt_ids = head + tail
-            n_match = min(n_match, n_keep)
+            n_match = min(n_match, keep)
         elif len(prompt_ids) + n_predict > self.max_seq and not self.ctx_shift:
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) + n_predict ({n_predict}) > max_seq {self.max_seq}"
@@ -537,7 +552,7 @@ class BatchedEngine:
         concurrent prompt load).  Completed prompts sample their first
         token and flip to GENERATING."""
         out: list[tuple[Slot, int, bool]] = []
-        budget = max(self.n_chunk, 1) * max(len(self.slots), 1)
+        budget = self.prefill_budget
         start = self._prefill_rr
         self._prefill_rr += 1
         slots_round = [s for s in self.slots if s.state == SlotState.PREFILLING]
@@ -572,6 +587,7 @@ class BatchedEngine:
                 self.params, self.cfg, self.kv.k, self.kv.v, jnp.asarray(emb),
                 jnp.asarray([ns], jnp.int32), jnp.asarray(slot.id, jnp.int32),
                 jnp.asarray(slot.n_past, jnp.int32), self._gain_row(slot.id),
+                self.kv.shared_k, self.kv.shared_v,
             )
         else:
             toks = np.zeros((1, padded), np.int32)
@@ -676,9 +692,19 @@ class BatchedEngine:
             "top": [(int(t), float(logp[t])) for t in top_idx],
         })
 
-    def _sample_host(self, logits: np.ndarray, prev: list[int], sc: SamplerConfig) -> int:
+    def _sample_host(self, logits: np.ndarray, prev: list[int],
+                     sc: SamplerConfig, n_pos: int | None = None) -> int:
         from ..sampling.samplers import SamplerChain, SamplerParams
 
+        # a fresh chain per token must NOT reuse the request's fixed seed
+        # verbatim — every position would draw the same uniform and seeded
+        # sampling degenerates to fixed-quantile picking; mix the absolute
+        # position in (deterministic per (seed, position), like the
+        # reference's per-sample rng advance)
+        seed = sc.seed if sc.seed is not None else 0xFFFFFFFF
+        if seed != 0xFFFFFFFF:
+            pos = len(prev) if n_pos is None else n_pos
+            seed = (seed + pos * 0x9E3779B1) & 0xFFFFFFFE
         chain = SamplerChain(
             SamplerParams(
                 temp=sc.temp,
@@ -687,7 +713,7 @@ class BatchedEngine:
                 min_p=sc.min_p,
                 penalty_repeat=sc.penalty_repeat,
                 greedy=sc.temp <= 0,
-                seed=sc.seed if sc.seed is not None else 0xFFFFFFFF,
+                seed=seed,
             ),
             self.cfg.n_vocab,
         )
@@ -726,12 +752,16 @@ class BatchedEngine:
                     self._maybe_shift(s)
         if any(s.chain is not None or s.sampler.n_probs > 0 for s in active):
             return results + self._step_mixed(active)
+        # the (B, 1+K) verify forward writes K+1 rows at EVERY slot's
+        # n_past; a PREFILLING (or idle-with-cache) slot near max_seq would
+        # get its dynamic_update_slice start clamped backwards and its live
+        # prompt rows overwritten — all rows must have K+1 rows of headroom
+        spec_safe = all(
+            s.n_past + 1 + self.n_draft < self.max_seq for s in self.slots)
         if (
             self.draft is not None
-            and all(
-                s.n_past + 1 + self.n_draft < self.max_seq and s.n_shifted == 0
-                for s in active
-            )
+            and spec_safe
+            and all(s.n_shifted == 0 for s in active)
         ):
             return results + self._step_spec_draft(active)
         if (
@@ -743,7 +773,7 @@ class BatchedEngine:
                 s.sampler.temp <= 0 and s.sampler.penalty_repeat == 1.0
                 for s in active
             )
-            and all(s.n_past + 1 + self.n_draft < self.max_seq for s in active)
+            and spec_safe
         ):
             return results + self._step_speculative(active)
         t0 = time.perf_counter()
@@ -868,7 +898,8 @@ class BatchedEngine:
             accepted: list[int] = []
             for i, dt in enumerate(d):
                 tok_i = self._sample_host(
-                    logits[s.id, i], (prev + accepted)[-RECENT:], s.sampler
+                    logits[s.id, i], (prev + accepted)[-RECENT:], s.sampler,
+                    n_pos=len(prev) + len(accepted),
                 )
                 if tok_i != dt:
                     accepted.append(tok_i)  # target's correction, always kept
@@ -878,7 +909,8 @@ class BatchedEngine:
             else:
                 accepted.append(
                     self._sample_host(
-                        logits[s.id, K], (prev + accepted)[-RECENT:], s.sampler
+                        logits[s.id, K], (prev + accepted)[-RECENT:], s.sampler,
+                        n_pos=len(prev) + len(accepted),
                     )
                 )
             self.metrics["n_spec_drafted"] += len(d)
@@ -1028,7 +1060,9 @@ class BatchedEngine:
                         tok = s.chain.sample(sel_logits[row], prev)
                         s.chain.accept(tok, is_eog=tok in eog)
                     else:
-                        tok = self._sample_host(sel_logits[row], prev, s.sampler)
+                        tok = self._sample_host(
+                            sel_logits[row], prev, s.sampler,
+                            n_pos=len(s.prompt_ids) + len(s.generated))
                 except Exception as e:  # grammar dead-end etc: fail THIS slot
                     s.stop_reason = "error"
                     s.error_msg = f"{type(e).__name__}: {e}"
@@ -1067,6 +1101,10 @@ class BatchedEngine:
 
     def save_slot_state(self, slot_id: int) -> dict:
         """Export a slot's KV rows + bookkeeping (llama_state_seq_get_data)."""
+        if not isinstance(self.kv.k, jnp.ndarray):
+            raise NotImplementedError(
+                "slot save/restore with a quantized (q8) KV cache is not "
+                "supported — use bf16 KV for slot state files")
         s = self.slots[slot_id]
         n = s.n_past
         return {
@@ -1079,6 +1117,10 @@ class BatchedEngine:
 
     def load_slot_state(self, slot_id: int, state: dict):
         """Import a previously saved sequence into a slot."""
+        if not isinstance(self.kv.k, jnp.ndarray):
+            raise NotImplementedError(
+                "slot save/restore with a quantized (q8) KV cache is not "
+                "supported — use bf16 KV for slot state files")
         n = int(state["n_past"])
         pad = self.max_seq - n
         new_k = jnp.pad(jnp.asarray(state["k"]), ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
@@ -1086,6 +1128,9 @@ class BatchedEngine:
         self.kv = KVCache(
             *self._insert(self.kv.k, self.kv.v, new_k, new_v, slot_id),
             n_past=self.kv.n_past,
+            # the engine-wide shared system-prompt segment must survive a
+            # per-slot restore
+            shared_k=self.kv.shared_k, shared_v=self.kv.shared_v,
         )
         s = self.slots[slot_id]
         # a state captured from an idle/released slot restores as idle
@@ -1097,3 +1142,8 @@ class BatchedEngine:
         s.n_past = n
         s.current_token = history[-1] if history else 0
         self.n_past_host[slot_id] = n
+        # repetition-penalty window reflects the restored history
+        self.recent[slot_id] = -1
+        if history:
+            tail = history[-RECENT:]
+            self.recent[slot_id, -len(tail):] = tail

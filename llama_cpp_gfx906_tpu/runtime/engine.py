@@ -133,17 +133,25 @@ class Engine:
         from ..models.registry import get_family
 
         if progress_callback is not None:
-            total = max(len(reader.tensors), 1)
+            # fraction by BYTES uploaded: loaders upload one stacked layer
+            # group per put call, so call counts would sit near zero then
+            # jump — byte fractions track the actual transfer
+            total_bytes = max(
+                sum(t.n_bytes for t in reader.tensors.values()), 1)
             inner = device_put_fn
-            seen = {"n": 0}
+            seen = {"bytes": 0}
 
             def device_put_fn(arr, name, _inner=inner):  # noqa: F811
-                seen["n"] += 1
-                if progress_callback(min(seen["n"] / total, 1.0)) is False:
+                seen["bytes"] += getattr(arr, "nbytes", 0)
+                if progress_callback(min(seen["bytes"] / total_bytes, 1.0)) is False:
                     raise ModelLoadCancelled(
-                        f"model load cancelled at tensor {name!r} "
-                        f"({seen['n']}/{total})")
+                        f"model load cancelled at tensor {name!r}")
                 return _inner(arr, name) if _inner is not None else jnp.asarray(arr)
+
+            # a pure progress wrapper must not change the weight layout
+            # (weights.py defaults fuse=False for sharding device_put_fns)
+            if inner is None:
+                device_put_fn.keep_fused = True
 
         params = get_family(cfg).load_params(
             reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
@@ -184,8 +192,13 @@ class Engine:
     def set_n_past(self, n: int):
         """Rewind (or advance) the sequence position — KV rows beyond ``n``
         become dead and are overwritten by subsequent writes (the analog of
-        ``llama_memory_seq_rm`` tail removal for speculative rollback)."""
-        self.kv = KVCache(self.kv.k, self.kv.v, jnp.full((self.batch_size,), n, jnp.int32))
+        ``llama_memory_seq_rm`` tail removal for speculative rollback).
+        Works on every cache family (iSWA ring, quantized, hybrid) and
+        preserves self-extend position state."""
+        import dataclasses
+
+        self.kv = dataclasses.replace(
+            self.kv, n_past=jnp.full((self.batch_size,), n, jnp.int32))
 
     @property
     def n_past(self) -> int:

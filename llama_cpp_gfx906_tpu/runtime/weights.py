@@ -591,7 +591,9 @@ def load_llama_params_quantized(
             arrs = [a if a is not None else np.zeros_like(present[0]) for a in arrs]
             layers[key] = put_named(np.stack(_pad_ragged(arrs)), f"layers.{key}")
     if fuse is None:
-        fuse = device_put_fn is None
+        # sharding loaders place per-projection shards (fusion would break
+        # their pspecs); progress-only wrappers mark keep_fused
+        fuse = device_put_fn is None or getattr(device_put_fn, "keep_fused", False)
     if fuse:
         layers = fuse_projections(layers)
     params["layers"] = layers
