@@ -121,12 +121,18 @@ def _flash_kernel(
     @pl.when(ki == n_k - 1)
     def _():
         denom = l_ref[:, 0:1]
+        acc = acc_ref[:]
         if has_sinks:
-            # gpt-oss sinks: the per-head sink logit joins the softmax
-            # denominator (flash_attn_ext_add_sinks analog)
-            denom = denom + jnp.exp(sink_ref[h_id, 0] - m_ref[:, 0:1])
+            # gpt-oss sinks: the per-head sink logit joins the softmax —
+            # folded INTO the running max (like the einsum oracle) so
+            # exp(sink - m) cannot overflow when every live score is far
+            # below the sink
+            m_new = jnp.maximum(m_ref[:, 0:1], sink_ref[h_id, 0])
+            alpha = jnp.exp(m_ref[:, 0:1] - m_new)
+            denom = denom * alpha + jnp.exp(sink_ref[h_id, 0] - m_new)
+            acc = acc * alpha
         denom = jnp.maximum(denom, 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
 
 
 @functools.partial(

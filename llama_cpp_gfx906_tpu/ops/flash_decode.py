@@ -138,9 +138,15 @@ def _decode_kernel(
     @pl.when(j == n_k - 1)
     def _():
         denom = l_ref[0:1, :]  # (1, Hkv·LANES)
+        acc = acc_ref[:]
         if has_sinks:
-            denom = denom + jnp.exp(sinks_ref[0:1, :] - m_ref[0:1, :])
-        o_ref[0] = (acc_ref[:] / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+            # fold the sink into the running max (oracle behavior) so
+            # exp(sink - m) cannot overflow at very negative live scores
+            m_new = jnp.maximum(m_ref[0:1, :], sinks_ref[0:1, :])
+            alpha = jnp.exp(m_ref[0:1, :] - m_new)
+            denom = denom * alpha + jnp.exp(sinks_ref[0:1, :] - m_new)
+            acc = acc * alpha
+        o_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -176,25 +182,24 @@ def _flash_decode_call(
     G = _LANES // max(T, 1)
     L = Hkv * _LANES
 
-    def kv_index(b, j, npast_ref, win_ref):
+    def _live_block(b, j, npast_ref, win_ref):
         # clamp dead blocks to the live frontier: repeated indices make
-        # Mosaic skip the HBM fetch, so traffic follows n_past
+        # Mosaic skip the HBM fetch, so traffic follows n_past.  ONE
+        # definition — the K/V fetch and the scale fetch must never
+        # desynchronize
         hi = (npast_ref[b] + T - 1) // block_k
         lo = jnp.where(
             win_ref[0] > 0,
             jnp.maximum(npast_ref[b] + 1 - win_ref[0], 0) // block_k,
             0,
         )
-        return (b, jnp.clip(j, lo, hi), 0, 0)
+        return jnp.clip(j, lo, hi)
+
+    def kv_index(b, j, npast_ref, win_ref):
+        return (b, _live_block(b, j, npast_ref, win_ref), 0, 0)
 
     def sc_index(b, j, npast_ref, win_ref):
-        hi = (npast_ref[b] + T - 1) // block_k
-        lo = jnp.where(
-            win_ref[0] > 0,
-            jnp.maximum(npast_ref[b] + 1 - win_ref[0], 0) // block_k,
-            0,
-        )
-        return (b, jnp.clip(j, lo, hi), 0)
+        return (b, _live_block(b, j, npast_ref, win_ref), 0)
 
     in_specs = [
         pl.BlockSpec(

@@ -76,7 +76,7 @@ jax.tree_util.register_dataclass(
 def _grid_q8_0(b):
     d = Q._f16(b[:, 0:2])
     q = b[:, 2:34].copy().view(np.int8)
-    return q, d.repeat(1, axis=1), None, 32
+    return q, d, None, 32
 
 
 def _grid_q4_0(b):
@@ -483,6 +483,19 @@ def _pick_tiles(M: int, K: int, N: int, group: int) -> tuple[int, int, int]:
     return TM, TN, TK
 
 
+def _pallas_tileable(fmt: str, group: int, shape: tuple, n_packed: int) -> bool:
+    """Can the Pallas kernels cover this weight exactly?  The grids floor-
+    divide, so a padded-N not divisible by the smallest N tile would leave
+    the tail columns UNWRITTEN (uninitialized output) — such shapes take
+    the XLA dequant-dot instead."""
+    K = shape[0]
+    if n_packed % 128 != 0:
+        return False
+    K_eff = K // 2 if fmt == "nib4" else K  # nib4 kernels tile the halves
+    tk = next((t for t in (512, 256) if K_eff % t == 0 and t >= 8 * group), K_eff)
+    return tk != K_eff or K_eff <= 8192
+
+
 def pad_qt_n(qt: QuantTensor, multiple: int = 2048) -> QuantTensor:
     """Zero-pad the output dim to ``multiple`` so the kernel gets wide
     (2048-lane) N tiles.  128256-vocab heads otherwise fall back to
@@ -540,6 +553,9 @@ def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
         TKh = next(
             (t for t in (512, 256) if Kh % t == 0 and t >= 8 * group), Kh
         )
+        if TKh == Kh and Kh > 8192:
+            raise ValueError(
+                f"quant_matmul: no valid K tiling for nib4 Kh={Kh}, group={group}")
         n_k = Kh // TKh
         # pre-split x columns and scale rows so every kernel operand block is
         # either (8,128)-aligned or spans its full array
@@ -597,6 +613,9 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, use_pallas: bool | None = None
         else:
             M = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
             use_pallas = M > 8 or qt.shape[0] * qt.shape[1] >= (1 << 23)
+    if use_pallas and not _pallas_tileable(qt.fmt, qt.group, qt.shape,
+                                           qt.q.shape[-1]):
+        use_pallas = False
     if not use_pallas:
         return quant_matmul_xla(x, qt)
     return _quant_matmul_pallas(
@@ -818,6 +837,9 @@ def routed_quant_matmul(
     block DMAs), gather-dequant XLA path elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas and not _pallas_tileable(qt.fmt, qt.group, qt.shape,
+                                           qt.q.shape[-1]):
+        use_pallas = False  # grid would floor away the N tail (see helper)
     if not use_pallas:
         return routed_quant_matmul_xla(x, qt, idx)
     return _routed_qmm_pallas(

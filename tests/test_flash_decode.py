@@ -125,3 +125,21 @@ def test_decode_respects_n_past_isolation():
         np.asarray(out1, np.float32), np.asarray(out2, np.float32),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_decode_sinks_dominant_no_overflow():
+    """When every live score sits far below the sink logit, exp(sink - m)
+    must not overflow — the sink folds into the running max (regression:
+    denominator hit inf and the head collapsed to zeros)."""
+    B, T, Hq, Hkv, D, S = 1, 1, 2, 1, 64, 128
+    k_row = RNG.standard_normal((1, 1, Hkv, D)).astype(np.float32)
+    # queries anti-aligned with every key → scores ≈ -200 after scaling
+    kv = np.tile(k_row[:, 0:1], (1, S, 1, 1)).astype(np.float32)
+    q = jnp.asarray(-np.tile(k_row, (1, T, Hq // Hkv, 1)) * 30, jnp.float32)
+    sinks = jnp.asarray(np.zeros(Hq, np.float32))  # sink at 0 >> scores
+    n_past = jnp.asarray([100], jnp.int32)
+    ref, got = oracle_and_kernel(
+        q, jnp.asarray(k_row.repeat(T, 1)), jnp.asarray(k_row.repeat(T, 1)),
+        jnp.asarray(kv), jnp.asarray(kv), n_past, sinks=sinks)
+    assert np.isfinite(got).all()
+    assert_close(ref, got)

@@ -175,3 +175,27 @@ def test_repack_params_tree():
     assert out["a"].fmt == "int8" and out["a"].q.shape[-2] == qt.shape[0]
     assert out["b"] is q8  # already int8: untouched
     assert out["c"] is tree["c"]
+
+
+def test_untileable_n_falls_back_to_xla():
+    """N not divisible by 128 cannot be covered by the Pallas grids (they
+    floor-divide tiles — the tail columns would come back uninitialized);
+    the dispatcher must route such weights to the XLA path even when
+    Pallas is requested (regression: falcon-7b's 4672-wide fused qkv)."""
+    from llama_cpp_gfx906_tpu.gguf import GGMLType, dequantize, quantize
+    from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
+
+    rng = np.random.default_rng(0)
+    K, N = 256, 192  # 192 % 128 != 0
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    qt = qmm.pack_gguf_tensor(quantize(w, GGMLType.Q8_0), GGMLType.Q8_0, (N, K))
+    assert not qmm._pallas_tileable(qt.fmt, qt.group, qt.shape, qt.q.shape[-1])
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    got = np.asarray(qmm.quant_matmul(x, qt, use_pallas=True), np.float32)
+    ref = np.asarray(x, np.float32) @ dequantize(
+        quantize(w, GGMLType.Q8_0), GGMLType.Q8_0, (N, K)).T
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    # tileable shapes still qualify for the kernels
+    assert qmm._pallas_tileable("int8", 32, (256, 256), 256)
+    assert qmm._pallas_tileable("nib4", 32, (512, 1024), 1024)
+    assert not qmm._pallas_tileable("int8", 32, (9000, 256), 256)  # K untileable
