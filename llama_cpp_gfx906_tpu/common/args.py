@@ -193,13 +193,57 @@ REGISTRY: list[Flag] = [
        repeatable=True, scopes={"cli"}),
     _f(["--keep", "--n-keep"], "n_keep",
        "tokens to keep from the initial prompt on context shift",
-       type=int, default=0, scopes={"server"}),
+       type=int, default=0, scopes={"cli", "server"}),
     _f(["--special"], "special",
        "accepted for compatibility (special tokens always render in "
        "the stream)", action="store_true", scopes={"cli"}),
     _f(["--no-warmup"], "no_warmup",
        "accepted for compatibility (no warmup run is performed)",
        action="store_true", scopes={"cli", "embedding"}),
+    # ---- interactive / conversation (tools/main REPL surface) -------------
+    _f(["-i", "--interactive"], "interactive",
+       "interactive mode: control returns to the user at EOG / reverse "
+       "prompts / the -n limit", action="store_true", scopes={"cli"}),
+    _f(["-if", "--interactive-first"], "interactive_first",
+       "interactive mode, waiting for user input before generating",
+       action="store_true", scopes={"cli"}),
+    _f(["-cnv", "--conversation"], "conversation",
+       "chat through the model's template (implies interactive; -p / -sys "
+       "becomes the system prompt).  Auto-enabled on a TTY when the model "
+       "ships a chat template", action="store_true", scopes={"cli"}),
+    _f(["-no-cnv", "--no-conversation"], "no_conversation",
+       "force plain completion even when a chat template exists",
+       action="store_true", scopes={"cli"}),
+    _f(["-st", "--single-turn"], "single_turn",
+       "conversation mode: answer one user turn, then exit",
+       action="store_true", scopes={"cli"}),
+    _f(["--in-prefix"], "in_prefix",
+       "string prepended to every user input (plain interactive mode)",
+       default="", scopes={"cli"}),
+    _f(["--in-suffix"], "in_suffix",
+       "string appended after every user input (plain interactive mode)",
+       default="", scopes={"cli"}),
+    _f(["--in-prefix-bos"], "in_prefix_bos",
+       "prefix a BOS token to user input", action="store_true",
+       scopes={"cli"}),
+    _f(["-mli", "--multiline-input"], "multiline_input",
+       "start input in multiline mode (a lone trailing \\ toggles; in "
+       "multiline mode Enter inserts a newline)", action="store_true",
+       scopes={"cli"}),
+    _f(["-co", "--color"], "color",
+       "ANSI colors: prompt dim, user input bold, generation green",
+       action="store_true", scopes={"cli"}),
+    _f(["--verbose-prompt"], "verbose_prompt",
+       "print the tokenized prompt (id -> piece) to stderr before "
+       "generating", action="store_true", scopes={"cli"}),
+    _f(["--prompt-cache-all"], "prompt_cache_all",
+       "also cache generated tokens in the --prompt-cache session file",
+       action="store_true", scopes={"cli"}),
+    _f(["--prompt-cache-ro"], "prompt_cache_ro",
+       "use the --prompt-cache session file read-only",
+       action="store_true", scopes={"cli"}),
+    _f(["-sysf", "--system-prompt-file"], "system_prompt_file",
+       "read the system prompt from a file", scopes={"cli"}),
     # ---- long context -----------------------------------------------------
     _f(["--rope-scale"], "rope_scale_factor",
        "RoPE context scaling factor N (positions compressed N-fold)",

@@ -88,6 +88,10 @@ def _generate_with_cache(eng, prompt: str, args, chain, stream, abort=None):
     tail = ids[n_match:]
     logits = eng.prefill(tail) if n_match == 0 else eng.decode_chunk(tail)[-1]
     all_ids = list(ids)
+    ro = getattr(args, "prompt_cache_ro", False)
+    if not ro:
+        # prompt-eval state saved immediately (main.cpp need_to_save_session)
+        eng.save_state(args.prompt_cache, all_ids)
     eog = eng.tokenizer.vocab.special.eog_ids()
     for _ in range(args.n_predict):
         if abort is not None and abort():
@@ -99,7 +103,9 @@ def _generate_with_cache(eng, prompt: str, args, chain, stream, abort=None):
         all_ids.append(tok_id)
         stream(tok_id)
         logits = eng.decode_one(tok_id)
-    eng.save_state(args.prompt_cache, all_ids)
+    if not ro and getattr(args, "prompt_cache_all", False):
+        # --prompt-cache-all: generated tokens join the session file
+        eng.save_state(args.prompt_cache, all_ids)
 
 
 def _generate_self_extend(eng, prompt: str, args, chain, stream, state):
@@ -136,6 +142,210 @@ def _generate_self_extend(eng, prompt: str, args, chain, stream, state):
         stream(tok_id)
         logits = eng.decode_one(tok_id)
         n_p += 1
+
+
+def _read_user_input(multiline: bool) -> str | None:
+    """console.cpp readline analog: Enter submits; a line ending in ``\\``
+    toggles multiline mode (where Enter inserts a newline and a trailing
+    ``\\`` submits).  Returns None on EOF with no pending input."""
+    lines: list[str] = []
+    ml = multiline
+    while True:
+        try:
+            line = input()
+        except EOFError:
+            return "\n".join(lines) if lines else None
+        if line.endswith("\\"):
+            lines.append(line[:-1])
+            ml = not ml
+            if not ml:
+                return "\n".join(lines)
+        else:
+            lines.append(line)
+            if not ml:
+                return "\n".join(lines)
+
+
+def _dump_tokens(tok, ids):
+    """--verbose-prompt: id -> piece table on stderr (main.cpp analog)."""
+    for t in ids:
+        piece = tok.detokenize([t], special=True)
+        sys.stderr.write(f"{t:>8} -> {piece!r}\n")
+
+
+def _interactive_main(eng, args, chain, prompt, stops, conv: bool) -> int:
+    """The tools/main interactive / conversation REPL: generate until EOG /
+    a reverse prompt / the -n limit, then return control to the user; feed
+    their input (with --in-prefix/--in-suffix, or through the chat template
+    in conversation mode) and continue (main.cpp interactive loop)."""
+    tok = eng.tokenizer
+    eog = set(tok.vocab.special.eog_ids())
+    use_color = args.color
+    C_PROMPT = "\033[2m" if use_color else ""
+    C_GEN = "\033[32m" if use_color else ""
+    C_USER = "\033[1m" if use_color else ""
+    C_RST = "\033[0m" if use_color else ""
+
+    tpl = None
+    if conv:
+        tpl = args.chat_template or tok.vocab.chat_template
+        if args.chat_template_file:
+            with open(args.chat_template_file, encoding="utf-8") as f:
+                tpl = f.read()
+
+    from ..chat import render_chat_template
+
+    def render(msgs, gen):
+        return render_chat_template(tpl, msgs, add_generation_prompt=gen)
+
+    chat: list[dict] = []
+    all_ids: list[int] = []
+    n_keep = getattr(args, "n_keep", 0) or 0
+
+    # ---- initial context ---------------------------------------------------
+    if conv:
+        # -p / -sys is the system prompt in conversation mode (arg.cpp:
+        # conversation + prompt => system message)
+        sysmsg = args.system_prompt or prompt
+        if sysmsg:
+            chat.append({"role": "system", "content": sysmsg})
+        init_text = ""
+        if chat:
+            try:
+                init_text = render(chat, False)
+            except Exception:
+                init_text = ""  # template rejects lone system turns: defer
+        wait_first = True
+    else:
+        init_text = prompt
+        wait_first = args.interactive_first or not prompt
+
+    logits = None
+    if init_text:
+        ids = tok.tokenize(init_text, add_special=True, parse_special=True)
+        if args.verbose_prompt:
+            _dump_tokens(tok, ids)
+        if not args.no_display_prompt and not conv:
+            sys.stdout.write(C_PROMPT + init_text + C_RST)
+            sys.stdout.flush()
+        logits = eng.prefill(ids)
+        all_ids.extend(ids)
+
+    hold = max((len(s) for s in stops), default=0)
+    max_ctx = eng.max_seq
+
+    def ensure_room(n_next: int) -> bool:
+        """Context-shift when the next chunk wouldn't fit (main.cpp
+        context swap: keep n_keep, discard half the rest)."""
+        if eng.n_past + n_next < max_ctx:
+            return True
+        n_discard = max((eng.n_past - n_keep) // 2, n_next)
+        try:
+            eng.context_shift(n_keep, n_discard)
+        except Exception as e:
+            sys.stderr.write(f"\ncontext full and shift unavailable: {e}\n")
+            return False
+        del all_ids[n_keep:n_keep + n_discard]
+        return True
+
+    def gen_turn(logits):
+        """One generation stretch; returns (reason, logits, text)."""
+        buf = ""
+        text: list[str] = []
+        n_remain = args.n_predict
+        sys.stdout.write(C_GEN)
+        try:
+            while n_remain != 0:
+                if not ensure_room(1):
+                    return "ctx_full", logits, "".join(text)
+                tid = chain.sample(logits, all_ids)
+                chain.accept(tid, is_eog=tid in eog)
+                all_ids.append(tid)
+                logits = eng.decode_one(tid)
+                if tid in eog:
+                    return "eog", logits, "".join(text)
+                piece = tok.detokenize([tid], special=not conv)
+                text.append(piece)
+                buf += piece
+                stop_i = -1
+                for s in stops:
+                    i = buf.find(s)
+                    if i >= 0:
+                        stop_i = i + len(s)
+                        break
+                if stop_i >= 0:
+                    sys.stdout.write(buf[:stop_i])
+                    sys.stdout.flush()
+                    return "stop", logits, "".join(text)
+                if len(buf) > hold:
+                    cut = len(buf) - hold
+                    sys.stdout.write(buf[:cut])
+                    buf = buf[cut:]
+                    sys.stdout.flush()
+                n_remain -= 1
+            sys.stdout.write(buf)
+            return "limit", logits, "".join(text)
+        except KeyboardInterrupt:
+            sys.stdout.write(buf)
+            return "interrupt", logits, "".join(text)
+        finally:
+            sys.stdout.write(C_RST)
+            sys.stdout.flush()
+
+    first = True
+    while True:
+        if logits is not None and not (first and wait_first):
+            reason, logits, text = gen_turn(logits)
+            if conv:
+                chat.append({"role": "assistant", "content": text})
+            if reason == "ctx_full":
+                return 1
+            if conv and args.single_turn:
+                break
+        first = False
+        if use_color:
+            sys.stdout.write(C_USER)
+            sys.stdout.flush()
+        if not conv and args.in_prefix:
+            sys.stdout.write(args.in_prefix)
+            sys.stdout.flush()
+        try:
+            line = _read_user_input(args.multiline_input)
+        except KeyboardInterrupt:
+            line = None
+        if use_color:
+            sys.stdout.write(C_RST)
+            sys.stdout.flush()
+        if line is None:
+            break  # EOF: leave the REPL
+        if conv:
+            try:
+                past = render(chat, False) if chat else ""
+            except Exception:
+                past = ""
+            chat.append({"role": "user", "content": line})
+            new = render(chat, True)
+            delta = new[len(past):] if past and new.startswith(past) else new
+            ids = tok.tokenize(delta, add_special=not all_ids,
+                               parse_special=True)
+        else:
+            if args.in_suffix:
+                sys.stdout.write(args.in_suffix)
+                sys.stdout.flush()
+            text_in = args.in_prefix + line + args.in_suffix
+            ids = tok.tokenize(text_in, add_special=False, parse_special=True)
+            if args.in_prefix_bos and tok.vocab.special.bos is not None:
+                ids = [tok.vocab.special.bos] + ids
+        if args.verbose_prompt:
+            _dump_tokens(tok, ids)
+        if not ids:
+            continue
+        if not ensure_room(len(ids)):
+            return 1
+        all_ids.extend(ids)
+        logits = eng.decode_chunk(ids)[-1]
+    sys.stdout.write("\n")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -257,7 +467,22 @@ def main(argv=None) -> int:
         greedy=args.temp <= 0,
     )
 
-    if args.system_prompt:
+    if args.system_prompt_file:
+        with open(args.system_prompt_file, encoding="utf-8") as f:
+            args.system_prompt = f.read()
+
+    # conversation-mode resolution (arg.cpp COMMON_CONVERSATION_MODE_AUTO:
+    # a chat template turns on chat mode; here AUTO additionally requires a
+    # TTY so scripted `-p` completions stay plain)
+    has_tpl = bool(args.chat_template or args.chat_template_file
+                   or eng.tokenizer.vocab.chat_template)
+    interactive_req = args.interactive or args.interactive_first
+    conv = (not args.no_conversation) and (
+        args.conversation or args.single_turn
+        or (has_tpl and (interactive_req or sys.stdin.isatty())))
+    interactive = interactive_req or conv
+
+    if args.system_prompt and not interactive:
         # -sys renders {system, user} through the chat template
         # (tools/main -sys + common_chat_templates_apply)
         from ..chat import render_chat_template
@@ -271,9 +496,12 @@ def main(argv=None) -> int:
             messages.append({"role": "user", "content": prompt})
         prompt = render_chat_template(tpl, messages, add_generation_prompt=True)
 
-    if not args.no_display_prompt:
+    if not args.no_display_prompt and not interactive:
         sys.stdout.write(prompt)
         sys.stdout.flush()
+    if args.verbose_prompt and not interactive:
+        _dump_tokens(eng.tokenizer, eng.tokenizer.tokenize(
+            prompt, add_special=True, parse_special=True))
 
     tok = eng.tokenizer
 
@@ -321,6 +549,13 @@ def main(argv=None) -> int:
         sys.stdout.flush()
 
     t0 = time.perf_counter()
+    if interactive:
+        rc = _interactive_main(eng, args, chain, prompt, stops, conv)
+        if args.perf:
+            perf = eng.perf.summary()
+            perf["wall_s"] = round(time.perf_counter() - t0, 3)
+            print(json.dumps(perf), file=sys.stderr)
+        return rc
     if args.grp_attn_n > 1:
         _generate_self_extend(eng, prompt, args, chain, stream, state)
     elif args.prompt_cache:

@@ -381,3 +381,63 @@ def test_compare_bench_script(tmp_path):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout)
     assert out[0]["speedup"] == 1.2
+
+
+def test_cli_interactive_mode(f16_gguf, capsys, monkeypatch):
+    """tools/main interactive loop: generate, hand control back, feed user
+    input with --in-prefix/--in-suffix, generate again (main.cpp REPL)."""
+    from llama_cpp_gfx906_tpu.tools import cli
+
+    lines = iter(["more please"])
+
+    def fake_input(*_):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    rc = cli.main([
+        "-m", f16_gguf, "-i", "-p", "hello", "-n", "3", "--temp", "0",
+        "--in-prefix", "[", "--in-suffix", "]",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # prompt echoed, then the in-prefix/suffix pair around the user turn
+    assert out.startswith("hello")
+    assert "[" in out and "]" in out
+
+
+def test_cli_conversation_single_turn(f16_gguf, capsys, monkeypatch):
+    """-cnv -st: one templated user turn through the chat template, then
+    exit (main.cpp conversation mode + single_turn)."""
+    from llama_cpp_gfx906_tpu.tools import cli
+
+    lines = iter(["hi there"])
+
+    def fake_input(*_):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    rc = cli.main([
+        "-m", f16_gguf, "-st", "--chat-template", "chatml",
+        "-p", "You are terse.", "-n", "3", "--temp", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.strip()  # generated something
+
+
+def test_cli_multiline_input_toggle(monkeypatch):
+    """A trailing backslash toggles multiline mode (console.cpp analog)."""
+    from llama_cpp_gfx906_tpu.tools.cli import _read_user_input
+
+    lines = iter(["first \\", "second", "third \\", "plain"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+    # "\" toggles multiline ON: Enter now inserts newlines until the
+    # closing "\" toggles it back OFF and submits
+    assert _read_user_input(False) == "first \nsecond\nthird "
+    assert _read_user_input(False) == "plain"
