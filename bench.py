@@ -200,6 +200,10 @@ def bench_8b() -> dict:
             t = layers_src.pop(name)
             rp_layers[name] = (qmm.repack_nib4_to_int8(t)
                                if isinstance(t, qmm.QuantTensor) else t)
+        # re-fuse: q/k/v couldn't fuse as nib4+Q6_K (heterogeneous), but as
+        # int8 they harmonize (group 32 → 16 on q/k) — the fused tensors are
+        # what routes this leg into the streamed megakernel
+        rp_layers = fuse_projections(rp_layers)
         params_rp = {"tok_emb": tok_emb, "out_norm": out_norm,
                      "lm_head": lm_head, "layers": rp_layers}
         streamed_rp = sum(
@@ -208,6 +212,10 @@ def bench_8b() -> dict:
             if isinstance(t, qmm.QuantTensor)
         ) + qt_bytes(params_rp["lm_head"])
         rp_kv = KVCache.create(cfg, batch=1, max_seq=1024, dtype=jnp.bfloat16)
+        from llama_cpp_gfx906_tpu.ops.decode_stream import _stream_ok
+
+        out["stream_dispatch_8b_int8rp"] = bool(
+            _stream_ok(params_rp, cfg, rp_kv, 1, 1))
         logits, rp_kv = fwd(params_rp, cfg, prompt, rp_kv)
         tok = jnp.reshape(logits[:, -1].argmax(-1).astype(jnp.int32), (1, 1))
         for _ in range(2):

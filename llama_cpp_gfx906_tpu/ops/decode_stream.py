@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 import os
 
-from .decode_step import NEG_INF, _act_f32, _int8_qt
+from .decode_step import NEG_INF, _act_f32
 
 # kill switch for just this kernel (LCG_NO_FUSED_DECODE kills both)
 _DISABLE_STREAM = os.environ.get("LCG_NO_STREAM_DECODE", "0") == "1"
@@ -58,12 +58,14 @@ def _pick(caps, dim, mult=1):
 
 def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             anorm_ref, fnorm_ref, qn_ref, kn_ref, pa_ref, pf_ref,
-            qkv_q, qkv_s, wo_q, wo_s, gu_q, gu_s, dn_q, dn_s,
+            qkv_q, qkv_s, qkv_m, wo_q, wo_s, wo_m,
+            gu_q, gu_s, gu_m, dn_q, dn_s, dn_m,
             kin_ref, vin_ref,
             xout_ref, kout_ref, vout_ref,
-            kbuf, vbuf, krow, vrow, wbuf, sbuf,
-            ksem, vsem, isem, wsem, ssem,
+            kbuf, vbuf, krow, vrow, wbuf, sbuf, mbuf,
+            ksem, vsem, isem, wsem, ssem, msem,
             *, Hq, Hkv, Dh, F, BK, g_qkv, g_o, g_gu, g_dn,
+            hm_qkv, hm_o, hm_gu, hm_dn,
             scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -92,16 +94,28 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         sc = jax.lax.rsqrt(jnp.mean(v * v, axis=-1, keepdims=True) + eps)
         return v * sc * w
 
-    def gemv_stream(xb, wq, ws, g):
+    def gemv_stream(xb, wq, ws, wm, g, has_m):
         """(1, K) bf16 @ HBM int8 (L, K, N) with per-g scales → (1, N) f32.
 
         v1's ``qdot`` chunk schedule with the chunks DMA'd from HBM
-        through a double-buffered (TK, TN) VMEM window."""
+        through a double-buffered (TK, TN) VMEM window.  Affine formats
+        (Q4_K-lineage mins) add a streamed min plane: the dequant is
+        ``q·s − m`` per group, so the correction term is
+        ``Σ_g (Σ_{k∈g} x_k) · m[g, n]`` — two tiny dots per chunk
+        (group-sum via a static 0/1 indicator matrix, then × the min
+        chunk), which keeps the hot dequant loop untouched (it sits at
+        the VPU budget edge already)."""
         K, N = wq.shape[1], wq.shape[2]
         TN = _pick(_TN_CAPS, N)
         TK = _pick(_TK_CAPS, K, mult=8 * g)
         nK, nN = K // TK, N // TN
         chunks = [(j0, k0) for j0 in range(0, N, TN) for k0 in range(0, K, TK)]
+
+        if has_m:
+            TKg = TK // g
+            row = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 1)
+            gmat = (row // g == col).astype(jnp.bfloat16)
 
         def start(t):
             j0, k0 = chunks[t]
@@ -112,6 +126,10 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             pltpu.make_async_copy(
                 ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                 sbuf.at[s, :TK // g, :TN], ssem.at[s]).start()
+            if has_m:
+                pltpu.make_async_copy(
+                    wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
+                    mbuf.at[s, :TK // g, :TN], msem.at[s]).start()
 
         start(0)
         outs = []
@@ -131,6 +149,15 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot(
                 xb[:, k0:k0 + TK], w, preferred_element_type=jnp.float32)
+            if has_m:
+                pltpu.make_async_copy(
+                    wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
+                    mbuf.at[s, :TK // g, :TN], msem.at[s]).wait()
+                xg = jax.lax.dot(xb[:, k0:k0 + TK], gmat,
+                                 preferred_element_type=jnp.float32)
+                acc = acc - jax.lax.dot(
+                    xg, mbuf[s, :TK // g, :TN],
+                    preferred_element_type=jnp.float32)
             if k0 + TK >= K:
                 outs.append(acc)
                 acc = jnp.zeros((1, TN), jnp.float32)
@@ -138,7 +165,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
 
     # ---- attention ---------------------------------------------------------
     h = rms(x, anorm_ref[0].astype(jnp.float32))
-    qkv = gemv_stream(h.astype(jnp.bfloat16), qkv_q, qkv_s, g_qkv)
+    qkv = gemv_stream(h.astype(jnp.bfloat16), qkv_q, qkv_s, qkv_m,
+                      g_qkv, hm_qkv)
     qkv = qkv.astype(jnp.bfloat16).astype(jnp.float32)
 
     use_local = swa_ref[l] > 0
@@ -274,7 +302,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             o_rows.append((acc * alpha + p * v_h) / den)
     o_vec = (jnp.concatenate(o_rows, axis=-1) if len(o_rows) > 1
              else o_rows[0])
-    attn_out = gemv_stream(o_vec.astype(jnp.bfloat16), wo_q, wo_s, g_o)
+    attn_out = gemv_stream(o_vec.astype(jnp.bfloat16), wo_q, wo_s, wo_m,
+                           g_o, hm_o)
     k_ins.wait()
     v_ins.wait()
 
@@ -286,11 +315,12 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
 
     # ---- MLP ---------------------------------------------------------------
     h2 = rms(x, fnorm_ref[0].astype(jnp.float32))
-    gu = gemv_stream(h2.astype(jnp.bfloat16), gu_q, gu_s, g_gu)
+    gu = gemv_stream(h2.astype(jnp.bfloat16), gu_q, gu_s, gu_m,
+                     g_gu, hm_gu)
     g_b = gu[:, :F].astype(jnp.bfloat16)
     u_b = gu[:, F:].astype(jnp.bfloat16)
     y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16) * u_b)
-    mlp = gemv_stream(y, dn_q, dn_s, g_dn)
+    mlp = gemv_stream(y, dn_q, dn_s, dn_m, g_dn, hm_dn)
     mlp_b = mlp.astype(jnp.bfloat16)
     if has_post:
         mlp_b = rms(mlp_b.astype(jnp.float32),
@@ -298,6 +328,16 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     x = (x.astype(jnp.bfloat16) + mlp_b).astype(jnp.float32)
 
     xout_ref[:] = x
+
+
+def _int8_affine_qt(t):
+    """Like decode_step._int8_qt but affine formats (Q4_K-lineage mins)
+    are in scope — the streamed kernel carries a min plane."""
+    from .quant_matmul import QuantTensor
+
+    return (isinstance(t, QuantTensor) and t.fmt == "int8"
+            and t.q.ndim == 3 and t.q.shape[-1] == t.shape[1]
+            and (t.m is None or t.m.shape == t.s.shape))
 
 
 def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
@@ -317,8 +357,8 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     if not all(k in p for k in ("wqkv_fused", "wgateup_fused", "wo", "w_down",
                                 "attn_norm", "ffn_norm")):
         return False
-    if not all(_int8_qt(p[k]) for k in ("wqkv_fused", "wgateup_fused", "wo",
-                                        "w_down")):
+    if not all(_int8_affine_qt(p[k]) for k in ("wqkv_fused", "wgateup_fused",
+                                               "wo", "w_down")):
         return False
     blocked = ("bqkv_fused", "bo", "b_down", "moe_gate_inp", "ffn_norm_exps",
                "attn_sub_norm", "sinks", "cvec", "attn_norm_b", "ffn_norm_b",
@@ -440,12 +480,16 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
     kern = functools.partial(
         _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK,
         g_qkv=qkv_qt.group, g_o=wo_qt.group, g_gu=gu_qt.group,
-        g_dn=dn_qt.group, scale=float(scale), eps=float(cfg.rms_eps),
+        g_dn=dn_qt.group,
+        hm_qkv=qkv_qt.m is not None, hm_o=wo_qt.m is not None,
+        hm_gu=gu_qt.m is not None, hm_dn=dn_qt.m is not None,
+        scale=float(scale), eps=float(cfg.rms_eps),
         act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
         has_qk=has_qk, has_post=has_post,
     )
 
     w_bytes = sum(t.q.nbytes + t.s.nbytes
+                  + (t.m.nbytes if t.m is not None else 0)
                   for t in (qkv_qt, wo_qt, gu_qt, dn_qt))
     flops = 2 * L * (D * Nqkv + Hq * Dh * D + D * 2 * F + F * D)
 
@@ -465,7 +509,11 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            # weights + scales stay in HBM; the kernel streams chunks
+            # weights + scales + mins stay in HBM; the kernel streams chunks
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -487,7 +535,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             jax.ShapeDtypeStruct((L, B, S, HD), k3.dtype),
             jax.ShapeDtypeStruct((L, B, S, HD), v3.dtype),
         ],
-        input_output_aliases={20: 1, 21: 2},
+        input_output_aliases={24: 1, 25: 2},
         scratch_shapes=[
             pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf
             pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
@@ -495,11 +543,13 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             pltpu.VMEM((8, HD), v3.dtype),  # vrow
             pltpu.VMEM((2, TKmax, TNmax), jnp.int8),  # wbuf
             pltpu.VMEM((2, TKmax // g_min, TNmax), jnp.float32),  # sbuf
+            pltpu.VMEM((2, TKmax // g_min, TNmax), jnp.float32),  # mbuf
             pltpu.SemaphoreType.DMA((2,)),  # ksem
             pltpu.SemaphoreType.DMA((2,)),  # vsem
             pltpu.SemaphoreType.DMA((2,)),  # isem
             pltpu.SemaphoreType.DMA((2,)),  # wsem
             pltpu.SemaphoreType.DMA((2,)),  # ssem
+            pltpu.SemaphoreType.DMA((2,)),  # msem
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -516,8 +566,14 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
         p["attn_norm"].astype(jnp.float32).reshape(L, 1, D),
         p["ffn_norm"].astype(jnp.float32).reshape(L, 1, D),
         qn, kn, pa, pf,
-        qkv_qt.q, qkv_qt.s, wo_qt.q, wo_qt.s,
-        gu_qt.q, gu_qt.s, dn_qt.q, dn_qt.s,
+        qkv_qt.q, qkv_qt.s,
+        qkv_qt.m if qkv_qt.m is not None else qkv_qt.s,
+        wo_qt.q, wo_qt.s,
+        wo_qt.m if wo_qt.m is not None else wo_qt.s,
+        gu_qt.q, gu_qt.s,
+        gu_qt.m if gu_qt.m is not None else gu_qt.s,
+        dn_qt.q, dn_qt.s,
+        dn_qt.m if dn_qt.m is not None else dn_qt.s,
         k3, v3,
     )
 

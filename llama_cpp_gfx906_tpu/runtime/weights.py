@@ -373,8 +373,26 @@ def _concat_weights(parts: list, keys: list[str]):
     multiple projections into one matmul (fewer kernel launches per decode
     step; the analog of the reference's fused wqkv fast path)."""
     if all(isinstance(p, QuantTensor) for p in parts):
-        if len({(p.fmt, p.group, p.shape[0]) for p in parts}) != 1:
+        if len({(p.fmt, p.shape[0]) for p in parts}) != 1:
             return None  # heterogeneous packing — keep separate
+        if len({p.group for p in parts}) != 1:
+            # int8 groups harmonize by repeating coarser scale/min rows to
+            # the finest group (values untouched — dequant is identical).
+            # Costs scale-stream bytes on the repeated parts only; nib4
+            # can't harmonize (its q rows are split-K packed per group).
+            g_t = min(p.group for p in parts)
+            if parts[0].fmt != "int8" or any(p.group % g_t for p in parts):
+                return None
+            parts = [
+                p if p.group == g_t else QuantTensor(
+                    q=p.q,
+                    s=jnp.repeat(p.s, p.group // g_t, axis=-2),
+                    m=(jnp.repeat(p.m, p.group // g_t, axis=-2)
+                       if p.m is not None else None),
+                    fmt=p.fmt, group=g_t, shape=p.shape,
+                )
+                for p in parts
+            ]
         has_m = [p.m is not None for p in parts]
         if any(has_m):
             ms = [

@@ -174,3 +174,61 @@ def test_stream_gate():
         arch="llama", n_layers=L, n_embd=128, n_heads=HQ, n_kv_heads=HKV,
         head_dim=DH, n_ff=F, n_vocab=V, n_ctx_train=S)
     assert not _stream_ok(dict(params, layers=tiny), tiny_cfg, kv, 1, 1)
+
+
+def qstack_affine(rng, K, N, g=32):
+    """Q4_K-lineage layout after repack_nib4_to_int8: int8 values 0..15
+    with per-group scales AND mins (dequant = q*s - m)."""
+    q = rng.integers(0, 16, (K, N)).astype(np.int8)
+    s = rng.uniform(0.002, 0.006, (K // g, N)).astype(np.float32)
+    m = rng.uniform(0.0, 0.05, (K // g, N)).astype(np.float32)
+    return qmm.QuantTensor(
+        q=jnp.stack([jnp.asarray(q)] * L), s=jnp.stack([jnp.asarray(s)] * L),
+        m=jnp.stack([jnp.asarray(m)] * L), fmt="int8", group=g, shape=(K, N))
+
+
+def test_streamed_affine_mins():
+    """Mins stream through the kernel: the repacked-Q4_K_M config (q/k
+    affine g32, v symmetric g16 — fusion harmonizes groups and zero-fills
+    the missing min plane) must match the scanned linear() path."""
+    rng = np.random.default_rng(11)
+    params = make_params(rng)
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.float32) * 1.1,
+        "ffn_norm": jnp.ones((L, D), jnp.float32) * 0.9,
+        "wq": qstack_affine(rng, D, HQ * DH),
+        "wk": qstack_affine(rng, D, HKV * DH),
+        "wv": qstack(rng, D, HKV * DH),     # symmetric group-32... see below
+        "wo": qstack(rng, HQ * DH, D),
+        "w_gate": qstack_affine(rng, D, F),
+        "w_up": qstack_affine(rng, D, F),
+        "w_down": qstack_affine(rng, F, D),
+    }
+    # repack wv to group 16 so the qkv fusion exercises harmonization
+    qt = layers["wv"]
+    s16 = jnp.repeat(qt.s, 2, axis=-2)
+    layers["wv"] = qmm.QuantTensor(q=qt.q, s=s16, m=None, fmt="int8",
+                                   group=16, shape=qt.shape)
+    fused = fuse_projections(layers)
+    assert "wqkv_fused" in fused, "group harmonization must allow fusion"
+    assert fused["wqkv_fused"].group == 16
+    assert fused["wqkv_fused"].m is not None
+    params = dict(params, layers=fused)
+    lockstep_check(make_cfg(), params, 7, seed=11)
+
+
+def test_repack_then_fuse_matches_nib4():
+    """bench.py's repack leg: nib4 Q4_K weights repacked to int8 (mins
+    kept) then re-fused — dequantized values must be bit-identical."""
+    rng = np.random.default_rng(13)
+    w = rng.standard_normal((F, D), dtype=np.float32) * 0.05
+    qt = qmm.pack_gguf_tensor(quantize(w, GGMLType.Q4_K), GGMLType.Q4_K,
+                              (F, D))
+    rp = qmm.repack_nib4_to_int8(qt)
+    assert rp.fmt == "int8" and rp.m is not None
+    x = jnp.asarray(rng.standard_normal((1, D)) * 0.1, jnp.float32)
+    y4 = qmm.linear(x, qt)
+    y8 = qmm.linear(x, rp)
+    np.testing.assert_allclose(np.asarray(y4, np.float32),
+                               np.asarray(y8, np.float32),
+                               rtol=1e-5, atol=1e-5)
