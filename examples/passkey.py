@@ -11,22 +11,27 @@ if _os2.environ.get("JAX_PLATFORMS") == "cpu":
     import jax as _jax
     _jax.config.update("jax_platforms", "cpu")
 
-import argparse
-
+from llama_cpp_gfx906_tpu.common.args import build_parser
 from llama_cpp_gfx906_tpu.runtime.engine import Engine
 from llama_cpp_gfx906_tpu.sampling.samplers import SamplerParams
 
-ap = argparse.ArgumentParser()
-ap.add_argument("-m", "--model", required=True)
-ap.add_argument("--junk", type=int, default=50, help="filler repetitions")
+ap = build_parser("passkey")  # --junk / --pos from the shared registry
+ap.set_defaults(junk=50)
 args = ap.parse_args()
 
 import numpy as np
 
 eng = Engine.from_gguf(args.model, max_seq=4096)
 passkey = "7342"
-junk = "The grass is green. The sky is blue. The sun is yellow. " * args.junk
-prompt = f"The pass key is {passkey}. Remember it. {junk} What is the pass key? The pass key is"
+filler = "The grass is green. The sky is blue. The sun is yellow. "
+key_sent = f"The pass key is {passkey}. Remember it. "
+if args.pos >= 0:  # --pos: insert the key after N filler repetitions
+    i = min(args.pos, args.junk)
+    junk = filler * i + key_sent + filler * (args.junk - i)
+    prompt = f"{junk} What is the pass key? The pass key is"
+else:
+    junk = filler * args.junk
+    prompt = f"{key_sent}{junk} What is the pass key? The pass key is"
 ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
 print(f"prompt: {len(ids)} tokens")
 grp = 4  # grouped-attention factor (passkey.cpp --grp-attn-n)

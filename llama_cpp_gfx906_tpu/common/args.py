@@ -32,9 +32,12 @@ class Flag:
     choices: tuple | None = None
     action: str | None = None  # "store_true" etc.
     repeatable: bool = False
+    nargs: object = None  # e.g. 2 for FILE SCALE pairs
 
 
-ALL = frozenset({"cli", "server", "bench", "perplexity", "quantize", "embedding"})
+ALL = frozenset({"cli", "server", "bench", "perplexity", "quantize",
+                 "embedding", "imatrix", "cvector", "tts", "finetune",
+                 "retrieval", "passkey", "lookup", "diffusion"})
 GEN = frozenset({"cli", "server"})
 
 
@@ -50,17 +53,20 @@ REGISTRY: list[Flag] = [
     _f(["-c", "--ctx-size"], "ctx_size", "context window (tokens)",
        env="LLAMA_ARG_CTX_SIZE", type=int, default=2048),
     _f(["-n", "--n-predict", "--predict"], "n_predict", "tokens to generate",
-       env="LLAMA_ARG_N_PREDICT", type=int, default=128, scopes=GEN),
+       env="LLAMA_ARG_N_PREDICT", type=int, default=128,
+       scopes=GEN | {"tts", "lookup"}),
     _f(["-b", "--batch-size"], "n_batch", "prompt tokens per engine step",
        env="LLAMA_ARG_BATCH", type=int, default=256),
     _f(["-p", "--prompt"], "prompt", "prompt text",
-       scopes={"cli", "perplexity", "embedding"}),
+       scopes={"cli", "perplexity", "embedding", "tts", "diffusion",
+               "lookup", "passkey"}),
     _f(["-f", "--file"], "file", "read the prompt from a file",
-       scopes={"cli", "perplexity", "embedding"}),
+       scopes={"cli", "perplexity", "embedding", "imatrix", "finetune",
+               "retrieval"}),
     _f(["-s", "--seed"], "seed", "RNG seed", env="LLAMA_ARG_SEED",
-       type=int, default=-1, scopes=GEN),
+       type=int, default=-1, scopes=GEN | {"diffusion", "tts", "finetune"}),
     _f(["--temp"], "temp", "sampling temperature", type=float, default=0.8,
-       scopes=GEN),
+       scopes=GEN | {"tts"}),
     _f(["--top-k"], "top_k", "top-k sampling", type=int, default=40, scopes=GEN),
     _f(["--top-p"], "top_p", "top-p (nucleus) sampling", type=float,
        default=0.95, scopes=GEN),
@@ -384,7 +390,7 @@ REGISTRY: list[Flag] = [
     _f(["--kl-divergence-base"], "kl_divergence_base",
        "base-model logits file for KL divergence", scopes={"perplexity"}),
     _f(["--chunks"], "chunks", "max evaluation chunks", type=int,
-       scopes={"perplexity"}),
+       scopes={"perplexity", "imatrix"}),
     # ---- embeddings -------------------------------------------------------
     _f(["--pooling"], "pooling", "embedding pooling mode",
        env="LLAMA_ARG_POOLING", choices=("none", "mean", "cls", "last"),
@@ -397,6 +403,368 @@ REGISTRY: list[Flag] = [
        default="", scopes={"embedding"}),
     _f(["--embd-separator"], "embd_separator",
        "prompt separator string", default="\n", scopes={"embedding"}),
+    _f(["--cls-separator"], "cls_separator",
+       "separator for paired classification inputs", default="\t",
+       scopes={"embedding"}),
+    _f(["--attention"], "attention_type",
+       "attention used for embeddings: causal or non-causal",
+       env="LLAMA_ARG_ATTENTION", choices=("causal", "non-causal"),
+       scopes={"embedding", "server"}),
+    _f(["--embedding"], "embedding",
+       "accepted for compatibility (alias of --embeddings)",
+       action="store_true", scopes={"server"}),
+    _f(["--rerank"], "rerank",
+       "accepted for compatibility (alias of --reranking)",
+       action="store_true", scopes={"server"}),
+    # ---- perplexity task knobs (perplexity.cpp analog) ---------------------
+    _f(["--hellaswag-tasks"], "hellaswag_tasks",
+       "number of HellaSwag tasks", type=int, default=400,
+       scopes={"perplexity"}),
+    _f(["--winogrande-tasks"], "winogrande_tasks",
+       "number of Winogrande tasks", type=int, default=0,
+       scopes={"perplexity"}),
+    _f(["--multiple-choice-tasks"], "multiple_choice_tasks",
+       "number of multiple-choice tasks", type=int, default=0,
+       scopes={"perplexity"}),
+    _f(["--kl-divergence"], "kl_divergence",
+       "compute KL divergence against --kl-divergence-base logits",
+       action="store_true", scopes={"perplexity"}),
+    _f(["--save-all-logits", "--kl-divergence-base-out"], "save_all_logits",
+       "save evaluation logits to this file (base for later KL runs)",
+       scopes={"perplexity"}),
+    _f(["--ppl-stride"], "ppl_stride",
+       "stride between perplexity windows (0 = chunk size)", type=int,
+       default=0, scopes={"perplexity"}),
+    _f(["--ppl-output-type"], "ppl_output_type",
+       "0: ppl per chunk; 1: cumulative nll pairs", type=int, default=0,
+       scopes={"perplexity"}),
+    _f(["--binary-file"], "binary_file",
+       "evaluation data is a binary token-id file", action="store_true",
+       scopes={"perplexity"}),
+    _f(["--from-chunk"], "from_chunk",
+       "skip evaluation chunks before this index", type=int, default=0,
+       scopes={"perplexity"}),
+    # ---- imatrix -----------------------------------------------------------
+    _f(["-o", "--output", "--output-file"], "output", "output file path",
+       scopes={"imatrix", "cvector", "tts", "finetune"}),
+    _f(["--chunk-size"], "chunk_size", "tokens per evaluation chunk",
+       type=int, default=512, scopes={"imatrix", "retrieval"}),
+    _f(["--output-frequency"], "output_frequency",
+       "save the in-progress imatrix every N chunks", type=int, default=10,
+       scopes={"imatrix"}),
+    _f(["--save-frequency"], "save_frequency",
+       "save a numbered imatrix copy every N chunks (0 = off)", type=int,
+       default=0, scopes={"imatrix", "finetune"}),
+    _f(["--process-output"], "process_output",
+       "collect statistics for the output tensor too", action="store_true",
+       scopes={"imatrix"}),
+    _f(["--no-ppl"], "no_ppl", "skip the perplexity report during collection",
+       action="store_true", scopes={"imatrix"}),
+    _f(["--show-statistics"], "show_statistics",
+       "print per-tensor imatrix statistics and exit", action="store_true",
+       scopes={"imatrix"}),
+    _f(["--parse-special"], "parse_special",
+       "parse special tokens in the input text", action="store_true",
+       scopes={"imatrix", "cli"}),
+    _f(["--in-file"], "in_file", "extra input file (repeatable)",
+       repeatable=True, scopes={"imatrix", "perplexity"}),
+    # ---- cvector-generator -------------------------------------------------
+    _f(["--positive-file"], "positive_file",
+       "file of positive prompts, one per line", scopes={"cvector"}),
+    _f(["--negative-file"], "negative_file",
+       "file of negative prompts, one per line", scopes={"cvector"}),
+    _f(["--pca-batch"], "pca_batch",
+       "accepted for compatibility (the full PCA fits device memory here)",
+       type=int, default=100, scopes={"cvector"}),
+    _f(["--pca-iter"], "pca_iter", "power-iteration steps for PCA",
+       type=int, default=1000, scopes={"cvector"}),
+    _f(["--method"], "cvector_method", "direction method: pca or mean",
+       choices=("pca", "mean"), default="pca", scopes={"cvector"}),
+    _f(["--control-vector-layer-range"], "control_vector_layer_range",
+       "apply control vectors to this inclusive layer range: START END",
+       type=int, nargs=2, scopes={"cli"}),
+    _f(["--control-vector-scaled"], "control_vector_scaled",
+       "control vector with strength: FILE SCALE (repeatable)",
+       repeatable=True, nargs=2, scopes={"cli"}),
+    # ---- tts ---------------------------------------------------------------
+    _f(["-mv", "--model-vocoder"], "model_vocoder",
+       "WavTokenizer vocoder GGUF", scopes={"tts"}),
+    _f(["--tts-speaker-file"], "tts_speaker_file",
+       "speaker profile json for voice cloning", scopes={"tts"}),
+    _f(["--tts-use-guide-tokens"], "tts_use_guide_tokens",
+       "constrain word codes with guide tokens", action="store_true",
+       scopes={"tts"}),
+    # ---- speculative / draft model -----------------------------------------
+    _f(["--draft-n", "--draft-max-alias"], "draft_n",
+       "alias of --draft-max (reference flag name)", type=int,
+       scopes=GEN),
+    _f(["--draft-p-split"], "draft_p_split",
+       "accepted for compatibility (tree-split speculation is not used; "
+       "the verifier accepts by exact/stochastic match)", type=float,
+       default=0.1, scopes=GEN),
+    _f(["-cd", "--ctx-size-draft"], "ctx_size_draft",
+       "draft model context (0 = same as target)",
+       env="LLAMA_ARG_CTX_SIZE_DRAFT", type=int, default=0, scopes=GEN),
+    _f(["-ctkd", "--cache-type-k-draft"], "cache_type_k_draft",
+       "draft model KV cache type", env="LLAMA_ARG_CACHE_TYPE_K_DRAFT",
+       choices=("f32", "bf16", "q8"), scopes=GEN),
+    _f(["-ctvd", "--cache-type-v-draft"], "cache_type_v_draft",
+       "accepted for compatibility (K and V share one storage type)",
+       env="LLAMA_ARG_CACHE_TYPE_V_DRAFT", choices=("f32", "bf16", "q8"),
+       scopes=GEN),
+    _f(["-devd", "--device-draft"], "device_draft",
+       "accepted for compatibility (JAX owns device placement)",
+       scopes=GEN),
+    _f(["-ngld", "--gpu-layers-draft", "--n-gpu-layers-draft"],
+       "n_gpu_layers_draft",
+       "accepted for compatibility (all draft layers run on the TPU)",
+       env="LLAMA_ARG_N_GPU_LAYERS_DRAFT", type=int, default=999,
+       scopes=GEN),
+    _f(["--spec-replace"], "spec_replace",
+       "translate TARGET to DRAFT string during speculation (repeatable)",
+       repeatable=True, scopes=GEN),
+    # ---- finetune ----------------------------------------------------------
+    _f(["--epochs"], "epochs", "training epochs", type=int, default=2,
+       scopes={"finetune"}),
+    _f(["-lr", "--learning-rate"], "learning_rate", "AdamW/SGD alpha",
+       type=float, default=1e-5, scopes={"finetune"}),
+    _f(["-lr-min", "--learning-rate-min"], "learning_rate_min",
+       "final learning rate after decay", type=float, default=0.0,
+       scopes={"finetune"}),
+    _f(["-decay-epochs", "--learning-rate-decay-epochs"],
+       "learning_rate_decay_epochs",
+       "cosine-decay the learning rate over this many epochs (0 = off)",
+       type=float, default=0.0, scopes={"finetune"}),
+    _f(["-opt", "--optimizer"], "optimizer", "adamw or sgd",
+       choices=("adamw", "sgd"), default="adamw", scopes={"finetune"}),
+    _f(["-wd", "--weight-decay"], "weight_decay",
+       "AdamW weight decay", type=float, default=0.0, scopes={"finetune"}),
+    _f(["-val-split", "--val-split"], "val_split",
+       "fraction of data used for validation", type=float, default=0.05,
+       scopes={"finetune"}),
+    # ---- retrieval / passkey / lookup --------------------------------------
+    _f(["--context-file"], "context_file",
+       "corpus file to chunk and embed (repeatable)", repeatable=True,
+       scopes={"retrieval"}),
+    _f(["--chunk-separator"], "chunk_separator",
+       "string to chunk the corpus on", default="\n", scopes={"retrieval"}),
+    _f(["--junk"], "junk", "filler repetitions around the passkey",
+       type=int, default=250, scopes={"passkey"}),
+    _f(["--pos"], "pos", "passkey position (-1 = random)", type=int,
+       default=-1, scopes={"passkey"}),
+    _f(["-lcs", "--lookup-cache-static"], "lookup_cache_static",
+       "static ngram cache file for lookup decoding",
+       scopes=GEN | {"lookup"}),
+    _f(["-lcd", "--lookup-cache-dynamic"], "lookup_cache_dynamic",
+       "dynamic ngram cache file (updated as tokens generate)",
+       scopes=GEN | {"lookup"}),
+    # ---- diffusion LMs ------------------------------------------------------
+    _f(["--diffusion-steps"], "diffusion_steps", "denoising steps",
+       type=int, default=128, scopes={"diffusion"}),
+    _f(["--diffusion-algorithm"], "diffusion_algorithm",
+       "remasking rule", choices=("confidence", "random", "low_confidence",
+                                  "entropy", "margin"),
+       default="confidence", scopes={"diffusion"}),
+    _f(["--diffusion-block-length"], "diffusion_block_length",
+       "block length for the block schedule", type=int, default=32,
+       scopes={"diffusion"}),
+    _f(["--diffusion-visual"], "diffusion_visual",
+       "print the canvas at each denoising step", action="store_true",
+       scopes={"diffusion"}),
+    _f(["--diffusion-eps"], "diffusion_eps",
+       "timestep epsilon for the timestep schedule", type=float,
+       default=1e-3, scopes={"diffusion"}),
+    _f(["--diffusion-alg-temp"], "diffusion_alg_temp",
+       "algorithm temperature (confidence noising)", type=float,
+       default=0.0, scopes={"diffusion"}),
+    _f(["--diffusion-add-gumbel-noise"], "diffusion_add_gumbel_noise",
+       "add gumbel noise to confidences", action="store_true",
+       scopes={"diffusion"}),
+    _f(["--diffusion-cfg-scale"], "diffusion_cfg_scale",
+       "classifier-free-guidance scale", type=float, default=0.0,
+       scopes={"diffusion"}),
+    # ---- multimodal ---------------------------------------------------------
+    _f(["--image"], "image", "image file for multimodal prompts "
+       "(repeatable)", repeatable=True, scopes={"cli"}),
+    _f(["--audio"], "audio", "audio file for multimodal prompts "
+       "(repeatable)", repeatable=True, scopes={"cli"}),
+    _f(["--no-mmproj"], "no_mmproj",
+       "disable the multimodal projector even if the model ships one",
+       env="LLAMA_ARG_NO_MMPROJ", action="store_true", scopes=GEN),
+    _f(["--no-mmproj-offload"], "no_mmproj_offload",
+       "accepted for compatibility (the projector always runs on the TPU)",
+       env="LLAMA_ARG_NO_MMPROJ_OFFLOAD", action="store_true", scopes=GEN),
+    # ---- logging (common/log.cpp analog) ------------------------------------
+    _f(["--log-file"], "log_file", "tee logs to this file",
+       env="LLAMA_LOG_FILE"),
+    _f(["--log-disable"], "log_disable", "disable log output",
+       action="store_true"),
+    _f(["--log-colors"], "log_colors", "color log output",
+       env="LLAMA_LOG_COLORS", action="store_true"),
+    _f(["--log-prefix"], "log_prefix", "prefix log lines with severity",
+       env="LLAMA_LOG_PREFIX", action="store_true"),
+    _f(["--log-timestamps"], "log_timestamps",
+       "prefix log lines with timestamps", env="LLAMA_LOG_TIMESTAMPS",
+       action="store_true"),
+    _f(["-lv", "--verbosity", "--log-verbosity"], "verbosity",
+       "log verbosity threshold", env="LLAMA_LOG_VERBOSITY", type=int,
+       default=0),
+    _f(["--log-verbose"], "log_verbose", "set verbosity to maximum",
+       action="store_true"),
+    _f(["--no-perf"], "no_perf", "skip the perf report",
+       env="LLAMA_ARG_NO_PERF", action="store_true", scopes=GEN),
+    # ---- CPU/affinity & offload compat set (TPU: XLA owns scheduling) -------
+    _f(["-C", "--cpu-mask"], "cpu_mask",
+       "accepted for compatibility (XLA owns host thread scheduling)"),
+    _f(["-Cr", "--cpu-range"], "cpu_range",
+       "accepted for compatibility (XLA owns host thread scheduling)"),
+    _f(["--cpu-strict"], "cpu_strict",
+       "accepted for compatibility (XLA owns host thread scheduling)",
+       type=int, default=0),
+    _f(["--poll"], "poll",
+       "accepted for compatibility (XLA owns host thread scheduling)",
+       type=int, default=50),
+    _f(["--prio"], "prio",
+       "accepted for compatibility (XLA owns host thread scheduling)",
+       type=int, default=0),
+    _f(["-Cb", "--cpu-mask-batch"], "cpu_mask_batch",
+       "accepted for compatibility", scopes=GEN),
+    _f(["-Crb", "--cpu-range-batch"], "cpu_range_batch",
+       "accepted for compatibility", scopes=GEN),
+    _f(["--cpu-strict-batch"], "cpu_strict_batch",
+       "accepted for compatibility", type=int, default=0, scopes=GEN),
+    _f(["--poll-batch"], "poll_batch", "accepted for compatibility",
+       type=int, default=50, scopes=GEN),
+    _f(["--prio-batch"], "prio_batch", "accepted for compatibility",
+       type=int, default=0, scopes=GEN),
+    _f(["--cpu-mask-draft"], "cpu_mask_draft", "accepted for compatibility",
+       scopes=GEN),
+    _f(["--cpu-range-draft"], "cpu_range_draft",
+       "accepted for compatibility", scopes=GEN),
+    _f(["--cpu-strict-draft"], "cpu_strict_draft",
+       "accepted for compatibility", type=int, default=0, scopes=GEN),
+    _f(["--poll-draft"], "poll_draft", "accepted for compatibility",
+       type=int, default=50, scopes=GEN),
+    _f(["--prio-draft"], "prio_draft", "accepted for compatibility",
+       type=int, default=0, scopes=GEN),
+    _f(["--cpu-mask-batch-draft"], "cpu_mask_batch_draft",
+       "accepted for compatibility", scopes=GEN),
+    _f(["--cpu-range-batch-draft"], "cpu_range_batch_draft",
+       "accepted for compatibility", scopes=GEN),
+    _f(["--cpu-strict-batch-draft"], "cpu_strict_batch_draft",
+       "accepted for compatibility", type=int, default=0, scopes=GEN),
+    _f(["--poll-batch-draft"], "poll_batch_draft",
+       "accepted for compatibility", type=int, default=50, scopes=GEN),
+    _f(["--prio-batch-draft"], "prio_batch_draft",
+       "accepted for compatibility", type=int, default=0, scopes=GEN),
+    _f(["-tbd", "--threads-batch-draft"], "threads_batch_draft",
+       "accepted for compatibility", type=int, default=-1, scopes=GEN),
+    _f(["-td", "--threads-draft"], "threads_draft",
+       "accepted for compatibility", type=int, default=-1, scopes=GEN),
+    _f(["--numa"], "numa",
+       "accepted for compatibility (no NUMA policy applies to the TPU "
+       "host path)", choices=("distribute", "isolate", "numactl")),
+    _f(["-nkvo", "--no-kv-offload"], "no_kv_offload",
+       "accepted for compatibility (the KV cache lives in device HBM)",
+       env="LLAMA_ARG_NO_KV_OFFLOAD", action="store_true"),
+    _f(["--no-op-offload"], "no_op_offload",
+       "accepted for compatibility", action="store_true"),
+    _f(["--no-repack"], "no_repack",
+       "accepted for compatibility (weight repacking is opt-in via "
+       "--repack-int8)", action="store_true"),
+    _f(["--cpu-moe", "-cmoe"], "cpu_moe",
+       "accepted for compatibility (experts stay in device HBM; shard "
+       "over a mesh for capacity)", env="LLAMA_ARG_CPU_MOE",
+       action="store_true", scopes=GEN),
+    _f(["--n-cpu-moe", "-ncmoe"], "n_cpu_moe",
+       "accepted for compatibility", env="LLAMA_ARG_N_CPU_MOE",
+       type=int, default=0, scopes=GEN),
+    _f(["--cpu-moe-draft", "-cmoed"], "cpu_moe_draft",
+       "accepted for compatibility", env="LLAMA_ARG_CPU_MOE_DRAFT",
+       action="store_true", scopes=GEN),
+    _f(["--n-cpu-moe-draft", "-ncmoed"], "n_cpu_moe_draft",
+       "accepted for compatibility", env="LLAMA_ARG_N_CPU_MOE_DRAFT",
+       type=int, default=0, scopes=GEN),
+    _f(["--override-tensor", "-ot"], "override_tensor",
+       "accepted for compatibility (no per-tensor backend placement; "
+       "use sharding specs)", repeatable=True),
+    _f(["--override-tensor-draft", "-otd"], "override_tensor_draft",
+       "accepted for compatibility", repeatable=True, scopes=GEN),
+    _f(["-dt", "--defrag-thold"], "defrag_thold",
+       "accepted for compatibility (slot rows never fragment)",
+       env="LLAMA_ARG_DEFRAG_THOLD", type=float, default=0.1),
+    _f(["--kv-unified", "-kvu"], "kv_unified",
+       "accepted for compatibility (the batched cache is unified with a "
+       "shared-prefix segment by design)", env="LLAMA_ARG_KV_SPLIT",
+       action="store_true", scopes=GEN),
+    _f(["--swa-checkpoints"], "swa_checkpoints",
+       "accepted for compatibility (SWA rows stay resident: branching is "
+       "exact without checkpoints)", env="LLAMA_ARG_SWA_CHECKPOINTS",
+       type=int, default=3, scopes=GEN),
+    _f(["--offline"], "offline",
+       "force offline mode (this build is always offline: no model "
+       "downloads)", env="LLAMA_OFFLINE", action="store_true"),
+    _f(["--hf-token", "-hft"], "hf_token",
+       "accepted for compatibility (zero-egress build: downloads are "
+       "rejected)", env="HF_TOKEN"),
+    _f(["--rpc"], "rpc",
+       "accepted for compatibility; distributed serving uses "
+       "jax.distributed (parallel/distributed.py), not RPC servers",
+       env="LLAMA_ARG_RPC"),
+    # ---- server extras ------------------------------------------------------
+    _f(["--api-key-file"], "api_key_file",
+       "file with one accepted API key per line", scopes={"server"}),
+    _f(["--ssl-key-file"], "ssl_key_file",
+       "TLS private key PEM for HTTPS", env="LLAMA_ARG_SSL_KEY_FILE",
+       scopes={"server"}),
+    _f(["--ssl-cert-file"], "ssl_cert_file",
+       "TLS certificate PEM for HTTPS", env="LLAMA_ARG_SSL_CERT_FILE",
+       scopes={"server"}),
+    _f(["--threads-http"], "threads_http",
+       "accepted for compatibility (the asyncio loop replaces the HTTP "
+       "thread pool)", env="LLAMA_ARG_THREADS_HTTP", type=int, default=-1,
+       scopes={"server"}),
+    _f(["--no-slots"], "no_slots", "disable the /slots endpoint",
+       env="LLAMA_ARG_NO_ENDPOINT_SLOTS", action="store_true",
+       scopes={"server"}),
+    _f(["--props"], "props",
+       "allow changing global generation defaults via POST /props",
+       env="LLAMA_ARG_ENDPOINT_PROPS", action="store_true",
+       scopes={"server"}),
+    _f(["--slot-prompt-similarity", "-sps"], "slot_prompt_similarity",
+       "minimum prefix similarity to reuse a slot's KV for a new prompt",
+       type=float, default=0.5, scopes={"server"}),
+    _f(["--no-prefill-assistant"], "no_prefill_assistant",
+       "return the final assistant message as a new turn instead of "
+       "continuing it", env="LLAMA_ARG_NO_PREFILL_ASSISTANT",
+       action="store_true", scopes={"server"}),
+    _f(["--reasoning-format"], "reasoning_format",
+       "how <think> content returns: none|auto|deepseek",
+       env="LLAMA_ARG_THINK", choices=("none", "auto", "deepseek"),
+       default="auto", scopes={"server"}),
+    _f(["--reasoning-budget"], "reasoning_budget",
+       "max thinking tokens (-1 = unlimited, 0 = disable thinking)",
+       env="LLAMA_ARG_THINK_BUDGET", type=int, default=-1,
+       scopes={"server"}),
+    _f(["--chat-template-kwargs"], "chat_template_kwargs",
+       "JSON object of extra chat-template variables",
+       env="LLAMA_CHAT_TEMPLATE_KWARGS", scopes={"server"}),
+    # ---- cli extras ---------------------------------------------------------
+    _f(["--simple-io"], "simple_io",
+       "accepted for compatibility (plain stdio is the only console mode)",
+       action="store_true", scopes={"cli"}),
+    _f(["--no-escape"], "no_escape", "do not process prompt escapes",
+       action="store_true", scopes={"cli", "perplexity"}),
+    _f(["--print-token-count"], "print_token_count",
+       "print the running token count every N tokens", type=int,
+       default=-1, scopes={"cli"}),
+    _f(["--spm-infill"], "spm_infill",
+       "use suffix/prefix/middle order for infill (SPM models)",
+       action="store_true", scopes={"cli", "server"}),
+    _f(["--sequences"], "sequences", "number of sequences to decode",
+       type=int, default=1, scopes={"bench"}),
+    _f(["--version"], "show_version",
+       "print the package version and exit", action="store_true"),
 ]
 
 
@@ -421,6 +789,15 @@ def build_parser(scope: str, description: str = "",
                  require_model: bool = True) -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=description)
     for fl in flags_for(scope):
+        if fl.dest == "show_version":
+            # argparse version action exits before required-arg checks,
+            # so --version works without -m (matching the reference)
+            from .. import __version__
+
+            ap.add_argument(*fl.names, action="version",
+                            version=f"%(prog)s {__version__} "
+                                    "(llama.cpp-gfx906 TPU-native)")
+            continue
         kw: dict = {"dest": fl.dest, "help": fl.help}
         envd = _env_default(fl)
         if fl.action:
@@ -431,9 +808,12 @@ def build_parser(scope: str, description: str = "",
             kw["default"] = envd if envd is not None else fl.default
             if fl.choices:
                 kw["choices"] = fl.choices
+            if fl.nargs is not None:
+                kw["nargs"] = fl.nargs
             if fl.repeatable:
                 kw["action"] = "append"
-                kw.pop("type", None)
+                if fl.nargs is None:
+                    kw.pop("type", None)
                 kw["default"] = []
         if fl.dest == "model" and require_model and envd is None:
             kw["required"] = True
@@ -444,7 +824,8 @@ def build_parser(scope: str, description: str = "",
 
 
 def maybe_print_completion(args, scope: str, prog: str) -> bool:
-    """--completion-bash handler (arg.cpp --completion-bash analog)."""
+    """--completion-bash handler (arg.cpp --completion-bash analog);
+    --version is an argparse version action handled at parse time."""
     if not getattr(args, "completion_bash", False):
         return False
     opts = []

@@ -119,11 +119,17 @@ class DiffusionEngine:
         max_length: int = 128,
         steps: int = 32,
         temperature: float = 0.0,
-        algorithm: str = "confidence",  # confidence | entropy | margin
+        algorithm: str = "confidence",  # confidence|entropy|margin|random
         schedule: str = "timestep",  # timestep | block
         block_length: int = 32,
         eps: float = 1e-3,
         seed: int = 0,
+        alg_temp: float = 0.0,        # --diffusion-alg-temp: stochastic
+        #                               transfer-position choice
+        cfg_scale: float = 0.0,       # --diffusion-cfg-scale: classifier-
+        #                               free guidance vs masked prompt
+        add_gumbel_noise: bool = False,  # --diffusion-add-gumbel-noise
+        visual_cb=None,               # --diffusion-visual: per-step hook
     ) -> list[int]:
         """Denoise [prompt | MASK…] into ``max_length`` tokens; returns the
         generated suffix token ids."""
@@ -165,13 +171,24 @@ class DiffusionEngine:
                 logits = np.asarray(
                     self._fwd(self.params, tokens=jnp.asarray(canvas[None], jnp.int32))
                 )[0]
+                if cfg_scale > 0:
+                    # classifier-free guidance: uncond forward with the
+                    # prompt masked; logits = uncond + (scale+1)(cond-uncond)
+                    # (diffusion-cli.cpp:318-347)
+                    un = canvas.copy()
+                    un[:n_input] = self.mask_token_id
+                    uncond = np.asarray(self._fwd(
+                        self.params, tokens=jnp.asarray(un[None], jnp.int32)))[0]
+                    logits = uncond + (cfg_scale + 1.0) * (logits - uncond)
                 if self.shift_logits:
                     # dream: position i is predicted by logits at i-1
                     logits = np.concatenate([logits[:1], logits[:-1]], axis=0)
 
                 lg = logits[mask_pos].astype(np.float64)
                 if temperature > 0:
-                    # gumbel-max sampling (add_gumbel_noise analog)
+                    # gumbel-max sampling ≡ softmax(logits/T) draw; the
+                    # reference's --diffusion-add-gumbel-noise requests
+                    # exactly this noising, so the flag is subsumed here
                     u = np.clip(rng.random(lg.shape), 1e-20, 1.0)
                     lg = lg / temperature - np.log(-np.log(u))
                 sampled = lg.argmax(-1)
@@ -183,7 +200,9 @@ class DiffusionEngine:
                 elif algorithm == "margin":
                     part = np.partition(p, -2, axis=-1)
                     conf = part[:, -1] - part[:, -2]
-                else:  # confidence: probability of the sampled token
+                elif algorithm == "random":  # RANDOM: shuffle the order
+                    conf = rng.random(mask_pos.size)
+                else:  # confidence/low_confidence: p of the sampled token
                     conf = p[np.arange(mask_pos.size), sampled]
 
                 if transfer_plan is not None:
@@ -197,8 +216,18 @@ class DiffusionEngine:
                                  1 if step == steps_per_block - 1 else 0)
                 if n_transfer <= 0:
                     continue
-                order = np.argsort(-conf, kind="stable")[:n_transfer]
+                if alg_temp > 0:
+                    # stochastic transfer choice: sample positions from
+                    # softmax(conf / alg_temp) (diffusion-cli.cpp:449-470)
+                    w = np.exp(conf / alg_temp - (conf / alg_temp).max())
+                    w = w / w.sum()
+                    order = rng.choice(mask_pos.size, size=min(
+                        n_transfer, mask_pos.size), replace=False, p=w)
+                else:
+                    order = np.argsort(-conf, kind="stable")[:n_transfer]
                 canvas[mask_pos[order]] = sampled[order]
+                if visual_cb is not None:
+                    visual_cb(canvas.copy(), step)
 
             if schedule == "block":
                 # force-commit any leftovers in the block

@@ -44,11 +44,14 @@ def sgd_train_step(params, cfg: ModelConfig, tokens, targets, mask, lr=1e-4):
     return new_params, loss
 
 
-def adamw_train_step_factory(cfg: ModelConfig, lr: float = 1e-4):
-    """AdamW via optax (the reference's default optimizer, ggml-opt)."""
+def adamw_train_step_factory(cfg: ModelConfig, lr=1e-4,
+                             weight_decay: float = 0.0):
+    """AdamW via optax (the reference's default optimizer, ggml-opt).
+    ``lr`` may be a float or an optax schedule (cosine decay for the
+    finetune tool's -lr-min/-decay-epochs flags)."""
     import optax
 
-    opt = optax.adamw(lr)
+    opt = optax.adamw(lr, weight_decay=weight_decay)
 
     @partial(jax.jit, donate_argnames=("params", "opt_state"))
     def step(params, opt_state, tokens, targets, mask):
@@ -118,7 +121,7 @@ class Trainer:
     the reference-style progress callbacks."""
 
     def __init__(self, cfg: ModelConfig, params, optimizer: str = "adamw",
-                 lr: float = 1e-4):
+                 lr=1e-4, weight_decay: float = 0.0):
         import optax
 
         self.cfg = cfg
@@ -127,7 +130,8 @@ class Trainer:
         self.params = jax.tree_util.tree_map(jnp.array, params)
         params = self.params
         if optimizer == "adamw":
-            self.opt, self._step = adamw_train_step_factory(cfg, lr)
+            self.opt, self._step = adamw_train_step_factory(
+                cfg, lr, weight_decay)
             self.opt_state = self.opt.init(params)
         elif optimizer == "sgd":
             self.opt = None

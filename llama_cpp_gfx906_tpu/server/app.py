@@ -290,17 +290,23 @@ def _sampler_from_body(body: dict) -> SamplerConfig:
 def build_app(srv: InferenceServer, api_key: str | None = None,
               webui: bool = True,
               slot_save_path: str | None = None,
-              api_prefix: str = "") -> web.Application:
+              api_prefix: str = "",
+              api_keys: set | None = None,
+              enable_slots: bool = True,
+              enable_props_change: bool = True) -> web.Application:
     eng = srv.engine
     tok = eng.tokenizer
+    accepted_keys = set(api_keys or ()) | ({api_key} if api_key else set())
 
     @web.middleware
     async def auth_middleware(request, handler):
         # API-key security (reference: tools/server/tests/unit/test_security.py):
         # /health stays public, everything else needs Bearer <key>
-        if api_key and request.path not in ("/health",):
+        # (--api-key-file loads additional accepted keys, arg.cpp analog)
+        if accepted_keys and request.path not in ("/health",):
             auth = request.headers.get("Authorization", "")
-            if auth != f"Bearer {api_key}":
+            if not (auth.startswith("Bearer ")
+                    and auth[len("Bearer "):] in accepted_keys):
                 return web.json_response(
                     {"error": {"message": "Invalid API Key", "code": 401}},
                     status=401,
@@ -918,15 +924,18 @@ def build_app(srv: InferenceServer, api_key: str | None = None,
             "capabilities": ["completion"],
         })
 
-    app = web.Application(middlewares=[auth_middleware] if api_key else [])
+    app = web.Application(
+        middlewares=[auth_middleware] if accepted_keys else [])
     P = api_prefix.rstrip("/")  # LLAMA_ARG_API_PREFIX analog
     if webui:
         app.router.add_get(P + "/" if P else "/", index)
     app.router.add_get(P + "/health", health)
     app.router.add_get(P + "/props", props)
-    app.router.add_post(P + "/props", props_change)
+    if enable_props_change:  # gated by --props in main (reference default
+        app.router.add_post(P + "/props", props_change)  # forbids changes)
     app.router.add_get(P + "/metrics", metrics)
-    app.router.add_get(P + "/slots", slots)
+    if enable_slots:  # --no-slots (LLAMA_ARG_NO_ENDPOINT_SLOTS)
+        app.router.add_get(P + "/slots", slots)
     app.router.add_get(P + "/models", models)
     app.router.add_get(P + "/v1/models", models)
     app.router.add_get(P + "/api/tags", api_tags)  # ollama
@@ -1041,9 +1050,10 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         kv_dtype = jnp.float32
+    n_draft = args.draft_n if args.draft_n else args.draft_max  # --draft-n
     engine = BatchedEngine(cfg, params, tokenizer, n_slots=args.n_slots,
                            max_seq=args.ctx_size, spec_ngram=args.spec_ngram,
-                           n_draft=args.draft_max, n_chunk=args.n_batch,
+                           n_draft=n_draft, n_chunk=args.n_batch,
                            ctx_shift=not args.no_ctx_shift, draft=draft,
                            kv_cache_dtype=kv_dtype)
     if args.lora:
@@ -1066,10 +1076,23 @@ def main(argv=None) -> int:
     srv.timeout = max(args.timeout, 1)
     srv.default_n_keep = args.n_keep
     srv.start()
+    extra_keys: set = set()
+    if args.api_key_file:
+        with open(args.api_key_file, encoding="utf-8") as f:
+            extra_keys = {ln.strip() for ln in f if ln.strip()}
     app = build_app(srv, api_key=args.api_key, webui=not args.no_webui,
                     slot_save_path=args.slot_save_path,
-                    api_prefix=args.api_prefix or "")
-    web.run_app(app, host=args.host, port=args.port)
+                    api_prefix=args.api_prefix or "",
+                    api_keys=extra_keys,
+                    enable_slots=not args.no_slots,
+                    enable_props_change=bool(args.props))
+    ssl_ctx = None
+    if args.ssl_cert_file and args.ssl_key_file:
+        import ssl as _ssl
+
+        ssl_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(args.ssl_cert_file, args.ssl_key_file)
+    web.run_app(app, host=args.host, port=args.port, ssl_context=ssl_ctx)
     srv.stop()
     return 0
 

@@ -379,7 +379,8 @@ def main(argv=None) -> int:
     if args.file:
         with open(args.file, encoding="utf-8") as f:
             prompt = f.read()
-    if args.escape:
+    if not args.no_escape:  # escape processing defaults ON (arg.cpp);
+        # -e kept as a compat no-op, --no-escape turns it off
         prompt = prompt.encode().decode("unicode_escape").encode("latin-1").decode("utf-8", "replace")
 
     kv_dtype = None
@@ -427,8 +428,15 @@ def main(argv=None) -> int:
         check_params_finite(eng.params)
     for lora_path in args.lora:
         eng.apply_lora_file(lora_path, args.lora_scale)
+    cv_lr = args.control_vector_layer_range or [0, None]
     for cv_path in args.control_vector:
-        eng.apply_control_vector_file(cv_path, args.control_vector_scale)
+        eng.apply_control_vector_file(cv_path, args.control_vector_scale,
+                                      layer_start=cv_lr[0],
+                                      layer_end=cv_lr[1])
+    for cv_file, cv_scale in (args.control_vector_scaled or ()):
+        eng.apply_control_vector_file(cv_file, float(cv_scale),
+                                      layer_start=cv_lr[0],
+                                      layer_end=cv_lr[1])
 
     logit_bias = parse_logit_bias(args.logit_bias)
     if args.ignore_eos:  # -inf bias on every EOG token (arg.cpp --ignore-eos)
@@ -531,9 +539,15 @@ def main(argv=None) -> int:
     hold = max((len(s) for s in stops), default=0)
     state = {"buf": "", "stopped": False}
 
+    n_streamed = [0]
+
     def stream(token_id: int):
         if state["stopped"]:  # tokens raced in after the stop matched
             return
+        n_streamed[0] += 1
+        if args.print_token_count > 0 and \
+                n_streamed[0] % args.print_token_count == 0:
+            sys.stderr.write(f"\n[token count: {n_streamed[0]}]\n")
         state["buf"] += tok.detokenize([token_id], special=True)
         for s in stops:
             i = state["buf"].find(s)

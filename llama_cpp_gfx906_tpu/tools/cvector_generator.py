@@ -95,13 +95,25 @@ def write_control_vector(path: str, dirs: np.ndarray, model_hint: str = "") -> s
     return w.write()
 
 
+def mean_directions(diffs: np.ndarray) -> np.ndarray:
+    """--method mean: normalized mean difference per layer (the
+    reference's non-PCA mode)."""
+    m = diffs.mean(axis=1)
+    nrm = np.linalg.norm(m, axis=-1, keepdims=True)
+    return (m / np.where(nrm > 0, nrm, 1.0)).astype(np.float32)
+
+
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="llama-cvector-generator (TPU)")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--positive-file", required=True, help="one prompt per line")
-    ap.add_argument("--negative-file", required=True)
-    ap.add_argument("-o", "--output", default="control_vector.gguf")
+    from ..common.args import build_parser, maybe_print_completion
+
+    ap = build_parser("cvector",
+                      description="control vector extraction (PCA / mean)")
+    ap.prog = "llama-cvector-generator (TPU)"
     args = ap.parse_args(argv)
+    if maybe_print_completion(args, "cvector", "llama-cvector-generator"):
+        return 0
+    if not args.positive_file or not args.negative_file:
+        raise SystemExit("--positive-file and --negative-file are required")
 
     import jax.numpy as jnp
 
@@ -112,8 +124,11 @@ def main(argv=None) -> int:
     neg = [l.strip() for l in open(args.negative_file, encoding="utf-8") if l.strip()]
     n = min(len(pos), len(neg))
     diffs = collect_hidden_diffs(eng, pos[:n], neg[:n])
-    dirs = pca_directions(diffs)
-    out = write_control_vector(args.output, dirs)
+    if args.cvector_method == "mean":
+        dirs = mean_directions(diffs)
+    else:
+        dirs = pca_directions(diffs)
+    out = write_control_vector(args.output or "control_vector.gguf", dirs)
     print(f"wrote {dirs.shape[0]} directions -> {out}")
     return 0
 

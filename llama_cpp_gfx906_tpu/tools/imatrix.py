@@ -164,30 +164,84 @@ def load_imatrix(path: str) -> dict[str, np.ndarray]:
     }
 
 
+def _merge_stats(dst: dict, src: dict) -> None:
+    for k, (s, n) in src.items():
+        if k in dst:
+            ps, pn = dst[k]
+            dst[k] = (ps + s, pn + n)
+        else:
+            dst[k] = (s, n)
+
+
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="llama-imatrix (TPU)")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-f", "--file", required=True, help="training text")
-    ap.add_argument("-o", "--output", default="imatrix.gguf")
-    ap.add_argument("--chunk-size", type=int, default=512)
-    ap.add_argument("--max-chunks", type=int, default=64)
+    from ..common.args import build_parser, maybe_print_completion
+
+    ap = build_parser("imatrix", description="importance-matrix collection",
+                      require_model=False)
+    ap.prog = "llama-imatrix (TPU)"
+    ap.add_argument("--max-chunks", type=int, default=None,
+                    help="alias of --chunks")
     args = ap.parse_args(argv)
+    if maybe_print_completion(args, "imatrix", "llama-imatrix"):
+        return 0
+    output = args.output or "imatrix.gguf"
+
+    if args.show_statistics:
+        # reference --show-statistics: read an imatrix (--in-file) and print
+        # per-tensor activation statistics, no collection
+        src = (args.in_file or [None])[0] or output
+        avg = load_imatrix(src)
+        for name in sorted(avg):
+            v = avg[name]
+            print(f"{name:48s} mean={v.mean():.4g} min={v.min():.4g} "
+                  f"max={v.max():.4g} n={v.size}")
+        return 0
+
+    if not args.model or not (args.file or args.in_file):
+        raise SystemExit("imatrix collection needs -m and -f/--in-file")
 
     from ..runtime.engine import Engine
 
-    eng = Engine.from_gguf(args.model, max_seq=args.chunk_size, keep_quantized=False)
-    with open(args.file, encoding="utf-8") as f:
-        text = f.read()
-    ids = eng.tokenizer.tokenize(text, add_special=False)
+    eng = Engine.from_gguf(args.model, max_seq=args.chunk_size,
+                           keep_quantized=False)
+    text_parts = []
+    for path in [args.file] + list(args.in_file or []):
+        if path:
+            with open(path, encoding="utf-8") as f:
+                text_parts.append(f.read())
+    ids = eng.tokenizer.tokenize("\n".join(text_parts), add_special=False,
+                                 parse_special=args.parse_special)
+    max_chunks = args.max_chunks or args.chunks or 64
     chunks = [
         ids[i : i + args.chunk_size]
         for i in range(0, len(ids) - args.chunk_size + 1, args.chunk_size)
-    ][: args.max_chunks]
+    ][:max_chunks]
     if not chunks:
         raise SystemExit("not enough tokens for one chunk")
-    stats = collect_imatrix(eng, chunks)
-    out = save_imatrix(args.output, stats, dataset=args.file, chunk_size=args.chunk_size)
-    print(f"saved imatrix for {len(stats)} tensors over {len(chunks)} chunks -> {out}")
+
+    # --output-frequency: save the in-progress matrix every N chunks
+    # (reference imatrix.cpp m_params.n_out_freq); --save-frequency writes
+    # numbered snapshots alongside
+    stats: dict = {}
+    step = max(args.output_frequency, 1)
+    done = 0
+    for i in range(0, len(chunks), step):
+        batch = chunks[i : i + step]
+        _merge_stats(stats, collect_imatrix(eng, batch))
+        done += len(batch)
+        if done < len(chunks):
+            save_imatrix(output, stats, dataset=args.file or "",
+                         chunk_size=args.chunk_size)
+            if args.save_frequency and (done % args.save_frequency) == 0:
+                save_imatrix(f"{output}.at_{done}", stats,
+                             dataset=args.file or "",
+                             chunk_size=args.chunk_size)
+    if not args.process_output:
+        stats.pop("output.weight", None)
+    out = save_imatrix(output, stats, dataset=args.file or "",
+                       chunk_size=args.chunk_size)
+    print(f"saved imatrix for {len(stats)} tensors over {len(chunks)} "
+          f"chunks -> {out}")
     return 0
 
 

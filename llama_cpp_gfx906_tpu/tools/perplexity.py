@@ -25,6 +25,10 @@ def evaluate(
     save_logits_path: str | None = None,
     kl_base_path: str | None = None,
     dtype=None,
+    token_ids: list[int] | None = None,  # --binary-file pre-tokenized input
+    from_chunk: int = 0,                 # --from-chunk
+    stride: int = 0,                     # --ppl-stride (overlapping windows)
+    output_type: int = 0,                # --ppl-output-type
 ) -> dict:
     import jax.numpy as jnp
 
@@ -42,23 +46,33 @@ def evaluate(
     loader = load_llama_params_quantized if keep_quantized else load_llama_params
     params = loader(reader, cfg, dtype)
 
-    ids = tok.tokenize(text, add_special=False, parse_special=False)
+    ids = (list(token_ids) if token_ids is not None
+           else tok.tokenize(text, add_special=False, parse_special=False))
     bos = tok.vocab.special.bos
-    total_chunks = len(ids) // n_ctx
+    # --ppl-stride: overlapping windows every `stride` tokens, scoring only
+    # the final stride targets of each (perplexity.cpp ppl_stride mode);
+    # --from-chunk skips evaluation windows before that index
+    if stride and 0 < stride < n_ctx:
+        starts = list(range(0, len(ids) - n_ctx + 1, stride))
+    else:
+        stride = 0
+        starts = list(range(0, (len(ids) // n_ctx) * n_ctx, n_ctx))
+    starts = starts[from_chunk:]
     if n_chunks:
-        total_chunks = min(total_chunks, n_chunks)
+        starts = starts[:n_chunks]
+    total_chunks = len(starts)
     if total_chunks == 0:
         raise ValueError(f"text too short: {len(ids)} tokens < n_ctx {n_ctx}")
 
     fwd = jax.jit(forward, static_argnames=("cfg",))
-    first_eval = max(1, n_ctx // 2)
+    first_eval = (n_ctx - stride) if stride else max(1, n_ctx // 2)
 
     nll = 0.0
     count = 0
     t0 = time.time()
     all_logprobs = [] if save_logits_path or kl_base_path else None
-    for c in range(total_chunks):
-        chunk = ids[c * n_ctx : (c + 1) * n_ctx]
+    for c, start in enumerate(starts):
+        chunk = ids[start : start + n_ctx]
         if bos is not None:
             chunk = [bos] + chunk[:-1]
         toks = jnp.asarray([chunk], jnp.int32)
@@ -74,7 +88,11 @@ def evaluate(
         if all_logprobs is not None:
             all_logprobs.append(logp[first_eval - 1 : n_ctx - 1].astype(np.float16))
         ppl_so_far = float(np.exp(nll / count))
-        print(f"chunk {c + 1}/{total_chunks}: ppl = {ppl_so_far:.4f}", flush=True)
+        if output_type == 1:  # cumulative (token_count, ppl) pairs
+            print(f"{count} {ppl_so_far:.4f}", flush=True)
+        else:
+            print(f"chunk {c + 1}/{total_chunks}: ppl = {ppl_so_far:.4f}",
+                  flush=True)
 
     result = {
         "ppl": float(np.exp(nll / count)),
@@ -124,26 +142,48 @@ def main(argv=None) -> int:
 
         eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
                                keep_quantized=not args.no_quantized)
+        # reference task-count flags (--hellaswag-tasks etc.) bound each
+        # eval; --limit keeps working as a shared override
         if args.hellaswag:
-            print(json.dumps(evals.hellaswag(eng, args.hellaswag, args.limit)))
+            lim = args.limit or args.hellaswag_tasks or None
+            print(json.dumps(evals.hellaswag(eng, args.hellaswag, lim)))
         if args.winogrande:
-            print(json.dumps(evals.winogrande(eng, args.winogrande, args.limit)))
+            lim = args.limit or args.winogrande_tasks or None
+            print(json.dumps(evals.winogrande(eng, args.winogrande, lim)))
         if args.multiple_choice:
-            print(json.dumps(evals.multiple_choice(eng, args.multiple_choice, args.limit)))
+            lim = args.limit or args.multiple_choice_tasks or None
+            print(json.dumps(evals.multiple_choice(eng, args.multiple_choice,
+                                                   lim)))
         return 0
 
+    if args.kl_divergence and not args.kl_divergence_base:
+        ap.error("--kl-divergence needs --kl-divergence-base LOGITS_FILE")
     if not args.file:
         ap.error("-f/--file is required for perplexity mode")
-    with open(args.file, encoding="utf-8") as f:
-        text = f.read()
+    token_ids = None
+    text = ""
+    if args.binary_file:  # raw little-endian int32 token ids
+        import numpy as _np
+
+        token_ids = _np.fromfile(args.file, dtype="<i4").tolist()
+    else:
+        with open(args.file, encoding="utf-8") as f:
+            text = f.read()
+        if args.no_escape is False and getattr(args, "escape", False):
+            text = (text.encode().decode("unicode_escape")
+                    .encode("latin-1").decode("utf-8", "replace"))
     result = evaluate(
         args.model,
         text,
         n_ctx=args.ctx_size,
         n_chunks=args.chunks,
         keep_quantized=not args.no_quantized,
-        save_logits_path=args.save_logits,
+        save_logits_path=args.save_logits or args.save_all_logits,
         kl_base_path=args.kl_divergence_base,
+        token_ids=token_ids,
+        from_chunk=args.from_chunk,
+        stride=args.ppl_stride,
+        output_type=args.ppl_output_type,
     )
     print(json.dumps(result))
     return 0

@@ -84,30 +84,102 @@ def codes_to_audio(codes: list[int], wtk_reader) -> np.ndarray:
     return embd_to_audio(embd)
 
 
-def main(argv=None) -> int:
-    import jax.numpy as jnp
+def speaker_from_file(path: str) -> dict:
+    """--tts-speaker-file json (tts.cpp speaker_from_file)."""
+    import json
 
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def speaker_text(speaker: dict, sep: str = "<|text_sep|>") -> str:
+    """Words of the speaker profile, prepended to the text section
+    (tts.cpp audio_text_from_speaker)."""
+    return "".join(w["word"] + sep for w in speaker.get("words", ()))
+
+
+def speaker_data(speaker: dict) -> str:
+    """Audio-code section seeding the voice (tts.cpp
+    audio_data_from_speaker, v0.2 layout)."""
+    parts = []
+    for w in speaker.get("words", ()):
+        codes = "".join(f"<|{c}|>" for c in w.get("codes", ()))
+        parts.append(f"{w['word']}<|t_{w.get('duration', 0.0):.2f}|>"
+                     f"<|code_start|>{codes}<|code_end|>\n")
+    return "".join(parts)
+
+
+def _generate_guided(eng, prompt: str, n_predict: int, sp, guide: list[int]):
+    """tts.cpp guide-token loop: after each newline the next sampled token
+    is replaced by the first token of the next prompt word — prevents the
+    TTS from hallucinating or skipping words."""
+    from ..sampling.samplers import SamplerChain
+
+    chain = SamplerChain(sp, eng.cfg.n_vocab)
+    ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+    eng.reset()
+    logits = eng.prefill(ids)
+    vocab = eng.tokenizer.vocab
+    eog = set(vocab.special.eog_ids())
+    nl = eng.tokenizer.tokenize("\n", add_special=False)[0]
+    out_ids: list[int] = []
+    all_ids = list(ids)
+    pending = list(guide)
+    use_guide = True
+    for _ in range(n_predict):
+        tok = chain.sample(logits, all_ids)
+        if (pending and use_guide and tok not in eog
+                and not vocab.is_special(tok)):
+            tok = pending.pop(0)
+        use_guide = tok == nl
+        chain.accept(tok, is_eog=tok in eog)
+        if tok in eog:
+            break
+        out_ids.append(tok)
+        all_ids.append(tok)
+        logits = eng.decode_one(tok)
+    return out_ids
+
+
+def main(argv=None) -> int:
+    from ..common.args import build_parser, maybe_print_completion
     from ..gguf.reader import GGUFModelReader
     from ..runtime.engine import Engine
     from ..sampling.samplers import SamplerParams
 
-    ap = argparse.ArgumentParser(prog="llama-tts (TPU)")
-    ap.add_argument("-m", "--model", required=True, help="OuteTTS LLM GGUF")
-    ap.add_argument("-mv", "--model-vocoder", required=True,
-                    help="WavTokenizer decoder GGUF")
-    ap.add_argument("-p", "--prompt", required=True)
-    ap.add_argument("-o", "--output", default="output.wav")
-    ap.add_argument("-n", "--n-predict", type=int, default=4096)
-    ap.add_argument("--temp", type=float, default=0.4)
+    ap = build_parser("tts", description="OuteTTS text → WAV")
+    ap.prog = "llama-tts (TPU)"
     args = ap.parse_args(argv)
+    if maybe_print_completion(args, "tts", "llama-tts"):
+        return 0
+    if not args.model_vocoder or not args.prompt:
+        raise SystemExit("-mv/--model-vocoder and -p are required")
+    args.output = args.output or "output.wav"
+    if args.n_predict <= 0 or args.n_predict == 128:  # registry default
+        args.n_predict = 4096
+    temp = args.temp if args.temp != 0.8 else 0.4  # tts default 0.4 (tts.cpp)
 
     eng = Engine.from_gguf(args.model, max_seq=8192)
     words = process_text(args.prompt)
-    prompt = build_prompt(words)
-    text, out_ids = eng.generate(
-        prompt, n_predict=args.n_predict,
-        sampler=SamplerParams(temp=args.temp, top_k=40, greedy=args.temp <= 0),
-    )
+    if args.tts_speaker_file:
+        speaker = speaker_from_file(args.tts_speaker_file)
+        prompt = ("<|im_start|>\n<|text_start|>" + speaker_text(speaker)
+                  + "<|text_sep|>".join(words)
+                  + "<|text_end|>\n<|audio_start|>\n" + speaker_data(speaker))
+    else:
+        prompt = build_prompt(words)
+    sp = SamplerParams(temp=temp, top_k=40, greedy=temp <= 0)
+    if args.tts_use_guide_tokens:
+        tok = eng.tokenizer
+        guide = [tok.tokenize("\n", add_special=False)[0]]
+        for w in words:
+            t = tok.tokenize(w, add_special=False)
+            if t:
+                guide.append(t[0])
+        out_ids = _generate_guided(eng, prompt, args.n_predict, sp, guide)
+    else:
+        _, out_ids = eng.generate(prompt, n_predict=args.n_predict,
+                                  sampler=sp)
     codes = extract_codes(out_ids, eng.tokenizer.vocab)
     if not codes:
         print("no audio codes generated")

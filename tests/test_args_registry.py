@@ -53,7 +53,8 @@ def test_registry_breadth_and_env_mirrors(monkeypatch):
     assert len(REGISTRY) >= 100
     # every env mirror is a LLAMA_* name and unique
     envs = [f.env for f in REGISTRY if f.env]
-    assert all(e.startswith("LLAMA_") for e in envs)
+    assert all(e.startswith("LLAMA_") or e == "HF_TOKEN"
+               for e in envs)  # HF_TOKEN is the reference's own name
     assert len(envs) == len(set(envs))
     # env mirror provides the default (arg.cpp set_env contract)
     monkeypatch.setenv("LLAMA_ARG_CTX_SIZE", "777")
@@ -165,3 +166,73 @@ def test_embedding_tool_json(model_path):
     assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-4)  # L2 default
     sim = np.asarray(out["cosineSimilarity"])
     assert sim.shape == (2, 2) and np.isclose(sim[0, 0], 1.0, atol=1e-5)
+
+
+def test_registry_reference_flag_coverage():
+    """The registry carries the reference's arg.cpp surface: ~300 flags
+    with scoped parsers for every tool family."""
+    names = set()
+    for fl in REGISTRY:
+        names.update(fl.names)
+    # spot-check flags from each arg.cpp section added in round 3
+    for must in ("--hellaswag-tasks", "--kl-divergence", "--ppl-stride",
+                 "--positive-file", "--pca-iter", "--tts-speaker-file",
+                 "--diffusion-steps", "--lookup-cache-static", "--junk",
+                 "--learning-rate", "--cpu-mask", "--numa", "--api-key-file",
+                 "--ssl-cert-file", "--no-slots", "--reasoning-format",
+                 "--control-vector-scaled", "--print-token-count",
+                 "--draft-p-split", "--version"):
+        assert must in names, must
+    assert len(REGISTRY) >= 250
+    # every new tool scope builds a conflict-free parser
+    for sc in ("imatrix", "cvector", "tts", "finetune", "retrieval",
+               "passkey", "lookup", "diffusion"):
+        build_parser(sc, require_model=False)
+
+
+def test_version_flag(capsys):
+    """--version exits before the required -m check (argparse version
+    action, matching the reference's early handler)."""
+    ap = build_parser("cli")  # require_model=True — version must still work
+    with pytest.raises(SystemExit) as e:
+        ap.parse_args(["--version"])
+    assert e.value.code == 0
+    assert "0.1.0" in capsys.readouterr().out
+
+
+def test_control_vector_scaled_parses():
+    ap = build_parser("cli", require_model=False)
+    a = ap.parse_args(["--control-vector-scaled", "dir.gguf", "0.75",
+                       "--control-vector-layer-range", "4", "12"])
+    assert a.control_vector_scaled == [["dir.gguf", "0.75"]]
+    assert a.control_vector_layer_range == [4, 12]
+
+
+def test_perplexity_stride_and_binary(model_path, tmp_path):
+    """--ppl-stride overlapping windows + --binary-file token input."""
+    from llama_cpp_gfx906_tpu.tools.perplexity import evaluate
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, VOCAB, 300).astype("<i4")
+    r1 = evaluate(model_path, "", n_ctx=64, token_ids=ids.tolist(),
+                  keep_quantized=False)
+    r2 = evaluate(model_path, "", n_ctx=64, token_ids=ids.tolist(),
+                  stride=32, keep_quantized=False)
+    assert r1["ppl"] > 0 and r2["ppl"] > 0
+    # stride mode scores more windows over the same ids
+    assert r2["n_chunks"] > r1["n_chunks"]
+    # --from-chunk drops evaluation windows
+    r3 = evaluate(model_path, "", n_ctx=64, token_ids=ids.tolist(),
+                  from_chunk=1, keep_quantized=False)
+    assert r3["n_chunks"] == r1["n_chunks"] - 1
+
+    bin_path = tmp_path / "toks.bin"
+    ids.tofile(bin_path)
+    rc = subprocess.run(
+        [sys.executable, "-m", "llama_cpp_gfx906_tpu.tools.perplexity",
+         "-m", model_path, "-f", str(bin_path), "--binary-file",
+         "-c", "64", "--chunks", "2"],
+        capture_output=True, text=True, timeout=600)
+    assert rc.returncode == 0, rc.stderr
+    out = json.loads(rc.stdout.strip().splitlines()[-1])
+    assert out["n_chunks"] == 2

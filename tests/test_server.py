@@ -782,3 +782,47 @@ def test_reference_endpoint_parity(tiny_gguf, batched):
         loop.run_until_complete(client.close())
         srv.stop()
         loop.close()
+
+
+def test_api_key_file_no_slots_props_gate(tiny_gguf, batched):
+    """round-3 server flags: --api-key-file multi-key auth, --no-slots
+    removes the endpoint, POST /props is gated by --props (arg.cpp)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from llama_cpp_gfx906_tpu.server.app import InferenceServer, build_app
+
+    srv = InferenceServer(batched, model_name="tiny")
+    srv.start()
+    app = build_app(srv, api_keys={"key-a", "key-b"}, enable_slots=False,
+                    enable_props_change=False)
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            r = await client.get("/health")
+            assert r.status == 200
+            r = await client.get("/props")
+            assert r.status == 401
+            for key in ("key-a", "key-b"):
+                r = await client.get(
+                    "/props", headers={"Authorization": f"Bearer {key}"})
+                assert r.status == 200
+            r = await client.get(
+                "/props", headers={"Authorization": "Bearer nope"})
+            assert r.status == 401
+            # --no-slots: endpoint not registered
+            r = await client.get(
+                "/slots", headers={"Authorization": "Bearer key-a"})
+            assert r.status == 404
+            # props changes forbidden without --props
+            r = await client.post(
+                "/props", json={"max_tokens": 1},
+                headers={"Authorization": "Bearer key-a"})
+            assert r.status in (404, 405)
+
+        loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        srv.stop()
+        loop.close()
