@@ -342,6 +342,7 @@ def _int8_qt(t):
     from .quant_matmul import QuantTensor
 
     return (isinstance(t, QuantTensor) and t.fmt == "int8" and t.m is None
+            and t.sd is None  # folded scales stream via decode_stream only
             and t.q.ndim == 3 and t.q.shape[-1] == t.shape[1])
 
 

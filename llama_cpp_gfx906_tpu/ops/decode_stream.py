@@ -58,14 +58,18 @@ def _pick(caps, dim, mult=1):
 
 def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             anorm_ref, fnorm_ref, qn_ref, kn_ref, pa_ref, pf_ref,
-            qkv_q, qkv_s, qkv_m, wo_q, wo_s, wo_m,
-            gu_q, gu_s, gu_m, dn_q, dn_s, dn_m,
+            qkv_q, qkv_s, qkv_m, qkv_sd, qkv_md,
+            wo_q, wo_s, wo_m, wo_sd, wo_md,
+            gu_q, gu_s, gu_m, gu_sd, gu_md,
+            dn_q, dn_s, dn_m, dn_sd, dn_md,
             kin_ref, vin_ref,
             xout_ref, kout_ref, vout_ref,
             kbuf, vbuf, krow, vrow, wbuf, sbuf, mbuf,
-            ksem, vsem, isem, wsem, ssem, msem,
+            dbuf_qkv, dbuf_o, dbuf_gu, dbuf_dn,
+            dmbuf_qkv, dmbuf_o, dmbuf_gu, dmbuf_dn,
+            ksem, vsem, isem, wsem, ssem, msem, dsem, dmsem,
             *, Hq, Hkv, Dh, F, BK, g_qkv, g_o, g_gu, g_dn,
-            hm_qkv, hm_o, hm_gu, hm_dn,
+            hm_qkv, hm_o, hm_gu, hm_dn, folded, SB,
             scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -94,7 +98,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         sc = jax.lax.rsqrt(jnp.mean(v * v, axis=-1, keepdims=True) + eps)
         return v * sc * w
 
-    def gemv_stream(xb, wq, ws, wm, g, has_m):
+    def gemv_stream(xb, wq, ws, wm, wsd, wmd, dbuf, dmbuf, g, has_m):
         """(1, K) bf16 @ HBM int8 (L, K, N) with per-g scales → (1, N) f32.
 
         v1's ``qdot`` chunk schedule with the chunks DMA'd from HBM
@@ -104,7 +108,13 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         ``Σ_g (Σ_{k∈g} x_k) · m[g, n]`` — two tiny dots per chunk
         (group-sum via a static 0/1 indicator matrix, then × the min
         chunk), which keeps the hot dequant loop untouched (it sits at
-        the VPU budget edge already)."""
+        the VPU budget edge already).
+
+        ``folded`` scale layout (k-quant superblock fold): the s/m planes
+        arrive as **int8** sub-scales plus tiny f32 per-SB super-scale
+        planes streamed through two extra windows; group scale =
+        ``s·repeat(sd)`` reconstructed on the VPU (one extra multiply per
+        GROUP row, not per element) — cuts the scale stream ~4×."""
         K, N = wq.shape[1], wq.shape[2]
         TN = _pick(_TN_CAPS, N)
         TK = _pick(_TK_CAPS, K, mult=8 * g)
@@ -126,10 +136,18 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             pltpu.make_async_copy(
                 ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                 sbuf.at[s, :TK // g, :TN], ssem.at[s]).start()
+            if folded:
+                pltpu.make_async_copy(
+                    wsd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                    dbuf.at[s], dsem.at[s]).start()
             if has_m:
                 pltpu.make_async_copy(
                     wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                     mbuf.at[s, :TK // g, :TN], msem.at[s]).start()
+                if folded:
+                    pltpu.make_async_copy(
+                        wmd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                        dmbuf.at[s], dmsem.at[s]).start()
 
         start(0)
         outs = []
@@ -145,7 +163,15 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                 sbuf.at[s, :TK // g, :TN], ssem.at[s]).wait()
             qs = wbuf[s, :TK, :TN]
-            sg = jnp.repeat(sbuf[s, :TK // g, :TN], g, axis=0)
+            if folded:
+                pltpu.make_async_copy(
+                    wsd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                    dbuf.at[s], dsem.at[s]).wait()
+                sg_g = (sbuf[s, :TK // g, :TN].astype(jnp.float32)
+                        * jnp.repeat(dbuf[s], SB // g, axis=0))
+            else:
+                sg_g = sbuf[s, :TK // g, :TN]
+            sg = jnp.repeat(sg_g, g, axis=0)
             w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot(
                 xb[:, k0:k0 + TK], w, preferred_element_type=jnp.float32)
@@ -153,11 +179,18 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 pltpu.make_async_copy(
                     wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                     mbuf.at[s, :TK // g, :TN], msem.at[s]).wait()
+                if folded:
+                    pltpu.make_async_copy(
+                        wmd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                        dmbuf.at[s], dmsem.at[s]).wait()
+                    mg = (mbuf[s, :TK // g, :TN].astype(jnp.float32)
+                          * jnp.repeat(dmbuf[s], SB // g, axis=0))
+                else:
+                    mg = mbuf[s, :TK // g, :TN]
                 xg = jax.lax.dot(xb[:, k0:k0 + TK], gmat,
                                  preferred_element_type=jnp.float32)
                 acc = acc - jax.lax.dot(
-                    xg, mbuf[s, :TK // g, :TN],
-                    preferred_element_type=jnp.float32)
+                    xg, mg, preferred_element_type=jnp.float32)
             if k0 + TK >= K:
                 outs.append(acc)
                 acc = jnp.zeros((1, TN), jnp.float32)
@@ -166,7 +199,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     # ---- attention ---------------------------------------------------------
     h = rms(x, anorm_ref[0].astype(jnp.float32))
     qkv = gemv_stream(h.astype(jnp.bfloat16), qkv_q, qkv_s, qkv_m,
-                      g_qkv, hm_qkv)
+                      qkv_sd, qkv_md, dbuf_qkv, dmbuf_qkv, g_qkv, hm_qkv)
     qkv = qkv.astype(jnp.bfloat16).astype(jnp.float32)
 
     use_local = swa_ref[l] > 0
@@ -303,7 +336,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     o_vec = (jnp.concatenate(o_rows, axis=-1) if len(o_rows) > 1
              else o_rows[0])
     attn_out = gemv_stream(o_vec.astype(jnp.bfloat16), wo_q, wo_s, wo_m,
-                           g_o, hm_o)
+                           wo_sd, wo_md, dbuf_o, dmbuf_o, g_o, hm_o)
     k_ins.wait()
     v_ins.wait()
 
@@ -316,11 +349,12 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     # ---- MLP ---------------------------------------------------------------
     h2 = rms(x, fnorm_ref[0].astype(jnp.float32))
     gu = gemv_stream(h2.astype(jnp.bfloat16), gu_q, gu_s, gu_m,
-                     g_gu, hm_gu)
+                     gu_sd, gu_md, dbuf_gu, dmbuf_gu, g_gu, hm_gu)
     g_b = gu[:, :F].astype(jnp.bfloat16)
     u_b = gu[:, F:].astype(jnp.bfloat16)
     y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16) * u_b)
-    mlp = gemv_stream(y, dn_q, dn_s, dn_m, g_dn, hm_dn)
+    mlp = gemv_stream(y, dn_q, dn_s, dn_m, dn_sd, dn_md, dbuf_dn, dmbuf_dn,
+                      g_dn, hm_dn)
     mlp_b = mlp.astype(jnp.bfloat16)
     if has_post:
         mlp_b = rms(mlp_b.astype(jnp.float32),
@@ -332,12 +366,29 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
 
 def _int8_affine_qt(t):
     """Like decode_step._int8_qt but affine formats (Q4_K-lineage mins)
-    are in scope — the streamed kernel carries a min plane."""
+    are in scope — the streamed kernel carries a min plane.  Folded
+    k-quant scale layouts (int8 sub-scales + per-256 f32 super-scales)
+    stream through two extra windows."""
     from .quant_matmul import QuantTensor
 
-    return (isinstance(t, QuantTensor) and t.fmt == "int8"
+    if not (isinstance(t, QuantTensor) and t.fmt == "int8"
             and t.q.ndim == 3 and t.q.shape[-1] == t.shape[1]
-            and (t.m is None or t.m.shape == t.s.shape))
+            and (t.m is None or t.m.shape == t.s.shape)):
+        return False
+    if t.sd is not None:
+        K = t.shape[0]
+        if t.sgroup <= 0 or t.sgroup % t.group or K % t.sgroup:
+            return False
+        if (t.m is None) != (t.md is None):
+            return False
+        # Mosaic requires 8-aligned sublane slices on the HBM super-scale
+        # planes: either the K-chunk spans the whole plane (single chunk)
+        # or every chunk is an 8-row multiple (TK/sgroup % 8 == 0 — holds
+        # for the stored K/128 granularity at TK=1024)
+        TK = _pick(_TK_CAPS, K, mult=8 * t.group)
+        if TK is None or (TK != K and (TK // t.sgroup) % 8 != 0):
+            return False
+    return True
 
 
 def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
@@ -360,6 +411,13 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     if not all(_int8_affine_qt(p[k]) for k in ("wqkv_fused", "wgateup_fused",
                                                "wo", "w_down")):
         return False
+    if len({p[k].sd is not None for k in ("wqkv_fused", "wgateup_fused",
+                                          "wo", "w_down")}) != 1:
+        return False  # mixed folded/plain scale layouts across projections
+    if p["wqkv_fused"].sd is not None and len(
+            {p[k].sgroup for k in ("wqkv_fused", "wgateup_fused",
+                                   "wo", "w_down")}) != 1:
+        return False  # one shared SB granularity per kernel launch
     blocked = ("bqkv_fused", "bo", "b_down", "moe_gate_inp", "ffn_norm_exps",
                "attn_sub_norm", "sinks", "cvec", "attn_norm_b", "ffn_norm_b",
                "q_norm_b", "k_norm_b")
@@ -477,12 +535,15 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
                 for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
     g_min = min(qt.group for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
 
+    folded = qkv_qt.sd is not None
+    SB = qkv_qt.sgroup if folded else 256
     kern = functools.partial(
         _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK,
         g_qkv=qkv_qt.group, g_o=wo_qt.group, g_gu=gu_qt.group,
         g_dn=dn_qt.group,
         hm_qkv=qkv_qt.m is not None, hm_o=wo_qt.m is not None,
         hm_gu=gu_qt.m is not None, hm_dn=dn_qt.m is not None,
+        folded=folded, SB=SB,
         scale=float(scale), eps=float(cfg.rms_eps),
         act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
         has_qk=has_qk, has_post=has_post,
@@ -490,6 +551,8 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
 
     w_bytes = sum(t.q.nbytes + t.s.nbytes
                   + (t.m.nbytes if t.m is not None else 0)
+                  + (t.sd.nbytes if t.sd is not None else 0)
+                  + (t.md.nbytes if t.md is not None else 0)
                   for t in (qkv_qt, wo_qt, gu_qt, dn_qt))
     flops = 2 * L * (D * Nqkv + Hq * Dh * D + D * 2 * F + F * D)
 
@@ -509,21 +572,10 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            # weights + scales + mins stay in HBM; the kernel streams chunks
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # weights + scales + mins (+ folded super-scales) stay in HBM;
+            # the kernel streams chunks: 4 projections × (q, s, m, sd, md)
+            # then the KV planes
+            *([pl.BlockSpec(memory_space=pltpu.ANY)] * 22),
         ],
         out_specs=[
             pl.BlockSpec((B, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
@@ -535,21 +587,35 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             jax.ShapeDtypeStruct((L, B, S, HD), k3.dtype),
             jax.ShapeDtypeStruct((L, B, S, HD), v3.dtype),
         ],
-        input_output_aliases={24: 1, 25: 2},
+        input_output_aliases={32: 1, 33: 2},
         scratch_shapes=[
             pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf
             pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
             pltpu.VMEM((8, HD), k3.dtype),  # krow
             pltpu.VMEM((8, HD), v3.dtype),  # vrow
             pltpu.VMEM((2, TKmax, TNmax), jnp.int8),  # wbuf
-            pltpu.VMEM((2, TKmax // g_min, TNmax), jnp.float32),  # sbuf
-            pltpu.VMEM((2, TKmax // g_min, TNmax), jnp.float32),  # mbuf
+            # folded: sub-scale planes are int8, 4× narrower in VMEM too
+            pltpu.VMEM((2, TKmax // g_min, TNmax),
+                       jnp.int8 if folded else jnp.float32),  # sbuf
+            pltpu.VMEM((2, TKmax // g_min, TNmax),
+                       jnp.int8 if folded else jnp.float32),  # mbuf
+            # folded super-scale windows: exact (rows, lanes) per
+            # projection — Mosaic rejects sub-tile sublane slices of a
+            # shared max-shaped buffer, and exact shapes need none
+            *[pltpu.VMEM(
+                (2, _pick(_TK_CAPS, qt.shape[0], 8 * qt.group) // SB,
+                 _pick(_TN_CAPS, qt.q.shape[-1])) if folded else (2, 1, 128),
+                jnp.float32)
+              for _ in (0, 1)  # dbuf_* then dmbuf_*
+              for qt in (qkv_qt, wo_qt, gu_qt, dn_qt)],
             pltpu.SemaphoreType.DMA((2,)),  # ksem
             pltpu.SemaphoreType.DMA((2,)),  # vsem
             pltpu.SemaphoreType.DMA((2,)),  # isem
             pltpu.SemaphoreType.DMA((2,)),  # wsem
             pltpu.SemaphoreType.DMA((2,)),  # ssem
             pltpu.SemaphoreType.DMA((2,)),  # msem
+            pltpu.SemaphoreType.DMA((2,)),  # dsem
+            pltpu.SemaphoreType.DMA((2,)),  # dmsem
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -566,14 +632,12 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
         p["attn_norm"].astype(jnp.float32).reshape(L, 1, D),
         p["ffn_norm"].astype(jnp.float32).reshape(L, 1, D),
         qn, kn, pa, pf,
-        qkv_qt.q, qkv_qt.s,
-        qkv_qt.m if qkv_qt.m is not None else qkv_qt.s,
-        wo_qt.q, wo_qt.s,
-        wo_qt.m if wo_qt.m is not None else wo_qt.s,
-        gu_qt.q, gu_qt.s,
-        gu_qt.m if gu_qt.m is not None else gu_qt.s,
-        dn_qt.q, dn_qt.s,
-        dn_qt.m if dn_qt.m is not None else dn_qt.s,
+        *[a for t in (qkv_qt, wo_qt, gu_qt, dn_qt) for a in (
+            t.q, t.s,
+            t.m if t.m is not None else t.s,
+            t.sd if t.sd is not None else t.s,
+            t.md if t.md is not None else t.s,
+        )],
         k3, v3,
     )
 

@@ -24,6 +24,7 @@ realized as in-kernel dequant → MXU dot per (TM, TN, TK) tile.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -40,14 +41,32 @@ from ..gguf import quants as Q
 
 @dataclass
 class QuantTensor:
-    """Block-quantized weight resident on device, used as ``x @ qt``."""
+    """Block-quantized weight resident on device, used as ``x @ qt``.
+
+    Two scale representations:
+
+    - plain (``sd is None``): ``s``/``m`` are f32 per-group planes and
+      dequant is ``q·s − m`` (repeat per ``group`` along K);
+    - folded (``sd is not None``): the k-quant superblock structure is
+      kept on device — ``s``/``m`` are **int8** sub-scale planes and
+      ``sd``/``md`` are f32 per-superblock (``K/sgroup`` rows) planes,
+      with group-scale = ``s · repeat(sd)`` (exact: the GGUF sub-scales
+      are ≤8-bit ints and ``d`` is f16-valued, so the f32 product is the
+      same f32 the plain path stores).  Folding cuts the decode scale
+      stream ~4× (int8 + 1/16th-rate f32 instead of f32 per group) —
+      the ggml analog is reading ``block_q4_K.scales`` raw instead of
+      expanding to float (reference `ggml/src/ggml-quants.c` dequant).
+    """
 
     q: jnp.ndarray  # int8 (K, N) or uint8 (K/2, N) packed nibbles
-    s: jnp.ndarray  # f32 (K/g, N) scales
+    s: jnp.ndarray  # f32 (K/g, N) scales — int8 sub-scales when folded
     m: jnp.ndarray | None  # f32 (K/g, N) subtractive term, or None
     fmt: str  # "int8" | "nib4"
     group: int  # quant group size g along K
     shape: tuple[int, int]  # logical (K, N)
+    sd: jnp.ndarray | None = None  # folded: f32 (K/sgroup, N) super-scales
+    md: jnp.ndarray | None = None  # folded: f32 (K/sgroup, N) min super-scales
+    sgroup: int = 0  # folded: K elements per super-row (QK_K = 256)
 
     @property
     def K(self) -> int:
@@ -59,8 +78,27 @@ class QuantTensor:
 
 
 jax.tree_util.register_dataclass(
-    QuantTensor, data_fields=["q", "s", "m"], meta_fields=["fmt", "group", "shape"]
+    QuantTensor,
+    data_fields=["q", "s", "m", "sd", "md"],
+    meta_fields=["fmt", "group", "shape", "sgroup"],
 )
+
+
+def unfold_qt(qt: QuantTensor) -> QuantTensor:
+    """Expand a folded QuantTensor's scales back to plain f32 planes.
+
+    Exact (see QuantTensor docstring).  Used by consumers that predate
+    the folded layout; inside a jit the expansion fuses into the dequant
+    consumer, outside it materializes the f32 planes."""
+    if qt.sd is None:
+        return qt
+    rep = qt.sgroup // qt.group
+    ax = qt.s.ndim - 2  # group axis (works for stacked (L, K/g, N) too)
+    s = qt.s.astype(jnp.float32) * jnp.repeat(qt.sd, rep, axis=ax)
+    m = (qt.m.astype(jnp.float32) * jnp.repeat(qt.md, rep, axis=ax)
+         if qt.m is not None else None)
+    return QuantTensor(q=qt.q, s=s, m=m, fmt=qt.fmt, group=qt.group,
+                       shape=qt.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -309,23 +347,99 @@ def pack_experts_int8_g16(
     )
 
 
+# k-quant scale-part re-parsers: (sc int8, d f32/block, m int8|None,
+# dmin f32/block|None, g).  Only the 12-16 scale bytes per 256-weight
+# block are re-read; the q unpacking stays with the main decoder.
+# Folding stores these RAW superblock parts on device instead of the
+# f32 per-group product — exact (see QuantTensor docstring).
+
+
+def _parts_q4_k(b):
+    d, dmin = Q._f16(b[:, 0:2]), Q._f16(b[:, 2:4])
+    sc, m = Q._unpack_k4_scales(b[:, 4:16])
+    return sc.astype(np.int8), d, m.astype(np.int8), dmin, 32
+
+
+def _parts_q5_k(b):
+    return _parts_q4_k(b)  # same scale header layout
+
+
+def _parts_q6_k(b):
+    sc = b[:, 192:208].copy().view(np.int8)
+    return sc, Q._f16(b[:, 208:210]), None, None, 16
+
+
+def _parts_q3_k(b):
+    sc = Q._unpack_q3k_scales(b[:, 96:108]).astype(np.int8)
+    return sc, Q._f16(b[:, 108:110]), None, None, 16
+
+
+def _parts_q2_k(b):
+    scales = b[:, 0:16]
+    d, dmin = Q._f16(b[:, 80:82]), Q._f16(b[:, 82:84])
+    return ((scales & 0x0F).astype(np.int8), d,
+            (scales >> 4).astype(np.int8), dmin, 16)
+
+
+_SCALE_PART_DECODERS = {
+    GGMLType.Q4_K: _parts_q4_k,
+    GGMLType.Q5_K: _parts_q5_k,
+    GGMLType.Q6_K: _parts_q6_k,
+    GGMLType.Q3_K: _parts_q3_k,
+    GGMLType.Q2_K: _parts_q2_k,
+}
+
+
+# process-wide default for k-quant scale folding at pack time (set by
+# Engine.from_gguf(kq_fold=True) or LCG_KQ_FOLD=1) — folded weights want
+# the streamed decode megakernel; other paths unfold inline via XLA
+FOLD_KQ_SCALES = os.environ.get("LCG_KQ_FOLD", "0") == "1"
+
+
 def pack_gguf_tensor(
-    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...], put=jnp.asarray
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...], put=jnp.asarray,
+    fold_scales: bool | None = None,
 ) -> QuantTensor:
     """Decode GGUF block bytes of a (N, K) weight into a device QuantTensor.
 
     GGUF stores weights (out=N, in=K) row-major with K contiguous; the
     matmul consumes (K, N), so grids are transposed here on the host.
+
+    ``fold_scales`` keeps the k-quant superblock scale structure on device
+    (int8 sub-scales + per-256 f32 d) instead of expanding to f32 per
+    group — exactly the same dequantized values, ~4× fewer scale bytes to
+    stream at decode.  Non-k-quant types ignore the flag.
     """
+    if fold_scales is None:
+        fold_scales = FOLD_KQ_SCALES
     N, K = int(np.prod(shape[:-1])), int(shape[-1])
     ggml_type = GGMLType(ggml_type)
     blck, bsize = GGML_BLOCK_SIZES[ggml_type]
     decode = _GRID_DECODERS[ggml_type]
-    q, s, m, g = decode(raw.reshape(-1, bsize))
+    blocks = raw.reshape(-1, bsize)
+    q, s, m, g = decode(blocks)
     # (N*K/blck, blck) → (N, K); scales (N*K/blck, blck/g) → (N, K/g)
     q = q.reshape(N, K)
     s = s.reshape(N, K // g)
     m = m.reshape(N, K // g) if m is not None else None
+    fold = None
+    if fold_scales and ggml_type in _SCALE_PART_DECODERS and K % QK_K == 0:
+        sc8, d, m8, dmin, gp = _SCALE_PART_DECODERS[ggml_type](blocks)
+        assert gp == g
+        # super-scale planes are stored at K/128 rows (each per-256 d row
+        # repeated 2x): the streamed kernel DMAs (TK/128, TN) chunks whose
+        # sublane offsets are then 8-aligned at TK=1024 (Mosaic requires
+        # 8-aligned HBM sublane slices); costs 1/64 byte/weight over the
+        # ideal per-256 layout
+        rep2 = lambda a: np.repeat(a.reshape(N, K // QK_K), 2, axis=1)
+        fold = dict(
+            s=np.ascontiguousarray(sc8.reshape(N, K // g).T),
+            sd=np.ascontiguousarray(rep2(d).T, np.float32),
+            m=(np.ascontiguousarray(m8.reshape(N, K // g).T)
+               if m8 is not None else None),
+            md=(np.ascontiguousarray(rep2(dmin).T, np.float32)
+                if dmin is not None else None),
+        )
 
     if ggml_type in _NIB4_TYPES and K % (2 * g) == 0:
         # split-K packing: low nibble = k, high nibble = k + K/2 — the kernel
@@ -334,6 +448,15 @@ def pack_gguf_tensor(
         # kernel widens to int32 and masks).
         qT = q.T.astype(np.uint8)  # (K, N) values 0..15
         packed = (qT[: K // 2] | (qT[K // 2 :] << 4)).view(np.int8)  # (K/2, N)
+        if fold is not None:
+            return QuantTensor(
+                q=put(packed), s=put(fold["s"]),
+                m=put(fold["m"]) if fold["m"] is not None else None,
+                fmt="nib4", group=g, shape=(K, N),
+                sd=put(fold["sd"]),
+                md=put(fold["md"]) if fold["md"] is not None else None,
+                sgroup=QK_K // 2,
+            )
         return QuantTensor(
             q=put(packed),
             s=put(np.ascontiguousarray(s.T, np.float32)),
@@ -341,6 +464,15 @@ def pack_gguf_tensor(
             fmt="nib4",
             group=g,
             shape=(K, N),
+        )
+    if fold is not None:
+        return QuantTensor(
+            q=put(np.ascontiguousarray(q.T)), s=put(fold["s"]),
+            m=put(fold["m"]) if fold["m"] is not None else None,
+            fmt="int8", group=g, shape=(K, N),
+            sd=put(fold["sd"]),
+            md=put(fold["md"]) if fold["md"] is not None else None,
+            sgroup=QK_K // 2,
         )
     return QuantTensor(
         q=put(np.ascontiguousarray(q.T)),
@@ -367,6 +499,7 @@ def repack_nib4_to_int8(qt: QuantTensor) -> QuantTensor:
     return QuantTensor(
         q=_unpack_nib4(qt.q), s=qt.s, m=qt.m,
         fmt="int8", group=qt.group, shape=qt.shape,
+        sd=qt.sd, md=qt.md, sgroup=qt.sgroup,
     )
 
 
@@ -396,6 +529,8 @@ def repack_params_int8(params):
 
 def dequantize_qt(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the (K, N) weight (oracle / non-TPU fallback)."""
+    if qt.sd is not None:
+        qt = unfold_qt(qt)
     if qt.fmt == "nib4":
         p32 = qt.q.astype(jnp.int32) & 255
         lo = (p32 & 0x0F).astype(jnp.int8)  # rows 0..K/2-1
@@ -511,7 +646,8 @@ def pad_qt_n(qt: QuantTensor, multiple: int = 2048) -> QuantTensor:
         return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, padn)]) if a is not None else None
 
     return QuantTensor(q=pad(qt.q), s=pad(qt.s), m=pad(qt.m),
-                       fmt=qt.fmt, group=qt.group, shape=qt.shape)
+                       fmt=qt.fmt, group=qt.group, shape=qt.shape,
+                       sd=pad(qt.sd), md=pad(qt.md), sgroup=qt.sgroup)
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "shape", "interpret"))
@@ -616,6 +752,12 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, use_pallas: bool | None = None
     if use_pallas and not _pallas_tileable(qt.fmt, qt.group, qt.shape,
                                            qt.q.shape[-1]):
         use_pallas = False
+    if qt.sd is not None and use_pallas:
+        # folded scales: the generic Pallas kernels take f32 scale planes;
+        # unfolding would materialize them per call.  Folded tensors are
+        # meant for the streamed decode megakernel — everything else takes
+        # the XLA path, where the unfold fuses into the dequant-dot.
+        use_pallas = False
     if not use_pallas:
         return quant_matmul_xla(x, qt)
     return _quant_matmul_pallas(
@@ -644,11 +786,16 @@ def qt_expert(qt: QuantTensor, e) -> QuantTensor:
     return QuantTensor(
         q=take(qt.q), s=take(qt.s), m=take(qt.m) if qt.m is not None else None,
         fmt=qt.fmt, group=qt.group, shape=qt.shape,
+        sd=take(qt.sd) if qt.sd is not None else None,
+        md=take(qt.md) if qt.md is not None else None,
+        sgroup=qt.sgroup,
     )
 
 
 def dequantize_qt_experts(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize all experts (E, K, N) — oracle / load-time fallback."""
+    if qt.sd is not None:
+        qt = unfold_qt(qt)
     if qt.fmt == "nib4":
         p32 = qt.q.astype(jnp.int32) & 255
         vals = jnp.concatenate(
@@ -671,6 +818,8 @@ def routed_quant_matmul_xla(
     Gathers *quantized* expert slices (int8 / packed nibbles) so HBM reads
     stay at quantized width, then dequantizes per pair.  Used on CPU and as
     the golden reference for the Pallas kernel."""
+    if qt.sd is not None:
+        qt = unfold_qt(qt)
     K, N = qt.shape
     q_sel = qt.q[idx]  # (P, Kq, N) quantized gather
     s_sel = qt.s[idx]  # (P, K/g, N)
@@ -840,7 +989,7 @@ def routed_quant_matmul(
     if use_pallas and not _pallas_tileable(qt.fmt, qt.group, qt.shape,
                                            qt.q.shape[-1]):
         use_pallas = False  # grid would floor away the N tail (see helper)
-    if not use_pallas:
+    if not use_pallas or qt.sd is not None:
         return routed_quant_matmul_xla(x, qt, idx)
     return _routed_qmm_pallas(
         x, qt.q, qt.s, qt.m, idx,

@@ -114,6 +114,11 @@ class Engine:
         repack_int8: bool = False,  # lossless 4-bit → int8 weight repack:
         # 2× weight HBM for the DMA-bound GEMV path (~4× decode BW on this
         # chip vs the VPU-bound nib4 kernel); values are bit-identical
+        kq_fold: bool = False,  # keep the k-quant superblock scale
+        # structure on device (int8 sub-scales + per-256 f32 d) instead of
+        # f32 per group — ~13% fewer streamed bytes per decode token on a
+        # Q4_K_M mix, bit-identical values.  Implies repack_int8 (the
+        # streamed megakernel is the consumer; nib4 kernels don't fold)
         progress_callback=None,  # f(fraction)->bool; False cancels the load
         # (the llama_progress_callback contract, llama.h:276-279 /
         # test-model-load-cancel): raises ModelLoadCancelled
@@ -153,9 +158,18 @@ class Engine:
             if inner is None:
                 device_put_fn.keep_fused = True
 
-        params = get_family(cfg).load_params(
-            reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
-        )
+        from ..ops import quant_matmul as _qmm
+
+        if kq_fold:
+            repack_int8 = True  # folded weights want the streamed kernel
+        prev_fold = _qmm.FOLD_KQ_SCALES
+        _qmm.FOLD_KQ_SCALES = prev_fold or kq_fold
+        try:
+            params = get_family(cfg).load_params(
+                reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized
+            )
+        finally:
+            _qmm.FOLD_KQ_SCALES = prev_fold
         if progress_callback is not None:
             progress_callback(1.0)
         if repack_int8:

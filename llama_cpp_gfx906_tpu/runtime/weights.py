@@ -341,18 +341,51 @@ _QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
 _MOE_QUANTIZABLE = ("moe_gate", "moe_up", "moe_down")
 
 
-def _pack_int8_g16(raw: np.ndarray, ggml_type: GGMLType, shape, put) -> QuantTensor:
+def _pack_int8_g16(raw: np.ndarray, ggml_type: GGMLType, shape, put,
+                   fold_scales: bool | None = None) -> QuantTensor:
     """Unify any supported quant type to int8 values with group-16 scales.
 
     Used when layers of one weight mix quant types (e.g. Q4_K_M puts Q6_K on
     some ffn_down layers): values stay bit-exact, only the storage width is
-    promoted so the stacked lax.scan layout stays homogeneous."""
-    from ..gguf.constants import GGML_BLOCK_SIZES
+    promoted so the stacked lax.scan layout stays homogeneous.
 
+    ``fold_scales`` (k-quant types only — the caller guarantees every type
+    in the mixed set folds, else the stacked planes would be heterogeneous)
+    keeps int8 sub-scales + per-256 super-scale planes, harmonized to the
+    same g=16 granularity."""
+    from ..gguf.constants import GGML_BLOCK_SIZES, QK_K
+    from ..ops.quant_matmul import _SCALE_PART_DECODERS
+
+    if fold_scales is None:
+        from ..ops import quant_matmul as _qmm
+
+        fold_scales = _qmm.FOLD_KQ_SCALES and ggml_type in _SCALE_PART_DECODERS
     N, K = int(np.prod(shape[:-1])), int(shape[-1])
     blck, bsize = GGML_BLOCK_SIZES[ggml_type]
-    q, s, m, g = _GRID_DECODERS[ggml_type](raw.reshape(-1, bsize))
+    blocks = raw.reshape(-1, bsize)
+    q, s, m, g = _GRID_DECODERS[ggml_type](blocks)
     q = q.reshape(N, K)
+    if fold_scales and ggml_type in _SCALE_PART_DECODERS and K % QK_K == 0:
+        sc8, d, m8, dmin, gp = _SCALE_PART_DECODERS[ggml_type](blocks)
+        sc8 = sc8.reshape(N, K // gp)
+        m8 = (m8.reshape(N, K // gp) if m8 is not None
+              else np.zeros_like(sc8))
+        if gp != 16:
+            sc8 = np.repeat(sc8, gp // 16, axis=1)
+            m8 = np.repeat(m8, gp // 16, axis=1)
+        # K/128-row super planes (see pack_gguf_tensor: 8-aligned DMA)
+        d = np.repeat(d.reshape(N, K // QK_K), 2, axis=1)
+        dmin = (np.repeat(dmin.reshape(N, K // QK_K), 2, axis=1)
+                if dmin is not None else np.zeros_like(d))
+        return QuantTensor(
+            q=put(np.ascontiguousarray(q.T)),
+            s=put(np.ascontiguousarray(sc8.T)),
+            m=put(np.ascontiguousarray(m8.T)),
+            fmt="int8", group=16, shape=(K, N),
+            sd=put(np.ascontiguousarray(d.T, np.float32)),
+            md=put(np.ascontiguousarray(dmin.T, np.float32)),
+            sgroup=QK_K // 2,
+        )
     s = s.reshape(N, K // g)
     m = m.reshape(N, K // g) if m is not None else np.zeros_like(s)
     if g != 16:
@@ -375,6 +408,10 @@ def _concat_weights(parts: list, keys: list[str]):
     if all(isinstance(p, QuantTensor) for p in parts):
         if len({(p.fmt, p.shape[0]) for p in parts}) != 1:
             return None  # heterogeneous packing — keep separate
+        folded = [p.sd is not None for p in parts]
+        if any(folded) != all(folded) or len({p.sgroup for p in parts}) != 1:
+            return None  # mixed plain/folded scale layouts — keep separate
+        folded = folded[0]
         if len({p.group for p in parts}) != 1:
             # int8 groups harmonize by repeating coarser scale/min rows to
             # the finest group (values untouched — dequant is identical).
@@ -390,6 +427,7 @@ def _concat_weights(parts: list, keys: list[str]):
                     m=(jnp.repeat(p.m, p.group // g_t, axis=-2)
                        if p.m is not None else None),
                     fmt=p.fmt, group=g_t, shape=p.shape,
+                    sd=p.sd, md=p.md, sgroup=p.sgroup,
                 )
                 for p in parts
             ]
@@ -399,8 +437,12 @@ def _concat_weights(parts: list, keys: list[str]):
                 p.m if p.m is not None else jnp.zeros_like(p.s) for p in parts
             ]
             m = jnp.concatenate(ms, axis=-1)
+            # folded: a missing min plane zero-fills BOTH factors (m=0·md=0)
+            md = (jnp.concatenate(
+                [p.md if p.md is not None else jnp.zeros_like(p.sd)
+                 for p in parts], axis=-1) if folded else None)
         else:
-            m = None
+            m = md = None
         return QuantTensor(
             q=jnp.concatenate([p.q for p in parts], axis=-1),
             s=jnp.concatenate([p.s for p in parts], axis=-1),
@@ -408,6 +450,10 @@ def _concat_weights(parts: list, keys: list[str]):
             fmt=parts[0].fmt,
             group=parts[0].group,
             shape=(parts[0].shape[0], sum(p.shape[1] for p in parts)),
+            sd=(jnp.concatenate([p.sd for p in parts], axis=-1)
+                if folded else None),
+            md=md,
+            sgroup=parts[0].sgroup,
         )
     if all(not isinstance(p, QuantTensor) for p in parts):
         return jnp.concatenate(parts, axis=-1)
@@ -454,6 +500,9 @@ def _split_weight(w, sizes: list[int]):
                 s=w.s[..., off : off + n],
                 m=w.m[..., off : off + n] if w.m is not None else None,
                 fmt=w.fmt, group=w.group, shape=(w.shape[0], n),
+                sd=w.sd[..., off : off + n] if w.sd is not None else None,
+                md=w.md[..., off : off + n] if w.md is not None else None,
+                sgroup=w.sgroup,
             ))
         else:
             outs.append(w[..., off : off + n])
@@ -520,7 +569,11 @@ def load_llama_params_quantized(
     if OUTPUT in tensors:
         t = tensors[OUTPUT]
         if t.ggml_type in qmm_ok and t.shape[-1] % 32 == 0:
-            qt = pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
+            # the head never folds: it runs through the dense Pallas GEMV,
+            # which streams f32 scale planes (layers use the streamed
+            # megakernel, which understands folded scales)
+            qt = pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape,
+                                  fold_scales=False)
             if qt.shape[1] >= 8192 and qt.shape[1] % 2048:
                 # zero-pad the vocab dim so the Pallas kernel gets wide N
                 # tiles (measured +70% head bandwidth at 128256 vocab)
@@ -579,8 +632,15 @@ def load_llama_params_quantized(
                     for t in infos
                 ]
             else:  # mixed types (e.g. Q4_K_M): unify to int8/g16
+                from ..ops import quant_matmul as _qmm
+
+                # fold only when EVERY type in the mix folds — stacked
+                # layers must share one scale layout
+                fold_mix = (_qmm.FOLD_KQ_SCALES and
+                            all(t in _qmm._SCALE_PART_DECODERS for t in types))
                 qts = [
-                    _pack_int8_g16(np.asarray(t.data), t.ggml_type, t.shape, jnp.asarray)
+                    _pack_int8_g16(np.asarray(t.data), t.ggml_type, t.shape,
+                                   jnp.asarray, fold_scales=fold_mix)
                     for t in infos
                 ]
             proto = qts[0]
@@ -591,6 +651,11 @@ def load_llama_params_quantized(
                 fmt=proto.fmt,
                 group=proto.group,
                 shape=proto.shape,
+                sd=(jnp.stack([qt.sd for qt in qts])
+                    if proto.sd is not None else None),
+                md=(jnp.stack([qt.md for qt in qts])
+                    if proto.md is not None else None),
+                sgroup=proto.sgroup,
             )
             layers[key] = _put_qt(stacked, f"layers.{key}", put_named)
         else:
@@ -627,6 +692,11 @@ def _put_qt(qt: QuantTensor, logical: str, put_named) -> QuantTensor:
         fmt=qt.fmt,
         group=qt.group,
         shape=qt.shape,
+        sd=(put_named(np.asarray(qt.sd), f"{logical}.sd")
+            if qt.sd is not None else None),
+        md=(put_named(np.asarray(qt.md), f"{logical}.md")
+            if qt.md is not None else None),
+        sgroup=qt.sgroup,
     )
 
 

@@ -217,6 +217,57 @@ def test_streamed_affine_mins():
     lockstep_check(make_cfg(), params, 7, seed=11)
 
 
+def qstack_folded(rng, K, N, g=32, with_m=True, SB=128):
+    """Folded k-quant layout (pack_gguf_tensor fold_scales=True after an
+    int8 repack): int8 sub-scales + per-256 f32 super-scale planes."""
+    q = rng.integers(0, 16, (K, N)).astype(np.int8)
+    s8 = rng.integers(1, 64, (K // g, N)).astype(np.int8)
+    sd = rng.uniform(1e-4, 4e-4, (K // SB, N)).astype(np.float32)
+    m8 = rng.integers(0, 64, (K // g, N)).astype(np.int8) if with_m else None
+    md = (rng.uniform(0.0, 2e-3, (K // SB, N)).astype(np.float32)
+          if with_m else None)
+    stk = lambda a: jnp.stack([jnp.asarray(a)] * L) if a is not None else None
+    return qmm.QuantTensor(
+        q=stk(q), s=stk(s8), m=stk(m8), fmt="int8", group=g, shape=(K, N),
+        sd=stk(sd), md=stk(md), sgroup=SB)
+
+
+def test_streamed_folded_scales():
+    """Folded super-scale planes stream through the two extra windows;
+    logits must match the scanned path (which unfolds via XLA)."""
+    rng = np.random.default_rng(17)
+    params = make_params(rng)
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.float32) * 1.1,
+        "ffn_norm": jnp.ones((L, D), jnp.float32) * 0.9,
+        "wq": qstack_folded(rng, D, HQ * DH),
+        "wk": qstack_folded(rng, D, HKV * DH),
+        # Q6_K-lineage leg: g=16, no mins — fusion harmonizes groups and
+        # zero-fills BOTH min factors
+        "wv": qstack_folded(rng, D, HKV * DH, g=16, with_m=False),
+        "wo": qstack_folded(rng, HQ * DH, D),
+        "w_gate": qstack_folded(rng, D, F),
+        "w_up": qstack_folded(rng, D, F),
+        "w_down": qstack_folded(rng, F, D),
+    }
+    fused = fuse_projections(layers)
+    assert "wqkv_fused" in fused and fused["wqkv_fused"].sd is not None
+    assert fused["wqkv_fused"].group == 16
+    params = dict(params, layers=fused)
+    lockstep_check(make_cfg(), params, 7, seed=17)
+
+
+def test_stream_gate_folded():
+    """All-folded projections pass the gate; mixed folded/plain don't."""
+    rng = np.random.default_rng(19)
+    params = make_params(rng)
+    layers = dict(params["layers"])
+    layers["w_down"] = qstack_folded(rng, F, D)
+    cfg = make_cfg()
+    kv = KVCache.create(cfg, batch=1, max_seq=S, dtype=jnp.bfloat16)
+    assert not _stream_ok(dict(params, layers=layers), cfg, kv, 1, 1)
+
+
 def test_repack_then_fuse_matches_nib4():
     """bench.py's repack leg: nib4 Q4_K weights repacked to int8 (mins
     kept) then re-fused — dequantized values must be bit-identical."""
