@@ -43,13 +43,30 @@ from .decode_step import NEG_INF, _act_f32
 # kill switch for just this kernel (LCG_NO_FUSED_DECODE kills both)
 _DISABLE_STREAM = os.environ.get("LCG_NO_STREAM_DECODE", "0") == "1"
 
+# dequant schedule variant (A/B tuning; 0 = f32 product + bf16 MXU dot,
+# the reference-exact default)
+_DEQ_MODE = int(os.environ.get("LCG_DEQ_MODE", "0"))
+
+# widest N window: 1024-lane windows halve the DMA-issue count per
+# streamed byte (measured −3% step time on the 8B shape; the dequant
+# always runs in ≤512-lane sub-slices so the f32 temps stay ~2 MB).
+# The wiring drops back to 512 when the KV chunk buffers leave less
+# than ~9 MB of VMEM for the weight path.
+_TN_TOP = int(os.environ.get("LCG_STREAM_TN", "1024"))
+
 # streamed chunk geometry: (TK, TN) int8 chunks double-buffer in VMEM.
 # TK×TN int8 = 512 KB/chunk at (1024, 512); the f32 dequant temps
 # (scale-expand + product before the bf16 cast) dominate the budget at
 # ~2 MB each — with the 4 MB KV double-buffers everything stays well
 # inside v5e's 16 MB VMEM
-_TN_CAPS = (512, 256, 128)
 _TK_CAPS = (1024, 512, 256)
+
+
+def _tn_caps():
+    return tuple(t for t in (1024, 512, 256, 128) if t <= _TN_TOP)
+
+
+_TN_CAPS = _tn_caps()
 
 
 def _pick(caps, dim, mult=1):
@@ -68,7 +85,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             dbuf_qkv, dbuf_o, dbuf_gu, dbuf_dn,
             dmbuf_qkv, dmbuf_o, dmbuf_gu, dmbuf_dn,
             ksem, vsem, isem, wsem, ssem, msem, dsem, dmsem,
-            *, Hq, Hkv, Dh, F, BK, g_qkv, g_o, g_gu, g_dn,
+            *, Hq, Hkv, Dh, F, BK, tn_caps, g_qkv, g_o, g_gu, g_dn,
             hm_qkv, hm_o, hm_gu, hm_dn, folded, SB,
             scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
@@ -116,7 +133,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         ``s·repeat(sd)`` reconstructed on the VPU (one extra multiply per
         GROUP row, not per element) — cuts the scale stream ~4×."""
         K, N = wq.shape[1], wq.shape[2]
-        TN = _pick(_TN_CAPS, N)
+        TN = _pick(tn_caps, N)
         TK = _pick(_TK_CAPS, K, mult=8 * g)
         nK, nN = K // TK, N // TN
         chunks = [(j0, k0) for j0 in range(0, N, TN) for k0 in range(0, K, TK)]
@@ -162,19 +179,43 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             pltpu.make_async_copy(
                 ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                 sbuf.at[s, :TK // g, :TN], ssem.at[s]).wait()
-            qs = wbuf[s, :TK, :TN]
             if folded:
                 pltpu.make_async_copy(
                     wsd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
                     dbuf.at[s], dsem.at[s]).wait()
-                sg_g = (sbuf[s, :TK // g, :TN].astype(jnp.float32)
-                        * jnp.repeat(dbuf[s], SB // g, axis=0))
+                sg_g_full = (sbuf[s, :TK // g, :TN].astype(jnp.float32)
+                             * jnp.repeat(dbuf[s], SB // g, axis=0))
             else:
-                sg_g = sbuf[s, :TK // g, :TN]
-            sg = jnp.repeat(sg_g, g, axis=0)
-            w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot(
-                xb[:, k0:k0 + TK], w, preferred_element_type=jnp.float32)
+                sg_g_full = sbuf[s, :TK // g, :TN]
+            mode = _DEQ_MODE
+            # dequant + dot in ≤512-lane sub-slices: f32 temps stay ~2 MB
+            # however wide the DMA window is
+            subs = []
+            for n0 in range(0, TN, 512):
+                nn = min(512, TN - n0)
+                qs = wbuf[s, :TK, n0:n0 + nn]
+                sg_g = sg_g_full[:, n0:n0 + nn]
+                if mode == 1:  # bf16 elementwise (~10% slower: VPU is f32-native)
+                    sg = jnp.repeat(sg_g.astype(jnp.bfloat16), g, axis=0)
+                    w = qs.astype(jnp.bfloat16) * sg
+                elif mode == 2:  # f32 dot, no bf16 cast
+                    sg = jnp.repeat(sg_g, g, axis=0)
+                    w = qs.astype(jnp.float32) * sg
+                elif mode == 3:  # 3D broadcast instead of repeat, bf16 dot
+                    q3 = qs.reshape(TK // g, g, nn)
+                    w = (q3.astype(jnp.float32) * sg_g[:, None, :]).astype(
+                        jnp.bfloat16).reshape(TK, nn)
+                elif mode == 4:  # 3D broadcast, f32 dot
+                    q3 = qs.reshape(TK // g, g, nn)
+                    w = (q3.astype(jnp.float32) * sg_g[:, None, :]).reshape(TK, nn)
+                else:  # 0: reference path — f32 product, bf16 MXU dot
+                    sg = jnp.repeat(sg_g, g, axis=0)
+                    w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
+                subs.append(jax.lax.dot(
+                    xb[:, k0:k0 + TK].astype(w.dtype), w,
+                    preferred_element_type=jnp.float32))
+            acc = acc + (subs[0] if len(subs) == 1
+                         else jnp.concatenate(subs, axis=-1))
             if has_m:
                 pltpu.make_async_copy(
                     wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
@@ -528,17 +569,22 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
     Nqkv = qkv_qt.q.shape[-1]
 
     BK = next(t for t in (512, 256, 128) if S % t == 0)
+    # window caps: 1024-lane N windows unless the KV chunk buffers are big
+    # enough that VMEM gets tight (kbuf+vbuf double-buffered)
+    kv_buf_bytes = 2 * 2 * BK * HD * k3.dtype.itemsize * 2  # k + v
+    tn_top = min(_TN_TOP, 1024 if kv_buf_bytes <= 5 * 2**20 else 512)
+    tn_caps = tuple(t for t in (1024, 512, 256, 128) if t <= tn_top)
     # shared weight-chunk window: max TK × max TN over the four projections
     TKmax = max(_pick(_TK_CAPS, qt.shape[0], 8 * qt.group)
                 for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
-    TNmax = max(_pick(_TN_CAPS, qt.shape[1])
+    TNmax = max(_pick(tn_caps, qt.shape[1])
                 for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
     g_min = min(qt.group for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
 
     folded = qkv_qt.sd is not None
     SB = qkv_qt.sgroup if folded else 256
     kern = functools.partial(
-        _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK,
+        _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK, tn_caps=tn_caps,
         g_qkv=qkv_qt.group, g_o=wo_qt.group, g_gu=gu_qt.group,
         g_dn=dn_qt.group,
         hm_qkv=qkv_qt.m is not None, hm_o=wo_qt.m is not None,
@@ -604,7 +650,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             # shared max-shaped buffer, and exact shapes need none
             *[pltpu.VMEM(
                 (2, _pick(_TK_CAPS, qt.shape[0], 8 * qt.group) // SB,
-                 _pick(_TN_CAPS, qt.q.shape[-1])) if folded else (2, 1, 128),
+                 _pick(tn_caps, qt.q.shape[-1])) if folded else (2, 1, 128),
                 jnp.float32)
               for _ in (0, 1)  # dbuf_* then dmbuf_*
               for qt in (qkv_qt, wo_qt, gu_qt, dn_qt)],
