@@ -672,6 +672,81 @@ def test_unsatisfiable_grammar_errors_and_server_survives(server_client):
     loop.run_until_complete(run())
 
 
+def test_webui_page(tiny_gguf, batched):
+    """GET / serves the built-in SPA: conversation sidebar, settings
+    dialog with the reference Config.ts sampler surface, SSE chat glue,
+    vision attachments, markdown renderer — and its script is
+    structurally balanced (no JS engine in CI, so braces/strings are
+    checked by a tokenizer-level scan)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from llama_cpp_gfx906_tpu.server.app import InferenceServer, build_app
+
+    srv = InferenceServer(batched)
+    srv.start()
+    app = build_app(srv)
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            r = await client.get("/")
+            assert r.status == 200
+            assert r.content_type == "text/html"
+            html = await r.text()
+            for frag in ("newchat", "v1/chat/completions", "renderMd",
+                         "dry_multiplier", "xtc_probability", "image_url",
+                         "localStorage", "AbortController", "tok/s"):
+                assert frag in html, frag
+            import re
+            script = re.search(r"<script>(.*)</script>", html, re.S).group(1)
+            depth = {"{": 0, "(": 0, "[": 0}
+            pairs = {"}": "{", ")": "(", "]": "["}
+            i, n, state, prev = 0, len(script), None, ""
+            while i < n:
+                c = script[i]
+                if state is None:
+                    if c in "\"'`":
+                        state = c
+                    elif c == "/" and script[i + 1 : i + 2] == "/":
+                        state = "line"
+                    elif c == "/" and script[i + 1 : i + 2] == "*":
+                        state = "block"
+                    elif c == "/" and prev in "=(,:;!&|?[":
+                        state = "re"
+                    elif c in depth:
+                        depth[c] += 1
+                    elif c in pairs:
+                        depth[pairs[c]] -= 1
+                        assert depth[pairs[c]] >= 0, f"unbalanced {c} at {i}"
+                    if not c.isspace():
+                        prev = c
+                elif state in "\"'`":
+                    if c == "\\":
+                        i += 1
+                    elif c == state:
+                        state = None
+                elif state == "line":
+                    if c == "\n":
+                        state = None
+                elif state == "block":
+                    if c == "*" and script[i + 1 : i + 2] == "/":
+                        state = None
+                        i += 1
+                elif state == "re":
+                    if c == "\\":
+                        i += 1
+                    elif c == "/":
+                        state = None
+                i += 1
+            assert all(v == 0 for v in depth.values()) and state is None
+
+        loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        srv.stop()
+
+
 def test_webui_gate_and_slot_save_path(tiny_gguf, batched, tmp_path):
     """--no-webui removes GET /; --slot-save-path enables on-disk slot
     files with a filename body (reference server slot save endpoint)."""
