@@ -576,6 +576,145 @@ def _qmm_int8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, group, n_k):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _qmm_int8_gemv_kernel(x_ref, q_ref, s_ref, *rest, group, sgroup, tkc):
+    """Decode-shape (M ≤ 8) int8 GEMV: full-K weight windows, grid over N.
+
+    The dense `_qmm_int8_kernel`'s (TM, TN, TK) k-grid revisits the
+    output tile K/TK× and can only stream f32 per-group scale planes
+    (25% extra bytes at group=16; folded k-quant scales must be
+    unfolded first).  This variant
+    carries the streamed decode megakernel's proven schedule
+    (`ops/decode_stream.py` gemv_stream) into a standalone kernel: one
+    grid dimension over N windows, each program consumes a full-K
+    (K, TN) int8 block that Pallas double-buffers from HBM while the
+    previous window computes, and the dequant runs in (≤1024, ≤512)
+    sub-slices so f32 temps stay ~2 MB.  Folded k-quant scales
+    (int8 sub-scales × f32 per-superblock planes, `sgroup > 0`) stream
+    natively — ~4× fewer scale bytes than the f32 planes the dense
+    kernel requires.  Measured on the 8B Q6_K lm_head shape
+    (4096×129024, scripts/microbench_gemv.py two-length slope): dense
+    0.93 ms (712 GB/s) → GEMV 0.90 ms (731 GB/s) → folded GEMV 0.85 ms
+    (578 MB vs 661 MB streamed).  Reference analog: the fork's lm_head
+    GEMV rides the same fused dequant kernels as the layers
+    (docs/gfx906/implementation_guide.md:170-287)."""
+    if sgroup:
+        sd_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    K, TN = q_ref.shape
+    TKc = tkc
+    outs = []
+    for n0 in range(0, TN, 512):
+        nn = min(512, TN - n0)
+        acc = jnp.zeros((x_ref.shape[0], nn), jnp.float32)
+        for k0 in range(0, K, TKc):
+            qs = q_ref[k0:k0 + TKc, n0:n0 + nn]
+            sg_g = s_ref[k0 // group:(k0 + TKc) // group, n0:n0 + nn]
+            if sgroup:
+                sd = sd_ref[k0 // sgroup:(k0 + TKc) // sgroup, n0:n0 + nn]
+                sg_g = sg_g.astype(jnp.float32) * jnp.repeat(
+                    sd, sgroup // group, axis=0)
+            sg = jnp.repeat(sg_g, group, axis=0)
+            w = (qs.astype(jnp.float32) * sg).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(
+                x_ref[:, k0:k0 + TKc], w, preferred_element_type=jnp.float32)
+        outs.append(acc)
+    o_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _gemv_tiles(qt: QuantTensor) -> tuple[int, int] | None:
+    """(TKc, TN) for the streamed GEMV kernel, or None if ineligible.
+
+    Eligibility: int8 format; K divisible by a sub-chunk that keeps the
+    per-group scale slice 8-row aligned (TKc ≥ 8·group); folded scales
+    additionally need TKc = 1024 so the super-scale slice lands on
+    8-aligned sublanes; the full-K weight window (K·TN int8 bytes) must
+    fit a ≤4 MB double-buffered VMEM block."""
+    if qt.fmt != "int8":
+        return None
+    K, Np = qt.q.shape[-2], qt.q.shape[-1]
+    if qt.sd is not None:
+        tkc = 1024 if K % 1024 == 0 and 1024 >= 8 * qt.group else 0
+        if tkc and K % qt.sgroup:
+            tkc = 0
+    else:
+        tkc = next((t for t in (1024, 512, 256)
+                    if K % t == 0 and t >= 8 * qt.group), 0)
+    if not tkc:
+        return None
+    tn = next((t for t in (1024, 512, 256, 128)
+               if Np % t == 0 and K * t <= (4 << 20)), 0)
+    if not tn:
+        return None
+    return tkc, tn
+
+
+_NO_GEMV_KERNEL = os.environ.get("LCG_NO_GEMV_KERNEL", "0") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("group", "sgroup", "shape",
+                                             "interpret"))
+def _quant_gemv_pallas(x, q, s, m, sd, md, *, group, sgroup, shape,
+                       interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, N = shape
+    Np = q.shape[-1]
+    lead = x.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(M, K)
+    if M != 8:
+        x2 = jnp.pad(x2, ((0, 8 - M), (0, 0)))
+    x2 = x2.astype(jnp.bfloat16)
+    tiles = _gemv_tiles(QuantTensor(q=q, s=s, m=None, fmt="int8", group=group,
+                                    shape=shape, sd=sd, sgroup=sgroup))
+    assert tiles is not None
+    TKc, TN = tiles
+
+    folded = sd is not None
+    in_specs = [
+        pl.BlockSpec((8, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K // group, TN), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x2, q, s]
+    if folded:
+        in_specs.append(pl.BlockSpec((K // sgroup, TN), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(sd)
+    out = pl.pallas_call(
+        functools.partial(_qmm_int8_gemv_kernel, group=group,
+                          sgroup=sgroup if folded else 0, tkc=TKc),
+        grid=(Np // TN,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, TN), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * Np * K,
+            bytes_accessed=8 * K * 2 + K * Np
+            + K // group * Np * (1 if folded else 4)
+            + (K // sgroup * Np * 4 if folded else 0),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if m is not None:
+        # subtractive term outside the kernel (reads the m plane once as a
+        # small (8, K/g) @ (K/g, Np) XLA matmul; the folded unfold fuses in)
+        mg = m.astype(jnp.float32)
+        if md is not None:
+            mg = mg * jnp.repeat(md, sgroup // group, axis=0)
+        xs = x2.astype(jnp.float32).reshape(8, K // group, group).sum(-1)
+        out = out - xs @ mg
+    return out[:M, :N].reshape(*lead, N).astype(x.dtype)
+
+
 def _qmm_nib4_kernel(
     xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref, *, group, n_k
 ):
@@ -743,11 +882,20 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, use_pallas: bool | None = None
     Pallas launch + short grids dominate (~137 GB/s effective), while
     XLA's fused dequant-dot pipelines better; big weights (lm_head-class)
     stream near peak through the Pallas kernel (~690 GB/s)."""
+    M = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
+    if (use_pallas is not False and not _NO_GEMV_KERNEL
+            and M <= 8 and qt.shape[0] * qt.shape[1] >= (1 << 23)
+            and jax.default_backend() not in ("cpu",)
+            and _gemv_tiles(qt) is not None):
+        # decode-shape big weights (lm_head-class): streamed full-K GEMV
+        # kernel — no k-grid, folded scales stream natively
+        return _quant_gemv_pallas(
+            x, qt.q, qt.s, qt.m, qt.sd, qt.md,
+            group=qt.group, sgroup=qt.sgroup or 0, shape=qt.shape)
     if use_pallas is None:
         if jax.default_backend() in ("cpu",):
             use_pallas = False
         else:
-            M = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
             use_pallas = M > 8 or qt.shape[0] * qt.shape[1] >= (1 << 23)
     if use_pallas and not _pallas_tileable(qt.fmt, qt.group, qt.shape,
                                            qt.q.shape[-1]):

@@ -72,6 +72,81 @@ def test_linear_dispatch():
     )
 
 
+@pytest.mark.parametrize("qtype", [GGMLType.Q8_0, GGMLType.Q6_K])
+@pytest.mark.parametrize("M", [1, 3, 8])
+def test_gemv_kernel_interpret(qtype, M):
+    """Streamed full-K GEMV kernel (decode shape) == XLA oracle."""
+    qt, _ = make_qt(qtype, N=256, K=1024)
+    x = (RNG.standard_normal((M, 1024)) * 0.5).astype(np.float32)
+    assert qmm._gemv_tiles(qt) is not None
+    got = np.asarray(qmm._quant_gemv_pallas(
+        jnp.asarray(x, jnp.float32), qt.q, qt.s, qt.m, qt.sd, qt.md,
+        group=qt.group, sgroup=qt.sgroup or 0, shape=qt.shape,
+        interpret=True))
+    ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02, (qtype.name, M)
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q6_K, GGMLType.Q2_K])
+def test_gemv_kernel_folded_interpret(qtype):
+    """Folded scales (int8 sub-planes + f32 super-planes) stream through
+    the GEMV kernel natively; Q2_K also exercises the affine min path."""
+    w = RNG.standard_normal((256, 1024)).astype(np.float32)
+    raw = quantize(w, qtype)
+    qt = qmm.pack_gguf_tensor(raw, qtype, (256, 1024), fold_scales=True)
+    assert qt.sd is not None and qmm._gemv_tiles(qt) is not None
+    x = (RNG.standard_normal((1, 1024)) * 0.5).astype(np.float32)
+    got = np.asarray(qmm._quant_gemv_pallas(
+        jnp.asarray(x, jnp.float32), qt.q, qt.s, qt.m, qt.sd, qt.md,
+        group=qt.group, sgroup=qt.sgroup, shape=qt.shape, interpret=True))
+    ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02, qtype.name
+
+
+def test_gemv_kernel_padded_n():
+    """pad_qt_n tensors: pad columns sliced off, logical N preserved."""
+    qt, _ = make_qt(GGMLType.Q6_K, N=200, K=1024)
+    qtp = qmm.pad_qt_n(qt, multiple=256)
+    assert qtp.q.shape[-1] == 256 and qtp.shape == (1024, 200)
+    assert qmm._gemv_tiles(qtp) is not None
+    x = (RNG.standard_normal((1, 1024)) * 0.5).astype(np.float32)
+    got = np.asarray(qmm._quant_gemv_pallas(
+        jnp.asarray(x, jnp.float32), qtp.q, qtp.s, qtp.m, qtp.sd, qtp.md,
+        group=qtp.group, sgroup=qtp.sgroup or 0, shape=qtp.shape,
+        interpret=True))
+    assert got.shape == (1, 200)
+    ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02
+
+
+def test_gemv_kernel_repacked_affine():
+    """Lossless int8 repack of an affine nib4 type (Q4_1 has mins) rides
+    the GEMV kernel with the min correction applied outside."""
+    qt, _ = make_qt(GGMLType.Q4_1, N=256, K=1024)
+    rp = qmm.repack_nib4_to_int8(qt)
+    assert rp.fmt == "int8" and rp.m is not None
+    assert qmm._gemv_tiles(rp) is not None
+    x = (RNG.standard_normal((2, 1024)) * 0.5).astype(np.float32)
+    got = np.asarray(qmm._quant_gemv_pallas(
+        jnp.asarray(x, jnp.float32), rp.q, rp.s, rp.m, rp.sd, rp.md,
+        group=rp.group, sgroup=rp.sgroup or 0, shape=rp.shape,
+        interpret=True))
+    ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02
+
+
+def test_gemv_tiles_eligibility():
+    """Ineligible shapes (K not tileable, nib4 fmt) return None."""
+    qt, _ = make_qt(GGMLType.Q8_0, N=256, K=640)  # 640 % 256 != 0
+    assert qmm._gemv_tiles(qt) is None
+    qt4, _ = make_qt(GGMLType.Q4_0, N=256, K=1024)  # nib4 fmt
+    assert qt4.fmt == "nib4" and qmm._gemv_tiles(qt4) is None
+
+
 def make_experts(qtype, E=4, N=128, K=256):
     w = RNG.standard_normal((E, N, K)).astype(np.float32)
     raw = quantize(w.reshape(E * N, K), qtype)
