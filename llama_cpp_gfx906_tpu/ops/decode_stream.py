@@ -138,11 +138,20 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         nK, nN = K // TK, N // TN
         chunks = [(j0, k0) for j0 in range(0, N, TN) for k0 in range(0, K, TK)]
 
-        if has_m:
-            TKg = TK // g
+        TKg = TK // g
+        if has_m and _DEQ_MODE != 5:
             row = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 1)
             gmat = (row // g == col).astype(jnp.bfloat16)
+        if _DEQ_MODE == 5:
+            # group-factored schedule: block-diagonal x expansion so the
+            # MXU dots RAW int8 (exact in bf16: |q| ≤ 127 < 2^8 mantissa)
+            # per group and scales apply per GROUP row afterward — the
+            # per-element VPU dequant (cast·mul·cast, 3-4 passes over
+            # TK×TN) collapses to ONE cast pass + O(TK/g·TN) scale work
+            rowg = jax.lax.broadcasted_iota(jnp.int32, (TKg, TK), 0)
+            colg = jax.lax.broadcasted_iota(jnp.int32, (TKg, TK), 1)
+            gmatT = (colg // g == rowg).astype(jnp.bfloat16)
 
         def start(t):
             j0, k0 = chunks[t]
@@ -188,6 +197,36 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             else:
                 sg_g_full = sbuf[s, :TK // g, :TN]
             mode = _DEQ_MODE
+            if mode == 5:
+                # y[gi, n] = Σ_{k∈gi} x_k·q_kn via one dense MXU dot with a
+                # block-diagonal x matrix (same tile count as the M=1 dot);
+                # then acc += Σ_gi s[gi,n]·y[gi,n] (− Σ_gi xsum[gi]·m[gi,n])
+                qb = wbuf[s, :TK, :TN].astype(jnp.bfloat16)
+                xk = gmatT * xb[:, k0:k0 + TK]
+                y = jax.lax.dot(xk, qb, preferred_element_type=jnp.float32)
+                sg = sg_g_full  # already f32 (TKg, TN), folded or not
+                if has_m:
+                    pltpu.make_async_copy(
+                        wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
+                        mbuf.at[s, :TK // g, :TN], msem.at[s]).wait()
+                    if folded:
+                        pltpu.make_async_copy(
+                            wmd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                            dmbuf.at[s], dmsem.at[s]).wait()
+                        mg = (mbuf[s, :TK // g, :TN].astype(jnp.float32)
+                              * jnp.repeat(dmbuf[s], SB // g, axis=0))
+                    else:
+                        mg = mbuf[s, :TK // g, :TN]
+                    xsum = jnp.sum(xk.astype(jnp.float32), axis=1,
+                                   keepdims=True)
+                    acc = acc + jnp.sum(sg * y - xsum * mg, axis=0,
+                                        keepdims=True)
+                else:
+                    acc = acc + jnp.sum(sg * y, axis=0, keepdims=True)
+                if k0 + TK >= K:
+                    outs.append(acc)
+                    acc = jnp.zeros((1, TN), jnp.float32)
+                continue
             # dequant + dot in ≤512-lane sub-slices: f32 temps stay ~2 MB
             # however wide the DMA window is
             subs = []
