@@ -73,6 +73,20 @@ def _pick(caps, dim, mult=1):
     return next((t for t in caps if dim % t == 0 and t % mult == 0), None)
 
 
+def _proj_tk(K: int, g: int, is_n4: bool):
+    """Logical K-chunk for one projection.  nib4c needs TK ≥ 16·g (the
+    chunk's scale rows are sliced in half → each half ≥ 8 sublanes) and
+    must equal the pack-time chunk ``nib4c_chunk(K)`` — both walk the same
+    cap list, so agreement is checked, not assumed."""
+    tk = _pick(_TK_CAPS, K, mult=(16 if is_n4 else 8) * g)
+    if is_n4 and tk is not None:
+        from .quant_matmul import nib4c_chunk
+
+        if tk != nib4c_chunk(K):
+            return None
+    return tk
+
+
 def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             anorm_ref, fnorm_ref, qn_ref, kn_ref, pa_ref, pf_ref,
             qkv_q, qkv_s, qkv_m, qkv_sd, qkv_md,
@@ -86,7 +100,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             dmbuf_qkv, dmbuf_o, dmbuf_gu, dmbuf_dn,
             ksem, vsem, isem, wsem, ssem, msem, dsem, dmsem,
             *, Hq, Hkv, Dh, F, BK, tn_caps, g_qkv, g_o, g_gu, g_dn,
-            hm_qkv, hm_o, hm_gu, hm_dn, folded, SB,
+            hm_qkv, hm_o, hm_gu, hm_dn, n4_qkv, n4_o, n4_gu, n4_dn,
+            folded, SB,
             scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -115,7 +130,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         sc = jax.lax.rsqrt(jnp.mean(v * v, axis=-1, keepdims=True) + eps)
         return v * sc * w
 
-    def gemv_stream(xb, wq, ws, wm, wsd, wmd, dbuf, dmbuf, g, has_m):
+    def gemv_stream(xb, wq, ws, wm, wsd, wmd, dbuf, dmbuf, g, has_m,
+                    is_n4=False):
         """(1, K) bf16 @ HBM int8 (L, K, N) with per-g scales → (1, N) f32.
 
         v1's ``qdot`` chunk schedule with the chunks DMA'd from HBM
@@ -131,19 +147,29 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         arrive as **int8** sub-scales plus tiny f32 per-SB super-scale
         planes streamed through two extra windows; group scale =
         ``s·repeat(sd)`` reconstructed on the VPU (one extra multiply per
-        GROUP row, not per element) — cuts the scale stream ~4×."""
-        K, N = wq.shape[1], wq.shape[2]
+        GROUP row, not per element) — cuts the scale stream ~4×.
+
+        ``is_n4`` (nib4c chunk-local 4-bit packing): the weight window is
+        (TK/2, TN) packed bytes whose low nibbles are the chunk's first
+        TK/2 logical rows and high nibbles the second — scale and x slices
+        stay chunk-contiguous, so only the window row count and the
+        unpack-into-two-planes dequant differ from int8.  Halves the
+        streamed weight bytes; the elementwise unpack keeps up with the
+        DMA (scripts/exp_nib4.py: ~590 GB/s packed on the 8B shape)."""
+        K = 2 * wq.shape[1] if is_n4 else wq.shape[1]
+        N = wq.shape[2]
         TN = _pick(tn_caps, N)
-        TK = _pick(_TK_CAPS, K, mult=8 * g)
+        TK = _proj_tk(K, g, is_n4)
+        TKq = TK // 2 if is_n4 else TK  # weight-window rows (packed bytes)
         nK, nN = K // TK, N // TN
         chunks = [(j0, k0) for j0 in range(0, N, TN) for k0 in range(0, K, TK)]
 
         TKg = TK // g
-        if has_m and _DEQ_MODE != 5:
+        if has_m and (_DEQ_MODE != 5 or is_n4):
             row = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 1)
             gmat = (row // g == col).astype(jnp.bfloat16)
-        if _DEQ_MODE == 5:
+        if _DEQ_MODE == 5 and not is_n4:
             # group-factored schedule: block-diagonal x expansion so the
             # MXU dots RAW int8 (exact in bf16: |q| ≤ 127 < 2^8 mantissa)
             # per group and scales apply per GROUP row afterward — the
@@ -157,8 +183,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             j0, k0 = chunks[t]
             s = t % 2
             pltpu.make_async_copy(
-                wq.at[l, pl.ds(k0, TK), pl.ds(j0, TN)],
-                wbuf.at[s, :TK, :TN], wsem.at[s]).start()
+                wq.at[l, pl.ds(k0 // 2 if is_n4 else k0, TKq), pl.ds(j0, TN)],
+                wbuf.at[s, :TKq, :TN], wsem.at[s]).start()
             pltpu.make_async_copy(
                 ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                 sbuf.at[s, :TK // g, :TN], ssem.at[s]).start()
@@ -183,8 +209,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             if t + 1 < len(chunks):
                 start(t + 1)
             pltpu.make_async_copy(
-                wq.at[l, pl.ds(k0, TK), pl.ds(j0, TN)],
-                wbuf.at[s, :TK, :TN], wsem.at[s]).wait()
+                wq.at[l, pl.ds(k0 // 2 if is_n4 else k0, TKq), pl.ds(j0, TN)],
+                wbuf.at[s, :TKq, :TN], wsem.at[s]).wait()
             pltpu.make_async_copy(
                 ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
                 sbuf.at[s, :TK // g, :TN], ssem.at[s]).wait()
@@ -196,7 +222,52 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                              * jnp.repeat(dbuf[s], SB // g, axis=0))
             else:
                 sg_g_full = sbuf[s, :TK // g, :TN]
-            mode = _DEQ_MODE
+            mode = _DEQ_MODE if not is_n4 else 0
+            if is_n4:
+                # nib4c: unpack the packed (TKq, ≤512) block into lo/hi
+                # planes — scale halves and x halves are chunk-contiguous
+                TKgh = TKg // 2
+                subs = []
+                for n0 in range(0, TN, 512):
+                    nn = min(512, TN - n0)
+                    p32 = wbuf[s, :TKq, n0:n0 + nn].astype(jnp.int32) & 255
+                    sg_g = sg_g_full[:, n0:n0 + nn]
+                    wl = ((p32 & 0x0F).astype(jnp.float32)
+                          * jnp.repeat(sg_g[:TKgh], g, axis=0)
+                          ).astype(jnp.bfloat16)
+                    wh = ((p32 >> 4).astype(jnp.float32)
+                          * jnp.repeat(sg_g[TKgh:], g, axis=0)
+                          ).astype(jnp.bfloat16)
+                    acc_n = jax.lax.dot(
+                        xb[:, k0:k0 + TKq].astype(jnp.bfloat16), wl,
+                        preferred_element_type=jnp.float32)
+                    acc_n = acc_n + jax.lax.dot(
+                        xb[:, k0 + TKq:k0 + TK].astype(jnp.bfloat16), wh,
+                        preferred_element_type=jnp.float32)
+                    subs.append(acc_n)
+                acc = acc + (subs[0] if len(subs) == 1
+                             else jnp.concatenate(subs, axis=-1))
+                if has_m:
+                    pltpu.make_async_copy(
+                        wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
+                        mbuf.at[s, :TK // g, :TN], msem.at[s]).wait()
+                    if folded:
+                        pltpu.make_async_copy(
+                            wmd.at[l, pl.ds(k0 // SB, TK // SB),
+                                   pl.ds(j0, TN)],
+                            dmbuf.at[s], dmsem.at[s]).wait()
+                        mg = (mbuf[s, :TK // g, :TN].astype(jnp.float32)
+                              * jnp.repeat(dmbuf[s], SB // g, axis=0))
+                    else:
+                        mg = mbuf[s, :TK // g, :TN]
+                    xg = jax.lax.dot(xb[:, k0:k0 + TK], gmat,
+                                     preferred_element_type=jnp.float32)
+                    acc = acc - jax.lax.dot(
+                        xg, mg, preferred_element_type=jnp.float32)
+                if k0 + TK >= K:
+                    outs.append(acc)
+                    acc = jnp.zeros((1, TN), jnp.float32)
+                continue
             if mode == 5:
                 # y[gi, n] = Σ_{k∈gi} x_k·q_kn via one dense MXU dot with a
                 # block-diagonal x matrix (same tile count as the M=1 dot);
@@ -279,7 +350,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     # ---- attention ---------------------------------------------------------
     h = rms(x, anorm_ref[0].astype(jnp.float32))
     qkv = gemv_stream(h.astype(jnp.bfloat16), qkv_q, qkv_s, qkv_m,
-                      qkv_sd, qkv_md, dbuf_qkv, dmbuf_qkv, g_qkv, hm_qkv)
+                      qkv_sd, qkv_md, dbuf_qkv, dmbuf_qkv, g_qkv, hm_qkv,
+                      n4_qkv)
     qkv = qkv.astype(jnp.bfloat16).astype(jnp.float32)
 
     use_local = swa_ref[l] > 0
@@ -416,7 +488,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     o_vec = (jnp.concatenate(o_rows, axis=-1) if len(o_rows) > 1
              else o_rows[0])
     attn_out = gemv_stream(o_vec.astype(jnp.bfloat16), wo_q, wo_s, wo_m,
-                           wo_sd, wo_md, dbuf_o, dmbuf_o, g_o, hm_o)
+                           wo_sd, wo_md, dbuf_o, dmbuf_o, g_o, hm_o, n4_o)
     k_ins.wait()
     v_ins.wait()
 
@@ -429,12 +501,12 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     # ---- MLP ---------------------------------------------------------------
     h2 = rms(x, fnorm_ref[0].astype(jnp.float32))
     gu = gemv_stream(h2.astype(jnp.bfloat16), gu_q, gu_s, gu_m,
-                     gu_sd, gu_md, dbuf_gu, dmbuf_gu, g_gu, hm_gu)
+                     gu_sd, gu_md, dbuf_gu, dmbuf_gu, g_gu, hm_gu, n4_gu)
     g_b = gu[:, :F].astype(jnp.bfloat16)
     u_b = gu[:, F:].astype(jnp.bfloat16)
     y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16) * u_b)
     mlp = gemv_stream(y, dn_q, dn_s, dn_m, dn_sd, dn_md, dbuf_dn, dmbuf_dn,
-                      g_dn, hm_dn)
+                      g_dn, hm_dn, n4_dn)
     mlp_b = mlp.astype(jnp.bfloat16)
     if has_post:
         mlp_b = rms(mlp_b.astype(jnp.float32),
@@ -444,19 +516,23 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     xout_ref[:] = x
 
 
-def _int8_affine_qt(t):
-    """Like decode_step._int8_qt but affine formats (Q4_K-lineage mins)
-    are in scope — the streamed kernel carries a min plane.  Folded
-    k-quant scale layouts (int8 sub-scales + per-256 f32 super-scales)
-    stream through two extra windows."""
+def _stream_qt(t):
+    """Gate one projection for the streamed kernel: int8 or nib4c format,
+    affine (Q4_K-lineage mins) in scope, folded k-quant scale layouts
+    (int8 sub-scales + per-256 f32 super-scales) stream through two extra
+    windows."""
     from .quant_matmul import QuantTensor
 
-    if not (isinstance(t, QuantTensor) and t.fmt == "int8"
+    if not (isinstance(t, QuantTensor) and t.fmt in ("int8", "nib4c")
+            and not t.xla_only  # TP-sharded weights stay on the XLA path
             and t.q.ndim == 3 and t.q.shape[-1] == t.shape[1]
             and (t.m is None or t.m.shape == t.s.shape)):
         return False
+    is_n4 = t.fmt == "nib4c"
+    K = t.shape[0]
+    if _proj_tk(K, t.group, is_n4) is None:
+        return False
     if t.sd is not None:
-        K = t.shape[0]
         if t.sgroup <= 0 or t.sgroup % t.group or K % t.sgroup:
             return False
         if (t.m is None) != (t.md is None):
@@ -465,10 +541,13 @@ def _int8_affine_qt(t):
         # planes: either the K-chunk spans the whole plane (single chunk)
         # or every chunk is an 8-row multiple (TK/sgroup % 8 == 0 — holds
         # for the stored K/128 granularity at TK=1024)
-        TK = _pick(_TK_CAPS, K, mult=8 * t.group)
-        if TK is None or (TK != K and (TK // t.sgroup) % 8 != 0):
+        TK = _proj_tk(K, t.group, is_n4)
+        if TK != K and (TK // t.sgroup) % 8 != 0:
             return False
     return True
+
+
+_int8_affine_qt = _stream_qt  # back-compat alias (tests, docs)
 
 
 def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
@@ -542,7 +621,8 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     # every projection must factor into the streamed chunk grid
     for qt in (p["wqkv_fused"], p["wo"], p["wgateup_fused"], p["w_down"]):
         K, N = qt.shape
-        if _pick(_TN_CAPS, N) is None or _pick(_TK_CAPS, K, 8 * qt.group) is None:
+        if (_pick(_TN_CAPS, N) is None
+                or _proj_tk(K, qt.group, qt.fmt == "nib4c") is None):
             return False
     return True
 
@@ -613,9 +693,15 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
     kv_buf_bytes = 2 * 2 * BK * HD * k3.dtype.itemsize * 2  # k + v
     tn_top = min(_TN_TOP, 1024 if kv_buf_bytes <= 5 * 2**20 else 512)
     tn_caps = tuple(t for t in (1024, 512, 256, 128) if t <= tn_top)
-    # shared weight-chunk window: max TK × max TN over the four projections
-    TKmax = max(_pick(_TK_CAPS, qt.shape[0], 8 * qt.group)
+    # shared weight-chunk window: max window ROWS × max TN over the four
+    # projections (nib4c windows carry TK/2 packed-byte rows)
+    n4 = {id(qt): qt.fmt == "nib4c" for qt in (qkv_qt, wo_qt, gu_qt, dn_qt)}
+    proj_tk = {id(qt): _proj_tk(qt.shape[0], qt.group, n4[id(qt)])
+               for qt in (qkv_qt, wo_qt, gu_qt, dn_qt)}
+    TKmax = max(proj_tk[id(qt)] // (2 if n4[id(qt)] else 1)
                 for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
+    TKgmax = max(proj_tk[id(qt)] // qt.group
+                 for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
     TNmax = max(_pick(tn_caps, qt.shape[1])
                 for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
     g_min = min(qt.group for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
@@ -628,6 +714,8 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
         g_dn=dn_qt.group,
         hm_qkv=qkv_qt.m is not None, hm_o=wo_qt.m is not None,
         hm_gu=gu_qt.m is not None, hm_dn=dn_qt.m is not None,
+        n4_qkv=n4[id(qkv_qt)], n4_o=n4[id(wo_qt)],
+        n4_gu=n4[id(gu_qt)], n4_dn=n4[id(dn_qt)],
         folded=folded, SB=SB,
         scale=float(scale), eps=float(cfg.rms_eps),
         act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
@@ -680,15 +768,15 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             pltpu.VMEM((8, HD), v3.dtype),  # vrow
             pltpu.VMEM((2, TKmax, TNmax), jnp.int8),  # wbuf
             # folded: sub-scale planes are int8, 4× narrower in VMEM too
-            pltpu.VMEM((2, TKmax // g_min, TNmax),
+            pltpu.VMEM((2, TKgmax, TNmax),
                        jnp.int8 if folded else jnp.float32),  # sbuf
-            pltpu.VMEM((2, TKmax // g_min, TNmax),
+            pltpu.VMEM((2, TKgmax, TNmax),
                        jnp.int8 if folded else jnp.float32),  # mbuf
             # folded super-scale windows: exact (rows, lanes) per
             # projection — Mosaic rejects sub-tile sublane slices of a
             # shared max-shaped buffer, and exact shapes need none
             *[pltpu.VMEM(
-                (2, _pick(_TK_CAPS, qt.shape[0], 8 * qt.group) // SB,
+                (2, proj_tk[id(qt)] // SB,
                  _pick(tn_caps, qt.q.shape[-1])) if folded else (2, 1, 128),
                 jnp.float32)
               for _ in (0, 1)  # dbuf_* then dmbuf_*

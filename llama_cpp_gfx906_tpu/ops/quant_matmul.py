@@ -61,12 +61,16 @@ class QuantTensor:
     q: jnp.ndarray  # int8 (K, N) or uint8 (K/2, N) packed nibbles
     s: jnp.ndarray  # f32 (K/g, N) scales — int8 sub-scales when folded
     m: jnp.ndarray | None  # f32 (K/g, N) subtractive term, or None
-    fmt: str  # "int8" | "nib4"
+    fmt: str  # "int8" | "nib4" | "nib4c"
     group: int  # quant group size g along K
     shape: tuple[int, int]  # logical (K, N)
     sd: jnp.ndarray | None = None  # folded: f32 (K/sgroup, N) super-scales
     md: jnp.ndarray | None = None  # folded: f32 (K/sgroup, N) min super-scales
     sgroup: int = 0  # folded: K elements per super-row (QK_K = 256)
+    xla_only: bool = False  # GSPMD-sharded weights (tensor parallelism):
+    # route every matmul through the XLA dequant-dot, which GSPMD
+    # partitions natively; Pallas kernels/megakernels are single-device
+    # programs and would force an all-gather if XLA saw their custom call
 
     @property
     def K(self) -> int:
@@ -80,8 +84,24 @@ class QuantTensor:
 jax.tree_util.register_dataclass(
     QuantTensor,
     data_fields=["q", "s", "m", "sd", "md"],
-    meta_fields=["fmt", "group", "shape", "sgroup"],
+    meta_fields=["fmt", "group", "shape", "sgroup", "xla_only"],
 )
+
+
+def mark_xla_only(params):
+    """Tag every QuantTensor in a param pytree ``xla_only`` — applied by
+    the tensor-parallel loader after sharded placement (see the field's
+    comment).  The analog of the reference's ROW-split buffer type
+    decision at load (`llama-model.cpp:1911`), inverted: the kernel
+    choice follows the placement."""
+    import dataclasses
+
+    def mark(t):
+        return (dataclasses.replace(t, xla_only=True)
+                if isinstance(t, QuantTensor) else t)
+
+    return jax.tree_util.tree_map(
+        mark, params, is_leaf=lambda x: isinstance(x, QuantTensor))
 
 
 def unfold_qt(qt: QuantTensor) -> QuantTensor:
@@ -272,6 +292,43 @@ _GRID_DECODERS = {
 # formats whose values fit unsigned nibbles → can stay 4-bit packed on device
 _NIB4_TYPES = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
 
+# chunk-local 4-bit packing ("nib4c"): within each TK-row kernel chunk,
+# logical row k pairs with k + TK/2 in one byte (low nibble = first half).
+# Every streamed chunk then needs only CONTIGUOUS slices of q, scales and
+# x — unlike the legacy split-K packing whose scale/x slices straddle the
+# two K halves.  TK must match between pack time and kernel, so it is a
+# pure function of K.
+_NIB4C_CAPS = (1024, 512, 256)
+
+
+def nib4c_chunk(K: int) -> int | None:
+    """Chunk size (logical K rows) of the chunk-local 4-bit packing."""
+    return next((t for t in _NIB4C_CAPS if K % t == 0), None)
+
+
+def _pack_nib4c(qT: np.ndarray, ck: int) -> np.ndarray:
+    """(K, N) uint8 nibble values → (K/2, N) chunk-local packed int8."""
+    K, N = qT.shape
+    v = qT.reshape(K // ck, 2, ck // 2, N)
+    return np.ascontiguousarray(
+        (v[:, 0] | (v[:, 1] << 4)).reshape(K // 2, N).view(np.int8))
+
+
+def _unpack4_jnp(q, fmt: str, K: int):
+    """Packed nibble planes → int8 values in logical row order (any lead
+    dims).  Oracle/fallback path; in-kernel unpack lives in the kernels."""
+    p32 = q.astype(jnp.int32) & 255
+    lo = (p32 & 0x0F).astype(jnp.int8)
+    hi = (p32 >> 4).astype(jnp.int8)
+    lead = q.shape[:-2]
+    N = q.shape[-1]
+    if fmt == "nib4":
+        return jnp.concatenate([lo, hi], axis=-2)
+    ck = nib4c_chunk(K)
+    sh = (*lead, K // ck, ck // 2, N)
+    return jnp.concatenate([lo.reshape(sh), hi.reshape(sh)],
+                           axis=-2).reshape(*lead, K, N)
+
 
 def supported_qmm_types() -> list[GGMLType]:
     return sorted(_GRID_DECODERS)
@@ -441,18 +498,17 @@ def pack_gguf_tensor(
                 if dmin is not None else None),
         )
 
-    if ggml_type in _NIB4_TYPES and K % (2 * g) == 0:
-        # split-K packing: low nibble = k, high nibble = k + K/2 — the kernel
-        # unpacks into two contiguous planes (no sublane interleave needed).
-        # Stored as an int8 *view* (Mosaic has no uint8 compute path; the
-        # kernel widens to int32 and masks).
-        qT = q.T.astype(np.uint8)  # (K, N) values 0..15
-        packed = (qT[: K // 2] | (qT[K // 2 :] << 4)).view(np.int8)  # (K/2, N)
+    ck = nib4c_chunk(K)
+    if ggml_type in _NIB4_TYPES and ck is not None:
+        # chunk-local packing (see _NIB4C_CAPS comment).  Stored as an int8
+        # *view* (Mosaic has no uint8 compute path; the kernels widen to
+        # int32 and mask).
+        packed = _pack_nib4c(q.T.astype(np.uint8), ck)  # (K/2, N)
         if fold is not None:
             return QuantTensor(
                 q=put(packed), s=put(fold["s"]),
                 m=put(fold["m"]) if fold["m"] is not None else None,
-                fmt="nib4", group=g, shape=(K, N),
+                fmt="nib4c", group=g, shape=(K, N),
                 sd=put(fold["sd"]),
                 md=put(fold["md"]) if fold["md"] is not None else None,
                 sgroup=QK_K // 2,
@@ -461,7 +517,7 @@ def pack_gguf_tensor(
             q=put(packed),
             s=put(np.ascontiguousarray(s.T, np.float32)),
             m=put(np.ascontiguousarray(m.T, np.float32)) if m is not None else None,
-            fmt="nib4",
+            fmt="nib4c",
             group=g,
             shape=(K, N),
         )
@@ -494,21 +550,23 @@ def repack_nib4_to_int8(qt: QuantTensor) -> QuantTensor:
     this chip) to the DMA-bound int8 kernel (~600-690 GB/s); a
     memory-for-bandwidth trade for serving (docs/perf.md round-3 table).
     The analog of a load-time requant, except lossless."""
-    if qt.fmt != "nib4":
+    if qt.fmt not in ("nib4", "nib4c"):
         return qt
     return QuantTensor(
-        q=_unpack_nib4(qt.q), s=qt.s, m=qt.m,
+        q=_unpack_nib4(qt.q, qt.fmt, qt.shape[0]), s=qt.s, m=qt.m,
         fmt="int8", group=qt.group, shape=qt.shape,
         sd=qt.sd, md=qt.md, sgroup=qt.sgroup,
     )
 
 
-@jax.jit
-def _unpack_nib4(q):
+@functools.partial(jax.jit, static_argnames=("fmt", "K"))
+def _unpack_nib4(q, fmt="nib4", K=0):
     # int8-native bitwise unpack, jitted so XLA fuses the mask/shift into
     # the concat's output writes — eager ops would materialize lo/hi temps
     # (multi-GB transients on an 8B stack; the &0x0F after >>4 kills the
     # arithmetic-shift sign extension)
+    if fmt == "nib4c":
+        return _unpack4_jnp(q, fmt, K or 2 * q.shape[-2])
     lo = q & 0x0F  # k rows [0, K/2), values 0..15
     hi = (q >> 4) & 0x0F  # k rows [K/2, K)
     return jnp.concatenate([lo, hi], axis=-2)
@@ -531,11 +589,8 @@ def dequantize_qt(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the (K, N) weight (oracle / non-TPU fallback)."""
     if qt.sd is not None:
         qt = unfold_qt(qt)
-    if qt.fmt == "nib4":
-        p32 = qt.q.astype(jnp.int32) & 255
-        lo = (p32 & 0x0F).astype(jnp.int8)  # rows 0..K/2-1
-        hi = (p32 >> 4).astype(jnp.int8)  # rows K/2..K-1
-        vals = jnp.concatenate([lo, hi], axis=0)
+    if qt.fmt in ("nib4", "nib4c"):
+        vals = _unpack4_jnp(qt.q, qt.fmt, qt.shape[0])
     else:
         vals = qt.q
     s = jnp.repeat(qt.s, qt.group, axis=0)
@@ -625,25 +680,35 @@ def _qmm_int8_gemv_kernel(x_ref, q_ref, s_ref, *rest, group, sgroup, tkc):
 def _gemv_tiles(qt: QuantTensor) -> tuple[int, int] | None:
     """(TKc, TN) for the streamed GEMV kernel, or None if ineligible.
 
-    Eligibility: int8 format; K divisible by a sub-chunk that keeps the
-    per-group scale slice 8-row aligned (TKc ≥ 8·group); folded scales
-    additionally need TKc = 1024 so the super-scale slice lands on
-    8-aligned sublanes; the full-K weight window (K·TN int8 bytes) must
-    fit a ≤4 MB double-buffered VMEM block."""
-    if qt.fmt != "int8":
-        return None
-    K, Np = qt.q.shape[-2], qt.q.shape[-1]
-    if qt.sd is not None:
-        tkc = 1024 if K % 1024 == 0 and 1024 >= 8 * qt.group else 0
-        if tkc and K % qt.sgroup:
+    Eligibility: int8 or nib4c format; K divisible by a sub-chunk that
+    keeps the per-group scale slice 8-row aligned (TKc ≥ 8·group int8;
+    nib4c slices the chunk's scale rows in half, so TKc ≥ 16·group);
+    folded scales additionally need TKc = 1024 so the super-scale slice
+    lands on 8-aligned sublanes; the full-K weight window (packed bytes)
+    must fit a ≤4 MB double-buffered VMEM block."""
+    K, Np = qt.shape[0], qt.q.shape[-1]
+    if qt.fmt == "int8":
+        if qt.sd is not None:
+            tkc = 1024 if K % 1024 == 0 and 1024 >= 8 * qt.group else 0
+            if tkc and K % qt.sgroup:
+                tkc = 0
+        else:
+            tkc = next((t for t in (1024, 512, 256)
+                        if K % t == 0 and t >= 8 * qt.group), 0)
+        k_bytes = K
+    elif qt.fmt == "nib4c":
+        tkc = nib4c_chunk(K) or 0
+        if tkc < 16 * qt.group:
             tkc = 0
+        if qt.sd is not None and (tkc != 1024 or K % qt.sgroup):
+            tkc = 0
+        k_bytes = K // 2
     else:
-        tkc = next((t for t in (1024, 512, 256)
-                    if K % t == 0 and t >= 8 * qt.group), 0)
+        return None
     if not tkc:
         return None
     tn = next((t for t in (1024, 512, 256, 128)
-               if Np % t == 0 and K * t <= (4 << 20)), 0)
+               if Np % t == 0 and k_bytes * t <= (4 << 20)), 0)
     if not tn:
         return None
     return tkc, tn
@@ -652,9 +717,50 @@ def _gemv_tiles(qt: QuantTensor) -> tuple[int, int] | None:
 _NO_GEMV_KERNEL = os.environ.get("LCG_NO_GEMV_KERNEL", "0") == "1"
 
 
-@functools.partial(jax.jit, static_argnames=("group", "sgroup", "shape",
-                                             "interpret"))
-def _quant_gemv_pallas(x, q, s, m, sd, md, *, group, sgroup, shape,
+def _qmm_nib4c_gemv_kernel(x_ref, q_ref, s_ref, *rest, group, sgroup, tkc):
+    """nib4c variant of the streamed full-K GEMV: half the weight bytes of
+    int8 stream through the window; each TKc chunk unpacks its packed
+    (TKc/2, nn) block into lo/hi planes whose scale and x slices are all
+    chunk-contiguous (the point of the chunk-local packing).  Measured on
+    the 8B lm_head-class shape (scripts/exp_nib4.py): the elementwise
+    unpack keeps up with the DMA at ~590 GB/s of packed bytes — the same
+    byte rate as the int8 kernel at HALF the bytes per weight."""
+    if sgroup:
+        sd_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    Kh, TN = q_ref.shape
+    K = 2 * Kh
+    TKh = tkc // 2
+    gh = TKh // group
+    outs = []
+    for n0 in range(0, TN, 512):
+        nn = min(512, TN - n0)
+        acc = jnp.zeros((x_ref.shape[0], nn), jnp.float32)
+        for k0 in range(0, K, tkc):
+            p32 = q_ref[k0 // 2:k0 // 2 + TKh, n0:n0 + nn].astype(
+                jnp.int32) & 255
+            sg_g = s_ref[k0 // group:(k0 + tkc) // group, n0:n0 + nn]
+            if sgroup:
+                sd = sd_ref[k0 // sgroup:(k0 + tkc) // sgroup, n0:n0 + nn]
+                sg_g = sg_g.astype(jnp.float32) * jnp.repeat(
+                    sd, sgroup // group, axis=0)
+            wl = ((p32 & 0x0F).astype(jnp.float32)
+                  * jnp.repeat(sg_g[:gh], group, axis=0)).astype(jnp.bfloat16)
+            wh = ((p32 >> 4).astype(jnp.float32)
+                  * jnp.repeat(sg_g[gh:], group, axis=0)).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(
+                x_ref[:, k0:k0 + TKh], wl, preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot(
+                x_ref[:, k0 + TKh:k0 + tkc], wh,
+                preferred_element_type=jnp.float32)
+        outs.append(acc)
+    o_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "group", "sgroup",
+                                             "shape", "interpret"))
+def _quant_gemv_pallas(x, q, s, m, sd, md, *, fmt, group, sgroup, shape,
                        interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -667,15 +773,16 @@ def _quant_gemv_pallas(x, q, s, m, sd, md, *, group, sgroup, shape,
     if M != 8:
         x2 = jnp.pad(x2, ((0, 8 - M), (0, 0)))
     x2 = x2.astype(jnp.bfloat16)
-    tiles = _gemv_tiles(QuantTensor(q=q, s=s, m=None, fmt="int8", group=group,
+    tiles = _gemv_tiles(QuantTensor(q=q, s=s, m=None, fmt=fmt, group=group,
                                     shape=shape, sd=sd, sgroup=sgroup))
     assert tiles is not None
     TKc, TN = tiles
 
     folded = sd is not None
+    k_rows = K // 2 if fmt == "nib4c" else K
     in_specs = [
         pl.BlockSpec((8, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_rows, TN), lambda j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((K // group, TN), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
@@ -684,8 +791,10 @@ def _quant_gemv_pallas(x, q, s, m, sd, md, *, group, sgroup, shape,
         in_specs.append(pl.BlockSpec((K // sgroup, TN), lambda j: (0, j),
                                      memory_space=pltpu.VMEM))
         args.append(sd)
+    kernel = (_qmm_nib4c_gemv_kernel if fmt == "nib4c"
+              else _qmm_int8_gemv_kernel)
     out = pl.pallas_call(
-        functools.partial(_qmm_int8_gemv_kernel, group=group,
+        functools.partial(kernel, group=group,
                           sgroup=sgroup if folded else 0, tkc=TKc),
         grid=(Np // TN,),
         in_specs=in_specs,
@@ -697,7 +806,7 @@ def _quant_gemv_pallas(x, q, s, m, sd, md, *, group, sgroup, shape,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 8 * Np * K,
-            bytes_accessed=8 * K * 2 + K * Np
+            bytes_accessed=8 * K * 2 + k_rows * Np
             + K // group * Np * (1 if folded else 4)
             + (K // sgroup * Np * 4 if folded else 0),
             transcendentals=0,
@@ -763,6 +872,11 @@ def _pallas_tileable(fmt: str, group: int, shape: tuple, n_packed: int) -> bool:
     the tail columns UNWRITTEN (uninitialized output) — such shapes take
     the XLA dequant-dot instead."""
     K = shape[0]
+    if fmt == "nib4c":
+        # no dense k-grid kernel for the chunk-local packing: big-M matmuls
+        # (prefill) take the XLA dequant-dot, which fuses the unpack and is
+        # MXU-bound at those shapes anyway; decode rides the GEMV/megakernel
+        return False
     if n_packed % 128 != 0:
         return False
     K_eff = K // 2 if fmt == "nib4" else K  # nib4 kernels tile the halves
@@ -794,6 +908,9 @@ def _quant_matmul_pallas(x, q, s, m, *, fmt, group, shape, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if fmt not in ("int8", "nib4"):
+        raise ValueError(f"dense quant_matmul kernel: unsupported fmt {fmt!r}"
+                         " (nib4c rides the GEMV/megakernel or XLA)")
     K, N = shape
     Np = q.shape[-1]  # may exceed the logical N (pad_qt_n)
     lead = x.shape[:-1]
@@ -883,14 +1000,17 @@ def quant_matmul(x: jnp.ndarray, qt: QuantTensor, use_pallas: bool | None = None
     XLA's fused dequant-dot pipelines better; big weights (lm_head-class)
     stream near peak through the Pallas kernel (~690 GB/s)."""
     M = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
+    if qt.xla_only:  # GSPMD-sharded weight (TP): see the field's comment
+        return quant_matmul_xla(x, qt)
     if (use_pallas is not False and not _NO_GEMV_KERNEL
             and M <= 8 and qt.shape[0] * qt.shape[1] >= (1 << 23)
             and jax.default_backend() not in ("cpu",)
             and _gemv_tiles(qt) is not None):
         # decode-shape big weights (lm_head-class): streamed full-K GEMV
-        # kernel — no k-grid, folded scales stream natively
+        # kernel — no k-grid, folded scales stream natively, nib4c streams
+        # the packed 4-bit bytes directly
         return _quant_gemv_pallas(
-            x, qt.q, qt.s, qt.m, qt.sd, qt.md,
+            x, qt.q, qt.s, qt.m, qt.sd, qt.md, fmt=qt.fmt,
             group=qt.group, sgroup=qt.sgroup or 0, shape=qt.shape)
     if use_pallas is None:
         if jax.default_backend() in ("cpu",):
@@ -944,11 +1064,8 @@ def dequantize_qt_experts(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize all experts (E, K, N) — oracle / load-time fallback."""
     if qt.sd is not None:
         qt = unfold_qt(qt)
-    if qt.fmt == "nib4":
-        p32 = qt.q.astype(jnp.int32) & 255
-        vals = jnp.concatenate(
-            [(p32 & 0x0F).astype(jnp.int8), (p32 >> 4).astype(jnp.int8)], axis=1
-        )
+    if qt.fmt in ("nib4", "nib4c"):
+        vals = _unpack4_jnp(qt.q, qt.fmt, qt.shape[0])
     else:
         vals = qt.q
     s = jnp.repeat(qt.s, qt.group, axis=1)
@@ -971,11 +1088,8 @@ def routed_quant_matmul_xla(
     K, N = qt.shape
     q_sel = qt.q[idx]  # (P, Kq, N) quantized gather
     s_sel = qt.s[idx]  # (P, K/g, N)
-    if qt.fmt == "nib4":
-        p32 = q_sel.astype(jnp.int32) & 255
-        vals = jnp.concatenate(
-            [(p32 & 0x0F).astype(jnp.int8), (p32 >> 4).astype(jnp.int8)], axis=1
-        )
+    if qt.fmt in ("nib4", "nib4c"):
+        vals = _unpack4_jnp(q_sel, qt.fmt, K)
     else:
         vals = q_sel
     w = vals.astype(jnp.float32) * jnp.repeat(s_sel, qt.group, axis=1)
@@ -1137,7 +1251,7 @@ def routed_quant_matmul(
     if use_pallas and not _pallas_tileable(qt.fmt, qt.group, qt.shape,
                                            qt.q.shape[-1]):
         use_pallas = False  # grid would floor away the N tail (see helper)
-    if not use_pallas or qt.sd is not None:
+    if not use_pallas or qt.sd is not None or qt.xla_only:
         return routed_quant_matmul_xla(x, qt, idx)
     return _routed_qmm_pallas(
         x, qt.q, qt.s, qt.m, idx,

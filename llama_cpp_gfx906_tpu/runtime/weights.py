@@ -406,6 +406,19 @@ def _concat_weights(parts: list, keys: list[str]):
     multiple projections into one matmul (fewer kernel launches per decode
     step; the analog of the reference's fused wqkv fast path)."""
     if all(isinstance(p, QuantTensor) for p in parts):
+        if (len({p.fmt for p in parts}) != 1
+                and {p.fmt for p in parts} <= {"nib4c", "int8"}
+                and len({p.shape[0] for p in parts}) == 1):
+            # mixed 4-bit/int8 projections (the Q4_K_M disposition: Q6_K
+            # attn_v next to Q4_K q/k): repack the packed-4-bit parts to
+            # int8 (lossless) so the fused tensor is homogeneous and the
+            # streamed megakernel stays eligible.  Only the fused qkv pays
+            # the 2× byte cost (~11% of layer bytes); gate/up/down fuse
+            # amongst themselves and stay 4-bit.
+            from ..ops.quant_matmul import repack_nib4_to_int8
+
+            parts = [repack_nib4_to_int8(p) if p.fmt == "nib4c" else p
+                     for p in parts]
         if len({(p.fmt, p.shape[0]) for p in parts}) != 1:
             return None  # heterogeneous packing — keep separate
         folded = [p.sd is not None for p in parts]

@@ -8,6 +8,11 @@ int8 repack + k-quant scale fold).
 
 Usage: python scripts/microbench_stream.py [n_layers]
 Env:   LCG_DEQ_MODE / LCG_STREAM_TN forwarded to the kernel for A/B.
+       MB_FMT=int8|nib4c|mixed — weight packing for the four projections:
+       int8 (fold-leg baseline), nib4c (all-4-bit streams, Q4_K_S-like),
+       mixed (qkv int8 + the rest nib4c — the Q4_K_M disposition after
+       fuse-time harmonization, where Q6_K attn_v forces the fused qkv
+       to int8 while wo/gate-up/down stay packed 4-bit).
 """
 import os
 import sys
@@ -35,28 +40,36 @@ D, F = cfg.n_embd, cfg.n_ff
 HqD, HkD = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim
 
 
-def synth_fold(seed, K, N):
+FMT = os.environ.get("MB_FMT", "int8")
+
+
+def synth_fold(seed, K, N, fmt="int8"):
     # one layer of random bits, repeated over L: randint's uint32 temp at
     # full stack size would OOM HBM; decode speed is value-independent
     ks = jax.random.split(jax.random.PRNGKey(seed), 5)
-    g, SB = 16, 128
+    SB = 128
+    g = 32 if fmt == "nib4c" else 16  # Q4_K group vs unified int8/g16
+    k_rows = K // 2 if fmt == "nib4c" else K
     rep = lambda a: jnp.repeat(a[None], L, 0)
     return qmm.QuantTensor(
-        q=rep(jax.random.randint(ks[0], (K, N), -8, 8, dtype=jnp.int8)),
+        q=rep(jax.random.randint(ks[0], (k_rows, N), -128, 128,
+                                 dtype=jnp.int8)),
         s=rep(jax.random.randint(ks[1], (K // g, N), 1, 64, dtype=jnp.int8)),
         m=rep(jax.random.randint(ks[2], (K // g, N), 0, 64, dtype=jnp.int8)),
         sd=rep(jax.random.uniform(ks[3], (K // SB, N), jnp.float32, 2e-5, 6e-5)),
         md=rep(jax.random.uniform(ks[4], (K // SB, N), jnp.float32, 0.0, 2e-5)),
-        fmt="int8", group=g, sgroup=SB, shape=(K, N))
+        fmt=fmt, group=g, sgroup=SB, shape=(K, N))
 
 
+qkv_fmt = "int8" if FMT in ("int8", "mixed") else FMT
+rest_fmt = "int8" if FMT == "int8" else "nib4c"
 layers = {
     "attn_norm": jnp.ones((L, D), jnp.float32),
     "ffn_norm": jnp.ones((L, D), jnp.float32),
-    "wqkv_fused": synth_fold(0, D, HqD + 2 * HkD),
-    "wo": synth_fold(1, HqD, D),
-    "wgateup_fused": synth_fold(2, D, 2 * F),
-    "w_down": synth_fold(3, F, D),
+    "wqkv_fused": synth_fold(0, D, HqD + 2 * HkD, qkv_fmt),
+    "wo": synth_fold(1, HqD, D, rest_fmt),
+    "wgateup_fused": synth_fold(2, D, 2 * F, rest_fmt),
+    "w_down": synth_fold(3, F, D, rest_fmt),
 }
 params = {"layers": layers}
 
@@ -88,14 +101,16 @@ x = jax.random.normal(jax.random.PRNGKey(9), (1, 1, D), jnp.bfloat16)
 
 
 def run(n):
-    k2 = KVCache(k=kv.k, v=kv.v, n_past=kv.n_past)
+    # jit_steps donates kv, so build a FRESH copy per call — re-wrapping the
+    # module-level arrays would hand back already-deleted buffers on TPU
+    k2 = KVCache(k=jnp.copy(kv.k), v=jnp.copy(kv.v), n_past=jnp.copy(kv.n_past))
     xo, _ = jit_steps(params, x, k2, n)
     np.asarray(xo)
 
 
-for n in (4, 4):  # compile both lengths + warm
-    run(4)
-run(32)
+for n in (4, 32):  # compile both lengths
+    run(n)
+run(4)  # warm
 
 reps = 3
 ts = []
@@ -104,7 +119,8 @@ for _ in range(reps):
     run(32); t2 = time.perf_counter()
     ts.append(((t2 - t1) - (t1 - t0)) / 28)
 t = min(ts)
-print(f"layers={L} step={t*1e3:.3f} ms  streamed={streamed/1e6:.0f} MB  "
+print(f"layers={L} fmt={FMT} step={t*1e3:.3f} ms  "
+      f"streamed={streamed/1e6:.0f} MB  "
       f"eff_bw={streamed/t/1e9:.0f} GB/s  "
       f"(deq_mode={os.environ.get('LCG_DEQ_MODE','0')} "
       f"tn={os.environ.get('LCG_STREAM_TN','1024')})")

@@ -44,7 +44,7 @@ def test_xla_matmul_matches_dequant(qtype):
     assert np.abs(got - ref).max() / scale < 0.02, qtype.name
 
 
-@pytest.mark.parametrize("qtype", [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q5_K, GGMLType.MXFP4])
+@pytest.mark.parametrize("qtype", [GGMLType.Q8_0, GGMLType.Q6_K, GGMLType.Q5_K, GGMLType.MXFP4])
 @pytest.mark.parametrize("M", [1, 8, 100])
 def test_pallas_kernel_interpret(qtype, M):
     qt, ref_w = make_qt(qtype, N=256, K=512)
@@ -81,7 +81,7 @@ def test_gemv_kernel_interpret(qtype, M):
     assert qmm._gemv_tiles(qt) is not None
     got = np.asarray(qmm._quant_gemv_pallas(
         jnp.asarray(x, jnp.float32), qt.q, qt.s, qt.m, qt.sd, qt.md,
-        group=qt.group, sgroup=qt.sgroup or 0, shape=qt.shape,
+        fmt=qt.fmt, group=qt.group, sgroup=qt.sgroup or 0, shape=qt.shape,
         interpret=True))
     ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
     scale = np.abs(ref).max() + 1e-6
@@ -99,7 +99,8 @@ def test_gemv_kernel_folded_interpret(qtype):
     x = (RNG.standard_normal((1, 1024)) * 0.5).astype(np.float32)
     got = np.asarray(qmm._quant_gemv_pallas(
         jnp.asarray(x, jnp.float32), qt.q, qt.s, qt.m, qt.sd, qt.md,
-        group=qt.group, sgroup=qt.sgroup, shape=qt.shape, interpret=True))
+        fmt=qt.fmt, group=qt.group, sgroup=qt.sgroup, shape=qt.shape,
+        interpret=True))
     ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(got - ref).max() / scale < 0.02, qtype.name
@@ -114,7 +115,7 @@ def test_gemv_kernel_padded_n():
     x = (RNG.standard_normal((1, 1024)) * 0.5).astype(np.float32)
     got = np.asarray(qmm._quant_gemv_pallas(
         jnp.asarray(x, jnp.float32), qtp.q, qtp.s, qtp.m, qtp.sd, qtp.md,
-        group=qtp.group, sgroup=qtp.sgroup or 0, shape=qtp.shape,
+        fmt=qtp.fmt, group=qtp.group, sgroup=qtp.sgroup or 0, shape=qtp.shape,
         interpret=True))
     assert got.shape == (1, 200)
     ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
@@ -132,7 +133,7 @@ def test_gemv_kernel_repacked_affine():
     x = (RNG.standard_normal((2, 1024)) * 0.5).astype(np.float32)
     got = np.asarray(qmm._quant_gemv_pallas(
         jnp.asarray(x, jnp.float32), rp.q, rp.s, rp.m, rp.sd, rp.md,
-        group=rp.group, sgroup=rp.sgroup or 0, shape=rp.shape,
+        fmt=rp.fmt, group=rp.group, sgroup=rp.sgroup or 0, shape=rp.shape,
         interpret=True))
     ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
     scale = np.abs(ref).max() + 1e-6
@@ -140,11 +141,15 @@ def test_gemv_kernel_repacked_affine():
 
 
 def test_gemv_tiles_eligibility():
-    """Ineligible shapes (K not tileable, nib4 fmt) return None."""
+    """Ineligible shapes (K not tileable, legacy split-K nib4) return
+    None; the chunk-local nib4c packing IS GEMV-eligible."""
     qt, _ = make_qt(GGMLType.Q8_0, N=256, K=640)  # 640 % 256 != 0
     assert qmm._gemv_tiles(qt) is None
-    qt4, _ = make_qt(GGMLType.Q4_0, N=256, K=1024)  # nib4 fmt
-    assert qt4.fmt == "nib4" and qmm._gemv_tiles(qt4) is None
+    qt4, _ = make_qt(GGMLType.Q4_0, N=256, K=1024)
+    assert qt4.fmt == "nib4c" and qmm._gemv_tiles(qt4) is not None
+    legacy = qmm.QuantTensor(q=qt4.q, s=qt4.s, m=qt4.m, fmt="nib4",
+                             group=qt4.group, shape=qt4.shape)
+    assert qmm._gemv_tiles(legacy) is None
 
 
 def make_experts(qtype, E=4, N=128, K=256):
@@ -229,7 +234,7 @@ def test_repack_nib4_to_int8_bit_exact(qtype):
     """Lossless 4-bit → int8 repack: dequantized values must be
     BIT-IDENTICAL (memory-for-bandwidth trade, Engine repack_int8)."""
     qt, ref_w = make_qt(qtype)
-    assert qt.fmt == "nib4"
+    assert qt.fmt == "nib4c"
     rp = qmm.repack_nib4_to_int8(qt)
     assert rp.fmt == "int8" and rp.shape == qt.shape
     a = np.asarray(qmm.dequantize_qt(qt, jnp.float32))
@@ -273,4 +278,79 @@ def test_untileable_n_falls_back_to_xla():
     # tileable shapes still qualify for the kernels
     assert qmm._pallas_tileable("int8", 32, (256, 256), 256)
     assert qmm._pallas_tileable("nib4", 32, (512, 1024), 1024)
+    assert not qmm._pallas_tileable("nib4c", 32, (512, 1024), 1024)
     assert not qmm._pallas_tileable("int8", 32, (9000, 256), 256)  # K untileable
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K])
+@pytest.mark.parametrize("M", [1, 8])
+def test_gemv_kernel_nib4c_interpret(qtype, M):
+    """Chunk-local 4-bit packing through the streamed GEMV kernel: packed
+    bytes stream directly (half the int8 bytes), min correction outside."""
+    qt, _ = make_qt(qtype, N=256, K=1024)
+    assert qt.fmt == "nib4c" and qmm._gemv_tiles(qt) is not None
+    x = (RNG.standard_normal((M, 1024)) * 0.5).astype(np.float32)
+    got = np.asarray(qmm._quant_gemv_pallas(
+        jnp.asarray(x, jnp.float32), qt.q, qt.s, qt.m, qt.sd, qt.md,
+        fmt=qt.fmt, group=qt.group, sgroup=qt.sgroup or 0, shape=qt.shape,
+        interpret=True))
+    ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02, (qtype.name, M)
+
+
+def test_gemv_kernel_nib4c_folded_interpret():
+    """nib4c + folded k-quant scales (Q4_K: int8 sub-scales, f32 super
+    planes, affine mins) — the production Q4_K decode configuration."""
+    w = RNG.standard_normal((256, 1024)).astype(np.float32)
+    raw = quantize(w, GGMLType.Q4_K)
+    qt = qmm.pack_gguf_tensor(raw, GGMLType.Q4_K, (256, 1024), fold_scales=True)
+    assert qt.fmt == "nib4c" and qt.sd is not None
+    assert qmm._gemv_tiles(qt) is not None
+    x = (RNG.standard_normal((1, 1024)) * 0.5).astype(np.float32)
+    got = np.asarray(qmm._quant_gemv_pallas(
+        jnp.asarray(x, jnp.float32), qt.q, qt.s, qt.m, qt.sd, qt.md,
+        fmt=qt.fmt, group=qt.group, sgroup=qt.sgroup, shape=qt.shape,
+        interpret=True))
+    ref = np.asarray(qmm.quant_matmul_xla(jnp.asarray(x, jnp.float32), qt))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02
+
+
+def test_fuse_mixed_nib4c_int8_harmonizes():
+    """Q4_K_M disposition: Q4_K q/k (nib4c) + Q6_K v (int8) must still
+    fuse — the 4-bit parts repack losslessly to int8 at fuse time so the
+    streamed megakernel stays eligible (runtime/weights._concat_weights)."""
+    from llama_cpp_gfx906_tpu.runtime.weights import fuse_projections
+
+    def stack(qt):
+        return qmm.QuantTensor(
+            q=jnp.stack([qt.q]), s=jnp.stack([qt.s]),
+            m=jnp.stack([qt.m]) if qt.m is not None else None,
+            fmt=qt.fmt, group=qt.group, shape=qt.shape,
+            sd=jnp.stack([qt.sd]) if qt.sd is not None else None,
+            md=jnp.stack([qt.md]) if qt.md is not None else None,
+            sgroup=qt.sgroup)
+
+    K = 256
+    wq, _ = make_qt(GGMLType.Q4_K, N=128, K=K)
+    wk, _ = make_qt(GGMLType.Q4_K, N=64, K=K)
+    wv, _ = make_qt(GGMLType.Q6_K, N=64, K=K)
+    assert wq.fmt == "nib4c" and wv.fmt == "int8"
+    layers = {"wq": stack(wq), "wk": stack(wk), "wv": stack(wv),
+              "w_gate": stack(wq), "w_up": stack(wq)}
+    fused = fuse_projections(layers)
+    assert "wqkv_fused" in fused and fused["wqkv_fused"].fmt == "int8"
+    # gate/up are homogeneous nib4c: they fuse WITHOUT repacking
+    assert fused["wgateup_fused"].fmt == "nib4c"
+    got = np.asarray(qmm.dequantize_qt(
+        qmm.QuantTensor(
+            q=fused["wqkv_fused"].q[0], s=fused["wqkv_fused"].s[0],
+            m=(fused["wqkv_fused"].m[0]
+               if fused["wqkv_fused"].m is not None else None),
+            fmt="int8", group=fused["wqkv_fused"].group,
+            shape=(K, 256)), jnp.float32))
+    ref = np.concatenate([
+        np.asarray(qmm.dequantize_qt(t, jnp.float32)) for t in (wq, wk, wv)
+    ], axis=1)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
