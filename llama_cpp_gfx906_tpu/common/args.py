@@ -321,10 +321,14 @@ REGISTRY: list[Flag] = [
        "print available accelerator devices and exit",
        action="store_true"),
     _f(["-sm", "--split-mode"], "split_mode",
-       "accepted for compatibility (GSPMD owns partitioning)",
-       env="LLAMA_ARG_SPLIT_MODE"),
+       "multi-device partitioning: none | layer | row (layer and row both "
+       "build a tensor-parallel device mesh — GSPMD subsumes the "
+       "distinction; see mesh_from_args)",
+       env="LLAMA_ARG_SPLIT_MODE", choices=("none", "layer", "row")),
     _f(["-ts", "--tensor-split"], "tensor_split",
-       "accepted for compatibility (GSPMD owns partitioning)",
+       "comma-separated per-device weights; under SPMD only the COUNT of "
+       "non-zero entries matters (shards are uniform) — e.g. 1,1 uses two "
+       "devices",
        env="LLAMA_ARG_TENSOR_SPLIT"),
     _f(["-mg", "--main-gpu"], "main_gpu",
        "accepted for compatibility", env="LLAMA_ARG_MAIN_GPU", type=int,
@@ -837,3 +841,44 @@ def maybe_print_completion(args, scope: str, prog: str) -> bool:
 }}
 complete -F _{prog.replace('-', '_')}_completions {prog}""")
     return True
+
+
+def mesh_from_args(args):
+    """Map --split-mode/--tensor-split onto a ``("data", "model")`` Mesh.
+
+    The product surface of the reference's multi-GPU flags
+    (``llama-model.cpp:1908-1975``, ``include/llama.h:186-187``), mapped
+    onto SPMD: both ``layer`` and ``row`` modes become a tensor-parallel
+    mesh over the available devices (GSPMD decides per-op partitioning —
+    the layer/row distinction is the ggml scheduler's, not XLA's).
+    ``--tensor-split`` selects HOW MANY devices participate (non-zero
+    entries); non-uniform proportions are ignored with a warning since
+    SPMD shards uniformly.  Returns None (single-device) when fewer than
+    two devices would participate or split-mode is ``none``.
+    """
+    import logging
+
+    import jax
+
+    sm = (getattr(args, "split_mode", None) or "").lower()
+    ts = getattr(args, "tensor_split", None)
+    if sm == "none":
+        return None
+    if not sm and not ts:
+        return None  # default: single device, no mesh
+    devices = jax.devices()
+    if ts:
+        fracs = [float(x) for x in str(ts).split(",") if x.strip()]
+        n_use = min(len(devices), sum(1 for f in fracs if f > 0))
+        nz = sorted({f for f in fracs if f > 0})
+        if len(nz) > 1:
+            logging.getLogger(__name__).warning(
+                "--tensor-split proportions %s are non-uniform; SPMD "
+                "shards uniformly over %d devices", ts, n_use)
+    else:
+        n_use = len(devices)
+    if n_use <= 1:
+        return None
+    from ..parallel.sharding import make_mesh
+
+    return make_mesh(n_model=n_use, n_data=1, devices=devices[:n_use])

@@ -343,6 +343,7 @@ def _int8_qt(t):
 
     return (isinstance(t, QuantTensor) and t.fmt == "int8" and t.m is None
             and t.sd is None  # folded scales stream via decode_stream only
+            and not t.xla_only  # TP-sharded weights stay on the XLA path
             and t.q.ndim == 3 and t.q.shape[-1] == t.shape[1])
 
 

@@ -119,18 +119,57 @@ def shard_params(params: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
     return put(params, specs)
 
 
+def _fit_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    """Adapt a dense-weight PartitionSpec to one array of a QuantTensor.
+
+    Quantized planes share the dense tensor's axis order with scaled-down
+    axis sizes (packed q rows = K/2, scale rows = K/group), so the dense
+    spec applies verbatim — except that a mesh axis must divide the plane
+    dimension it shards.  Axes that don't divide fall back to replicated
+    (correct under GSPMD: specs are layout, not semantics), and specs
+    longer than the array rank are right-aligned onto it (a stacked
+    (L, K, N) spec onto an unstacked (K, N) head plane)."""
+    entries = list(spec)
+    if len(entries) > len(shape):
+        entries = entries[len(entries) - len(shape):]
+    entries += [None] * (len(shape) - len(entries))
+    fitted = []
+    for dim, ax in zip(shape, entries):
+        if ax is None:
+            fitted.append(None)
+            continue
+        n = int(np.prod([mesh.shape[a] for a in
+                         (ax if isinstance(ax, tuple) else (ax,))]))
+        fitted.append(ax if dim % n == 0 else None)
+    return P(*fitted)
+
+
+_QT_PLANES = ("q", "s", "m", "sd", "md")
+
+
 def make_device_put_fn(mesh: Mesh, cfg: ModelConfig):
-    """``device_put_fn`` for runtime.weights.load_llama_params: streams each
-    host tensor straight into its sharded device buffers (no full-model
+    """``device_put_fn`` for runtime.weights loaders: streams each host
+    tensor straight into its sharded device buffers (no full-model
     replicated staging — the analog of mmap→sharded upload,
-    llama-model-loader.cpp:919)."""
+    llama-model-loader.cpp:919).
+
+    QuantTensor planes arrive as ``<name>.q/.s/.m/.sd/.md``
+    (runtime/weights.py ``_put_qt``); every plane keeps the dense
+    tensor's N-last / K-second axis order, so the dense spec is fitted
+    per plane (``_fit_spec``).  The fn exposes ``mesh`` so callers can
+    mark the loaded QuantTensors ``xla_only`` when n_model > 1."""
     specs = param_pspecs(cfg, mesh.shape["model"])
 
     def put(arr, name: str):
-        if name.startswith("layers."):
-            spec = specs["layers"].get(name.split(".", 1)[1], P())
+        parts = name.split(".")
+        if parts[-1] in _QT_PLANES and len(parts) > 1:
+            parts = parts[:-1]  # QuantTensor plane → dense weight's spec
+        if parts[0] == "layers" and len(parts) > 1:
+            spec = specs["layers"].get(parts[1], P())
         else:
-            spec = specs.get(name, P())
+            spec = specs.get(parts[0], P())
+        spec = _fit_spec(spec, np.shape(arr), mesh)
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
+    put.mesh = mesh
     return put

@@ -142,9 +142,14 @@ class BatchedEngine:
         prefill_budget: int | None = None,  # prompt tokens prefilled per
         # engine step ACROSS slots (reference n_batch); None → every
         # prefilling slot advances one chunk (n_chunk × n_slots)
+        mesh=None,  # ("data", "model") Mesh: serve tensor-parallel.  The
+        # caller loads params through parallel.sharding.make_device_put_fn
+        # + quant_matmul.mark_xla_only; here the slot KV cache is sharded
+        # (heads on "model") and XLA inserts the collectives.
     ):
         self.cfg = cfg
         self.params = params
+        self.mesh = mesh
         self.tokenizer = tokenizer
         self.n_slots = n_slots
         self.max_seq = max_seq
@@ -174,6 +179,17 @@ class BatchedEngine:
 
             self.ngram_caches = [NgramCache() for _ in range(n_slots)]
         self.kv = KVCache.create(cfg, n_slots, max_seq, kv_cache_dtype or dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.sharding import kv_pspec
+
+            spec = kv_pspec(cfg, mesh.shape["model"], shard_batch=False)
+            if isinstance(self.kv.k, jnp.ndarray):
+                self.kv = KVCache(
+                    k=jax.device_put(self.kv.k, NamedSharding(mesh, spec)),
+                    v=jax.device_put(self.kv.v, NamedSharding(mesh, spec)),
+                    n_past=self.kv.n_past)
         self.system_ids: list[int] = []  # shared-prefix tokens (set_system_prompt)
         self.n_past_host = np.zeros(n_slots, np.int32)
         self.recent = np.full((n_slots, RECENT), -1, np.int32)

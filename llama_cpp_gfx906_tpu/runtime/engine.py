@@ -73,6 +73,11 @@ class Engine:
     # iSWA memory saver: SWA layers get a window-sized ring instead of
     # max_seq rows (reference llama-kv-cache-unified-iswa.cpp)
     swa_ring: bool = False
+    # multi-chip: ("data", "model") Mesh — weights arrive TP-sharded (see
+    # from_gguf), the KV cache is sharded by kv_pspec, and XLA inserts the
+    # collectives (the product surface of the reference's
+    # --split-mode/--tensor-split, llama-model.cpp:1908-1975)
+    mesh: object = None
     perf: PerfCounters = field(default_factory=PerfCounters)
 
     def __post_init__(self):
@@ -96,7 +101,36 @@ class Engine:
             static_argnames=("cfg", "return_hidden"),
             donate_argnames=("kv",),
         )
-        self.kv = self.family.make_cache(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
+        self.kv = self._shard_cache(
+            self.family.make_cache(self.cfg, self.batch_size, self.max_seq,
+                                   self.kv_dtype))
+
+    def _shard_cache(self, kv):
+        """Place a fresh cache on the mesh (KV heads on "model")."""
+        if self.mesh is None:
+            return kv
+        import dataclasses
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import kv_pspec
+
+        n_model = self.mesh.shape["model"]
+        updates = {}
+        for name in ("k", "v"):
+            arr = getattr(kv, name, None)
+            if isinstance(arr, jnp.ndarray) and arr.ndim == 5:
+                updates[name] = jax.device_put(
+                    arr, NamedSharding(self.mesh,
+                                       kv_pspec(self.cfg, n_model,
+                                                shard_batch=False)))
+        if hasattr(kv, "n_past"):
+            updates["n_past"] = jax.device_put(
+                kv.n_past, NamedSharding(self.mesh, P()))
+        try:
+            return dataclasses.replace(kv, **updates) if updates else kv
+        except TypeError:
+            return kv  # non-dataclass cache families stay as created
 
     # -- construction -------------------------------------------------------
 
@@ -126,6 +160,13 @@ class Engine:
         # before hparam parsing (llama_model_kv_override, llama.h:242-253)
         cfg_overrides: dict | None = None,  # direct ModelConfig field
         # overrides (cparams analog: rope_base, rope_scaling, ...)
+        mesh=None,  # jax.sharding.Mesh ("data", "model"): tensor-parallel
+        # load — weights stream straight into sharded buffers
+        # (parallel.sharding.make_device_put_fn) and quantized matmuls take
+        # the GSPMD-partitioned XLA path.  The product surface of the
+        # reference's --split-mode row / --tensor-split
+        # (llama-model.cpp:1908-1975); build one with
+        # parallel.sharding.make_mesh or common.args.mesh_from_args.
     ) -> "Engine":
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
@@ -134,6 +175,10 @@ class Engine:
         cfg = config_from_gguf(reader)
         if cfg_overrides:
             cfg = cfg.with_(**cfg_overrides)
+        if mesh is not None and device_put_fn is None:
+            from ..parallel.sharding import make_device_put_fn
+
+            device_put_fn = make_device_put_fn(mesh, cfg)
         tok = tokenizer_from_gguf(reader.readers[0])
         from ..models.registry import get_family
 
@@ -176,16 +221,21 @@ class Engine:
             from ..ops.quant_matmul import repack_params_int8
 
             params = repack_params_int8(params)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from ..ops.quant_matmul import mark_xla_only
+
+            params = mark_xla_only(params)
         eng = cls(cfg=cfg, params=params, tokenizer=tok, max_seq=max_seq,
                   batch_size=batch_size, kv_dtype=kv_cache_dtype or dtype,
-                  swa_ring=swa_ring)
+                  swa_ring=swa_ring, mesh=mesh)
         eng.perf.t_load_s = time.perf_counter() - t0
         return eng
 
     # -- low-level steps ----------------------------------------------------
 
     def reset(self):
-        self.kv = self.family.make_cache(self.cfg, self.batch_size, self.max_seq, self.kv_dtype)
+        self.kv = self._shard_cache(self.family.make_cache(
+            self.cfg, self.batch_size, self.max_seq, self.kv_dtype))
 
     def prefill(self, token_ids: list[int]) -> np.ndarray:
         """Run the prompt through; returns last-token logits (V,)."""
@@ -244,7 +294,9 @@ class Engine:
         padded = bucket_len(n)
         toks = np.zeros((self.batch_size, padded), np.int32)
         toks[0, :n] = ids
-        kv = self.family.make_cache(self.cfg, self.batch_size, padded, self.kv_dtype)
+        kv = self._shard_cache(
+            self.family.make_cache(self.cfg, self.batch_size, padded,
+                                   self.kv_dtype))
         hidden, _ = self._forward(
             self.params, self.cfg, jnp.asarray(toks), kv,
             jnp.full((self.batch_size,), n, jnp.int32), return_hidden=True,

@@ -1028,8 +1028,25 @@ def main(argv=None) -> int:
             tokenizer.vocab.chat_template = f.read()
     elif args.chat_template:
         tokenizer.vocab.chat_template = args.chat_template
+    # multi-device serving: --split-mode/--tensor-split build a TP mesh and
+    # the weights stream straight into sharded buffers (the reference's
+    # llama-model.cpp:1908-1975 device assignment, as GSPMD placement)
+    from ..common.args import mesh_from_args
+
+    mesh = mesh_from_args(args)
+    put_fn = None
+    if mesh is not None:
+        from ..parallel.sharding import make_device_put_fn
+
+        put_fn = make_device_put_fn(mesh, cfg)
     # LoRA hooks target per-projection weights: skip loader fusion then
-    params = load_llama_params_quantized(reader, cfg, fuse=False if args.lora else None)
+    params = load_llama_params_quantized(
+        reader, cfg, device_put_fn=put_fn,
+        fuse=False if (args.lora or mesh is not None) else None)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from ..ops.quant_matmul import mark_xla_only
+
+        params = mark_xla_only(params)
     if args.check_tensors:
         from ..runtime.weights import check_params_finite
 
@@ -1055,7 +1072,7 @@ def main(argv=None) -> int:
                            max_seq=args.ctx_size, spec_ngram=args.spec_ngram,
                            n_draft=n_draft, n_chunk=args.n_batch,
                            ctx_shift=not args.no_ctx_shift, draft=draft,
-                           kv_cache_dtype=kv_dtype)
+                           kv_cache_dtype=kv_dtype, mesh=mesh)
     if args.lora:
         engine.attach_lora(args.lora)
     encoder = None

@@ -416,12 +416,15 @@ def main(argv=None) -> int:
         }[args.rope_scaling]
     if args.yarn_orig_ctx:
         cfg_overrides["rope_orig_ctx"] = args.yarn_orig_ctx
+    from ..common.args import mesh_from_args
+
     eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
                            kv_cache_dtype=kv_dtype,
                            repack_int8=getattr(args, "repack_int8", False),
                            swa_ring=args.swa_ring,
                            kv_overrides=kv_overrides or None,
-                           cfg_overrides=cfg_overrides or None)
+                           cfg_overrides=cfg_overrides or None,
+                           mesh=mesh_from_args(args))
     if args.check_tensors:
         from ..runtime.weights import check_params_finite
 

@@ -157,7 +157,8 @@ def test_gguf_hash_detects_difference(f16_gguf, tmp_path):
 def test_server_webui_served():
     from llama_cpp_gfx906_tpu.server.webui import WEBUI_HTML
 
-    assert "/v1/chat/completions" in WEBUI_HTML
+    # relative endpoint path so the SPA honours --api-prefix
+    assert "v1/chat/completions" in WEBUI_HTML
 
 
 def test_eval_callback_trace(f16_gguf, capsys):
