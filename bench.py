@@ -40,7 +40,15 @@ if os.environ.get("BENCH_PLATFORM"):  # CPU drives / CI; the axon plugin
 
 
 def bench_8b() -> dict:
-    """Flagship single-chip bench: Llama-3-8B dims at a Q4_K_M-style mix."""
+    """Flagship single-chip bench: Llama-3-8B dims at a Q4_K_M-style mix.
+
+    The headline leg synthesizes exactly what ``Engine.from_gguf`` (no
+    flags) produces for a real Q4_K_M checkpoint since round 4: Q4_K
+    tensors stay nib4c-packed (chunk-local 4-bit, streamed directly by
+    the megakernel), k-quant scales fold by default (int8 sub-planes ×
+    f32 per-128 super-planes), the Q6_K attn_v forces the fused qkv to
+    folded int8 at fuse time (runtime/weights._concat_weights), and the
+    Q6_K lm_head rides the dense GEMV kernel with plain f32 scales."""
     from functools import partial
 
     import jax
@@ -49,7 +57,6 @@ def bench_8b() -> dict:
     from llama_cpp_gfx906_tpu.models.config import ModelConfig
     from llama_cpp_gfx906_tpu.models.llama import KVCache, forward
     from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
-    from llama_cpp_gfx906_tpu.runtime.weights import fuse_projections
 
     _enable_compile_cache()
 
@@ -69,20 +76,30 @@ def bench_8b() -> dict:
     HqD, HkD = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim
     keys = jax.random.split(jax.random.PRNGKey(0), 12)
 
-    def synth_q4k(key, K, N, stack=True):
-        # Q4_K device layout (quant_matmul.pack_gguf_tensor): nib4-packed
-        # values + per-32 f32 scales/mins.  Values are random — decode
-        # speed is value-independent — which skips the host-side quantize
-        # and the multi-GB tunnel transfer.
-        k1, k2, k3 = jax.random.split(key, 3)
-        q = jax.random.randint(k1, (K // 2, N), -128, 128, dtype=jnp.int8)
-        s = jax.random.uniform(k2, (K // 32, N), jnp.float32, 1e-3, 2e-3)
-        m = jax.random.uniform(k3, (K // 32, N), jnp.float32, 0.0, 1e-3)
-        rep = (lambda x: jnp.repeat(x[None], L, 0)) if stack else (lambda x: x)
-        return qmm.QuantTensor(q=rep(q), s=rep(s), m=rep(m), fmt="nib4",
-                               group=32, shape=(K, N))
+    def synth_fold(key, K, N, fmt, g):
+        # folded QuantTensor layouts (pack_gguf_tensor fold_scales=True):
+        # values are random — decode speed is value-independent — which
+        # skips host-side quantize and the multi-GB tunnel transfer.
+        SB = 128
+        ks = jax.random.split(key, 5)
+        k_rows = K // 2 if fmt == "nib4c" else K
+        rep = lambda a: jnp.repeat(a[None], L, 0)
+        return qmm.QuantTensor(
+            q=rep(jax.random.randint(ks[0], (k_rows, N), -128, 128,
+                                     dtype=jnp.int8)),
+            s=rep(jax.random.randint(ks[1], (K // g, N), 1, 64,
+                                     dtype=jnp.int8)),
+            m=rep(jax.random.randint(ks[2], (K // g, N), 0, 64,
+                                     dtype=jnp.int8)),
+            sd=rep(jax.random.uniform(ks[3], (K // SB, N), jnp.float32,
+                                      2e-5, 6e-5)),
+            md=rep(jax.random.uniform(ks[4], (K // SB, N), jnp.float32,
+                                      0.0, 2e-5)),
+            fmt=fmt, group=g, sgroup=SB, shape=(K, N))
 
     def synth_q6k(key, K, N, stack=False):
+        # Q6_K head: the loader keeps the head's scales plain f32 (it runs
+        # the dense GEMV kernel, which streams f32 scale planes)
         k1, k2 = jax.random.split(key)
         q = jax.random.randint(k1, (K, N), -32, 32, dtype=jnp.int8)
         s = jax.random.uniform(k2, (K // 16, N), jnp.float32, 1e-3, 2e-3)
@@ -91,28 +108,23 @@ def bench_8b() -> dict:
         return qmm.QuantTensor(q=q, s=s, m=None, fmt="int8", group=16,
                                shape=(K, N))
 
-    layers = {
-        "attn_norm": jnp.ones((L, D), jnp.float32),
-        "ffn_norm": jnp.ones((L, D), jnp.float32),
-        "wq": synth_q4k(keys[0], D, HqD),
-        "wk": synth_q4k(keys[1], D, HkD),
-        "wv": synth_q6k(keys[2], D, HkD, stack=True),  # _M mix: attn_v Q6_K
-        "wo": synth_q4k(keys[3], HqD, D),
-        "w_gate": synth_q4k(keys[4], D, F),
-        "w_up": synth_q4k(keys[5], D, F),
-        "w_down": synth_q4k(keys[6], F, D),
-    }
     params = {
         "tok_emb": jax.random.normal(keys[7], (V, D), jnp.bfloat16) * 0.02,
         "out_norm": jnp.ones(D, jnp.float32),
         # _M mix: output at Q6_K; vocab padded to wide N tiles (pad_qt_n —
         # the same treatment the quantized loader applies to real heads)
         "lm_head": qmm.pad_qt_n(synth_q6k(keys[8], D, V)),
-        "layers": fuse_projections(layers),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), jnp.float32),
+            "ffn_norm": jnp.ones((L, D), jnp.float32),
+            # Q4_K q/k + Q6_K v harmonize to folded int8/g16 at fuse time
+            "wqkv_fused": synth_fold(keys[0], D, HqD + 2 * HkD, "int8", 16),
+            # Q4_K wo/gate/up/down stay nib4c-packed, scales folded
+            "wo": synth_fold(keys[3], HqD, D, "nib4c", 32),
+            "wgateup_fused": synth_fold(keys[4], D, 2 * F, "nib4c", 32),
+            "w_down": synth_fold(keys[6], F, D, "nib4c", 32),
+        },
     }
-    # the pre-fusion gate/up buffers (~2.8 GB) must not stay alive through
-    # the dict — the leg budgets ~13 GB peak against 16 GB HBM
-    layers = None
 
     def qt_bytes(qt):
         return (qt.q.nbytes + qt.s.nbytes
@@ -128,6 +140,9 @@ def bench_8b() -> dict:
 
     fwd = jax.jit(forward, static_argnames=("cfg",), donate_argnames=("kv",))
     kv = KVCache.create(cfg, batch=1, max_seq=1024, dtype=jnp.bfloat16)
+    from llama_cpp_gfx906_tpu.ops.decode_stream import _stream_ok
+
+    dispatch_default = bool(_stream_ok(params, cfg, kv, 1, 1))
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("kv",))
     def decode_steps(params, tok, kv, n_steps):
@@ -173,14 +188,8 @@ def bench_8b() -> dict:
         times.append(time.perf_counter() - t0)
     pp_dt = sorted(times)[len(times) // 2]
 
-    # --- lossless int8 repack (Engine repack_int8): same dequantized
-    #     values, 2× weight bytes, DMA-bound instead of VPU-bound.  Repack
-    #     CONSUMES the nib4 layer tensors one by one (16 GB HBM cannot
-    #     hold the 4-bit and int8 stacks side by side plus temps);
-    #     scales/mins and the already-int8 head stay shared.  int8 layers
-    #     at 8B dims dispatch to the streamed-weights megakernel
-    #     (ops/decode_stream.py) — a failure there must not lose the Q4_K
-    #     numbers above, hence the guard --------------------------------
+    # DEFAULT-config numbers (round-3 item 3: no flags needed — what
+    # Engine.from_gguf produces out of the box streams 4-bit natively)
     mi50_roofline = streamed / 1e12  # s/token at 1 TB/s, zero overhead
     out = {
         "decode_tok_s_8b_q4km": round(tok_s, 2),
@@ -189,9 +198,10 @@ def bench_8b() -> dict:
         "streamed_gb_per_tok_8b": round(streamed / 1e9, 2),
         "eff_bw_gb_s_8b": round(streamed * tok_s / 1e9, 1),
         "vs_mi50_roofline_8b": round(tok_s * mi50_roofline, 3),
+        "stream_dispatch_8b": dispatch_default,
     }
-    print(json.dumps(out))  # partial line: Q4_K numbers survive a repack
-    # failure (the parent keeps the LAST json line)
+    print(json.dumps(out))  # partial line: default-config numbers survive
+    # an ablation-leg failure (the parent keeps the LAST json line)
 
     try:
         layers_src = dict(params["layers"])

@@ -224,26 +224,41 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 sg_g_full = sbuf[s, :TK // g, :TN]
             mode = _DEQ_MODE if not is_n4 else 0
             if is_n4:
-                # nib4c: unpack the packed (TKq, ≤512) block into lo/hi
-                # planes — scale halves and x halves are chunk-contiguous
-                TKgh = TKg // 2
+                # nib4c groupdot-diff schedule (the 693 GB/s variant,
+                # scripts/exp_nib4.py nib4xi8): the biased packed byte
+                # b = lo + 16·hi − 128 casts DIRECTLY to bf16; the lo
+                # plane is one int8 mask; per-half block-diagonal x
+                # expansions dot the raw planes on the MXU and the
+                # hi-plane dot is recovered by difference, then group
+                # scales apply on the tiny (TK/g, nn) dot outputs —
+                # O(2.5 VPU passes) over the packed bytes vs ~6 for the
+                # elementwise unpack-scale-cast schedule.
+                TKgh = TKg // 2  # groups per half-chunk
+                rg = jax.lax.broadcasted_iota(jnp.int32, (TKgh, TKq), 0)
+                cg = jax.lax.broadcasted_iota(jnp.int32, (TKgh, TKq), 1)
+                gmask_h = (cg // g == rg).astype(jnp.bfloat16)
+                xg_lo = gmask_h * xb[:, k0:k0 + TKq]          # (TKgh, TKq)
+                xg_hi = gmask_h * xb[:, k0 + TKq:k0 + TK]
+                xsum_hi = jnp.sum(xg_hi.astype(jnp.float32), 1,
+                                  keepdims=True)
                 subs = []
                 for n0 in range(0, TN, 512):
                     nn = min(512, TN - n0)
-                    p32 = wbuf[s, :TKq, n0:n0 + nn].astype(jnp.int32) & 255
+                    q8 = wbuf[s, :TKq, n0:n0 + nn]
+                    b_bf = q8.astype(jnp.bfloat16)
+                    l_bf = (q8 & jnp.int8(0x0F)).astype(jnp.bfloat16)
                     sg_g = sg_g_full[:, n0:n0 + nn]
-                    wl = ((p32 & 0x0F).astype(jnp.float32)
-                          * jnp.repeat(sg_g[:TKgh], g, axis=0)
-                          ).astype(jnp.bfloat16)
-                    wh = ((p32 >> 4).astype(jnp.float32)
-                          * jnp.repeat(sg_g[TKgh:], g, axis=0)
-                          ).astype(jnp.bfloat16)
-                    acc_n = jax.lax.dot(
-                        xb[:, k0:k0 + TKq].astype(jnp.bfloat16), wl,
-                        preferred_element_type=jnp.float32)
-                    acc_n = acc_n + jax.lax.dot(
-                        xb[:, k0 + TKq:k0 + TK].astype(jnp.bfloat16), wh,
-                        preferred_element_type=jnp.float32)
+                    y_l_lo = jax.lax.dot(xg_lo, l_bf,
+                                         preferred_element_type=jnp.float32)
+                    y_b_hi = jax.lax.dot(xg_hi, b_bf,
+                                         preferred_element_type=jnp.float32)
+                    y_l_hi = jax.lax.dot(xg_hi, l_bf,
+                                         preferred_element_type=jnp.float32)
+                    y_h_hi = (y_b_hi - y_l_hi + 128.0 * xsum_hi) / 16.0
+                    acc_n = jnp.sum(
+                        sg_g[:TKgh].astype(jnp.float32) * y_l_lo
+                        + sg_g[TKgh:].astype(jnp.float32) * y_h_hi,
+                        axis=0, keepdims=True)
                     subs.append(acc_n)
                 acc = acc + (subs[0] if len(subs) == 1
                              else jnp.concatenate(subs, axis=-1))

@@ -292,12 +292,21 @@ _GRID_DECODERS = {
 # formats whose values fit unsigned nibbles → can stay 4-bit packed on device
 _NIB4_TYPES = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
 
-# chunk-local 4-bit packing ("nib4c"): within each TK-row kernel chunk,
-# logical row k pairs with k + TK/2 in one byte (low nibble = first half).
-# Every streamed chunk then needs only CONTIGUOUS slices of q, scales and
-# x — unlike the legacy split-K packing whose scale/x slices straddle the
-# two K halves.  TK must match between pack time and kernel, so it is a
-# pure function of K.
+# chunk-local BIASED 4-bit packing ("nib4c"): within each TK-row kernel
+# chunk, logical row k pairs with k + TK/2 in one byte, stored XOR 0x80:
+#
+#     byte b = (lo | hi<<4) ^ 0x80   ⇒   int8(b) = lo + 16·hi − 128
+#
+# Every streamed chunk needs only CONTIGUOUS slices of q, scales and x
+# (unlike the legacy split-K packing), and the bias makes the packed
+# byte DIRECTLY usable as a signed bf16 value: the kernels dot the raw
+# bytes on the MXU and recover the hi-plane dot by difference
+#     y_hi = (x·b − x·lo + 128·Σx) / 16
+# with the lo plane a single int8 mask away (b & 0x0F is bias-invariant).
+# Measured on the 8B lm_head shape this streams packed bytes at ~693 GB/s
+# — the int8 kernel's byte rate at HALF the bytes per weight
+# (scripts/exp_nib4.py, variant nib4xi8).  TK must match between pack
+# time and kernel, so it is a pure function of K.
 _NIB4C_CAPS = (1024, 512, 256)
 
 
@@ -307,17 +316,19 @@ def nib4c_chunk(K: int) -> int | None:
 
 
 def _pack_nib4c(qT: np.ndarray, ck: int) -> np.ndarray:
-    """(K, N) uint8 nibble values → (K/2, N) chunk-local packed int8."""
+    """(K, N) uint8 nibble values → (K/2, N) chunk-local biased int8."""
     K, N = qT.shape
     v = qT.reshape(K // ck, 2, ck // 2, N)
     return np.ascontiguousarray(
-        (v[:, 0] | (v[:, 1] << 4)).reshape(K // 2, N).view(np.int8))
+        ((v[:, 0] | (v[:, 1] << 4)) ^ 0x80).reshape(K // 2, N).view(np.int8))
 
 
 def _unpack4_jnp(q, fmt: str, K: int):
     """Packed nibble planes → int8 values in logical row order (any lead
     dims).  Oracle/fallback path; in-kernel unpack lives in the kernels."""
     p32 = q.astype(jnp.int32) & 255
+    if fmt == "nib4c":
+        p32 = p32 ^ 0x80  # undo the bias (flips bit 7 only)
     lo = (p32 & 0x0F).astype(jnp.int8)
     hi = (p32 >> 4).astype(jnp.int8)
     lead = q.shape[:-2]
@@ -447,10 +458,16 @@ _SCALE_PART_DECODERS = {
 }
 
 
-# process-wide default for k-quant scale folding at pack time (set by
-# Engine.from_gguf(kq_fold=True) or LCG_KQ_FOLD=1) — folded weights want
-# the streamed decode megakernel; other paths unfold inline via XLA
+# process-wide default for k-quant scale folding at pack time.  The RAW
+# pack function defaults off (oracle/tooling paths expect plain f32
+# scale planes); the PRODUCT loaders (Engine.from_gguf, llama-server)
+# default it ON since round 4 — the streamed megakernel + GEMV kernel
+# consume folded scales natively in int8 and nib4c, and every other
+# path unfolds inline in XLA, exactly.  LCG_KQ_FOLD=1 forces on
+# process-wide; Engine.from_gguf(kq_fold=False) / LCG_KQ_FOLD=0 opt the
+# loaders out.
 FOLD_KQ_SCALES = os.environ.get("LCG_KQ_FOLD", "0") == "1"
+LOADER_KQ_FOLD_DEFAULT = os.environ.get("LCG_KQ_FOLD", "1") == "1"
 
 
 def pack_gguf_tensor(
@@ -719,41 +736,69 @@ _NO_GEMV_KERNEL = os.environ.get("LCG_NO_GEMV_KERNEL", "0") == "1"
 
 def _qmm_nib4c_gemv_kernel(x_ref, q_ref, s_ref, *rest, group, sgroup, tkc):
     """nib4c variant of the streamed full-K GEMV: half the weight bytes of
-    int8 stream through the window; each TKc chunk unpacks its packed
-    (TKc/2, nn) block into lo/hi planes whose scale and x slices are all
-    chunk-contiguous (the point of the chunk-local packing).  Measured on
-    the 8B lm_head-class shape (scripts/exp_nib4.py): the elementwise
-    unpack keeps up with the DMA at ~590 GB/s of packed bytes — the same
-    byte rate as the int8 kernel at HALF the bytes per weight."""
+    int8 stream through the window, consumed by the groupdot-diff
+    schedule (see the _NIB4C_CAPS comment): per 8-row x block, a
+    block-diagonal x expansion dots RAW bytes on the MXU — the biased
+    byte casts straight to bf16, the lo plane is one int8 mask away, and
+    the hi-plane dot is recovered by difference — then per-group scales
+    apply on the tiny (rows·K/g, TN) dot outputs instead of per element.
+    Measured ~693 GB/s of packed bytes on the 8B lm_head shape — the
+    int8 kernel's byte rate at HALF the bytes (scripts/exp_nib4.py)."""
     if sgroup:
         sd_ref, o_ref = rest
     else:
         (o_ref,) = rest
     Kh, TN = q_ref.shape
     K = 2 * Kh
+    M = x_ref.shape[0]  # 8 (sublane-padded)
     TKh = tkc // 2
-    gh = TKh // group
+    gh = TKh // group  # groups per half-chunk
+    # block-diagonal expansion of each x row: xg[(m·gh+g), k] = x[m, k]·[k∈g]
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (M * gh, TKh), 0) % gh
+    colg = jax.lax.broadcasted_iota(jnp.int32, (M * gh, TKh), 1) // group
+    gmask = (rowg == colg).astype(jnp.bfloat16)  # (M·gh, TKh)
+    # grouped row-sum as a 2D dot: summat[m, m·gh+g] = 1
+    srow = jax.lax.broadcasted_iota(jnp.int32, (M, M * gh), 0)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (M, M * gh), 1) // gh
+    summat = (srow == scol).astype(jnp.float32)  # (M, M·gh)
+
     outs = []
     for n0 in range(0, TN, 512):
         nn = min(512, TN - n0)
-        acc = jnp.zeros((x_ref.shape[0], nn), jnp.float32)
+        acc = jnp.zeros((M, nn), jnp.float32)
         for k0 in range(0, K, tkc):
-            p32 = q_ref[k0 // 2:k0 // 2 + TKh, n0:n0 + nn].astype(
-                jnp.int32) & 255
+            q8 = q_ref[k0 // 2:k0 // 2 + TKh, n0:n0 + nn]
+            b_bf = q8.astype(jnp.bfloat16)           # lo + 16·hi − 128
+            l_bf = (q8 & jnp.int8(0x0F)).astype(jnp.bfloat16)
             sg_g = s_ref[k0 // group:(k0 + tkc) // group, n0:n0 + nn]
             if sgroup:
                 sd = sd_ref[k0 // sgroup:(k0 + tkc) // sgroup, n0:n0 + nn]
                 sg_g = sg_g.astype(jnp.float32) * jnp.repeat(
                     sd, sgroup // group, axis=0)
-            wl = ((p32 & 0x0F).astype(jnp.float32)
-                  * jnp.repeat(sg_g[:gh], group, axis=0)).astype(jnp.bfloat16)
-            wh = ((p32 >> 4).astype(jnp.float32)
-                  * jnp.repeat(sg_g[gh:], group, axis=0)).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot(
-                x_ref[:, k0:k0 + TKh], wl, preferred_element_type=jnp.float32)
-            acc = acc + jax.lax.dot(
-                x_ref[:, k0 + TKh:k0 + tkc], wh,
-                preferred_element_type=jnp.float32)
+            # x slices for the two logical halves of this chunk
+            x_lo = jnp.repeat(x_ref[:, k0:k0 + TKh], gh, axis=0)
+            x_hi = jnp.repeat(x_ref[:, k0 + TKh:k0 + tkc], gh, axis=0)
+            xg_lo = gmask * x_lo                      # (M·gh, TKh)
+            xg_hi = gmask * x_hi
+            xsum_hi = jnp.sum(xg_hi.astype(jnp.float32), 1, keepdims=True)
+            y_l_lo = jax.lax.dot(xg_lo, l_bf,
+                                 preferred_element_type=jnp.float32)
+            y_b_hi = jax.lax.dot(xg_hi, b_bf,
+                                 preferred_element_type=jnp.float32)
+            y_l_hi = jax.lax.dot(xg_hi, l_bf,
+                                 preferred_element_type=jnp.float32)
+            y_h_hi = (y_b_hi - y_l_hi + 128.0 * xsum_hi) * (1.0 / 16.0)
+            # per-(row, group) outputs × group scales, summed over groups
+            # with a 0/1 dot (2D end to end — no 3D reshapes for Mosaic);
+            # y rows are (m, g)-ordered, so scales TILE (concatenate),
+            # they don't repeat
+            sl = sg_g[:gh, :].astype(jnp.float32)
+            sh = sg_g[gh:, :].astype(jnp.float32)
+            sl_t = jnp.concatenate([sl] * M, axis=0)  # (M·gh, nn)
+            sh_t = jnp.concatenate([sh] * M, axis=0)
+            y = y_l_lo * sl_t + y_h_hi * sh_t
+            acc = acc + jax.lax.dot(summat, y,
+                                    preferred_element_type=jnp.float32)
         outs.append(acc)
     o_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 

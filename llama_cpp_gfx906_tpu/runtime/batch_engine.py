@@ -393,10 +393,12 @@ class BatchedEngine:
         prefill per request.  Must be set while all slots are idle."""
         if any(s.state != SlotState.IDLE for s in self.slots):
             raise RuntimeError("set_system_prompt requires all slots idle")
-        from ..ops.kv_quant import QuantKV
-
-        if isinstance(self.kv.k, QuantKV):
-            raise NotImplementedError("shared prefix + q8 KV")
+        # q8 main cache composes with the shared segment: the shared rows
+        # are computed fresh at bf16 (small, engine-wide singletons) and
+        # attention concatenates their scores with the dequantized main
+        # cache (ops/attention.py shared_k path; the reference stores the
+        # system prompt in the same quantized cells,
+        # llama-kv-cache-unified.cpp).
         if not ids:
             self.system_ids = []
             self.kv = KVCache(self.kv.k, self.kv.v, self.kv.n_past)
@@ -1116,33 +1118,63 @@ class BatchedEngine:
     # -- state save/restore (llama_state_seq_* analog) ------------------------
 
     def save_slot_state(self, slot_id: int) -> dict:
-        """Export a slot's KV rows + bookkeeping (llama_state_seq_get_data)."""
-        if not isinstance(self.kv.k, jnp.ndarray):
-            raise NotImplementedError(
-                "slot save/restore with a quantized (q8) KV cache is not "
-                "supported — use bf16 KV for slot state files")
+        """Export a slot's KV rows + bookkeeping (llama_state_seq_get_data).
+
+        Quantized (q8) caches serialize their int8 payload and f32 scale
+        planes verbatim — bit-faithful round-trip, like the reference's
+        quantized cell serialization (llama-kv-cache-unified.cpp:
+        1831-2402)."""
+        from ..ops.kv_quant import QuantKV
+
         s = self.slots[slot_id]
         n = s.n_past
-        return {
-            "k": np.asarray(self.kv.k[:, slot_id, :n]),
-            "v": np.asarray(self.kv.v[:, slot_id, :n]),
+        out = {
             "n_past": n,
             "prompt_ids": list(s.prompt_ids),
             "generated": list(s.generated),
         }
+        if isinstance(self.kv.k, QuantKV):
+            out["kv_format"] = "q8"
+            out["k_q"] = np.asarray(self.kv.k.q[:, slot_id, :n])
+            out["k_s"] = np.asarray(self.kv.k.s[:, slot_id, :n])
+            out["v_q"] = np.asarray(self.kv.v.q[:, slot_id, :n])
+            out["v_s"] = np.asarray(self.kv.v.s[:, slot_id, :n])
+        else:
+            out["k"] = np.asarray(self.kv.k[:, slot_id, :n])
+            out["v"] = np.asarray(self.kv.v[:, slot_id, :n])
+        return out
 
     def load_slot_state(self, slot_id: int, state: dict):
         """Import a previously saved sequence into a slot."""
-        if not isinstance(self.kv.k, jnp.ndarray):
-            raise NotImplementedError(
-                "slot save/restore with a quantized (q8) KV cache is not "
-                "supported — use bf16 KV for slot state files")
+        from ..ops.kv_quant import QuantKV
+
         n = int(state["n_past"])
         pad = self.max_seq - n
-        new_k = jnp.pad(jnp.asarray(state["k"]), ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
-        new_v = jnp.pad(jnp.asarray(state["v"]), ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
+        is_q8_cache = isinstance(self.kv.k, QuantKV)
+        is_q8_state = state.get("kv_format") == "q8"
+        if is_q8_cache != is_q8_state:
+            raise ValueError(
+                f"slot state kv_format {'q8' if is_q8_state else 'dense'!s} "
+                f"does not match the engine cache "
+                f"({'q8' if is_q8_cache else 'dense'})")
+
+        def padded(a):  # (L, n, H, Dlast) → (L, 1, max_seq, H, Dlast)
+            return jnp.pad(jnp.asarray(a),
+                           ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
+
+        if is_q8_cache:
+            new_k = QuantKV(q=padded(state["k_q"]), s=padded(state["k_s"]))
+            new_v = QuantKV(q=padded(state["v_q"]), s=padded(state["v_s"]))
+            put = lambda c, x: jax.lax.dynamic_update_slice(
+                c, x.astype(c.dtype), (0, slot_id, 0, 0, 0))
+            k = jax.tree_util.tree_map(put, self.kv.k, new_k)
+            v = jax.tree_util.tree_map(put, self.kv.v, new_v)
+        else:
+            k, v = self._insert(self.kv.k, self.kv.v,
+                                padded(state["k"]), padded(state["v"]),
+                                slot_id)
         self.kv = KVCache(
-            *self._insert(self.kv.k, self.kv.v, new_k, new_v, slot_id),
+            k, v,
             n_past=self.kv.n_past,
             # the engine-wide shared system-prompt segment must survive a
             # per-slot restore

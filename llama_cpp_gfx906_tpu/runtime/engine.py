@@ -146,13 +146,19 @@ class Engine:
         kv_cache_dtype=None,  # None → dtype; "q8" → int8 KV (type_k/type_v)
         swa_ring: bool = False,
         repack_int8: bool = False,  # lossless 4-bit → int8 weight repack:
-        # 2× weight HBM for the DMA-bound GEMV path (~4× decode BW on this
-        # chip vs the VPU-bound nib4 kernel); values are bit-identical
-        kq_fold: bool = False,  # keep the k-quant superblock scale
+        # 2× weight HBM for ~1.6× the packed-byte DMA rate.  Since the
+        # nib4c chunk-local packing streams 4-bit natively at HALF the
+        # bytes, the repack is now an ablation/compat knob, not the fast
+        # path — leave it off.
+        kq_fold: bool | None = None,  # keep the k-quant superblock scale
         # structure on device (int8 sub-scales + per-256 f32 d) instead of
         # f32 per group — ~13% fewer streamed bytes per decode token on a
-        # Q4_K_M mix, bit-identical values.  Implies repack_int8 (the
-        # streamed megakernel is the consumer; nib4 kernels don't fold)
+        # Q4_K_M mix, bit-identical values.  DEFAULT ON (None → True): the
+        # streamed megakernel and GEMV kernel consume folded scales
+        # natively in both int8 and nib4c formats, and every other path
+        # unfolds inline in XLA (fuses into the dequant consumer).  The
+        # reference ships its gfx906 kernels on by default
+        # (GGML_HIP_GFX906_OPTIMIZED); so do we.
         progress_callback=None,  # f(fraction)->bool; False cancels the load
         # (the llama_progress_callback contract, llama.h:276-279 /
         # test-model-load-cancel): raises ModelLoadCancelled
@@ -205,10 +211,10 @@ class Engine:
 
         from ..ops import quant_matmul as _qmm
 
-        if kq_fold:
-            repack_int8 = True  # folded weights want the streamed kernel
+        if kq_fold is None:
+            kq_fold = _qmm.LOADER_KQ_FOLD_DEFAULT  # default-on (see comment)
         prev_fold = _qmm.FOLD_KQ_SCALES
-        _qmm.FOLD_KQ_SCALES = prev_fold or kq_fold
+        _qmm.FOLD_KQ_SCALES = kq_fold
         try:
             params = get_family(cfg).load_params(
                 reader, cfg, dtype, device_put_fn, keep_quantized=keep_quantized

@@ -1040,9 +1040,16 @@ def main(argv=None) -> int:
 
         put_fn = make_device_put_fn(mesh, cfg)
     # LoRA hooks target per-projection weights: skip loader fusion then
-    params = load_llama_params_quantized(
-        reader, cfg, device_put_fn=put_fn,
-        fuse=False if (args.lora or mesh is not None) else None)
+    from ..ops import quant_matmul as _qmm
+
+    prev_fold = _qmm.FOLD_KQ_SCALES
+    _qmm.FOLD_KQ_SCALES = _qmm.LOADER_KQ_FOLD_DEFAULT  # default-on
+    try:
+        params = load_llama_params_quantized(
+            reader, cfg, device_put_fn=put_fn,
+            fuse=False if (args.lora or mesh is not None) else None)
+    finally:
+        _qmm.FOLD_KQ_SCALES = prev_fold
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         from ..ops.quant_matmul import mark_xla_only
 

@@ -64,7 +64,8 @@ def make_params(rng):
     }
 
 
-def lockstep_check(cfg, params, n_prompt, steps=3, seed=3):
+def lockstep_check(cfg, params, n_prompt, steps=3, seed=3, kv_tol=3e-2,
+                   logit_tol=2e-2):
     rng = np.random.default_rng(seed)
     kv = KVCache.create(cfg, batch=1, max_seq=S, dtype=jnp.bfloat16)
     assert _stream_ok(params, cfg, kv, 1, 1)
@@ -87,17 +88,17 @@ def lockstep_check(cfg, params, n_prompt, steps=3, seed=3):
         logits = linear(hid, params["lm_head"]).astype(jnp.float32)
         lg = np.asarray(logits[0, 0])
         lr = np.asarray(logits_ref[0, 0])
-        np.testing.assert_allclose(lg, lr, rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(lg, lr, rtol=logit_tol, atol=logit_tol)
         # quantized rounding walks differ slightly between the paths; the
         # reference argmax must stay within rounding distance of the top
         assert lg[int(np.argmax(lr))] >= lg.max() - 0.05
         np.testing.assert_allclose(
             np.asarray(kv_f.k, np.float32), np.asarray(kv.k, np.float32),
-            rtol=3e-2, atol=3e-2,
+            rtol=kv_tol, atol=kv_tol,
         )
         np.testing.assert_allclose(
             np.asarray(kv_f.v, np.float32), np.asarray(kv.v, np.float32),
-            rtol=3e-2, atol=3e-2,
+            rtol=kv_tol, atol=kv_tol,
         )
         tok = jnp.asarray([[int(np.argmax(logits_ref))]], jnp.int32)
 
@@ -283,3 +284,64 @@ def test_repack_then_fuse_matches_nib4():
     np.testing.assert_allclose(np.asarray(y4, np.float32),
                                np.asarray(y8, np.float32),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_streamed_nib4c_q4km_mix(fold):
+    """The production Q4_K_M decode disposition through the megakernel:
+    Q4_K tensors stay nib4c-packed (biased chunk-local 4-bit, groupdot-
+    diff schedule), Q6_K attn_v forces the fused qkv to int8 at fuse
+    time, optionally with folded k-quant scales (the from_gguf default).
+    nib4c needs TK ≥ 16·group=512, so dims here are 2× the module's."""
+    D2, HQ2, DH2, F2 = 512, 4, 128, 1024
+    rng = np.random.default_rng(11)
+
+    def q4k_stack(K, N):
+        w = rng.standard_normal((N, K), dtype=np.float32) * 0.05
+        qt = qmm.pack_gguf_tensor(quantize(w, GGMLType.Q4_K), GGMLType.Q4_K,
+                                  (N, K), fold_scales=fold)
+        assert qt.fmt == "nib4c"
+        st = lambda a: jnp.stack([a] * L) if a is not None else None
+        return qmm.QuantTensor(
+            q=st(qt.q), s=st(qt.s), m=st(qt.m), fmt=qt.fmt, group=qt.group,
+            shape=qt.shape, sd=st(qt.sd), md=st(qt.md), sgroup=qt.sgroup)
+
+    def q6k_stack(K, N):
+        w = rng.standard_normal((N, K), dtype=np.float32) * 0.05
+        qt = qmm.pack_gguf_tensor(quantize(w, GGMLType.Q6_K), GGMLType.Q6_K,
+                                  (N, K), fold_scales=fold)
+        st = lambda a: jnp.stack([a] * L) if a is not None else None
+        return qmm.QuantTensor(
+            q=st(qt.q), s=st(qt.s), m=st(qt.m), fmt=qt.fmt, group=qt.group,
+            shape=qt.shape, sd=st(qt.sd), md=st(qt.md), sgroup=qt.sgroup)
+
+    head = rng.standard_normal((V, D2), dtype=np.float32) * 0.05
+    layers = fuse_projections({
+        "attn_norm": jnp.ones((L, D2), jnp.float32) * 1.1,
+        "ffn_norm": jnp.ones((L, D2), jnp.float32) * 0.9,
+        "wq": q4k_stack(D2, HQ2 * DH2),
+        "wk": q4k_stack(D2, DH2),
+        "wv": q6k_stack(D2, DH2),  # forces int8 qkv harmonization
+        "wo": q4k_stack(HQ2 * DH2, D2),
+        "w_gate": q4k_stack(D2, F2),
+        "w_up": q4k_stack(D2, F2),
+        "w_down": q4k_stack(F2, D2),
+    })
+    assert layers["wqkv_fused"].fmt == "int8"
+    assert layers["wgateup_fused"].fmt == "nib4c"
+    params = {
+        "tok_emb": jnp.asarray(rng.standard_normal((V, D2)) * 0.1,
+                               jnp.bfloat16),
+        "out_norm": jnp.ones(D2, jnp.float32),
+        "lm_head": qmm.pack_gguf_tensor(quantize(head, GGMLType.Q8_0),
+                                        GGMLType.Q8_0, (V, D2)),
+        "layers": layers,
+    }
+    cfg = ModelConfig(
+        arch="llama", n_layers=L, n_embd=D2, n_heads=HQ2, n_kv_heads=1,
+        head_dim=DH2, n_ff=F2, n_vocab=V, n_ctx_train=S,
+    )
+    # Q4_K rounding is coarser than the module's Q8_0 shapes: one bf16
+    # ulp on K rows lands at ~0.031 against the 0.03 default bound, and
+    # the greedy-fedback steps accumulate path-rounding differences
+    lockstep_check(cfg, params, n_prompt=7, kv_tol=6e-2, logit_tol=8e-2)

@@ -72,13 +72,71 @@ def test_slot_restore_keeps_shared_prefix_and_recent(tiny_gguf):
     assert got == hist[-len(got):]
 
 
-def test_slot_state_q8_raises(tiny_gguf):
-    eng = make_engine(tiny_gguf, n_slots=1, kv_cache_dtype="q8")
-    with pytest.raises(NotImplementedError, match="q8"):
-        eng.save_slot_state(0)
-    with pytest.raises(NotImplementedError, match="q8"):
-        eng.load_slot_state(0, {"n_past": 0, "k": None, "v": None,
-                                "prompt_ids": [], "generated": []})
+def test_slot_state_q8_roundtrip(tiny_gguf):
+    """q8 caches serialize their int8+scale planes bit-faithfully
+    (round-3 gap closed; reference serializes quantized cells fine,
+    llama-kv-cache-unified.cpp:1831-2402)."""
+    eng = make_engine(tiny_gguf, n_slots=2, kv_cache_dtype="q8")
+    s = eng.add_request([7, 8, 9], 6, SamplerConfig(temp=0.0))
+    for _ in range(3):
+        eng.step()
+    state = eng.save_slot_state(s.id)
+    assert state["kv_format"] == "q8" and state["k_q"].dtype == np.int8
+    # continue from the saved point
+    rest_a = []
+    while s.stop_reason is None:
+        for sl, t, fin in eng.step():
+            if sl is s:
+                rest_a.append(t)
+    # fresh engine, restore, continue — must produce the same tokens
+    eng2 = make_engine(tiny_gguf, n_slots=2, kv_cache_dtype="q8")
+    eng2.load_slot_state(1, state)
+    s2 = eng2.slots[1]
+    s2.n_predict = s.n_predict
+    s2.sampler = SamplerConfig(temp=0.0)
+    rest_b = []
+    for _ in range(30):
+        for sl, t, fin in eng2.step():
+            if sl is s2:
+                rest_b.append(t)
+        if s2.stop_reason is not None:
+            break
+    assert rest_b[:len(rest_a)] == rest_a
+    # format mismatch is a clean error, not silent corruption
+    dense = make_engine(tiny_gguf, n_slots=1)
+    with pytest.raises(ValueError, match="kv_format"):
+        dense.load_slot_state(0, state)
+
+
+def test_shared_prefix_q8_matches_dense_system_prompt(tiny_gguf):
+    """shared-prefix segment over a q8 main cache (round-3
+    NotImplementedError site): greedy tokens must match the same prompts
+    run WITHOUT the shared segment."""
+    sys_ids = [3, 4, 5, 6]
+    suffix = [7, 8, 9]
+
+    def run(eng, prompt):
+        s = eng.add_request(prompt, 5, SamplerConfig(temp=0.0))
+        out = []
+        for _ in range(30):
+            for sl, t, fin in eng.step():
+                if sl is s:
+                    out.append(t)
+            if s.stop_reason is not None:
+                break
+        return out
+
+    plain = make_engine(tiny_gguf, n_slots=1, kv_cache_dtype="q8")
+    ref = run(plain, sys_ids + suffix)
+    shared = make_engine(tiny_gguf, n_slots=1, kv_cache_dtype="q8")
+    shared.set_system_prompt(sys_ids)
+    got = run(shared, sys_ids + suffix)
+    assert shared.kv.shared_k is not None
+    # the shared segment holds bf16 rows once; the main cache stays q8
+    from llama_cpp_gfx906_tpu.ops.kv_quant import QuantKV
+
+    assert isinstance(shared.kv.k, QuantKV)
+    assert got == ref
 
 
 def test_truncation_clamps_n_keep(tiny_gguf):
