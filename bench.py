@@ -203,8 +203,12 @@ def bench_8b() -> dict:
     print(json.dumps(out))  # partial line: default-config numbers survive
     # an ablation-leg failure (the parent keeps the LAST json line)
 
+    # --- ABLATION: lossless int8 repack of the nib4c tensors (the
+    #     round-3 fast path: 2× the streamed/resident weight bytes for a
+    #     higher per-byte DMA rate).  Kept as a comparison row so the
+    #     native-4-bit win stays visible round over round. --------------
     try:
-        layers_src = dict(params["layers"])
+        layers_src = params["layers"]
         tok_emb, out_norm, lm_head = (params["tok_emb"], params["out_norm"],
                                       params["lm_head"])
         kv = logits = toks = params = None
@@ -213,20 +217,14 @@ def bench_8b() -> dict:
             t = layers_src.pop(name)
             rp_layers[name] = (qmm.repack_nib4_to_int8(t)
                                if isinstance(t, qmm.QuantTensor) else t)
-        # re-fuse: q/k/v couldn't fuse as nib4+Q6_K (heterogeneous), but as
-        # int8 they harmonize (group 32 → 16 on q/k) — the fused tensors are
-        # what routes this leg into the streamed megakernel
-        rp_layers = fuse_projections(rp_layers)
         params_rp = {"tok_emb": tok_emb, "out_norm": out_norm,
                      "lm_head": lm_head, "layers": rp_layers}
         streamed_rp = sum(
             qt_bytes(t) for t in jax.tree_util.tree_leaves(
-                params_rp["layers"], is_leaf=lambda x: isinstance(x, qmm.QuantTensor))
+                rp_layers, is_leaf=lambda x: isinstance(x, qmm.QuantTensor))
             if isinstance(t, qmm.QuantTensor)
-        ) + qt_bytes(params_rp["lm_head"])
+        ) + qt_bytes(lm_head)
         rp_kv = KVCache.create(cfg, batch=1, max_seq=1024, dtype=jnp.bfloat16)
-        from llama_cpp_gfx906_tpu.ops.decode_stream import _stream_ok
-
         out["stream_dispatch_8b_int8rp"] = bool(
             _stream_ok(params_rp, cfg, rp_kv, 1, 1))
         logits, rp_kv = fwd(params_rp, cfg, prompt, rp_kv)
@@ -241,85 +239,176 @@ def bench_8b() -> dict:
             tok = toks[-1:].reshape(1, 1)
         np.asarray(tok)
         rp_tok_s = n_decode / (time.perf_counter() - t0)
-        # same checkpoint, lossless int8 repack (quality bit-identical)
         out["decode_tok_s_8b_q4km_int8rp"] = round(rp_tok_s, 2)
+        out["streamed_gb_per_tok_8b_int8rp"] = round(streamed_rp / 1e9, 2)
         out["eff_bw_gb_s_8b_int8rp"] = round(streamed_rp * rp_tok_s / 1e9, 1)
     except Exception as e:
         out["bench_8b_int8rp_error"] = f"{type(e).__name__}: {e}"[:160]
-    print(json.dumps(out))  # partial line again: rp numbers survive a
-    # folded-leg failure
-
-    # --- k-quant scale fold on top of the int8 repack: int8 sub-scale +
-    #     per-256 f32 super-scale planes instead of f32 per group — the
-    #     exact on-device expression of the GGUF superblock structure
-    #     (pack_gguf_tensor fold_scales=True / Engine kq_fold).  Cuts the
-    #     streamed bytes ~13% on the Q4_K_M mix.  Decode speed is value-
-    #     independent, so the leg REUSES the repacked leg's int8 q stacks
-    #     (a fresh 7.7 GB stack next to the live 9.7 GB one OOMs 16 GB
-    #     HBM) and swaps only the small scale planes. --------------------
-    try:
-        import dataclasses
-
-        rp_kv = logits = toks = None
-
-        def fold_planes(t, seed):
-            if not isinstance(t, qmm.QuantTensor):
-                return t
-            ks = jax.random.split(jax.random.PRNGKey(seed), 4)
-            sshape = t.s.shape  # (L, K/g, N)
-            dshape = (sshape[0], t.shape[0] // 128, sshape[2])
-            s8 = jax.random.randint(ks[0], sshape, 1, 64, dtype=jnp.int8)
-            sd = jax.random.uniform(ks[1], dshape, jnp.float32, 2e-5, 6e-5)
-            m8 = (jax.random.randint(ks[2], sshape, 0, 64, dtype=jnp.int8)
-                  if t.m is not None else None)
-            md = (jax.random.uniform(ks[3], dshape, jnp.float32, 0.0, 2e-5)
-                  if t.m is not None else None)
-            return dataclasses.replace(t, s=s8, m=m8, sd=sd, md=md,
-                                       sgroup=128)
-
-        fold_layers = {k: fold_planes(t, 100 + i)
-                       for i, (k, t) in enumerate(rp_layers.items())}
-        params_fd = {"tok_emb": tok_emb, "out_norm": out_norm,
-                     "lm_head": lm_head, "layers": fold_layers}
-        params_rp = rp_layers = None  # drop the plain f32 scale planes
-        streamed_fd = sum(
-            qt_bytes(t) for t in jax.tree_util.tree_leaves(
-                fold_layers, is_leaf=lambda x: isinstance(x, qmm.QuantTensor))
-            if isinstance(t, qmm.QuantTensor)
-        ) + qt_bytes(lm_head)
-        fd_kv = KVCache.create(cfg, batch=1, max_seq=1024, dtype=jnp.bfloat16)
-        from llama_cpp_gfx906_tpu.ops.decode_stream import _stream_ok
-
-        out["stream_dispatch_8b_fold"] = bool(
-            _stream_ok(params_fd, cfg, fd_kv, 1, 1))
-        logits, fd_kv = fwd(params_fd, cfg, prompt, fd_kv)
-        tok = jnp.reshape(logits[:, -1].argmax(-1).astype(jnp.int32), (1, 1))
-        for _ in range(2):
-            toks, fd_kv = decode_steps(params_fd, tok, fd_kv, 16)
-            tok = toks[-1:].reshape(1, 1)
-        np.asarray(tok)
-        t0 = time.perf_counter()
-        for _ in range(n_decode // 16):
-            toks, fd_kv = decode_steps(params_fd, tok, fd_kv, 16)
-            tok = toks[-1:].reshape(1, 1)
-        np.asarray(tok)
-        fd_tok_s = n_decode / (time.perf_counter() - t0)
-        out["decode_tok_s_8b_q4km_int8rp_fold"] = round(fd_tok_s, 2)
-        out["streamed_gb_per_tok_8b_fold"] = round(streamed_fd / 1e9, 2)
-        out["eff_bw_gb_s_8b_fold"] = round(streamed_fd * fd_tok_s / 1e9, 1)
-    except Exception as e:
-        out["bench_8b_fold_error"] = f"{type(e).__name__}: {e}"[:160]
     return out
 
 
-def _bench_8b_subprocess(budget_s: float) -> dict:
-    """Run the 8B leg isolated in a child process with a bounded budget.
+def bench_moe() -> dict:
+    """MoE decode leg (round-3 item 5): qwen3moe-30B-A3B dims — the
+    mixtral-class routed-FFN serving shape that fits one 16 GB chip at
+    4-bit (mixtral-8x7B itself is 26 GB at Q4).  Experts stay
+    block-quantized stacked in HBM and decode streams only the top-k
+    expert slices per token (ops/quant_matmul.routed_quant_matmul, the
+    ggml_mul_mat_id analog — reference build_moe_ffn,
+    src/llama-graph.cpp:776-1024).  Roofline accounting: active bytes =
+    router + attn projections + k expert FFN slices + lm_head."""
+    from functools import partial
 
-    The leg peaks at ~12 GB HBM (4-bit + int8-repacked stacks transiently
-    coexist) and the allocator does not return the chip to a clean state
-    in-process — the child's exit frees its HBM, keeping both legs inside
-    the chip's 16 GB.  A wedged child is killed at ``budget_s`` so the
-    headline line (already measured by then) still prints.
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_gfx906_tpu.models.config import ModelConfig
+    from llama_cpp_gfx906_tpu.models.llama import KVCache, forward
+    from llama_cpp_gfx906_tpu.ops import quant_matmul as qmm
+
+    _enable_compile_cache()
+    tiny = bool(os.environ.get("BENCH_8B_TINY"))
+    cfg = ModelConfig(
+        arch="llama", n_layers=2 if tiny else 48, n_embd=2048, n_heads=32,
+        n_kv_heads=4, head_dim=128, n_ff=768, n_vocab=4096 if tiny else 151936,
+        n_ctx_train=8192, rope_base=1000000.0,
+        n_experts=8 if tiny else 128, n_experts_used=2 if tiny else 8,
+        expert_ff=768, expert_weights_norm=True,
+    )
+    L, D, EF, V = cfg.n_layers, cfg.n_embd, cfg.expert_ff, cfg.n_vocab
+    E, TOPK = cfg.n_experts, cfg.n_experts_used
+    HqD, HkD = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim
+    keys = jax.random.split(jax.random.PRNGKey(1), 12)
+
+    def synth_n4(key, K, N, g=32):
+        # dense attn projections: nib4c folded (the from_gguf default)
+        ks = jax.random.split(key, 5)
+        rep = lambda a: jnp.repeat(a[None], L, 0)
+        return qmm.QuantTensor(
+            q=rep(jax.random.randint(ks[0], (K // 2, N), -128, 128,
+                                     dtype=jnp.int8)),
+            s=rep(jax.random.randint(ks[1], (K // g, N), 1, 64,
+                                     dtype=jnp.int8)),
+            m=rep(jax.random.randint(ks[2], (K // g, N), 0, 64,
+                                     dtype=jnp.int8)),
+            sd=rep(jax.random.uniform(ks[3], (K // 128, N), jnp.float32,
+                                      2e-5, 6e-5)),
+            md=rep(jax.random.uniform(ks[4], (K // 128, N), jnp.float32,
+                                      0.0, 2e-5)),
+            fmt="nib4c", group=g, sgroup=128, shape=(K, N))
+
+    def synth_experts(key, K, N, g=32):
+        # stacked experts in the pack_gguf_experts nib4 layout:
+        # q (E, K/2, N) split-K packed, plain f32 scales + mins
+        k1, k2, k3 = jax.random.split(key, 3)
+        q1 = jax.random.randint(k1, (E, K // 2, N), -128, 128, dtype=jnp.int8)
+        s1 = jax.random.uniform(k2, (E, K // g, N), jnp.float32, 1e-3, 2e-3)
+        m1 = jax.random.uniform(k3, (E, K // g, N), jnp.float32, 0.0, 1e-3)
+        rep = lambda a: jnp.repeat(a[None], L, 0)
+        return qmm.QuantTensor(q=rep(q1), s=rep(s1), m=rep(m1), fmt="nib4",
+                               group=g, shape=(K, N))
+
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.float32),
+        "ffn_norm": jnp.ones((L, D), jnp.float32),
+        "wqkv_fused": synth_n4(keys[0], D, HqD + 2 * HkD),
+        "wo": synth_n4(keys[1], HqD, D),
+        "moe_gate_inp": jax.random.normal(keys[2], (L, D, E),
+                                          jnp.float32) * 0.02,
+        "moe_gate": synth_experts(keys[3], D, EF),
+        "moe_up": synth_experts(keys[4], D, EF),
+        "moe_down": synth_experts(keys[5], EF, D),
+    }
+    def synth_q6k(key, K, N):
+        k1, k2 = jax.random.split(key)
+        return qmm.QuantTensor(
+            q=jax.random.randint(k1, (K, N), -32, 32, dtype=jnp.int8),
+            s=jax.random.uniform(k2, (K // 16, N), jnp.float32, 1e-3, 2e-3),
+            m=None, fmt="int8", group=16, shape=(K, N))
+
+    params = {
+        "tok_emb": jax.random.normal(keys[6], (V, D), jnp.bfloat16) * 0.02,
+        "out_norm": jnp.ones(D, jnp.float32),
+        "lm_head": qmm.pad_qt_n(synth_q6k(keys[7], D, V)),
+        "layers": layers,
+    }
+
+    def qt_bytes(qt):
+        return (qt.q.nbytes + qt.s.nbytes
+                + (qt.m.nbytes if qt.m is not None else 0)
+                + (qt.sd.nbytes if qt.sd is not None else 0)
+                + (qt.md.nbytes if qt.md is not None else 0))
+
+    # active bytes per decode token: dense attn + router + k-of-E experts
+    active = (qt_bytes(layers["wqkv_fused"]) + qt_bytes(layers["wo"])
+              + layers["moe_gate_inp"].nbytes
+              + sum(qt_bytes(layers[n]) * TOPK // E
+                    for n in ("moe_gate", "moe_up", "moe_down"))
+              + qt_bytes(params["lm_head"]))
+
+    fwd = jax.jit(forward, static_argnames=("cfg",), donate_argnames=("kv",))
+    kv = KVCache.create(cfg, batch=1, max_seq=1024, dtype=jnp.bfloat16)
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("kv",))
+    def decode_steps(params, tok, kv, n_steps):
+        def body(carry, _):
+            tok, kv = carry
+            logits, kv = forward(params, cfg, tok, kv)
+            nxt = logits[:, -1:].argmax(-1).astype(jnp.int32)
+            return (nxt, kv), nxt[:, 0]
+
+        (tok, kv), toks = jax.lax.scan(body, (tok, kv), None, length=n_steps)
+        return toks, kv
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, V, (1, 16)), jnp.int32)
+    logits, kv = fwd(params, cfg, prompt, kv)
+    tok = jnp.reshape(logits[:, -1].argmax(-1).astype(jnp.int32), (1, 1))
+    for _ in range(2):
+        toks, kv = decode_steps(params, tok, kv, 16)
+        tok = toks[-1:].reshape(1, 1)
+    np.asarray(tok)
+    n_decode = 64
+    t0 = time.perf_counter()
+    for _ in range(n_decode // 16):
+        toks, kv = decode_steps(params, tok, kv, 16)
+        tok = toks[-1:].reshape(1, 1)
+    np.asarray(tok)
+    dt = time.perf_counter() - t0
+    tok_s = n_decode / dt
+
+    PP = 512
+    pp_kv = KVCache.create(cfg, batch=1, max_seq=PP, dtype=jnp.bfloat16)
+    pp_fwd = jax.jit(forward, static_argnames=("cfg",))
+    prompts = [jnp.asarray(rng.integers(0, V, (1, PP)), jnp.int32)
+               for _ in range(4)]
+    logits, _ = pp_fwd(params, cfg, prompts[0], pp_kv)
+    np.asarray(logits[0, -1, 0])
+    times = []
+    for p in prompts[1:]:
+        t0 = time.perf_counter()
+        logits, _ = pp_fwd(params, cfg, p, pp_kv)
+        np.asarray(logits[0, -1, 0])
+        times.append(time.perf_counter() - t0)
+    pp_dt = sorted(times)[len(times) // 2]
+
+    return {
+        "decode_tok_s_moe_a3b_shape": round(tok_s, 2),
+        "pp512_tok_s_moe_a3b": round(PP / pp_dt, 2),
+        "active_gb_per_tok_moe": round(active / 1e9, 3),
+        "eff_bw_gb_s_moe": round(active * tok_s / 1e9, 1),
+        # MI50 roofline on the same active-byte budget at 1 TB/s
+        "vs_mi50_roofline_moe": round(tok_s * active / 1e12, 3),
+    }
+
+
+def _bench_leg_subprocess(leg: str, budget_s: float) -> dict:
+    """Run one big-model leg isolated in a child process with a bounded
+    budget.
+
+    Big legs peak near the chip's 16 GB HBM and the allocator does not
+    return the chip to a clean state in-process — the child's exit frees
+    its HBM so the legs can run back to back.  A wedged child is killed
+    at ``budget_s`` so the lines already measured still print.
     """
     import subprocess
     import sys as _sys
@@ -330,21 +419,20 @@ def _bench_8b_subprocess(budget_s: float) -> dict:
 
     try:
         r = subprocess.run(
-            [_sys.executable, __file__, "--leg-8b"],
+            [_sys.executable, __file__, f"--leg-{leg}"],
             capture_output=True, text=True, timeout=budget_s,
         )
         return last_line(r.stdout) or {
-            "bench_8b_error": (r.stderr[-200:] or "no output")}
+            f"bench_{leg}_error": (r.stderr[-200:] or "no output")}
     except subprocess.TimeoutExpired as e:
-        # the child prints the Q4_K numbers as a partial line before the
-        # int8-repack section — keep them even when the budget kills it
+        # legs print partial lines as sections finish — keep what's in hand
         got = last_line(e.stdout if isinstance(e.stdout, str)
                         else (e.stdout or b"").decode("utf-8", "replace"))
         got = got or {}
-        got["bench_8b_error"] = f"TimeoutExpired after {budget_s:.0f}s"
+        got[f"bench_{leg}_error"] = f"TimeoutExpired after {budget_s:.0f}s"
         return got
-    except Exception as e:  # keep the headline line even if the 8B leg dies
-        return {"bench_8b_error": f"{type(e).__name__}: {e}"[:200]}
+    except Exception as e:  # keep the headline even if a big leg dies
+        return {f"bench_{leg}_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def _enable_compile_cache() -> None:
@@ -529,13 +617,15 @@ def main() -> None:
     bdt = time.perf_counter() - t0
     batched_tok_s = NB * n_decode / bdt
 
-    # 8B leg LAST (headline numbers above are already in hand) with the
-    # remaining wall budget, capped at 40 min of compiles + measurement
-    # (BENCH_8B_BUDGET_S overrides; 0 skips the leg entirely)
+    # big-model legs LAST (headline numbers above are already in hand)
+    # with the remaining wall budget, capped at 40 min of compiles +
+    # measurement (BENCH_8B_BUDGET_S overrides; 0 skips them entirely)
     cap = float(os.environ.get("BENCH_8B_BUDGET_S", "2400"))
     if cap > 0:
-        extra_8b = _bench_8b_subprocess(
-            budget_s=max(min(300.0, cap), cap - (time.perf_counter() - t_start)))
+        left = lambda: max(min(300.0, cap),
+                           cap - (time.perf_counter() - t_start))
+        extra_8b = _bench_leg_subprocess("8b", budget_s=left())
+        extra_8b.update(_bench_leg_subprocess("moe", budget_s=left()))
     else:
         extra_8b = {"bench_8b_skipped": True}
 
@@ -564,5 +654,11 @@ if __name__ == "__main__":
         except Exception as e:
             print(json.dumps(
                 {"bench_8b_error": f"{type(e).__name__}: {e}"[:200]}))
+    elif "--leg-moe" in _sys.argv:
+        try:
+            print(json.dumps(bench_moe()))
+        except Exception as e:
+            print(json.dumps(
+                {"bench_moe_error": f"{type(e).__name__}: {e}"[:200]}))
     else:
         main()

@@ -74,17 +74,18 @@ def _pick(caps, dim, mult=1):
 
 
 def _proj_tk(K: int, g: int, is_n4: bool):
-    """Logical K-chunk for one projection.  nib4c needs TK ≥ 16·g (the
-    chunk's scale rows are sliced in half → each half ≥ 8 sublanes) and
-    must equal the pack-time chunk ``nib4c_chunk(K)`` — both walk the same
-    cap list, so agreement is checked, not assumed."""
-    tk = _pick(_TK_CAPS, K, mult=(16 if is_n4 else 8) * g)
-    if is_n4 and tk is not None:
+    """Logical K-chunk for one projection.  nib4c chunks ARE the pack-time
+    chunk ``nib4c_chunk(K)`` (the packing pairs rows within it), provided
+    it keeps the chunk's half-scale slices 8-sublane aligned
+    (TK ≥ 16·g and divisible)."""
+    if is_n4:
         from .quant_matmul import nib4c_chunk
 
-        if tk != nib4c_chunk(K):
+        tk = nib4c_chunk(K)
+        if tk is None or tk % (16 * g):
             return None
-    return tk
+        return tk
+    return _pick(_TK_CAPS, K, mult=8 * g)
 
 
 def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,

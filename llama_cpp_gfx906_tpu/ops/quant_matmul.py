@@ -306,8 +306,12 @@ _NIB4_TYPES = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
 # Measured on the 8B lm_head shape this streams packed bytes at ~693 GB/s
 # — the int8 kernel's byte rate at HALF the bytes per weight
 # (scripts/exp_nib4.py, variant nib4xi8).  TK must match between pack
-# time and kernel, so it is a pure function of K.
-_NIB4C_CAPS = (1024, 512, 256)
+# time and kernel, so it is a pure function of K.  The top cap bounds the
+# streamed chunk (packed bytes per DMA = CK/2 · TN); LCG_NIB4C_CK tunes
+# it — bigger chunks amortize DMA issue overhead in the megakernel.
+_NIB4C_CAPS = tuple(
+    c for c in (2048, 1024, 512, 256)
+    if c <= int(os.environ.get("LCG_NIB4C_CK", "1024")))
 
 
 def nib4c_chunk(K: int) -> int | None:
@@ -715,9 +719,11 @@ def _gemv_tiles(qt: QuantTensor) -> tuple[int, int] | None:
         k_bytes = K
     elif qt.fmt == "nib4c":
         tkc = nib4c_chunk(K) or 0
-        if tkc < 16 * qt.group:
+        if tkc < 16 * qt.group or tkc % (16 * qt.group):
             tkc = 0
-        if qt.sd is not None and (tkc != 1024 or K % qt.sgroup):
+        # folded: super-scale slice must land on 8-aligned sublanes
+        if qt.sd is not None and (tkc % qt.sgroup or (tkc // qt.sgroup) % 8
+                                  or K % qt.sgroup):
             tkc = 0
         k_bytes = K // 2
     else:
