@@ -401,6 +401,47 @@ def bench_moe() -> dict:
     }
 
 
+def bench_serve() -> dict:
+    """Serving-load leg (round-3 item 7): spawn llama-server on the real
+    chip with a synthetic 8B Q4_K_M GGUF (scripts/make_synth_gguf.py —
+    decode throughput is value-independent) and fire concurrent streamed
+    clients through scripts/server_bench.py.  Reports aggregate gen tok/s
+    and TTFT p50/p95 — the reference's scripts/server-bench.py metrics."""
+    import subprocess
+    import sys as _sys
+
+    tiny = bool(os.environ.get("BENCH_8B_TINY"))
+    preset = "tiny" if tiny else "8b"
+    model = f"/tmp/bench_synth_{preset}.gguf"
+    if not os.path.exists(model):
+        subprocess.run(
+            [_sys.executable, os.path.join("scripts", "make_synth_gguf.py"),
+             model, "--preset", preset],
+            check=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    cmd = [_sys.executable, os.path.join("scripts", "server_bench.py"),
+           "-m", model, "--spawn", "--port", "8871",
+           "--n-prompts", "16", "--parallel", "4", "--n-predict", "32",
+           "--prompt-length-min", "32", "--prompt-length-max", "256",
+           "--startup-timeout", "1500"]
+    if os.environ.get("BENCH_PLATFORM"):
+        cmd += ["--platform", os.environ["BENCH_PLATFORM"]]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    lines = [ln for ln in (r.stdout or "").splitlines()
+             if ln.startswith("{")]
+    if not lines:
+        return {"bench_serve_error": (r.stderr or "no output")[-200:]}
+    got = json.loads(lines[-1])
+    return {
+        "serve_gen_tok_s_8b": got.get("gen_tok_s"),
+        "serve_ttft_p50_ms_8b": got.get("ttft_p50_ms"),
+        "serve_ttft_p95_ms_8b": got.get("ttft_p95_ms"),
+        "serve_parallel": got.get("parallel"),
+        "serve_n_prompts": got.get("n_prompts"),
+    }
+
+
 def _bench_leg_subprocess(leg: str, budget_s: float) -> dict:
     """Run one big-model leg isolated in a child process with a bounded
     budget.
@@ -626,6 +667,7 @@ def main() -> None:
                            cap - (time.perf_counter() - t_start))
         extra_8b = _bench_leg_subprocess("8b", budget_s=left())
         extra_8b.update(_bench_leg_subprocess("moe", budget_s=left()))
+        extra_8b.update(_bench_leg_subprocess("serve", budget_s=left()))
     else:
         extra_8b = {"bench_8b_skipped": True}
 
@@ -660,5 +702,11 @@ if __name__ == "__main__":
         except Exception as e:
             print(json.dumps(
                 {"bench_moe_error": f"{type(e).__name__}: {e}"[:200]}))
+    elif "--leg-serve" in _sys.argv:
+        try:
+            print(json.dumps(bench_serve()))
+        except Exception as e:
+            print(json.dumps(
+                {"bench_serve_error": f"{type(e).__name__}: {e}"[:200]}))
     else:
         main()
