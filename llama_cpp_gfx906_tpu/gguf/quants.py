@@ -568,6 +568,63 @@ def quant_iq4_nl(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _fit_kvalues(x: np.ndarray, w: np.ndarray | None = None,
+                 n_iter: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Fit rows of ``x`` (n, m) to ``s · IQ4_NL_KVALUES[q]``.
+
+    The scalar-grid analog of make_qx_quants (llama-quant.cpp): alternate
+    nearest-gridpoint assignment with the (optionally importance-weighted)
+    least-squares scale.  Returns (s (n,), q (n, m) indices 0..15)."""
+    kv = IQ4_NL_KVALUES.astype(np.float32)  # (16,) −127..113
+    if w is None:
+        w = np.ones_like(x)
+    idx = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(len(x)), idx]
+    s = mx / kv[0]  # max-magnitude value maps to the −127 end (ggml habit)
+    q = np.zeros(x.shape, np.int64)
+    for _ in range(n_iter):
+        inv = _safe_inv(s)
+        q = np.abs((x * inv[:, None])[..., None] - kv).argmin(-1)
+        kvq = kv[q]
+        num = (w * x * kvq).sum(1)
+        den = (w * kvq * kvq).sum(1)
+        s = np.where(den > 0, num / np.where(den > 0, den, 1.0), s)
+    return s.astype(np.float32), q
+
+
+def quant_iq4_xs(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_XS encoder (reference quantize_row_iq4_xs role): per-32 scalar
+    grid search over the IQ4_NL kvalues, 6-bit sub-scales under one f16
+    superblock scale.  ``w`` (same shape as x) enables imatrix weighting."""
+    nb = x.shape[0]
+    sub = x.reshape(nb * 8, 32)
+    ws = w.reshape(nb * 8, 32).astype(np.float32) + 1e-8 if w is not None else None
+    s, _ = _fit_kvalues(sub, ws)
+    s = s.reshape(nb, 8)
+    d = np.abs(s).max(1) / 31.0  # 6-bit signed scale grid [−32, 31]
+    inv_d = _safe_inv(d)
+    si = np.rint(s * inv_d[:, None]).clip(-32, 31).astype(np.int32)
+    # final assignment against the QUANTIZED scales
+    eff = (d[:, None] * si).reshape(nb * 8)
+    inv = _safe_inv(eff)
+    q = np.abs((sub * inv[:, None])[..., None]
+               - IQ4_NL_KVALUES.astype(np.float32)).argmin(-1)
+    q = q.reshape(nb, 8, 32).astype(np.uint8)
+    su = (si + 32).astype(np.uint8)  # 0..63
+    sl = ((su & 0x0F)[:, 0::2] | ((su & 0x0F)[:, 1::2] << 4))  # (nb, 4)
+    hi2 = (su >> 4).astype(np.uint16)  # (nb, 8) 2-bit
+    sh = np.zeros(nb, np.uint16)
+    for i in range(8):
+        sh |= hi2[:, i] << np.uint16(2 * i)
+    qs = (q[:, :, :16] | (q[:, :, 16:] << 4)).reshape(nb, 128)
+    return np.concatenate([
+        _to_f16_bytes(d[:, None]),
+        sh[:, None].view(np.uint8).reshape(nb, 2),
+        sl.astype(np.uint8),
+        qs.astype(np.uint8),
+    ], axis=1)
+
+
 def dequant_f32(blocks: np.ndarray) -> np.ndarray:
     return blocks.reshape(blocks.shape[0], -1).copy().view(np.dtype("<f4"))
 
@@ -752,6 +809,273 @@ def dequant_iq1_m(b):
     return out.reshape(n, QK_K)
 
 
+# -- codebook ENCODERS (round-4: the reference quantizes to i-quants with
+#    imatrix-guided codebook search, llama-quant.cpp:178; here the same
+#    role vectorized in numpy: nearest-codebook-row assignment on the
+#    magnitude pattern, signs packed per format, alternating with a
+#    weighted-least-squares scale refit).  Quality discipline is the
+#    round-trip RMSE + fixture ppl-δ tests, not bit-equality with the
+#    reference encoder (encoders are free; DECODE is the format).
+
+
+def _grid_assign(absx: np.ndarray, s: np.ndarray, grid: np.ndarray,
+                 chunk: int = 1 << 16) -> np.ndarray:
+    """Nearest codebook row per group: absx (G, m), s (G,) scales,
+    grid (N, m) magnitude patterns → (G,) indices.  Chunked so the
+    (G, N) distance matrix stays in cache-sized pieces."""
+    out = np.empty(absx.shape[0], np.int64)
+    target = absx * _safe_inv(s)[:, None]
+    g2 = (grid * grid).sum(1)
+    for lo in range(0, absx.shape[0], chunk):
+        t = target[lo:lo + chunk]
+        # argmin ||t − g||² = argmin (g·g − 2 t·g)
+        d = g2[None, :] - 2.0 * (t @ grid.T)
+        out[lo:lo + chunk] = d.argmin(1)
+    return out
+
+
+def _sign_code7(signs: np.ndarray, absx: np.ndarray) -> np.ndarray:
+    """(G, 8) desired sign bits (1 = negative) → 7-bit codes whose
+    parity-implied 8th bit matches; when it doesn't, flip the bit of the
+    smallest-|x| element among the first 7 vs accepting the 8th-element
+    error — whichever costs less."""
+    bits = signs.astype(np.uint8)
+    code = np.zeros(len(bits), np.uint8)
+    for i in range(7):
+        code |= bits[:, i] << np.uint8(i)
+    parity = np.zeros(len(bits), np.uint8)
+    for i in range(7):
+        parity ^= (code >> np.uint8(i)) & 1
+    mismatch = parity != bits[:, 7]
+    if mismatch.any():
+        # candidate A: leave code, 8th element sign flips (cost |x8|)
+        # candidate B: flip the smallest of the first 7 (cost min |x0..6|)
+        small7 = absx[:, :7].argmin(1)
+        cost_a = absx[:, 7]
+        cost_b = absx[np.arange(len(bits)), small7]
+        use_b = mismatch & (cost_b < cost_a)
+        idx = np.where(use_b)[0]
+        code[idx] ^= (1 << small7[idx]).astype(np.uint8)
+    return code
+
+
+def _fit_subscale_4bit(s: np.ndarray, base: float, step: float):
+    """Sub-scales s (nb, k) → (d (nb,), q4 (nb, k) ints 0..15) for the
+    iq2/iq3 layout  db = d·(base + q4)·step."""
+    d = s.max(1) / ((base + 15.0) * step)
+    inv = _safe_inv(d)
+    q4 = np.rint(s * inv[:, None] / step - base).clip(0, 15).astype(np.uint32)
+    return d.astype(np.float32), q4
+
+
+def _iq_scale_refit(absx: np.ndarray, g: np.ndarray, w: np.ndarray):
+    """Weighted LS scale per row: argmin_s Σ w (|x| − s·g)²."""
+    num = (w * absx * g).sum(1)
+    den = (w * g * g).sum(1)
+    return np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+
+
+def quant_iq2_xxs(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_XXS encoder: 256-entry 8-value magnitude codebook, 7-bit
+    parity sign codes, 4-bit sub-scales under one f16 d."""
+    nb = x.shape[0]
+    grid = _IQLazy.get("IQ2_XXS").astype(np.float32)  # (256, 8)
+    absx = np.abs(x).reshape(nb * 32, 8)
+    ww = (w.reshape(nb * 32, 8).astype(np.float32) + 1e-8
+          if w is not None else np.ones_like(absx))
+    # initial per-32 scale from the group absmax against the grid ceiling
+    s = np.maximum(absx.reshape(nb * 8, 32).max(1), 1e-12) / grid.max()
+    q = None
+    for _ in range(3):
+        q = _grid_assign(absx, np.repeat(s, 4), grid)
+        gsel = grid[q]
+        s = _iq_scale_refit(absx.reshape(nb * 8, 32),
+                            gsel.reshape(nb * 8, 32),
+                            ww.reshape(nb * 8, 32))
+        s = np.maximum(s, 1e-12)
+    d, q4 = _fit_subscale_4bit(s.reshape(nb, 8), 0.5, 0.25)
+    codes = _sign_code7((x < 0).reshape(nb * 32, 8), absx)
+    q = q.reshape(nb, 8, 4).astype(np.uint32)
+    codes = codes.reshape(nb, 8, 4).astype(np.uint32)
+    w0 = (q[:, :, 0] | (q[:, :, 1] << 8) | (q[:, :, 2] << 16)
+          | (q[:, :, 3] << 24))
+    w1 = (codes[:, :, 0] | (codes[:, :, 1] << 7) | (codes[:, :, 2] << 14)
+          | (codes[:, :, 3] << 21) | (q4 << 28))
+    data = np.stack([w0, w1], axis=-1).astype("<u4")  # (nb, 8, 2)
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), data.reshape(nb, -1).view(np.uint8)],
+        axis=1)
+
+
+def quant_iq3_xxs(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """IQ3_XXS encoder: 256-entry 4-value codebook (byte indices), 7-bit
+    parity sign codes per 8, 4-bit sub-scales, db = d·(0.5+q4)·0.5."""
+    nb = x.shape[0]
+    grid = _IQLazy.get("IQ3_XXS").astype(np.float32)  # (256, 4)
+    absx4 = np.abs(x).reshape(nb * 64, 4)
+    ww = (w.reshape(nb * 64, 4).astype(np.float32) + 1e-8
+          if w is not None else np.ones_like(absx4))
+    s = np.maximum(np.abs(x).reshape(nb * 8, 32).max(1), 1e-12) / grid.max()
+    q = None
+    for _ in range(3):
+        q = _grid_assign(absx4, np.repeat(s, 8), grid)
+        gsel = grid[q]
+        s = _iq_scale_refit(np.abs(x).reshape(nb * 8, 32),
+                            gsel.reshape(nb * 8, 32),
+                            ww.reshape(nb * 8, 32))
+        s = np.maximum(s, 1e-12)
+    d, q4 = _fit_subscale_4bit(s.reshape(nb, 8), 0.5, 0.5)
+    absx8 = np.abs(x).reshape(nb * 32, 8)
+    codes = _sign_code7((x < 0).reshape(nb * 32, 8), absx8)
+    codes = codes.reshape(nb, 8, 4).astype(np.uint32)
+    sc = (codes[:, :, 0] | (codes[:, :, 1] << 7) | (codes[:, :, 2] << 14)
+          | (codes[:, :, 3] << 21) | (q4 << 28)).astype("<u4")
+    qs = q.reshape(nb, 64).astype(np.uint8)
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), qs, sc.view(np.uint8).reshape(nb, 32)],
+        axis=1)
+
+
+def quant_iq2_xs(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_XS encoder: 512-entry codebook, 9-bit index + 7-bit sign code
+    per u16, 4-bit sub-scales per 16 values."""
+    nb = x.shape[0]
+    grid = _IQLazy.get("IQ2_XS").astype(np.float32)  # (512, 8)
+    absx = np.abs(x).reshape(nb * 32, 8)
+    ww = (w.reshape(nb * 16, 16).astype(np.float32) + 1e-8
+          if w is not None else np.ones((nb * 16, 16), np.float32))
+    s = np.maximum(np.abs(x).reshape(nb * 16, 16).max(1), 1e-12) / grid.max()
+    q = None
+    for _ in range(3):
+        q = _grid_assign(absx, np.repeat(s, 2), grid)
+        gsel = grid[q]
+        s = _iq_scale_refit(np.abs(x).reshape(nb * 16, 16),
+                            gsel.reshape(nb * 16, 16), ww)
+        s = np.maximum(s, 1e-12)
+    d, q4 = _fit_subscale_4bit(s.reshape(nb, 16), 0.5, 0.25)
+    codes = _sign_code7((x < 0).reshape(nb * 32, 8), absx)
+    qs = (q.reshape(nb, 32).astype("<u2")
+          | (codes.reshape(nb, 32).astype("<u2") << 9))
+    scb = (q4[:, 0::2] | (q4[:, 1::2] << 4)).astype(np.uint8)  # (nb, 8)
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), qs.view(np.uint8).reshape(nb, 64), scb],
+        axis=1)
+
+
+def quant_iq2_s(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_S encoder: 1024-entry codebook (8+2-bit index), FULL sign
+    bytes (no parity constraint), 4-bit sub-scales per 16."""
+    nb = x.shape[0]
+    grid = _IQLazy.get("IQ2_S").astype(np.float32)  # (1024, 8)
+    absx = np.abs(x).reshape(nb * 32, 8)
+    ww = (w.reshape(nb * 16, 16).astype(np.float32) + 1e-8
+          if w is not None else np.ones((nb * 16, 16), np.float32))
+    s = np.maximum(np.abs(x).reshape(nb * 16, 16).max(1), 1e-12) / grid.max()
+    q = None
+    for _ in range(3):
+        q = _grid_assign(absx, np.repeat(s, 2), grid)
+        gsel = grid[q]
+        s = _iq_scale_refit(np.abs(x).reshape(nb * 16, 16),
+                            gsel.reshape(nb * 16, 16), ww)
+        s = np.maximum(s, 1e-12)
+    d, q4 = _fit_subscale_4bit(s.reshape(nb, 16), 0.5, 0.25)
+    sign_bits = (x < 0).reshape(nb * 32, 8).astype(np.uint8)
+    sb = np.zeros(nb * 32, np.uint8)
+    for i in range(8):
+        sb |= sign_bits[:, i] << np.uint8(i)
+    q = q.reshape(nb, 32)
+    qs = (q & 0xFF).astype(np.uint8)
+    hi = (q >> 8).astype(np.uint8).reshape(nb, 8, 4)  # 2-bit highs
+    qh = (hi[:, :, 0] | (hi[:, :, 1] << 2) | (hi[:, :, 2] << 4)
+          | (hi[:, :, 3] << 6)).astype(np.uint8)
+    scb = (q4[:, 0::2] | (q4[:, 1::2] << 4)).astype(np.uint8)
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), qs, sb.reshape(nb, 32), qh, scb], axis=1)
+
+
+def quant_iq3_s(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """IQ3_S encoder: 512-entry 4-value codebook (8+1-bit index), full
+    sign bytes, 4-bit sub-scales per 32, db = d·(1+2·q4)."""
+    nb = x.shape[0]
+    grid = _IQLazy.get("IQ3_S").astype(np.float32)  # (512, 4)
+    absx4 = np.abs(x).reshape(nb * 64, 4)
+    ww = (w.reshape(nb * 8, 32).astype(np.float32) + 1e-8
+          if w is not None else np.ones((nb * 8, 32), np.float32))
+    s = np.maximum(np.abs(x).reshape(nb * 8, 32).max(1), 1e-12) / grid.max()
+    q = None
+    for _ in range(3):
+        q = _grid_assign(absx4, np.repeat(s, 8), grid)
+        gsel = grid[q]
+        s = _iq_scale_refit(np.abs(x).reshape(nb * 8, 32),
+                            gsel.reshape(nb * 8, 32), ww)
+        s = np.maximum(s, 1e-12)
+    # db = d·(1 + 2·q4): q4 ∈ 0..15
+    d = s.reshape(nb, 8).max(1) / 31.0
+    inv = _safe_inv(d)
+    q4 = np.rint((s.reshape(nb, 8) * inv[:, None] - 1.0) / 2.0).clip(
+        0, 15).astype(np.uint32)
+    sign_bits = (x < 0).reshape(nb * 32, 8).astype(np.uint8)
+    sb = np.zeros(nb * 32, np.uint8)
+    for i in range(8):
+        sb |= sign_bits[:, i] << np.uint8(i)
+    q = q.reshape(nb, 64)
+    qs = (q & 0xFF).astype(np.uint8)
+    hi = (q >> 8).astype(np.uint8).reshape(nb, 8, 8)  # 1-bit highs
+    qh = np.zeros((nb, 8), np.uint8)
+    for i in range(8):
+        qh |= hi[:, :, i] << np.uint8(i)
+    scb = (q4[:, 0::2] | (q4[:, 1::2] << 4)).astype(np.uint8)  # (nb, 4)
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), qs, qh, sb.reshape(nb, 32), scb], axis=1)
+
+
+def quant_iq1_s(x: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
+    """IQ1_S encoder: 2048-entry ±1-valued codebook per 8; per 32-value
+    sub-block one shared delta sign, one 3-bit scale (db = d·(2·q3+1)),
+    dequant value = db · (grid ± 0.125)."""
+    nb = x.shape[0]
+    grid = _IQLazy.get("IQ1_S").astype(np.float32)  # (2048, 8) signed
+    x8 = x.reshape(nb * 32, 8)
+    x32 = x.reshape(nb * 8, 32)
+    ww = (w.reshape(nb * 8, 32).astype(np.float32) + 1e-8
+          if w is not None else np.ones((nb * 8, 32), np.float32))
+    s = np.maximum(np.abs(x32).max(1), 1e-12)
+    # delta sign per 32: positive when the sub-block leans positive
+    delta = np.where(x32.mean(1) >= 0, _IQ1_DELTA,
+                     -_IQ1_DELTA).astype(np.float32)
+    q = None
+    for _ in range(3):
+        # assign SIGNED values against grid + delta (grid entries carry
+        # the signs for this format)
+        target = x8 * _safe_inv(np.repeat(s, 4))[:, None]
+        d8 = np.repeat(delta, 4)
+        qq = np.empty(len(x8), np.int64)
+        step = 1 << 12
+        g2 = (grid * grid).sum(1)
+        for lo in range(0, len(x8), step):
+            t = target[lo:lo + step] - d8[lo:lo + step, None]
+            dist = g2[None, :] - 2.0 * (t @ grid.T)
+            qq[lo:lo + step] = dist.argmin(1)
+        q = qq
+        gsel = (grid[q] + np.repeat(delta, 4)[:, None]).reshape(nb * 8, 32)
+        s = _iq_scale_refit(x32, gsel, ww)
+        s = np.maximum(s, 1e-12)
+    d = s.reshape(nb, 8).max(1) / 15.0
+    inv = _safe_inv(d)
+    q3 = np.rint((s.reshape(nb, 8) * inv[:, None] - 1.0) / 2.0).clip(
+        0, 7).astype(np.uint16)
+    q = q.reshape(nb, 32)
+    qs = (q & 0xFF).astype(np.uint8)
+    hi3 = (q >> 8).astype(np.uint16).reshape(nb, 8, 4)
+    qh = (hi3[:, :, 0] | (hi3[:, :, 1] << 3) | (hi3[:, :, 2] << 6)
+          | (hi3[:, :, 3] << 9)).astype("<u2")
+    qh |= q3 << np.uint16(12)
+    qh |= (np.where(delta.reshape(nb, 8) < 0, 1, 0) << 15).astype("<u2")
+    return np.concatenate(
+        [_to_f16_bytes(d[:, None]), qs, qh.view(np.uint8).reshape(nb, 16)],
+        axis=1)
+
+
 def dequant_iq4_xs(b):
     n = b.shape[0]
     d = _f16(b[:, 0:2])
@@ -817,6 +1141,13 @@ _QUANT = {
     GGMLType.Q8_K: quant_q8_k,
     GGMLType.MXFP4: quant_mxfp4,
     GGMLType.IQ4_NL: quant_iq4_nl,
+    GGMLType.IQ4_XS: quant_iq4_xs,
+    GGMLType.IQ2_XXS: quant_iq2_xxs,
+    GGMLType.IQ2_XS: quant_iq2_xs,
+    GGMLType.IQ2_S: quant_iq2_s,
+    GGMLType.IQ3_XXS: quant_iq3_xxs,
+    GGMLType.IQ3_S: quant_iq3_s,
+    GGMLType.IQ1_S: quant_iq1_s,
 }
 
 
@@ -910,6 +1241,21 @@ def quantize_weighted(x: np.ndarray, ggml_type: GGMLType,
         return quantize(x, ggml_type)
     if ggml_type == GGMLType.Q4_K:
         return _quantize_weighted_q4_k(x, weights)
+    iq_weighted = {
+        GGMLType.IQ4_XS: quant_iq4_xs,
+        GGMLType.IQ2_XXS: quant_iq2_xxs,
+        GGMLType.IQ2_XS: quant_iq2_xs,
+        GGMLType.IQ2_S: quant_iq2_s,
+        GGMLType.IQ3_XXS: quant_iq3_xxs,
+        GGMLType.IQ3_S: quant_iq3_s,
+        GGMLType.IQ1_S: quant_iq1_s,
+    }
+    if ggml_type in iq_weighted:
+        K = x.shape[-1]
+        w_row = np.asarray(weights, np.float32).reshape(-1)[:K]
+        flat = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+        wfull = np.broadcast_to(w_row, x.shape).reshape(-1, QK_K)
+        return iq_weighted[ggml_type](flat, wfull.astype(np.float32)).reshape(-1)
     grids = {
         GGMLType.Q4_0: (-8, 7),
         GGMLType.Q5_0: (-16, 15),

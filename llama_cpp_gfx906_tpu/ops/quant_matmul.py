@@ -309,9 +309,11 @@ _NIB4_TYPES = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
 # time and kernel, so it is a pure function of K.  The top cap bounds the
 # streamed chunk (packed bytes per DMA = CK/2 · TN); LCG_NIB4C_CK tunes
 # it — bigger chunks amortize DMA issue overhead in the megakernel.
+# default 2048: measured 462 GB/s packed through the streamed megakernel
+# vs 392 at 1024 (DMA-issue amortization); 4096 blew the compile budget
 _NIB4C_CAPS = tuple(
-    c for c in (2048, 1024, 512, 256)
-    if c <= int(os.environ.get("LCG_NIB4C_CK", "1024")))
+    c for c in (4096, 2048, 1024, 512, 256)
+    if c <= int(os.environ.get("LCG_NIB4C_CK", "2048")))
 
 
 def nib4c_chunk(K: int) -> int | None:

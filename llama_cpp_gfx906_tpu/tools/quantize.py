@@ -35,6 +35,13 @@ def _mix_rules(preset: str):
         "Q6_K": GGMLType.Q6_K,
         "MXFP4": GGMLType.MXFP4,
         "IQ4_NL": GGMLType.IQ4_NL,
+        "IQ4_XS": GGMLType.IQ4_XS,
+        "IQ2_XXS": GGMLType.IQ2_XXS,
+        "IQ2_XS": GGMLType.IQ2_XS,
+        "IQ2_S": GGMLType.IQ2_S,
+        "IQ3_XXS": GGMLType.IQ3_XXS,
+        "IQ3_S": GGMLType.IQ3_S,
+        "IQ1_S": GGMLType.IQ1_S,
         "F16": GGMLType.F16,
         "BF16": GGMLType.BF16,
         "F32": GGMLType.F32,

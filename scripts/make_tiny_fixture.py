@@ -86,6 +86,10 @@ def main():
     train, held = ids[:n_train], ids[n_train:]
     print(f"corpus: {len(ids)} byte-tokens ({n_train} train)")
 
+    gguf_path = os.path.join(OUT_DIR, "tinydoc-byte.f16.gguf")
+    if "--reuse" in sys.argv and os.path.exists(gguf_path):
+        return pin_expectations(gguf_path, held)
+
     model = build_model()
     model.train()
     opt = torch.optim.AdamW(model.parameters(), lr=3e-4)
@@ -109,11 +113,14 @@ def main():
     from llama_cpp_gfx906_tpu.gguf import GGMLType
     from llama_cpp_gfx906_tpu.tools.convert_hf import convert_hf_llama
 
-    gguf_path = os.path.join(OUT_DIR, "tinydoc-byte.f16.gguf")
     convert_hf_llama(model, byte_vocab(), gguf_path, quant_type=GGMLType.F16)
     print("wrote", gguf_path, os.path.getsize(gguf_path), "bytes")
+    pin_expectations(gguf_path, held)
 
-    # pin expectations through OUR engine (f32 end to end on CPU)
+
+def pin_expectations(gguf_path: str, held: np.ndarray):
+    """Pin greedy continuations + held-out ppl through OUR engine (f32)."""
+    import jax
     import jax.numpy as jnp
 
     from llama_cpp_gfx906_tpu.runtime.engine import Engine
@@ -135,7 +142,7 @@ def main():
     logits, _ = forward(eng.params, eng.cfg, jnp.asarray(toks), kv)
     logp = np.asarray(
         jnp.take_along_axis(
-            jnp.log_softmax(logits[0].astype(jnp.float32), axis=-1),
+            jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1),
             jnp.asarray(held_ids[1:], jnp.int32)[:, None], axis=-1,
         )[:, 0]
     )

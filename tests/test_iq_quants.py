@@ -10,6 +10,7 @@ import pytest
 from llama_cpp_gfx906_tpu.gguf import dequantize
 from llama_cpp_gfx906_tpu.gguf.constants import GGML_BLOCK_SIZES, GGMLType
 from llama_cpp_gfx906_tpu.gguf import quants as my_q
+from llama_cpp_gfx906_tpu.gguf import quants as Q
 
 IQ_TYPES = [
     GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
@@ -78,3 +79,61 @@ def test_iq_model_load(tmp_path):
     # fall back: dequantize path only
     out = dequantize(raw.reshape(-1), GGMLType.IQ2_XXS, (rows, cols))
     assert out.shape == (rows, cols) and np.isfinite(out).all()
+
+
+# ---------------------------------------------------------------------------
+# round-4: i-quant ENCODERS (reference quantizes to IQ types with
+# imatrix-guided codebook search, llama-quant.cpp:178)
+# ---------------------------------------------------------------------------
+
+_ENC_RMSE = {
+    # relative RMSE ceilings on N(0,1) data — the bpw ladder must hold
+    GGMLType.IQ4_XS: 0.10,
+    GGMLType.IQ3_S: 0.17,
+    GGMLType.IQ3_XXS: 0.23,
+    GGMLType.IQ2_S: 0.29,
+    GGMLType.IQ2_XS: 0.34,
+    GGMLType.IQ2_XXS: 0.39,
+    GGMLType.IQ1_S: 0.55,
+}
+
+
+@pytest.mark.parametrize("qtype", sorted(_ENC_RMSE))
+def test_iq_encoder_roundtrip(qtype):
+    rng = np.random.default_rng(int(qtype))
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    raw = Q.quantize(x, qtype)
+    blck, bsize = GGML_BLOCK_SIZES[qtype]
+    assert raw.size == x.size // blck * bsize
+    y = Q.dequantize(raw, qtype, x.shape)
+    rmse = np.sqrt(((x - y) ** 2).mean()) / np.sqrt((x ** 2).mean())
+    assert rmse < _ENC_RMSE[qtype], (qtype.name, rmse)
+    # big elements keep their signs through codebook + sign packing
+    big = np.abs(x) > 1.5
+    assert (np.sign(y[big]) == np.sign(x[big])).mean() > 0.98
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.IQ4_XS, GGMLType.IQ2_XXS,
+                                   GGMLType.IQ3_S])
+def test_iq_encoder_weighted_improves_important_channels(qtype):
+    """imatrix weighting must reduce error on the high-importance half."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    w = np.ones(512, np.float32)
+    w[:256] = 100.0  # first half is important
+    raw_u = Q.quantize(x, qtype)
+    raw_w = Q.quantize_weighted(x, qtype, w)
+    yu = Q.dequantize(raw_u, qtype, x.shape)
+    yw = Q.dequantize(raw_w, qtype, x.shape)
+    err_u = ((x - yu)[:, :256] ** 2).mean()
+    err_w = ((x - yw)[:, :256] ** 2).mean()
+    assert err_w <= err_u * 1.02, (qtype.name, err_w, err_u)
+
+
+def test_quantize_tool_accepts_iq_presets(tmp_path):
+    from llama_cpp_gfx906_tpu.tools.quantize import _mix_rules
+
+    for preset in ("IQ4_XS", "IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS",
+                   "IQ3_S", "IQ1_S", "IQ4_NL"):
+        t, rule = _mix_rules(preset)
+        assert rule("blk.0.ffn_up.weight", 0, 4) == t
