@@ -240,8 +240,9 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 gmask_h = (cg // g == rg).astype(jnp.bfloat16)
                 xg_lo = gmask_h * xb[:, k0:k0 + TKq]          # (TKgh, TKq)
                 xg_hi = gmask_h * xb[:, k0 + TKq:k0 + TK]
-                xsum_hi = jnp.sum(xg_hi.astype(jnp.float32), 1,
-                                  keepdims=True)
+                xsum_hi = jnp.sum(
+                    xb[:, k0 + TKq:k0 + TK].astype(jnp.float32)
+                    .reshape(TKgh, g), 1, keepdims=True)
                 subs = []
                 for n0 in range(0, TN, 512):
                     nn = min(512, TN - n0)
@@ -304,8 +305,11 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                               * jnp.repeat(dmbuf[s], SB // g, axis=0))
                     else:
                         mg = mbuf[s, :TK // g, :TN]
-                    xsum = jnp.sum(xk.astype(jnp.float32), axis=1,
-                                   keepdims=True)
+                    # group sums straight from the x slice: (TKg, g) touches
+                    # g× fewer elements than reducing the block-diagonal xk
+                    xsum = jnp.sum(
+                        xb[:, k0:k0 + TK].astype(jnp.float32).reshape(TKg, g),
+                        axis=1, keepdims=True)
                     acc = acc + jnp.sum(sg * y - xsum * mg, axis=0,
                                         keepdims=True)
                 else:

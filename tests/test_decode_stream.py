@@ -258,6 +258,34 @@ def test_streamed_folded_scales():
     lockstep_check(make_cfg(), params, 7, seed=17)
 
 
+@pytest.mark.parametrize("fold", [False, True])
+def test_streamed_deq_mode5_affine(fold, monkeypatch):
+    """_DEQ_MODE=5 (group-factored raw-int8 MXU dot + per-group scale/min
+    application, incl. folded sd/md reconstruction) restructures the
+    dequant arithmetic rather than rescheduling it — pin its parity on
+    the affine Q4_K-lineage shapes against the scanned jnp path."""
+    from llama_cpp_gfx906_tpu.ops import decode_stream
+    monkeypatch.setattr(decode_stream, "_DEQ_MODE", 5)
+    rng = np.random.default_rng(23)
+    params = make_params(rng)
+    mk = qstack_folded if fold else qstack_affine
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.float32) * 1.1,
+        "ffn_norm": jnp.ones((L, D), jnp.float32) * 0.9,
+        "wq": mk(rng, D, HQ * DH),
+        "wk": mk(rng, D, HKV * DH),
+        "wv": mk(rng, D, HKV * DH),
+        "wo": mk(rng, HQ * DH, D),
+        "w_gate": mk(rng, D, F),
+        "w_up": mk(rng, D, F),
+        "w_down": mk(rng, F, D),
+    }
+    fused = fuse_projections(layers)
+    assert fused["wqkv_fused"].m is not None
+    params = dict(params, layers=fused)
+    lockstep_check(make_cfg(), params, 7, seed=23)
+
+
 def test_stream_gate_folded():
     """All-folded projections pass the gate; mixed folded/plain don't."""
     rng = np.random.default_rng(19)
