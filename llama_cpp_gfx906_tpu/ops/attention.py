@@ -118,22 +118,26 @@ def mha_with_cache(
         v_cache = insert_kv(v_cache, v_new, n_past)
         k_store, v_store = k_cache, v_cache
 
-    # Pallas dispatch on TPU (self-extend's explicit kv_pos stays on the
-    # einsum path — position remapping doesn't fit the blockwise mask):
+    # Pallas dispatch on TPU:
     # - prefill (T >= 64): blockwise flash, never builds the (T, S) score
-    #   matrix; consumes int8 KV + per-row scales directly when quantized
+    #   matrix; consumes int8 KV + per-row scales directly when quantized.
+    #   ALiBi / self-extend / shared-prefix prefill stays on the einsum
+    #   path (one-time cost); their *decode* runs the kernel below.
     # - decode / short verify chunks: flash_decode — reads only live KV
     #   blocks, dequantizes int8 tiles in-kernel, folds sinks into the
-    #   softmax denominator
+    #   softmax denominator, applies ALiBi bias from the mask iotas,
+    #   streams self-extend logical positions with the K blocks, and
+    #   walks shared-prefix rows as extra grid steps — so those features
+    #   keep n_past-proportional cost at long context.
     #
     # Platform workaround (OFF by default since 2026-08-17 — see the
     # QUANT_COMBO_BROKEN note above): quant weights + int8 KV + Pallas
     # attention miscompiled on an earlier axon runtime; setting
     # LCG_QUANT_COMBO_BROKEN=1 drops that combo to the einsum path again.
     quant_combo_broken = quantized and quant_weights and QUANT_COMBO_BROKEN
-    if (kv_pos is None and on_tpu and not quant_combo_broken and not _FORCE_EINSUM
-            and alibi_slopes is None and shared_k is None):
-        if T >= 64:
+    if on_tpu and not quant_combo_broken and not _FORCE_EINSUM:
+        if (T >= 64 and kv_pos is None and alibi_slopes is None
+                and shared_k is None):
             from .flash_attention import flash_attention
 
             if quantized:
@@ -169,7 +173,9 @@ def mha_with_cache(
             out = flash_decode(
                 q, k_store, v_store, n_past, scale,
                 sliding_window=sliding_window, logit_softcap=logit_softcap,
-                sinks=sinks, block_k=bk,
+                sinks=sinks, alibi_slopes=alibi_slopes,
+                kv_pos=kv_pos, q_pos=q_pos,
+                shared_k=shared_k, shared_v=shared_v, block_k=bk,
             )
             return out.astype(q.dtype), k_store, v_store
 

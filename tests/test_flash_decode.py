@@ -33,16 +33,21 @@ def make_case(B=2, T=1, Hq=4, Hkv=2, D=64, S=256, quant=False):
 
 
 def oracle_and_kernel(q, k_new, v_new, k_cache, v_cache, n_past,
-                      window=0, softcap=0.0, sinks=None):
+                      window=0, softcap=0.0, sinks=None, alibi=None,
+                      kv_pos=None, q_pos=None, shared_k=None, shared_v=None):
     scale = q.shape[-1] ** -0.5
     # oracle: the einsum reference path (never takes the flash branch on CPU)
     ref, k_store, v_store = mha_with_cache(
         q, k_new, v_new, k_cache, v_cache, n_past, scale,
         sliding_window=window, logit_softcap=softcap, sinks=sinks,
+        alibi_slopes=alibi, kv_pos=kv_pos, q_pos=q_pos,
+        shared_k=shared_k, shared_v=shared_v,
     )
     got = flash_decode(
         q, k_store, v_store, n_past, scale,
         sliding_window=window, logit_softcap=softcap, sinks=sinks,
+        alibi_slopes=alibi, kv_pos=kv_pos, q_pos=q_pos,
+        shared_k=shared_k, shared_v=shared_v,
         interpret=True,
     )
     return np.asarray(ref, np.float32), np.asarray(got, np.float32)
@@ -143,3 +148,144 @@ def test_decode_sinks_dominant_no_overflow():
         jnp.asarray(kv), jnp.asarray(kv), n_past, sinks=sinks)
     assert np.isfinite(got).all()
     assert_close(ref, got)
+
+
+# ---------------------------------------------------------------------------
+# ALiBi / self-extend / shared-prefix on the kernel path (the combos that
+# previously fell back to the whole-cache einsum — VERDICT r3 items 4, 9)
+
+def _alibi(Hq):
+    from llama_cpp_gfx906_tpu.ops.attention import alibi_slopes_for
+
+    return alibi_slopes_for(Hq)
+
+
+def test_decode_alibi_gqa():
+    ref, got = oracle_and_kernel(*make_case(), alibi=_alibi(4))
+    assert_close(ref, got)
+
+
+def test_decode_alibi_mha_t3():
+    ref, got = oracle_and_kernel(*make_case(T=3, Hq=4, Hkv=4), alibi=_alibi(4))
+    assert_close(ref, got)
+
+
+def test_decode_alibi_softcap_window():
+    # order matters: softcap applies before the ALiBi bias (oracle order)
+    ref, got = oracle_and_kernel(
+        *make_case(S=384), alibi=_alibi(4), softcap=25.0, window=96
+    )
+    assert_close(ref, got)
+
+
+def test_decode_alibi_quant_kv():
+    ref, got = oracle_and_kernel(*make_case(quant=True), alibi=_alibi(4))
+    assert_close(ref, got, tol=3e-2)
+
+
+def _self_extend_pos(n_past, S, T, group=2):
+    """Grouped-attention remap (llama_kv_cache_seq_div analog): physical
+    row i holds logical position i // group; the T new tokens continue
+    the same ladder."""
+    B = n_past.shape[0]
+    kv_pos = jnp.broadcast_to(jnp.arange(S)[None, :] // group, (B, S))
+    q_pos = (n_past[:, None] + jnp.arange(T)[None, :]) // group
+    return kv_pos.astype(jnp.int32), q_pos.astype(jnp.int32)
+
+
+def test_decode_self_extend():
+    case = make_case()
+    q, *_, n_past = case
+    kv_pos, q_pos = _self_extend_pos(n_past, 256, q.shape[1])
+    ref, got = oracle_and_kernel(*case, kv_pos=kv_pos, q_pos=q_pos)
+    assert_close(ref, got)
+
+
+def test_decode_self_extend_t4_window():
+    case = make_case(T=4, S=384)
+    q, *_, n_past = case
+    kv_pos, q_pos = _self_extend_pos(n_past, 384, 4, group=3)
+    ref, got = oracle_and_kernel(
+        *case, kv_pos=kv_pos, q_pos=q_pos, window=32
+    )
+    assert_close(ref, got)
+
+
+def test_decode_self_extend_quant_kv():
+    case = make_case(quant=True)
+    q, *_, n_past = case
+    kv_pos, q_pos = _self_extend_pos(n_past, 256, 1)
+    ref, got = oracle_and_kernel(*case, kv_pos=kv_pos, q_pos=q_pos)
+    assert_close(ref, got, tol=3e-2)
+
+
+def test_decode_self_extend_alibi():
+    case = make_case()
+    q, *_, n_past = case
+    kv_pos, q_pos = _self_extend_pos(n_past, 256, 1)
+    ref, got = oracle_and_kernel(
+        *case, kv_pos=kv_pos, q_pos=q_pos, alibi=_alibi(4)
+    )
+    assert_close(ref, got)
+
+
+def _shared(S0=40, Hkv=2, D=64):
+    sh = RNG.standard_normal((2, 1, S0, Hkv, D)).astype(np.float32) * 0.3
+    return jnp.asarray(sh[0]), jnp.asarray(sh[1])
+
+
+def test_decode_shared_prefix():
+    sk, sv = _shared()
+    ref, got = oracle_and_kernel(*make_case(), shared_k=sk, shared_v=sv)
+    assert_close(ref, got)
+
+
+def test_decode_shared_prefix_t4_block_multiple():
+    # S0 an exact multiple of block_k: no pad-tail rows to mask
+    sk, sv = _shared(S0=128)
+    ref, got = oracle_and_kernel(*make_case(T=4), shared_k=sk, shared_v=sv)
+    assert_close(ref, got)
+
+
+def test_decode_shared_prefix_quant_kv():
+    # own cache int8, shared rows bf16/f32 — mixed-precision branches
+    sk, sv = _shared(S0=70)
+    ref, got = oracle_and_kernel(
+        *make_case(quant=True), shared_k=sk, shared_v=sv
+    )
+    assert_close(ref, got, tol=3e-2)
+
+
+def test_decode_shared_prefix_sinks_softcap():
+    sk, sv = _shared()
+    sinks = jnp.asarray(RNG.standard_normal(4), jnp.float32)
+    ref, got = oracle_and_kernel(
+        *make_case(), shared_k=sk, shared_v=sv, sinks=sinks, softcap=30.0
+    )
+    assert_close(ref, got)
+
+
+def test_decode_shared_prefix_alibi_window():
+    sk, sv = _shared(S0=96)
+    ref, got = oracle_and_kernel(
+        *make_case(S=384), shared_k=sk, shared_v=sv,
+        alibi=_alibi(4), window=160,
+    )
+    assert_close(ref, got)
+
+
+def test_decode_shared_prefix_isolation():
+    """Pad rows of the shared segment must not leak into the output."""
+    sk, sv = _shared(S0=40)
+    q, k_new, v_new, k_cache, v_cache, n_past = make_case(B=1)
+    scale = q.shape[-1] ** -0.5
+    _, k_store, v_store = mha_with_cache(
+        q, k_new, v_new, k_cache, v_cache, n_past, scale,
+        shared_k=sk, shared_v=sv,
+    )
+    out1 = flash_decode(q, k_store, v_store, n_past, scale,
+                        shared_k=sk, shared_v=sv, interpret=True)
+    # poisoning the shared rows MUST change the output (they are attended)
+    out2 = flash_decode(q, k_store, v_store, n_past, scale,
+                        shared_k=sk + 1.0, shared_v=sv + 1.0, interpret=True)
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-4
