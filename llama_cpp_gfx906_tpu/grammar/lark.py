@@ -18,14 +18,25 @@ Supported Lark constructs:
 - strings ``"..."`` (escapes), case-insensitive ``"..."i``, literal
   ranges ``"a".."z"``;
 - regex terminals ``/.../`` over a practical subset (char classes,
-  escapes ``\\d \\w \\s`` + negations, ``.``, groups, alternation,
-  quantifiers incl. ``{m,n}``);
+  escapes ``\\d \\w \\s`` + negations — including inside ``[]`` via
+  range complement, ``.``, groups, alternation, quantifiers incl.
+  ``{m,n}``);
+- ``%json { <schema> }`` inline JSON-schema atoms (the llguidance
+  extension): the schema compiles through the repo's
+  json-schema→GBNF converter and splices in under a fresh rule prefix;
+- rule/lexeme attribute lists ``name[attr=value, ...]:``.  Attributes
+  that don't change the token-mask language (``capture``,
+  ``temperature``, ``max_tokens`` — generation-control hints the PDA
+  engine doesn't model) are accepted and ignored; ``stop=""`` is a
+  no-op; non-empty ``stop``/``suffix``/``lazy`` change the language and
+  raise;
 - ``//`` and ``#`` comments.
 
-``%ignore``/``%import``/``%declare`` and regex flags/anchors/backrefs
-raise ``GrammarParseError`` naming the construct — silent mis-parses are
-worse than a loud unsupported error.  The root rule is ``start``
-(llguidance convention).
+``%ignore``/``%import``/``%declare`` (unsupported in llguidance's Lark
+dialect too), special-token literals ``<|...|>`` (need tokenizer-level
+matching), and regex flags/anchors/backrefs raise ``GrammarParseError``
+naming the construct — silent mis-parses are worse than a loud
+unsupported error.  The root rule is ``start`` (llguidance convention).
 """
 
 from __future__ import annotations
@@ -64,6 +75,21 @@ def _class(ranges: list[tuple[int, int]], neg: bool = False) -> str:
 _D = [(0x30, 0x39)]
 _W = [(0x30, 0x39), (0x41, 0x5A), (0x5F, 0x5F), (0x61, 0x7A)]
 _S = [(0x09, 0x0D), (0x20, 0x20)]
+_MAX_CP = 0x10FFFF
+
+
+def _complement(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Codepoint ranges NOT covered by ``ranges`` (which must be sorted
+    and non-overlapping, as the shorthand tables are)."""
+    out: list[tuple[int, int]] = []
+    nxt = 0
+    for lo, hi in ranges:
+        if lo > nxt:
+            out.append((nxt, lo - 1))
+        nxt = hi + 1
+    if nxt <= _MAX_CP:
+        out.append((nxt, _MAX_CP))
+    return out
 
 
 class _Lark:
@@ -103,6 +129,21 @@ class _Lark:
                 j = k
                 while j < n and src[j].isdigit():
                     j += 1
+        if j < n and src[j] == "[":  # attribute list name[attr=v, ...]:
+            depth = 0
+            while j < n:
+                if src[j] == "[":
+                    depth += 1
+                elif src[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                elif src[j] == '"':  # string attr values may hold ]/[
+                    j += 1
+                    while j < n and src[j] != '"':
+                        j += 2 if src[j] == "\\" else 1
+                j += 1
         while j < n and src[j] in " \t":
             j += 1
         return j < n and src[j] == ":" and src[j : j + 2] != "::"
@@ -205,6 +246,8 @@ class _Lark:
                 self.i += 1
             while self.src[self.i].isdigit():
                 self.i += 1
+        if self.src[self.i] == "[":
+            self._attributes(name)
         self._ws(newlines=False)
         if self.src[self.i] != ":":
             raise GrammarParseError(f"lark: expected ':' after rule name "
@@ -213,6 +256,48 @@ class _Lark:
         body = self._expansions(name)
         self.defined.add(name)
         self.out.append(f"{name} ::= {body}")
+
+    # attributes whose effect is generation control (captures, sampling
+    # temperature, token budget), not the per-step token-mask language the
+    # PDA engine models — accepted and ignored
+    _NEUTRAL_ATTRS = frozenset({"capture", "temperature", "max_tokens"})
+
+    def _attributes(self, rule: str):
+        """Parse ``[attr=value, ...]`` after a rule/lexeme name."""
+        assert self.src[self.i] == "["
+        self.i += 1
+        while True:
+            self._ws(newlines=False)
+            if self.src[self.i] == "]":
+                self.i += 1
+                return
+            attr = self._name()
+            self._ws(newlines=False)
+            value = None
+            if self.src[self.i] == "=":
+                self.i += 1
+                self._ws(newlines=False)
+                c = self.src[self.i]
+                if c == '"':
+                    value = "".join(chr(cp) for cp in self._string())
+                else:
+                    j = self.i
+                    while self.src[self.i] not in ",]":
+                        self.i += 1
+                    value = self.src[j : self.i].strip()
+            if attr in self._NEUTRAL_ATTRS:
+                pass
+            elif attr in ("stop", "suffix") and value == "":
+                pass  # empty stop/suffix: no language change
+            else:
+                raise GrammarParseError(
+                    f"lark: attribute {attr}={value!r} on rule {rule!r} "
+                    "changes the matched language and is not supported "
+                    "(supported: capture/temperature/max_tokens, empty "
+                    "stop/suffix)")
+            self._ws(newlines=False)
+            if self.src[self.i] == ",":
+                self.i += 1
 
     def _expansions(self, base: str, nested: bool = False) -> str:
         alts = [self._alternative(base, nested)]
@@ -242,7 +327,9 @@ class _Lark:
             c = self.src[self.i]
             if c in "|)]":
                 break
-            if c == "%" or (not nested and c in "\r\n"):
+            if c == "%" and self.src[self.i : self.i + 5] != "%json":
+                break
+            if not nested and c in "\r\n":
                 break
             if (c.isalpha() or c in "?!_") and self._peek_rule_def():
                 break
@@ -319,11 +406,103 @@ class _Lark:
                 raise GrammarParseError(f"lark: expecting ] at pos {self.i}")
             self.i += 1
             return "(" + body + ")?"
+        if c == "%" and src[self.i : self.i + 5] == "%json":
+            return self._json_schema_atom()
+        if c == "<" and src[self.i : self.i + 2] == "<|":
+            raise GrammarParseError(
+                "lark: special-token literals <|...|> require tokenizer-"
+                "level matching and are not supported")
         if c.isalpha() or c == "_":
             name = self._name()
             self.referenced.add(name)
             return name
         raise GrammarParseError(f"lark: unexpected {c!r} at pos {self.i}")
+
+    def _json_schema_atom(self) -> str:
+        """``%json { <schema> }`` (llguidance extension): compile the
+        inline JSON schema through the GBNF converter and splice its rules
+        in under a fresh prefix."""
+        import json as _json
+        import re as _re
+
+        self.i += 5
+        self._ws(newlines=False)
+        src = self.src
+        if self.i >= len(src) or src[self.i] != "{":
+            raise GrammarParseError(
+                f"lark: expected {{ after %json at pos {self.i}")
+        j = self.i
+        depth = 0
+        while j < len(src):
+            c = src[j]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            elif c == '"':
+                j += 1
+                while j < len(src) and src[j] != '"':
+                    j += 2 if src[j] == "\\" else 1
+            j += 1
+        else:
+            raise GrammarParseError("lark: unterminated %json { ... }")
+        raw = src[self.i : j]
+        self.i = j
+        try:
+            schema = _json.loads(raw)
+        except ValueError as e:
+            raise GrammarParseError(f"lark: invalid %json schema: {e}") from None
+        from .json_schema import json_schema_to_gbnf
+
+        gbnf = json_schema_to_gbnf(schema)
+        prefix = self._gensym("json")
+        # rename every rule the converter defined (identifiers outside
+        # string literals / char classes) so repeated %json atoms and user
+        # rules can't collide
+        names = {
+            m.group(1)
+            for m in _re.finditer(r"(?m)^([A-Za-z_][\w-]*)\s*::=", gbnf)
+        }
+
+        def rename_line(line: str) -> str:
+            out: list[str] = []
+            k, n = 0, len(line)
+            while k < n:
+                ch = line[k]
+                if ch == '"' or ch == "[":
+                    close = '"' if ch == '"' else "]"
+                    out.append(ch)
+                    k += 1
+                    while k < n and line[k] != close:
+                        if line[k] == "\\":
+                            out.append(line[k : k + 2])
+                            k += 2
+                        else:
+                            out.append(line[k])
+                            k += 1
+                    if k < n:
+                        out.append(close)
+                        k += 1
+                elif ch.isalpha() or ch == "_":
+                    m = _re.match(r"[\w-]*", line[k:])
+                    word = line[k : k + m.end()]
+                    out.append(
+                        f"{prefix}-{word}" if word in names else word)
+                    k += m.end()
+                else:
+                    out.append(ch)
+                    k += 1
+            return "".join(out)
+
+        for line in gbnf.splitlines():
+            if line.strip():
+                self.out.append(rename_line(line))
+        for nm in names:
+            self.defined.add(f"{prefix}-{nm}")
+        return f"{prefix}-root"
 
     def _ci_literal(self, cps: list[int]) -> str:
         parts = []
@@ -454,10 +633,11 @@ class _RegexTr:
                  "W": (_W, True), "s": (_S, False), "S": (_S, True)}
         if e in table:
             ranges, neg = table[e]
-            if in_class and neg:
-                raise GrammarParseError(
-                    "lark: negated class escape inside [] unsupported")
-            return ranges if in_class else _class(ranges, neg)
+            if in_class:
+                # negated shorthands inside [] contribute the complement
+                # ranges ([\D] ≡ [^0-9]; [^\D] round-trips back to \d)
+                return _complement(ranges) if neg else ranges
+            return _class(ranges, neg)
         cp = {"n": 0x0A, "t": 0x09, "r": 0x0D, "f": 0x0C, "v": 0x0B,
               "0": 0x00}.get(e)
         if cp is None:

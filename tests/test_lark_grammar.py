@@ -293,3 +293,83 @@ def test_regex_translation_fuzz_vs_re():
             want = compiled.fullmatch(s) is not None
             got = accepts(g, s)
             assert got == want, (pat, s, want, got)
+
+
+# ---------------------------------------------------------------------------
+# dialect breadth (round 4): %json atoms, attribute lists, negated class
+# escapes inside [], named errors for special-token literals
+
+def test_json_schema_atom():
+    g = lark_to_gbnf(
+        'start: "x" %json {"type": "object", "properties": '
+        '{"a": {"type": "integer"}}, "required": ["a"]} "y"\n'
+    )
+    gr = Grammar.from_string(g, root="start")
+    assert gr.accept_bytes(b'x{"a" : 12}y')
+    gr2 = Grammar.from_string(g, root="start")
+    assert not gr2.accept_bytes(b'x{"b": 1}y')
+
+
+def test_json_schema_atom_twice_no_collision():
+    g = lark_to_gbnf(
+        'start: %json {"type": "integer"} "," %json {"type": "boolean"}\n'
+    )
+    gr = Grammar.from_string(g, root="start")
+    assert gr.accept_bytes(b"42,true")
+    gr2 = Grammar.from_string(g, root="start")
+    assert not gr2.accept_bytes(b"true,42")
+
+
+def test_json_schema_atom_invalid_json():
+    with pytest.raises(GrammarParseError, match="invalid %json"):
+        lark_to_gbnf("start: %json {not json}\n")
+
+
+def test_rule_attributes_neutral_ignored():
+    g = lark_to_gbnf('start[max_tokens=30, temperature=0.7, capture]: "a"+\n')
+    gr = Grammar.from_string(g, root="start")
+    assert gr.accept_bytes(b"aaa")
+
+
+def test_lexeme_attribute_empty_stop_ok():
+    g = lark_to_gbnf('start: T\nT[stop=""]: /[a-z]+/\n')
+    gr = Grammar.from_string(g, root="start")
+    assert gr.accept_bytes(b"abc")
+
+
+def test_attribute_changing_language_raises():
+    with pytest.raises(GrammarParseError, match="stop"):
+        lark_to_gbnf('start[stop="\\n"]: /.+/\n')
+    with pytest.raises(GrammarParseError, match="suffix"):
+        lark_to_gbnf('start[suffix="!"]: /.+/\n')
+
+
+def test_negated_class_escape_inside_brackets():
+    g = lark_to_gbnf(r"start: /[\D]+/" + "\n")
+    gr = Grammar.from_string(g, root="start")
+    assert gr.accept_bytes(b"ab!")
+    gr2 = Grammar.from_string(g, root="start")
+    assert not gr2.accept_bytes(b"a7")
+
+
+def test_negated_class_escape_mixed_members():
+    # [\S,] — non-space plus comma; complement ranges merge with literals
+    g = lark_to_gbnf(r"start: /[\Sx]+/" + "\n")
+    gr = Grammar.from_string(g, root="start")
+    assert gr.accept_bytes(b"a,x")
+    gr2 = Grammar.from_string(g, root="start")
+    assert not gr2.accept_bytes(b"a b")
+
+
+def test_double_negation_roundtrip():
+    # [^\D] ≡ \d
+    g = lark_to_gbnf(r"start: /[^\D]+/" + "\n")
+    gr = Grammar.from_string(g, root="start")
+    assert gr.accept_bytes(b"123")
+    gr2 = Grammar.from_string(g, root="start")
+    assert not gr2.accept_bytes(b"12a")
+
+
+def test_special_token_literal_named_error():
+    with pytest.raises(GrammarParseError, match="special-token"):
+        lark_to_gbnf("start: <|eot_id|>\n")
