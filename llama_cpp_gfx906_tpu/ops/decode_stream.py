@@ -240,9 +240,14 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 gmask_h = (cg // g == rg).astype(jnp.bfloat16)
                 xg_lo = gmask_h * xb[:, k0:k0 + TKq]          # (TKgh, TKq)
                 xg_hi = gmask_h * xb[:, k0 + TKq:k0 + TK]
+                # per-group x sums: lane-reduce the masked expansion that
+                # the MXU dot needs anyway.  NB the two "cheaper" forms
+                # both fail Mosaic: a (1, TK) → (TKg, g) shape cast is a
+                # lane→sublane relayout it refuses to infer, and a lane-
+                # contracted dot_general against the (1, TK) row trips a
+                # bf16→f32 vector.broadcast verification error
                 xsum_hi = jnp.sum(
-                    xb[:, k0 + TKq:k0 + TK].astype(jnp.float32)
-                    .reshape(TKgh, g), 1, keepdims=True)
+                    xg_hi.astype(jnp.float32), axis=1, keepdims=True)
                 subs = []
                 for n0 in range(0, TN, 512):
                     nn = min(512, TN - n0)
@@ -305,11 +310,12 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                               * jnp.repeat(dmbuf[s], SB // g, axis=0))
                     else:
                         mg = mbuf[s, :TK // g, :TN]
-                    # group sums straight from the x slice: (TKg, g) touches
-                    # g× fewer elements than reducing the block-diagonal xk
+                    # per-group x sums: lane-reduce the block-diagonal
+                    # expansion the MXU dot already materialized (see the
+                    # nib4c path note — the reshape and dot_general
+                    # alternatives both fail Mosaic lowering)
                     xsum = jnp.sum(
-                        xb[:, k0:k0 + TK].astype(jnp.float32).reshape(TKg, g),
-                        axis=1, keepdims=True)
+                        xk.astype(jnp.float32), axis=1, keepdims=True)
                     acc = acc + jnp.sum(sg * y - xsum * mg, axis=0,
                                         keepdims=True)
                 else:
