@@ -43,12 +43,14 @@ def bench_8b() -> dict:
     """Flagship single-chip bench: Llama-3-8B dims at a Q4_K_M-style mix.
 
     The headline leg synthesizes exactly what ``Engine.from_gguf`` (no
-    flags) produces for a real Q4_K_M checkpoint since round 4: Q4_K
+    flags) produces for a real Q4_K_M checkpoint since round 5: Q4_K
     tensors stay nib4c-packed (chunk-local 4-bit, streamed directly by
     the megakernel), k-quant scales fold by default (int8 sub-planes ×
-    f32 per-128 super-planes), the Q6_K attn_v forces the fused qkv to
-    folded int8 at fuse time (runtime/weights._concat_weights), and the
-    Q6_K lm_head rides the dense GEMV kernel with plain f32 scales."""
+    f32 per-128 super-planes), the Q6_K attn_v no longer forces an int8
+    qkv repack — fusion keeps q|k 4-bit (``wqk_fused``) and the kernel
+    streams v through its own window (split-v path) — and the Q6_K
+    lm_head folds too, riding the streamed GEMV kernel's native folded
+    planes."""
     from functools import partial
 
     import jax
@@ -98,15 +100,16 @@ def bench_8b() -> dict:
             fmt=fmt, group=g, sgroup=SB, shape=(K, N))
 
     def synth_q6k(key, K, N, stack=False):
-        # Q6_K head: the loader keeps the head's scales plain f32 (it runs
-        # the dense GEMV kernel, which streams f32 scale planes)
-        k1, k2 = jax.random.split(key)
+        # Q6_K folded layout (the from_gguf default): int8 values, int8
+        # g16 sub-scales × f32 per-128 super-scales, no mins
+        k1, k2, k3 = jax.random.split(key, 3)
         q = jax.random.randint(k1, (K, N), -32, 32, dtype=jnp.int8)
-        s = jax.random.uniform(k2, (K // 16, N), jnp.float32, 1e-3, 2e-3)
+        s = jax.random.randint(k2, (K // 16, N), 1, 64, dtype=jnp.int8)
+        sd = jax.random.uniform(k3, (K // 128, N), jnp.float32, 2e-5, 6e-5)
         if stack:
-            q, s = jnp.repeat(q[None], L, 0), jnp.repeat(s[None], L, 0)
+            q, s, sd = (jnp.repeat(a[None], L, 0) for a in (q, s, sd))
         return qmm.QuantTensor(q=q, s=s, m=None, fmt="int8", group=16,
-                               shape=(K, N))
+                               sd=sd, md=None, sgroup=128, shape=(K, N))
 
     params = {
         "tok_emb": jax.random.normal(keys[7], (V, D), jnp.bfloat16) * 0.02,
@@ -117,8 +120,10 @@ def bench_8b() -> dict:
         "layers": {
             "attn_norm": jnp.ones((L, D), jnp.float32),
             "ffn_norm": jnp.ones((L, D), jnp.float32),
-            # Q4_K q/k + Q6_K v harmonize to folded int8/g16 at fuse time
-            "wqkv_fused": synth_fold(keys[0], D, HqD + 2 * HkD, "int8", 16),
+            # Q4_K q|k fuse and stay nib4c; Q6_K v streams as its own
+            # window (split-v) instead of forcing an int8 qkv repack
+            "wqk_fused": synth_fold(keys[0], D, HqD + HkD, "nib4c", 32),
+            "wv": synth_q6k(keys[1], D, HkD, stack=True),
             # Q4_K wo/gate/up/down stay nib4c-packed, scales folded
             "wo": synth_fold(keys[3], HqD, D, "nib4c", 32),
             "wgateup_fused": synth_fold(keys[4], D, 2 * F, "nib4c", 32),
@@ -248,14 +253,17 @@ def bench_8b() -> dict:
 
 
 def bench_moe() -> dict:
-    """MoE decode leg (round-3 item 5): qwen3moe-30B-A3B dims — the
-    mixtral-class routed-FFN serving shape that fits one 16 GB chip at
-    4-bit (mixtral-8x7B itself is 26 GB at Q4).  Experts stay
-    block-quantized stacked in HBM and decode streams only the top-k
-    expert slices per token (ops/quant_matmul.routed_quant_matmul, the
-    ggml_mul_mat_id analog — reference build_moe_ffn,
-    src/llama-graph.cpp:776-1024).  Roofline accounting: active bytes =
-    router + attn projections + k expert FFN slices + lm_head."""
+    """MoE decode leg (round-3 item 5): Qwen1.5-MoE-A2.7B dims — the
+    mixtral-class routed-FFN serving shape that actually fits one 16 GB
+    chip at 4-bit (14.3B total / 2.7B active; mixtral-8x7B is 26 GB at
+    Q4 and qwen3moe-30B-A3B ~18.6 GB — both need the multi-chip TP/EP
+    path).  Experts stay block-quantized stacked in HBM and decode
+    streams only the top-k expert slices per token
+    (ops/quant_matmul.routed_quant_matmul, the ggml_mul_mat_id analog —
+    reference build_moe_ffn, src/llama-graph.cpp:776-1024); the
+    always-active shared expert rides the dense nib4c kernels.
+    Roofline accounting: active bytes = router + attn projections +
+    shared expert + k expert FFN slices + lm_head."""
     from functools import partial
 
     import jax
@@ -268,16 +276,18 @@ def bench_moe() -> dict:
     _enable_compile_cache()
     tiny = bool(os.environ.get("BENCH_8B_TINY"))
     cfg = ModelConfig(
-        arch="llama", n_layers=2 if tiny else 48, n_embd=2048, n_heads=32,
-        n_kv_heads=4, head_dim=128, n_ff=768, n_vocab=4096 if tiny else 151936,
+        arch="llama", n_layers=2 if tiny else 24, n_embd=2048, n_heads=16,
+        n_kv_heads=16, head_dim=128, n_ff=512 if tiny else 5632,
+        n_vocab=4096 if tiny else 151936,
         n_ctx_train=8192, rope_base=1000000.0,
-        n_experts=8 if tiny else 128, n_experts_used=2 if tiny else 8,
-        expert_ff=768, expert_weights_norm=True,
+        n_experts=8 if tiny else 60, n_experts_used=2 if tiny else 4,
+        expert_ff=256 if tiny else 1408, expert_weights_norm=False,
     )
     L, D, EF, V = cfg.n_layers, cfg.n_embd, cfg.expert_ff, cfg.n_vocab
     E, TOPK = cfg.n_experts, cfg.n_experts_used
+    SHF = cfg.n_ff  # shared_expert_intermediate_size
     HqD, HkD = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim
-    keys = jax.random.split(jax.random.PRNGKey(1), 12)
+    keys = jax.random.split(jax.random.PRNGKey(1), 16)
 
     def synth_n4(key, K, N, g=32):
         # dense attn projections: nib4c folded (the from_gguf default)
@@ -317,6 +327,12 @@ def bench_moe() -> dict:
         "moe_gate": synth_experts(keys[3], D, EF),
         "moe_up": synth_experts(keys[4], D, EF),
         "moe_down": synth_experts(keys[5], EF, D),
+        # qwen2moe shared expert: always-active dense FFN + sigmoid gate
+        "shexp_gate": synth_n4(keys[8], D, SHF),
+        "shexp_up": synth_n4(keys[9], D, SHF),
+        "shexp_down": synth_n4(keys[10], SHF, D),
+        "shexp_gate_inp": jax.random.normal(keys[11], (L, D, 1),
+                                            jnp.float32) * 0.02,
     }
     def synth_q6k(key, K, N):
         k1, k2 = jax.random.split(key)
@@ -338,9 +354,13 @@ def bench_moe() -> dict:
                 + (qt.sd.nbytes if qt.sd is not None else 0)
                 + (qt.md.nbytes if qt.md is not None else 0))
 
-    # active bytes per decode token: dense attn + router + k-of-E experts
+    # active bytes per decode token: dense attn + router + shared expert
+    # + k-of-E routed expert slices
     active = (qt_bytes(layers["wqkv_fused"]) + qt_bytes(layers["wo"])
               + layers["moe_gate_inp"].nbytes
+              + layers["shexp_gate_inp"].nbytes
+              + sum(qt_bytes(layers[n])
+                    for n in ("shexp_gate", "shexp_up", "shexp_down"))
               + sum(qt_bytes(layers[n]) * TOPK // E
                     for n in ("moe_gate", "moe_up", "moe_down"))
               + qt_bytes(params["lm_head"]))
@@ -392,8 +412,8 @@ def bench_moe() -> dict:
     pp_dt = sorted(times)[len(times) // 2]
 
     return {
-        "decode_tok_s_moe_a3b_shape": round(tok_s, 2),
-        "pp512_tok_s_moe_a3b": round(PP / pp_dt, 2),
+        "decode_tok_s_moe_a27b_shape": round(tok_s, 2),
+        "pp512_tok_s_moe_a27b": round(PP / pp_dt, 2),
         "active_gb_per_tok_moe": round(active / 1e9, 3),
         "eff_bw_gb_s_moe": round(active * tok_s / 1e9, 1),
         # MI50 roofline on the same active-byte budget at 1 TB/s

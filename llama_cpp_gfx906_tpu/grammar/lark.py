@@ -282,8 +282,13 @@ class _Lark:
                     value = "".join(chr(cp) for cp in self._string())
                 else:
                     j = self.i
-                    while self.src[self.i] not in ",]":
+                    while (self.i < len(self.src)
+                           and self.src[self.i] not in ",]\r\n"):
                         self.i += 1
+                    if self.i >= len(self.src) or self.src[self.i] in "\r\n":
+                        raise GrammarParseError(
+                            f"lark: unterminated attribute list on rule "
+                            f"{rule!r} (attribute {attr!r} at offset {j})")
                     value = self.src[j : self.i].strip()
             if attr in self._NEUTRAL_ATTRS:
                 pass

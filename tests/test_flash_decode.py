@@ -274,8 +274,9 @@ def test_decode_shared_prefix_alibi_window():
     assert_close(ref, got)
 
 
-def test_decode_shared_prefix_isolation():
-    """Pad rows of the shared segment must not leak into the output."""
+def test_decode_shared_prefix_attended():
+    """Shared rows are actually attended: perturbing them must move the
+    output (guards against a dispatch that silently drops the segment)."""
     sk, sv = _shared(S0=40)
     q, k_new, v_new, k_cache, v_cache, n_past = make_case(B=1)
     scale = q.shape[-1] ** -0.5
@@ -285,7 +286,33 @@ def test_decode_shared_prefix_isolation():
     )
     out1 = flash_decode(q, k_store, v_store, n_past, scale,
                         shared_k=sk, shared_v=sv, interpret=True)
-    # poisoning the shared rows MUST change the output (they are attended)
     out2 = flash_decode(q, k_store, v_store, n_past, scale,
                         shared_k=sk + 1.0, shared_v=sv + 1.0, interpret=True)
     assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-4
+
+
+def test_decode_shared_prefix_pad_isolation(monkeypatch):
+    """Rows the kernel appends to round S0 up to block_k must be masked:
+    fill the pad with huge values instead of zeros and demand the output
+    still matches the einsum oracle (a leak would blow the logits up)."""
+    import llama_cpp_gfx906_tpu.ops.flash_decode as fd
+
+    sk, sv = _shared(S0=40)  # pads to the 512-row block internally
+    q, k_new, v_new, k_cache, v_cache, n_past = make_case(B=1)
+    scale = q.shape[-1] ** -0.5
+    ref, k_store, v_store = mha_with_cache(
+        q, k_new, v_new, k_cache, v_cache, n_past, scale,
+        shared_k=sk, shared_v=sv,
+    )
+    real_pad = jnp.pad
+
+    def poison_pad(arr, pad_width, **kw):
+        if arr.ndim == 4 and not kw:  # the shared-segment pad call
+            return real_pad(arr, pad_width, constant_values=1e4)
+        return real_pad(arr, pad_width, **kw)
+
+    monkeypatch.setattr(fd.jnp, "pad", poison_pad)
+    got = flash_decode(q, k_store, v_store, n_past, scale,
+                       shared_k=sk, shared_v=sv, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    assert_close(np.asarray(ref, np.float32), np.asarray(got, np.float32))

@@ -337,6 +337,14 @@ def test_lexeme_attribute_empty_stop_ok():
     assert gr.accept_bytes(b"abc")
 
 
+def test_unterminated_attribute_list_names_the_error():
+    # an unquoted value must not scan across newlines into the next rule
+    with pytest.raises(GrammarParseError, match="unterminated attribute"):
+        lark_to_gbnf('start[capture=foo : "a"\nother: "b"\n')
+    with pytest.raises(GrammarParseError, match="unterminated attribute"):
+        lark_to_gbnf("start[capture=foo")
+
+
 def test_attribute_changing_language_raises():
     with pytest.raises(GrammarParseError, match="stop"):
         lark_to_gbnf('start[stop="\\n"]: /.+/\n')
