@@ -250,6 +250,14 @@ def forward(
             q = qkv[..., :Dq]
             k = qkv[..., Dq : Dq + Dkv]
             v = qkv[..., Dq + Dkv :]
+        elif "wqk_fused" in p:
+            # q|k fused, v separate: the Q4_K_M disposition puts Q6_K on
+            # attn_v — keeping v out of the fuse lets q/k stay 4-bit
+            # packed instead of repacking everything to int8 (2× bytes)
+            qk = linear(h, p["wqk_fused"])
+            v = linear(h, p["wv"])
+            q = qk[..., :Dq]
+            k = qk[..., Dq:]
         else:
             q = _lin(h, p, "wq", lora_gain)
             k = _lin(h, p, "wk", lora_gain)
@@ -323,7 +331,9 @@ def forward(
             sinks=p.get("sinks"),
             kv_pos=kv.pos, q_pos=positions if kv.pos is not None else None,
             alibi_slopes=alibi_slopes,
-            quant_weights=isinstance(p.get("wq"), QuantTensor),
+            quant_weights=isinstance(
+                p.get("wq", p.get("wqkv_fused", p.get("wqk_fused"))),
+                QuantTensor),
             shared_k=shared_k_l, shared_v=shared_v_l,
         )
         attn = attn.reshape(B, T, cfg.n_heads * cfg.head_dim)

@@ -172,6 +172,10 @@ def forward_iswa(
             Dkv = cfg.n_kv_heads * cfg.head_dim
             qkv = linear(h, p["wqkv_fused"])
             q, k, v = qkv[..., :Dq], qkv[..., Dq:Dq + Dkv], qkv[..., Dq + Dkv:]
+        elif "wqk_fused" in p:
+            Dq = cfg.n_heads * cfg.head_dim
+            qk = linear(h, p["wqk_fused"])
+            q, k, v = qk[..., :Dq], qk[..., Dq:], linear(h, p["wv"])
         else:
             q, k, v = linear(h, p["wq"]), linear(h, p["wk"]), linear(h, p["wv"])
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)

@@ -20,10 +20,13 @@ Reference analog: the fork's persistent fused-GEMM decode discipline
 (docs/gfx906/implementation_guide.md:170-287) applied at a size where
 even one projection exceeds on-chip memory.
 
-Scope (``_stream_ok``): B=1, T=1, int8-format QuantTensor weights (Q8_0 /
-Q6_K lineage / repacked nib4), bf16/f32 KV, pre-norm RMS llama/gemma
-family (qk-norms, post-norms, per-layer SWA windows, dual rope bases —
-v1's exact feature set), dims divisible by the chunk grid.  Dispatch
+Scope (``_stream_ok``): B=1, T=1, int8/nib4c-format QuantTensor weights
+(Q8_0 / Q6_K lineage / chunk-packed 4-bit), either a fully fused qkv or
+the split-v layout (``wqk_fused`` + ``wv`` — the Q4_K_M disposition where
+a Q6_K attn_v would otherwise force the q/k planes to int8 width), bf16/
+f32 KV, pre-norm RMS llama/gemma family (qk-norms, post-norms, per-layer
+SWA windows, dual rope bases — v1's exact feature set), dims divisible by
+the chunk grid.  Dispatch
 picks it when the per-layer weight block is too big for v1
 (``decode_step._fused_ok`` size gate).  ``LCG_NO_FUSED_DECODE=1``
 disables both kernels.
@@ -91,17 +94,19 @@ def _proj_tk(K: int, g: int, is_n4: bool):
 def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             anorm_ref, fnorm_ref, qn_ref, kn_ref, pa_ref, pf_ref,
             qkv_q, qkv_s, qkv_m, qkv_sd, qkv_md,
+            vw_q, vw_s, vw_m, vw_sd, vw_md,
             wo_q, wo_s, wo_m, wo_sd, wo_md,
             gu_q, gu_s, gu_m, gu_sd, gu_md,
             dn_q, dn_s, dn_m, dn_sd, dn_md,
             kin_ref, vin_ref,
             xout_ref, kout_ref, vout_ref,
             kbuf, vbuf, krow, vrow, wbuf, sbuf, mbuf,
-            dbuf_qkv, dbuf_o, dbuf_gu, dbuf_dn,
-            dmbuf_qkv, dmbuf_o, dmbuf_gu, dmbuf_dn,
+            dbuf_qkv, dbuf_v, dbuf_o, dbuf_gu, dbuf_dn,
+            dmbuf_qkv, dmbuf_v, dmbuf_o, dmbuf_gu, dmbuf_dn,
             ksem, vsem, isem, wsem, ssem, msem, dsem, dmsem,
-            *, Hq, Hkv, Dh, F, BK, tn_caps, g_qkv, g_o, g_gu, g_dn,
-            hm_qkv, hm_o, hm_gu, hm_dn, n4_qkv, n4_o, n4_gu, n4_dn,
+            *, Hq, Hkv, Dh, F, BK, tn_caps, g_qkv, g_v, g_o, g_gu, g_dn,
+            hm_qkv, hm_v, hm_o, hm_gu, hm_dn,
+            n4_qkv, n4_v, n4_o, n4_gu, n4_dn, split_v,
             folded, SB,
             scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
@@ -375,9 +380,16 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
 
     # ---- attention ---------------------------------------------------------
     h = rms(x, anorm_ref[0].astype(jnp.float32))
-    qkv = gemv_stream(h.astype(jnp.bfloat16), qkv_q, qkv_s, qkv_m,
+    hb = h.astype(jnp.bfloat16)
+    qkv = gemv_stream(hb, qkv_q, qkv_s, qkv_m,
                       qkv_sd, qkv_md, dbuf_qkv, dmbuf_qkv, g_qkv, hm_qkv,
                       n4_qkv)
+    if split_v:
+        # split-v layout (wqk_fused + wv): v streams as its own window so
+        # a Q6_K attn_v doesn't force the q/k planes to int8 width
+        v_out = gemv_stream(hb, vw_q, vw_s, vw_m, vw_sd, vw_md,
+                            dbuf_v, dmbuf_v, g_v, hm_v, n4_v)
+        qkv = jnp.concatenate([qkv, v_out], axis=-1)
     qkv = qkv.astype(jnp.bfloat16).astype(jnp.float32)
 
     use_local = swa_ref[l] > 0
@@ -590,18 +602,20 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     if kv.k.ndim != 5 or kv.k.shape[1] != B:
         return False
     p = params["layers"]
-    if not all(k in p for k in ("wqkv_fused", "wgateup_fused", "wo", "w_down",
-                                "attn_norm", "ffn_norm")):
+    split_v = "wqk_fused" in p and "wv" in p and "wqkv_fused" not in p
+    qkv_key = "wqk_fused" if split_v else "wqkv_fused"
+    proj_keys = ((qkv_key, "wv", "wgateup_fused", "wo", "w_down") if split_v
+                 else (qkv_key, "wgateup_fused", "wo", "w_down"))
+    if not all(k in p for k in proj_keys + ("attn_norm", "ffn_norm")):
         return False
-    if not all(_int8_affine_qt(p[k]) for k in ("wqkv_fused", "wgateup_fused",
-                                               "wo", "w_down")):
+    if split_v and ("wq" in p or "wk" in p):
         return False
-    if len({p[k].sd is not None for k in ("wqkv_fused", "wgateup_fused",
-                                          "wo", "w_down")}) != 1:
+    if not all(_int8_affine_qt(p[k]) for k in proj_keys):
+        return False
+    if len({p[k].sd is not None for k in proj_keys}) != 1:
         return False  # mixed folded/plain scale layouts across projections
-    if p["wqkv_fused"].sd is not None and len(
-            {p[k].sgroup for k in ("wqkv_fused", "wgateup_fused",
-                                   "wo", "w_down")}) != 1:
+    if p[qkv_key].sd is not None and len(
+            {p[k].sgroup for k in proj_keys}) != 1:
         return False  # one shared SB granularity per kernel launch
     blocked = ("bqkv_fused", "bo", "b_down", "moe_gate_inp", "ffn_norm_exps",
                "attn_sub_norm", "sinks", "cvec", "attn_norm_b", "ffn_norm_b",
@@ -640,12 +654,18 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
 
     if 2 * len(rope_frequencies(cfg)) != Dh:
         return False
-    if p["wqkv_fused"].shape != (D, (cfg.n_heads + 2 * cfg.n_kv_heads) * Dh):
+    if split_v:
+        if p["wqk_fused"].shape != (D, (cfg.n_heads + cfg.n_kv_heads) * Dh):
+            return False
+        if p["wv"].shape != (D, cfg.n_kv_heads * Dh):
+            return False
+    elif p["wqkv_fused"].shape != (D, (cfg.n_heads + 2 * cfg.n_kv_heads) * Dh):
         return False
     if p["wgateup_fused"].shape != (D, 2 * F):
         return False
     # every projection must factor into the streamed chunk grid
-    for qt in (p["wqkv_fused"], p["wo"], p["wgateup_fused"], p["w_down"]):
+    for k in proj_keys:
+        qt = p[k]
         K, N = qt.shape
         if (_pick(_TN_CAPS, N) is None
                 or _proj_tk(K, qt.group, qt.fmt == "nib4c") is None):
@@ -709,9 +729,11 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
 
     k3 = kv.k.reshape(L, B, S, HD)
     v3 = kv.v.reshape(L, B, S, HD)
-    qkv_qt, wo_qt = p["wqkv_fused"], p["wo"]
-    gu_qt, dn_qt = p["wgateup_fused"], p["w_down"]
-    Nqkv = qkv_qt.q.shape[-1]
+    split_v = "wqk_fused" in p
+    qkv_qt = p["wqk_fused"] if split_v else p["wqkv_fused"]
+    vw_qt = p["wv"] if split_v else qkv_qt  # dummy refs when fully fused
+    wo_qt, gu_qt, dn_qt = p["wo"], p["wgateup_fused"], p["w_down"]
+    Nqkv = qkv_qt.q.shape[-1] + (vw_qt.q.shape[-1] if split_v else 0)
 
     BK = next(t for t in (512, 256, 128) if S % t == 0)
     # window caps: 1024-lane N windows unless the KV chunk buffers are big
@@ -719,29 +741,32 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
     kv_buf_bytes = 2 * 2 * BK * HD * k3.dtype.itemsize * 2  # k + v
     tn_top = min(_TN_TOP, 1024 if kv_buf_bytes <= 5 * 2**20 else 512)
     tn_caps = tuple(t for t in (1024, 512, 256, 128) if t <= tn_top)
-    # shared weight-chunk window: max window ROWS × max TN over the four
+    # shared weight-chunk window: max window ROWS × max TN over the
     # projections (nib4c windows carry TK/2 packed-byte rows)
-    n4 = {id(qt): qt.fmt == "nib4c" for qt in (qkv_qt, wo_qt, gu_qt, dn_qt)}
+    projs = ((qkv_qt, vw_qt, wo_qt, gu_qt, dn_qt) if split_v
+             else (qkv_qt, wo_qt, gu_qt, dn_qt))
+    n4 = {id(qt): qt.fmt == "nib4c" for qt in projs}
     proj_tk = {id(qt): _proj_tk(qt.shape[0], qt.group, n4[id(qt)])
-               for qt in (qkv_qt, wo_qt, gu_qt, dn_qt)}
-    TKmax = max(proj_tk[id(qt)] // (2 if n4[id(qt)] else 1)
-                for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
-    TKgmax = max(proj_tk[id(qt)] // qt.group
-                 for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
-    TNmax = max(_pick(tn_caps, qt.shape[1])
-                for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
-    g_min = min(qt.group for qt in (qkv_qt, wo_qt, gu_qt, dn_qt))
+               for qt in projs}
+    TKmax = max(proj_tk[id(qt)] // (2 if n4[id(qt)] else 1) for qt in projs)
+    TKgmax = max(proj_tk[id(qt)] // qt.group for qt in projs)
+    TNmax = max(_pick(tn_caps, qt.shape[1]) for qt in projs)
+    g_min = min(qt.group for qt in projs)
+    if not split_v:
+        n4[id(vw_qt)] = n4[id(qkv_qt)]
+        proj_tk[id(vw_qt)] = proj_tk[id(qkv_qt)]
 
     folded = qkv_qt.sd is not None
     SB = qkv_qt.sgroup if folded else 256
     kern = functools.partial(
         _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK, tn_caps=tn_caps,
-        g_qkv=qkv_qt.group, g_o=wo_qt.group, g_gu=gu_qt.group,
-        g_dn=dn_qt.group,
-        hm_qkv=qkv_qt.m is not None, hm_o=wo_qt.m is not None,
+        g_qkv=qkv_qt.group, g_v=vw_qt.group, g_o=wo_qt.group,
+        g_gu=gu_qt.group, g_dn=dn_qt.group,
+        hm_qkv=qkv_qt.m is not None, hm_v=vw_qt.m is not None,
+        hm_o=wo_qt.m is not None,
         hm_gu=gu_qt.m is not None, hm_dn=dn_qt.m is not None,
-        n4_qkv=n4[id(qkv_qt)], n4_o=n4[id(wo_qt)],
-        n4_gu=n4[id(gu_qt)], n4_dn=n4[id(dn_qt)],
+        n4_qkv=n4[id(qkv_qt)], n4_v=n4[id(vw_qt)], n4_o=n4[id(wo_qt)],
+        n4_gu=n4[id(gu_qt)], n4_dn=n4[id(dn_qt)], split_v=split_v,
         folded=folded, SB=SB,
         scale=float(scale), eps=float(cfg.rms_eps),
         act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
@@ -752,7 +777,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
                   + (t.m.nbytes if t.m is not None else 0)
                   + (t.sd.nbytes if t.sd is not None else 0)
                   + (t.md.nbytes if t.md is not None else 0)
-                  for t in (qkv_qt, wo_qt, gu_qt, dn_qt))
+                  for t in projs)
     flops = 2 * L * (D * Nqkv + Hq * Dh * D + D * 2 * F + F * D)
 
     x_out, k_new, v_new = pl.pallas_call(
@@ -772,9 +797,10 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             # weights + scales + mins (+ folded super-scales) stay in HBM;
-            # the kernel streams chunks: 4 projections × (q, s, m, sd, md)
-            # then the KV planes
-            *([pl.BlockSpec(memory_space=pltpu.ANY)] * 22),
+            # the kernel streams chunks: 5 projections × (q, s, m, sd, md)
+            # (qkv|qk, v, o, gate|up, down — v duplicates qkv refs when the
+            # model fuses all three) then the KV planes
+            *([pl.BlockSpec(memory_space=pltpu.ANY)] * 27),
         ],
         out_specs=[
             pl.BlockSpec((B, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
@@ -786,7 +812,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             jax.ShapeDtypeStruct((L, B, S, HD), k3.dtype),
             jax.ShapeDtypeStruct((L, B, S, HD), v3.dtype),
         ],
-        input_output_aliases={32: 1, 33: 2},
+        input_output_aliases={37: 1, 38: 2},
         scratch_shapes=[
             pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf
             pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
@@ -806,7 +832,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
                  _pick(tn_caps, qt.q.shape[-1])) if folded else (2, 1, 128),
                 jnp.float32)
               for _ in (0, 1)  # dbuf_* then dmbuf_*
-              for qt in (qkv_qt, wo_qt, gu_qt, dn_qt)],
+              for qt in (qkv_qt, vw_qt, wo_qt, gu_qt, dn_qt)],
             pltpu.SemaphoreType.DMA((2,)),  # ksem
             pltpu.SemaphoreType.DMA((2,)),  # vsem
             pltpu.SemaphoreType.DMA((2,)),  # isem
@@ -831,7 +857,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
         p["attn_norm"].astype(jnp.float32).reshape(L, 1, D),
         p["ffn_norm"].astype(jnp.float32).reshape(L, 1, D),
         qn, kn, pa, pf,
-        *[a for t in (qkv_qt, wo_qt, gu_qt, dn_qt) for a in (
+        *[a for t in (qkv_qt, vw_qt, wo_qt, gu_qt, dn_qt) for a in (
             t.q, t.s,
             t.m if t.m is not None else t.s,
             t.sd if t.sd is not None else t.s,

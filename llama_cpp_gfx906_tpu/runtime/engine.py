@@ -480,7 +480,7 @@ class Engine:
         from .lora import LoraAdapter, apply_lora
         from .weights import unfuse_projections
 
-        if "wqkv_fused" in self.params["layers"] or "wgateup_fused" in self.params["layers"]:
+        if any(k in self.params["layers"] for k in ("wqkv_fused", "wqk_fused", "wgateup_fused")):
             # adapters target per-projection names — split the fused mats
             self.params = dict(self.params)
             self.params["layers"] = unfuse_projections(self.params["layers"], self.cfg)

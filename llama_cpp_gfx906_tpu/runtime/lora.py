@@ -86,7 +86,7 @@ def apply_lora(params: dict, adapter: LoraAdapter, scale: float = 1.0, dtype=Non
 
     eff = scale * adapter.alpha / max(adapter.rank, 1)
     layers = dict(params["layers"])
-    if "wqkv_fused" in layers or "wgateup_fused" in layers:
+    if any(k in layers for k in ("wqkv_fused", "wqk_fused", "wgateup_fused")):
         raise ValueError(
             "LoRA targets per-projection weights; load the model with "
             "fuse=False (load_llama_params_quantized) to attach adapters"
@@ -127,7 +127,7 @@ def apply_lora_set(params: dict, adapters: list[LoraAdapter], dtype=None) -> tup
     import jax.numpy as jnp
 
     layers = dict(params["layers"])
-    if "wqkv_fused" in layers or "wgateup_fused" in layers:
+    if any(k in layers for k in ("wqkv_fused", "wqk_fused", "wgateup_fused")):
         raise ValueError(
             "LoRA targets per-projection weights; load the model with "
             "fuse=False to attach adapters"

@@ -481,18 +481,37 @@ def fuse_projections(layers: dict) -> dict:
     if "attn_sub_norm" in layers or "wq_scale" in layers:
         return out  # bitnet: per-projection scales/norms preclude fusion
     if all(k in layers for k in ("wq", "wk", "wv")):
-        fused = _concat_weights([layers["wq"], layers["wk"], layers["wv"]],
-                                ["wq", "wk", "wv"])
-        if fused is not None:
-            out["wqkv_fused"] = fused
-            for k in ("wq", "wk", "wv"):
-                del out[k]
-            if all(k in layers for k in ("bq", "bk", "bv")):
-                out["bqkv_fused"] = jnp.concatenate(
-                    [layers["bq"], layers["bk"], layers["bv"]], axis=-1
-                )
-                for k in ("bq", "bk", "bv"):
+        wq, wk, wv = layers["wq"], layers["wk"], layers["wv"]
+        # mixed quant disposition (Q4_K_M: Q6_K attn_v next to Q4_K q/k,
+        # int8 vs nib4c after packing): fusing all three would repack the
+        # 4-bit parts to int8 (2× the streamed qkv bytes).  Fuse q|k only
+        # and keep v separate — the streamed megakernel runs v as its own
+        # window (split-v path) so q/k stream at native 4-bit width.
+        # Biased models (qwen2) keep the full fuse: the kernel blocks on
+        # biases anyway and one launch beats two on the scan path.
+        qk_only = (
+            all(isinstance(p, QuantTensor) for p in (wq, wk, wv))
+            and wq.fmt == wk.fmt == "nib4c" and wv.fmt == "int8"
+            and "bq" not in layers
+        )
+        if qk_only:
+            fused = _concat_weights([wq, wk], ["wq", "wk"])
+            if fused is not None:
+                out["wqk_fused"] = fused
+                for k in ("wq", "wk"):
                     del out[k]
+        else:
+            fused = _concat_weights([wq, wk, wv], ["wq", "wk", "wv"])
+            if fused is not None:
+                out["wqkv_fused"] = fused
+                for k in ("wq", "wk", "wv"):
+                    del out[k]
+                if all(k in layers for k in ("bq", "bk", "bv")):
+                    out["bqkv_fused"] = jnp.concatenate(
+                        [layers["bq"], layers["bk"], layers["bv"]], axis=-1
+                    )
+                    for k in ("bq", "bk", "bv"):
+                        del out[k]
     if "w_gate" in layers and "w_up" in layers and "moe_gate" not in layers:
         fused = _concat_weights([layers["w_gate"], layers["w_up"]], ["w_gate", "w_up"])
         if fused is not None and "b_up" not in layers and "b_gate" not in layers:
@@ -538,6 +557,10 @@ def unfuse_projections(layers: dict, cfg: ModelConfig) -> dict:
             out["bq"], out["bk"], out["bv"] = (
                 b[..., :Dq], b[..., Dq : Dq + Dkv], b[..., Dq + Dkv :]
             )
+    if "wqk_fused" in out:
+        Dq = cfg.n_heads * cfg.head_dim
+        Dkv = cfg.n_kv_heads * cfg.head_dim
+        out["wq"], out["wk"] = _split_weight(out.pop("wqk_fused"), [Dq, Dkv])
     if "wgateup_fused" in out:
         out["w_gate"], out["w_up"] = _split_weight(
             out.pop("wgateup_fused"), [cfg.n_ff, cfg.n_ff]
@@ -582,11 +605,11 @@ def load_llama_params_quantized(
     if OUTPUT in tensors:
         t = tensors[OUTPUT]
         if t.ggml_type in qmm_ok and t.shape[-1] % 32 == 0:
-            # the head never folds: it runs through the dense Pallas GEMV,
-            # which streams f32 scale planes (layers use the streamed
-            # megakernel, which understands folded scales)
-            qt = pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape,
-                                  fold_scales=False)
+            # k-quant heads fold by default: the decode-shape streamed GEMV
+            # kernel consumes folded planes natively (−12% head bytes/token
+            # on a Q6_K head); prefill (M > 8) takes the XLA dequant-dot,
+            # where the unfold fuses
+            qt = pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
             if qt.shape[1] >= 8192 and qt.shape[1] % 2048:
                 # zero-pad the vocab dim so the Pallas kernel gets wide N
                 # tiles (measured +70% head bandwidth at 128256 vocab)

@@ -318,9 +318,11 @@ def test_repack_then_fuse_matches_nib4():
 def test_streamed_nib4c_q4km_mix(fold):
     """The production Q4_K_M decode disposition through the megakernel:
     Q4_K tensors stay nib4c-packed (biased chunk-local 4-bit, groupdot-
-    diff schedule), Q6_K attn_v forces the fused qkv to int8 at fuse
-    time, optionally with folded k-quant scales (the from_gguf default).
-    nib4c needs TK ≥ 16·group=512, so dims here are 2× the module's."""
+    diff schedule); the Q6_K attn_v no longer forces an int8 qkv repack —
+    fusion keeps q|k 4-bit (wqk_fused) and the kernel streams v through
+    its own window (split-v path), optionally with folded k-quant scales
+    (the from_gguf default).  nib4c needs TK ≥ 16·group=512, so dims here
+    are 2× the module's."""
     D2, HQ2, DH2, F2 = 512, 4, 128, 1024
     rng = np.random.default_rng(11)
 
@@ -355,7 +357,9 @@ def test_streamed_nib4c_q4km_mix(fold):
         "w_up": q4k_stack(D2, F2),
         "w_down": q4k_stack(F2, D2),
     })
-    assert layers["wqkv_fused"].fmt == "int8"
+    assert "wqkv_fused" not in layers
+    assert layers["wqk_fused"].fmt == "nib4c"
+    assert layers["wv"].fmt == "int8"
     assert layers["wgateup_fused"].fmt == "nib4c"
     params = {
         "tok_emb": jnp.asarray(rng.standard_normal((V, D2)) * 0.1,

@@ -317,10 +317,11 @@ def test_gemv_kernel_nib4c_folded_interpret():
     assert np.abs(got - ref).max() / scale < 0.02
 
 
-def test_fuse_mixed_nib4c_int8_harmonizes():
-    """Q4_K_M disposition: Q4_K q/k (nib4c) + Q6_K v (int8) must still
-    fuse — the 4-bit parts repack losslessly to int8 at fuse time so the
-    streamed megakernel stays eligible (runtime/weights._concat_weights)."""
+def test_fuse_mixed_nib4c_int8_splits_v():
+    """Q4_K_M disposition: Q4_K q/k (nib4c) + Q6_K v (int8) fuse q|k only
+    and keep v separate — the streamed megakernel runs v as its own
+    window (split-v path), so q/k stream at native 4-bit width instead of
+    repacking everything to int8 (runtime/weights.fuse_projections)."""
     from llama_cpp_gfx906_tpu.runtime.weights import fuse_projections
 
     def stack(qt):
@@ -340,17 +341,29 @@ def test_fuse_mixed_nib4c_int8_harmonizes():
     layers = {"wq": stack(wq), "wk": stack(wk), "wv": stack(wv),
               "w_gate": stack(wq), "w_up": stack(wq)}
     fused = fuse_projections(layers)
-    assert "wqkv_fused" in fused and fused["wqkv_fused"].fmt == "int8"
+    assert "wqkv_fused" not in fused
+    assert fused["wqk_fused"].fmt == "nib4c"
+    assert fused["wv"].fmt == "int8"  # untouched
     # gate/up are homogeneous nib4c: they fuse WITHOUT repacking
     assert fused["wgateup_fused"].fmt == "nib4c"
     got = np.asarray(qmm.dequantize_qt(
         qmm.QuantTensor(
-            q=fused["wqkv_fused"].q[0], s=fused["wqkv_fused"].s[0],
-            m=(fused["wqkv_fused"].m[0]
-               if fused["wqkv_fused"].m is not None else None),
-            fmt="int8", group=fused["wqkv_fused"].group,
-            shape=(K, 256)), jnp.float32))
+            q=fused["wqk_fused"].q[0], s=fused["wqk_fused"].s[0],
+            m=(fused["wqk_fused"].m[0]
+               if fused["wqk_fused"].m is not None else None),
+            fmt="nib4c", group=fused["wqk_fused"].group,
+            shape=(K, 192),
+            sd=(fused["wqk_fused"].sd[0]
+                if fused["wqk_fused"].sd is not None else None),
+            md=(fused["wqk_fused"].md[0]
+                if fused["wqk_fused"].md is not None else None),
+            sgroup=fused["wqk_fused"].sgroup), jnp.float32))
     ref = np.concatenate([
-        np.asarray(qmm.dequantize_qt(t, jnp.float32)) for t in (wq, wk, wv)
+        np.asarray(qmm.dequantize_qt(t, jnp.float32)) for t in (wq, wk)
     ], axis=1)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # biased layers (qwen2) keep the full int8-harmonized fuse
+    biased = dict(layers, bq=jnp.zeros((1, 128)), bk=jnp.zeros((1, 64)),
+                  bv=jnp.zeros((1, 64)))
+    fused_b = fuse_projections(biased)
+    assert fused_b["wqkv_fused"].fmt == "int8"
