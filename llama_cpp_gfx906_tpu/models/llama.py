@@ -384,7 +384,18 @@ def forward(
                 # smallthinker: the router reads the raw layer input
                 gate_x=x_in if cfg.moe_gate_prenorm else None,
             )
-            if "shexp_gate" in p:  # shared expert (qwen2moe: sigmoid-gated)
+            if "shexp_gateup_fused" in p:  # shared expert, gate|up fused
+                gu = linear(h, p["shexp_gateup_fused"])
+                SF = gu.shape[-1] // 2
+                shexp = linear(
+                    _act(gu[..., :SF], cfg.act_fn) * gu[..., SF:],
+                    p["shexp_down"])
+                if "shexp_gate_inp" in p:
+                    gate = jax.nn.sigmoid(
+                        (h @ p["shexp_gate_inp"]).astype(jnp.float32))
+                    shexp = shexp * gate.astype(shexp.dtype)
+                mlp = mlp + shexp
+            elif "shexp_gate" in p:  # shared expert (qwen2moe: sigmoid-gated)
                 shexp = _mlp(h, p["shexp_gate"], p["shexp_up"], p["shexp_down"], cfg.act_fn)
                 if "shexp_gate_inp" in p:
                     gate = jax.nn.sigmoid((h @ p["shexp_gate_inp"]).astype(jnp.float32))

@@ -146,6 +146,14 @@ class BatchedEngine:
         # caller loads params through parallel.sharding.make_device_put_fn
         # + quant_matmul.mark_xla_only; here the slot KV cache is sharded
         # (heads on "model") and XLA inserts the collectives.
+        decode_burst: int | None = None,  # steady-state decode steps fused
+        # into ONE dispatch (sampled feedback + repetition window stay on
+        # device).  The reference samples on host per token — cheap over
+        # PCIe, ruinous over a dispatch-latency link.  None → 8 on TPU,
+        # 1 (off) elsewhere; LCG_DECODE_BURST overrides.  Bursts apply
+        # only when every slot is in plain generation (no grammar/probs/
+        # speculative/prefilling slot) so per-token host control is not
+        # needed; tokens stream in burst-sized groups.
     ):
         self.cfg = cfg
         self.params = params
@@ -161,6 +169,15 @@ class BatchedEngine:
         self.prefill_budget = (prefill_budget if prefill_budget is not None
                                else max(n_chunk, 1) * max(n_slots, 1))
         self.ctx_shift = ctx_shift
+        if decode_burst is None:
+            import os as _os
+
+            env = _os.environ.get("LCG_DECODE_BURST")
+            if env is not None:
+                decode_burst = max(int(env), 1)
+            else:
+                decode_burst = 8 if jax.default_backend() == "tpu" else 1
+        self.decode_burst = max(int(decode_burst), 1)
         self._prefill_rr = 0  # round-robin cursor over PREFILLING slots
         self.draft = draft
         if draft is not None:
@@ -230,6 +247,31 @@ class BatchedEngine:
                 logits[:, -1].astype(jnp.float32), key, temp, top_k, top_p, min_p, pen, recent
             )
             return toks, kv
+
+        @partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                 donate_argnames=("kv",))
+        def _decode_burst(params, cfg, tokens, kv, key, temp, top_k, top_p,
+                          min_p, pen, recent, n_steps, gain=None):
+            """``n_steps`` decode iterations fused into one dispatch:
+            sampled feedback, the KV advance and the repetition window all
+            stay on device — one host round trip per burst instead of per
+            token (each dispatch costs tens of ms over the tunnel; a real
+            pod still pays ~1 ms launch + logit sync per step)."""
+            def body(carry, key_i):
+                tok, kv, rec = carry
+                logits, kv = forward(params, cfg, tok, kv, lora_gain=gain)
+                toks = sample_tokens(
+                    logits[:, -1].astype(jnp.float32), key_i, temp, top_k,
+                    top_p, min_p, pen, rec)
+                rec = jnp.concatenate([rec[:, 1:], toks[:, None]], axis=1)
+                return (toks[:, None].astype(jnp.int32), kv, rec), toks
+
+            keys = jax.random.split(key, n_steps)
+            (_, kv, _), toks = jax.lax.scan(
+                body, (tokens, kv, recent), keys)
+            return toks, kv  # toks (n_steps, B)
+
+        self._decode_burst_fn = _decode_burst
 
         @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
         def _decode_logits(params, cfg, tokens, kv, gain=None):
@@ -484,6 +526,9 @@ class BatchedEngine:
         update_slots prompt chunking, server.cpp:3104-3476).  Reuses the
         slot's cached KV prefix when the new prompt extends a previous one
         (server.cpp:3248-3266)."""
+        unbounded = n_predict <= 0  # reference -1 = until ctx/stop
+        if unbounded:
+            n_predict = self.max_seq
         if self.system_ids and prompt_embeds is None:
             n_sys = len(self.system_ids)
             if prompt_ids[:n_sys] == self.system_ids and len(prompt_ids) > n_sys:
@@ -525,7 +570,8 @@ class BatchedEngine:
             n_truncated = len(prompt_ids) - len(head) - len(tail)
             prompt_ids = head + tail
             n_match = min(n_match, keep)
-        elif len(prompt_ids) + n_predict > self.max_seq and not self.ctx_shift:
+        elif (len(prompt_ids) + n_predict > self.max_seq
+              and not self.ctx_shift and not unbounded):
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) + n_predict ({n_predict}) > max_seq {self.max_seq}"
             )
@@ -759,8 +805,16 @@ class BatchedEngine:
         token this step (including first tokens of freshly-completed
         prompts)."""
         results = self._advance_prefill()
-        active = [s for s in self.slots if s.state == SlotState.GENERATING
-                  and s.stop_reason is None]
+        active = []
+        for s in self.slots:
+            if s.state != SlotState.GENERATING or s.stop_reason is not None:
+                continue
+            if s.generated and len(s.generated) >= s.n_predict:
+                # budget already consumed (a restored mid-state at its
+                # limit): finish without sampling a token past it
+                s.stop_reason = "length"
+                continue
+            active.append(s)
         if not active:
             return results
         spec_room = self.n_draft if (self.spec_ngram or self.draft is not None) else 0
@@ -796,6 +850,22 @@ class BatchedEngine:
             return results + self._step_speculative(active)
         t0 = time.perf_counter()
 
+        # steady-state burst: fuse K decode steps into one dispatch when no
+        # slot needs per-token host control.  Every slot needs K rows of
+        # headroom (each scan step writes a row at every slot's n_past);
+        # a PREFILLING slot would have its first tokens delayed by the
+        # whole burst, so bursts wait for an all-generating engine.
+        burst = self.decode_burst
+        if burst > 1:
+            if (any(s.state == SlotState.PREFILLING for s in self.slots)
+                    or any(s.n_past + burst >= self.max_seq
+                           for s in self.slots)):
+                burst = 1
+            else:
+                burst = max(1, min(
+                    burst,
+                    max(s.n_predict - len(s.generated) for s in active)))
+
         tokens = np.zeros((self.n_slots, 1), np.int32)
         temp = np.zeros(self.n_slots, np.float32)
         top_k = np.zeros(self.n_slots, np.int32)
@@ -813,6 +883,35 @@ class BatchedEngine:
         self.rng_key, sub = jax.random.split(self.rng_key)
         kv = KVCache(self.kv.k, self.kv.v, jnp.asarray(self.n_past_host),
                      shared_k=self.kv.shared_k, shared_v=self.kv.shared_v)
+        if burst > 1:
+            toks_dev, kv = self._decode_burst_fn(
+                self.params, self.cfg, jnp.asarray(tokens), kv, sub,
+                jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
+                jnp.asarray(min_p), jnp.asarray(pen),
+                jnp.asarray(self.recent), burst, self._gain_all(),
+            )
+            self.kv = kv
+            toks_burst = np.asarray(toks_dev)  # (burst, B)
+            n_emitted = 0
+            for s in active:
+                for i in range(burst):
+                    tok = int(toks_burst[i, s.id])
+                    s.n_past += 1
+                    s.generated.append(tok)
+                    s.current_token = tok
+                    self.recent[s.id] = np.roll(self.recent[s.id], -1)
+                    self.recent[s.id, -1] = tok
+                    finished = self._check_finished(slot=s, token=tok)
+                    results.append((s, tok, finished))
+                    n_emitted += 1
+                    if finished:
+                        # rows written beyond the stop are dead (masked by
+                        # n_past) and get overwritten on slot reuse
+                        break
+                self.n_past_host[s.id] = s.n_past
+            self.metrics["t_decode_s"] += time.perf_counter() - t0
+            self.metrics["n_generated_tokens"] += n_emitted
+            return results
         toks_dev, kv = self._decode(
             self.params, self.cfg, jnp.asarray(tokens), kv, sub,
             jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),

@@ -518,6 +518,14 @@ def fuse_projections(layers: dict) -> dict:
             out["wgateup_fused"] = fused
             del out["w_gate"]
             del out["w_up"]
+    if "shexp_gate" in layers and "shexp_up" in layers:
+        # shared expert (qwen2moe/deepseek): one launch for gate|up
+        fused = _concat_weights([layers["shexp_gate"], layers["shexp_up"]],
+                                ["shexp_gate", "shexp_up"])
+        if fused is not None:
+            out["shexp_gateup_fused"] = fused
+            del out["shexp_gate"]
+            del out["shexp_up"]
     return out
 
 
@@ -565,6 +573,10 @@ def unfuse_projections(layers: dict, cfg: ModelConfig) -> dict:
         out["w_gate"], out["w_up"] = _split_weight(
             out.pop("wgateup_fused"), [cfg.n_ff, cfg.n_ff]
         )
+    if "shexp_gateup_fused" in out:
+        w = out.pop("shexp_gateup_fused")
+        n = (w.shape[1] if isinstance(w, QuantTensor) else w.shape[-1]) // 2
+        out["shexp_gate"], out["shexp_up"] = _split_weight(w, [n, n])
     return out
 
 
