@@ -263,7 +263,18 @@ def bench_moe() -> dict:
     reference build_moe_ffn, src/llama-graph.cpp:776-1024); the
     always-active shared expert rides the dense nib4c kernels.
     Roofline accounting: active bytes = router + attn projections +
-    shared expert + k expert FFN slices + lm_head."""
+    shared expert + k expert FFN slices + lm_head.
+
+    Since round 5 the whole decode token runs as ONE Pallas launch: the
+    MoE megakernel (ops/decode_stream) computes the router and top-k on
+    the VPU, parks the expert ids in SMEM and DMAs just those expert
+    slices — the per-layer launch overhead that capped this leg at
+    ~33 tok/s is gone.  Weights synthesize what the loader produces for
+    a real Q4_K_M qwen2moe file: plain (unfolded) nib4c dense
+    projections — the 5632-wide shared expert can't keep folded
+    super-scale DMAs 8-aligned, so the model-wide fold switch stays off
+    (quant_matmul._fold_streams) — and nib4c experts padded to the
+    512-lane chunk grid (1408 → 1536, pad slices dequant to zero)."""
     from functools import partial
 
     import jax
@@ -290,31 +301,30 @@ def bench_moe() -> dict:
     keys = jax.random.split(jax.random.PRNGKey(1), 16)
 
     def synth_n4(key, K, N, g=32):
-        # dense attn projections: nib4c folded (the from_gguf default)
-        ks = jax.random.split(key, 5)
+        # dense projections: plain nib4c — the loader's model-wide fold
+        # switch is OFF for this model (shexp K=5632 can't stream folded)
+        ks = jax.random.split(key, 3)
         rep = lambda a: jnp.repeat(a[None], L, 0)
         return qmm.QuantTensor(
             q=rep(jax.random.randint(ks[0], (K // 2, N), -128, 128,
                                      dtype=jnp.int8)),
-            s=rep(jax.random.randint(ks[1], (K // g, N), 1, 64,
-                                     dtype=jnp.int8)),
-            m=rep(jax.random.randint(ks[2], (K // g, N), 0, 64,
-                                     dtype=jnp.int8)),
-            sd=rep(jax.random.uniform(ks[3], (K // 128, N), jnp.float32,
-                                      2e-5, 6e-5)),
-            md=rep(jax.random.uniform(ks[4], (K // 128, N), jnp.float32,
-                                      0.0, 2e-5)),
-            fmt="nib4c", group=g, sgroup=128, shape=(K, N))
+            s=rep(jax.random.uniform(ks[1], (K // g, N), jnp.float32,
+                                     1e-3, 2e-3)),
+            m=rep(jax.random.uniform(ks[2], (K // g, N), jnp.float32,
+                                     0.0, 1e-3)),
+            fmt="nib4c", group=g, shape=(K, N))
+
+    EFp = -(-EF // 512) * 512 if not tiny else EF  # loader pad (1408→1536)
 
     def synth_experts(key, K, N, g=32):
-        # stacked experts in the pack_gguf_experts nib4 layout:
-        # q (E, K/2, N) split-K packed, plain f32 scales + mins
+        # stacked experts in the pack_gguf_experts nib4c layout:
+        # q (E, K/2, N) chunk-local packed, plain f32 scales + mins
         k1, k2, k3 = jax.random.split(key, 3)
         q1 = jax.random.randint(k1, (E, K // 2, N), -128, 128, dtype=jnp.int8)
         s1 = jax.random.uniform(k2, (E, K // g, N), jnp.float32, 1e-3, 2e-3)
         m1 = jax.random.uniform(k3, (E, K // g, N), jnp.float32, 0.0, 1e-3)
         rep = lambda a: jnp.repeat(a[None], L, 0)
-        return qmm.QuantTensor(q=rep(q1), s=rep(s1), m=rep(m1), fmt="nib4",
+        return qmm.QuantTensor(q=rep(q1), s=rep(s1), m=rep(m1), fmt="nib4c",
                                group=g, shape=(K, N))
 
     layers = {
@@ -324,12 +334,11 @@ def bench_moe() -> dict:
         "wo": synth_n4(keys[1], HqD, D),
         "moe_gate_inp": jax.random.normal(keys[2], (L, D, E),
                                           jnp.float32) * 0.02,
-        "moe_gate": synth_experts(keys[3], D, EF),
-        "moe_up": synth_experts(keys[4], D, EF),
-        "moe_down": synth_experts(keys[5], EF, D),
+        "moe_gate": synth_experts(keys[3], D, EFp),
+        "moe_up": synth_experts(keys[4], D, EFp),
+        "moe_down": synth_experts(keys[5], EFp, D),
         # qwen2moe shared expert: always-active dense FFN + sigmoid gate
-        "shexp_gate": synth_n4(keys[8], D, SHF),
-        "shexp_up": synth_n4(keys[9], D, SHF),
+        "shexp_gateup_fused": synth_n4(keys[8], D, 2 * SHF),
         "shexp_down": synth_n4(keys[10], SHF, D),
         "shexp_gate_inp": jax.random.normal(keys[11], (L, D, 1),
                                             jnp.float32) * 0.02,
@@ -360,13 +369,16 @@ def bench_moe() -> dict:
               + layers["moe_gate_inp"].nbytes
               + layers["shexp_gate_inp"].nbytes
               + sum(qt_bytes(layers[n])
-                    for n in ("shexp_gate", "shexp_up", "shexp_down"))
+                    for n in ("shexp_gateup_fused", "shexp_down"))
               + sum(qt_bytes(layers[n]) * TOPK // E
                     for n in ("moe_gate", "moe_up", "moe_down"))
               + qt_bytes(params["lm_head"]))
 
     fwd = jax.jit(forward, static_argnames=("cfg",), donate_argnames=("kv",))
     kv = KVCache.create(cfg, batch=1, max_seq=1024, dtype=jnp.bfloat16)
+    from llama_cpp_gfx906_tpu.ops.decode_stream import _stream_ok
+
+    moe_dispatch = bool(_stream_ok(params, cfg, kv, 1, 1))
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("kv",))
     def decode_steps(params, tok, kv, n_steps):
@@ -418,6 +430,7 @@ def bench_moe() -> dict:
         "eff_bw_gb_s_moe": round(active * tok_s / 1e9, 1),
         # MI50 roofline on the same active-byte budget at 1 TB/s
         "vs_mi50_roofline_moe": round(tok_s * active / 1e12, 3),
+        "moe_megakernel_dispatch": moe_dispatch,
     }
 
 

@@ -93,14 +93,17 @@ def _proj_tk(K: int, g: int, is_n4: bool):
 
 def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             anorm_ref, fnorm_ref, qn_ref, kn_ref, pa_ref, pf_ref,
+            ginp_ref, sgi_ref,
             qkv_q, qkv_s, qkv_m, qkv_sd, qkv_md,
             vw_q, vw_s, vw_m, vw_sd, vw_md,
             wo_q, wo_s, wo_m, wo_sd, wo_md,
             gu_q, gu_s, gu_m, gu_sd, gu_md,
             dn_q, dn_s, dn_m, dn_sd, dn_md,
+            eg_q, eg_s, eg_m, eu_q, eu_s, eu_m, ed_q, ed_s, ed_m,
             kin_ref, vin_ref,
             xout_ref, kout_ref, vout_ref,
             kbuf, vbuf, krow, vrow, wbuf, sbuf, mbuf,
+            esbuf, embuf, eidx,
             dbuf_qkv, dbuf_v, dbuf_o, dbuf_gu, dbuf_dn,
             dmbuf_qkv, dmbuf_v, dmbuf_o, dmbuf_gu, dmbuf_dn,
             ksem, vsem, isem, wsem, ssem, msem, dsem, dmsem,
@@ -108,6 +111,9 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             hm_qkv, hm_v, hm_o, hm_gu, hm_dn,
             n4_qkv, n4_v, n4_o, n4_gu, n4_dn, split_v,
             folded, SB,
+            moe, n_exp, topk, gating_sigmoid, wnorm, wscale, has_shexp,
+            has_sgi, g_eg, g_eu, g_ed, hm_eg, hm_eu, hm_ed,
+            n4_eg, n4_eu, n4_ed,
             scale, eps, act_fn, interleaved, has_qk, has_post):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -137,7 +143,8 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         return v * sc * w
 
     def gemv_stream(xb, wq, ws, wm, wsd, wmd, dbuf, dmbuf, g, has_m,
-                    is_n4=False):
+                    is_n4=False, exp=None, fold=None, wb=None, sb=None,
+                    mb=None):
         """(1, K) bf16 @ HBM int8 (L, K, N) with per-g scales → (1, N) f32.
 
         v1's ``qdot`` chunk schedule with the chunks DMA'd from HBM
@@ -162,8 +169,18 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         unpack-into-two-planes dequant differ from int8.  Halves the
         streamed weight bytes; the elementwise unpack keeps up with the
         DMA (scripts/exp_nib4.py: ~590 GB/s packed on the 8B shape)."""
-        K = 2 * wq.shape[1] if is_n4 else wq.shape[1]
-        N = wq.shape[2]
+        kd = 2 if exp is not None else 1  # expert tensors: (L, E, Kq, N)
+        K = 2 * wq.shape[kd] if is_n4 else wq.shape[kd]
+        N = wq.shape[kd + 1]
+        fo = folded if fold is None else fold
+        wb = wbuf if wb is None else wb
+        sb = sbuf if sb is None else sb
+        mb = mbuf if mb is None else mb
+        lead = (l, exp) if exp is not None else (l,)
+
+        def wsl(ref, r0, rn, c0, cn):
+            return ref.at[lead + (pl.ds(r0, rn), pl.ds(c0, cn))]
+
         TN = _pick(tn_caps, N)
         TK = _proj_tk(K, g, is_n4)
         TKq = TK // 2 if is_n4 else TK  # weight-window rows (packed bytes)
@@ -189,22 +206,22 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             j0, k0 = chunks[t]
             s = t % 2
             pltpu.make_async_copy(
-                wq.at[l, pl.ds(k0 // 2 if is_n4 else k0, TKq), pl.ds(j0, TN)],
-                wbuf.at[s, :TKq, :TN], wsem.at[s]).start()
+                wsl(wq, k0 // 2 if is_n4 else k0, TKq, j0, TN),
+                wb.at[s, :TKq, :TN], wsem.at[s]).start()
             pltpu.make_async_copy(
-                ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
-                sbuf.at[s, :TK // g, :TN], ssem.at[s]).start()
-            if folded:
+                wsl(ws, k0 // g, TK // g, j0, TN),
+                sb.at[s, :TK // g, :TN], ssem.at[s]).start()
+            if fo:
                 pltpu.make_async_copy(
-                    wsd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                    wsl(wsd, k0 // SB, TK // SB, j0, TN),
                     dbuf.at[s], dsem.at[s]).start()
             if has_m:
                 pltpu.make_async_copy(
-                    wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
-                    mbuf.at[s, :TK // g, :TN], msem.at[s]).start()
-                if folded:
+                    wsl(wm, k0 // g, TK // g, j0, TN),
+                    mb.at[s, :TK // g, :TN], msem.at[s]).start()
+                if fo:
                     pltpu.make_async_copy(
-                        wmd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                        wsl(wmd, k0 // SB, TK // SB, j0, TN),
                         dmbuf.at[s], dmsem.at[s]).start()
 
         start(0)
@@ -215,19 +232,19 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             if t + 1 < len(chunks):
                 start(t + 1)
             pltpu.make_async_copy(
-                wq.at[l, pl.ds(k0 // 2 if is_n4 else k0, TKq), pl.ds(j0, TN)],
-                wbuf.at[s, :TKq, :TN], wsem.at[s]).wait()
+                wsl(wq, k0 // 2 if is_n4 else k0, TKq, j0, TN),
+                wb.at[s, :TKq, :TN], wsem.at[s]).wait()
             pltpu.make_async_copy(
-                ws.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
-                sbuf.at[s, :TK // g, :TN], ssem.at[s]).wait()
-            if folded:
+                wsl(ws, k0 // g, TK // g, j0, TN),
+                sb.at[s, :TK // g, :TN], ssem.at[s]).wait()
+            if fo:
                 pltpu.make_async_copy(
-                    wsd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                    wsl(wsd, k0 // SB, TK // SB, j0, TN),
                     dbuf.at[s], dsem.at[s]).wait()
-                sg_g_full = (sbuf[s, :TK // g, :TN].astype(jnp.float32)
+                sg_g_full = (sb[s, :TK // g, :TN].astype(jnp.float32)
                              * jnp.repeat(dbuf[s], SB // g, axis=0))
             else:
-                sg_g_full = sbuf[s, :TK // g, :TN]
+                sg_g_full = sb[s, :TK // g, :TN]
             mode = _DEQ_MODE if not is_n4 else 0
             if is_n4:
                 # nib4c groupdot-diff schedule (the 693 GB/s variant,
@@ -256,7 +273,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 subs = []
                 for n0 in range(0, TN, 512):
                     nn = min(512, TN - n0)
-                    q8 = wbuf[s, :TKq, n0:n0 + nn]
+                    q8 = wb[s, :TKq, n0:n0 + nn]
                     b_bf = q8.astype(jnp.bfloat16)
                     l_bf = (q8 & jnp.int8(0x0F)).astype(jnp.bfloat16)
                     sg_g = sg_g_full[:, n0:n0 + nn]
@@ -276,17 +293,16 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                              else jnp.concatenate(subs, axis=-1))
                 if has_m:
                     pltpu.make_async_copy(
-                        wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
-                        mbuf.at[s, :TK // g, :TN], msem.at[s]).wait()
-                    if folded:
+                        wsl(wm, k0 // g, TK // g, j0, TN),
+                        mb.at[s, :TK // g, :TN], msem.at[s]).wait()
+                    if fo:
                         pltpu.make_async_copy(
-                            wmd.at[l, pl.ds(k0 // SB, TK // SB),
-                                   pl.ds(j0, TN)],
+                            wsl(wmd, k0 // SB, TK // SB, j0, TN),
                             dmbuf.at[s], dmsem.at[s]).wait()
-                        mg = (mbuf[s, :TK // g, :TN].astype(jnp.float32)
+                        mg = (mb[s, :TK // g, :TN].astype(jnp.float32)
                               * jnp.repeat(dmbuf[s], SB // g, axis=0))
                     else:
-                        mg = mbuf[s, :TK // g, :TN]
+                        mg = mb[s, :TK // g, :TN]
                     xg = jax.lax.dot(xb[:, k0:k0 + TK], gmat,
                                      preferred_element_type=jnp.float32)
                     acc = acc - jax.lax.dot(
@@ -299,22 +315,22 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 # y[gi, n] = Σ_{k∈gi} x_k·q_kn via one dense MXU dot with a
                 # block-diagonal x matrix (same tile count as the M=1 dot);
                 # then acc += Σ_gi s[gi,n]·y[gi,n] (− Σ_gi xsum[gi]·m[gi,n])
-                qb = wbuf[s, :TK, :TN].astype(jnp.bfloat16)
+                qb = wb[s, :TK, :TN].astype(jnp.bfloat16)
                 xk = gmatT * xb[:, k0:k0 + TK]
                 y = jax.lax.dot(xk, qb, preferred_element_type=jnp.float32)
                 sg = sg_g_full  # already f32 (TKg, TN), folded or not
                 if has_m:
                     pltpu.make_async_copy(
-                        wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
-                        mbuf.at[s, :TK // g, :TN], msem.at[s]).wait()
-                    if folded:
+                        wsl(wm, k0 // g, TK // g, j0, TN),
+                        mb.at[s, :TK // g, :TN], msem.at[s]).wait()
+                    if fo:
                         pltpu.make_async_copy(
-                            wmd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                            wsl(wmd, k0 // SB, TK // SB, j0, TN),
                             dmbuf.at[s], dmsem.at[s]).wait()
-                        mg = (mbuf[s, :TK // g, :TN].astype(jnp.float32)
+                        mg = (mb[s, :TK // g, :TN].astype(jnp.float32)
                               * jnp.repeat(dmbuf[s], SB // g, axis=0))
                     else:
-                        mg = mbuf[s, :TK // g, :TN]
+                        mg = mb[s, :TK // g, :TN]
                     # per-group x sums: lane-reduce the block-diagonal
                     # expansion the MXU dot already materialized (see the
                     # nib4c path note — the reshape and dot_general
@@ -334,7 +350,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             subs = []
             for n0 in range(0, TN, 512):
                 nn = min(512, TN - n0)
-                qs = wbuf[s, :TK, n0:n0 + nn]
+                qs = wb[s, :TK, n0:n0 + nn]
                 sg_g = sg_g_full[:, n0:n0 + nn]
                 if mode == 1:  # bf16 elementwise (~10% slower: VPU is f32-native)
                     sg = jnp.repeat(sg_g.astype(jnp.bfloat16), g, axis=0)
@@ -359,16 +375,16 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                          else jnp.concatenate(subs, axis=-1))
             if has_m:
                 pltpu.make_async_copy(
-                    wm.at[l, pl.ds(k0 // g, TK // g), pl.ds(j0, TN)],
-                    mbuf.at[s, :TK // g, :TN], msem.at[s]).wait()
-                if folded:
+                    wsl(wm, k0 // g, TK // g, j0, TN),
+                    mb.at[s, :TK // g, :TN], msem.at[s]).wait()
+                if fo:
                     pltpu.make_async_copy(
-                        wmd.at[l, pl.ds(k0 // SB, TK // SB), pl.ds(j0, TN)],
+                        wsl(wmd, k0 // SB, TK // SB, j0, TN),
                         dmbuf.at[s], dmsem.at[s]).wait()
-                    mg = (mbuf[s, :TK // g, :TN].astype(jnp.float32)
+                    mg = (mb[s, :TK // g, :TN].astype(jnp.float32)
                           * jnp.repeat(dmbuf[s], SB // g, axis=0))
                 else:
-                    mg = mbuf[s, :TK // g, :TN]
+                    mg = mb[s, :TK // g, :TN]
                 xg = jax.lax.dot(xb[:, k0:k0 + TK], gmat,
                                  preferred_element_type=jnp.float32)
                 acc = acc - jax.lax.dot(
@@ -536,15 +552,80 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                      pa_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
     x = (x.astype(jnp.bfloat16) + attn_b).astype(jnp.float32)
 
-    # ---- MLP ---------------------------------------------------------------
+    # ---- MLP / MoE FFN ------------------------------------------------------
     h2 = rms(x, fnorm_ref[0].astype(jnp.float32))
-    gu = gemv_stream(h2.astype(jnp.bfloat16), gu_q, gu_s, gu_m,
-                     gu_sd, gu_md, dbuf_gu, dmbuf_gu, g_gu, hm_gu, n4_gu)
-    g_b = gu[:, :F].astype(jnp.bfloat16)
-    u_b = gu[:, F:].astype(jnp.bfloat16)
-    y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16) * u_b)
-    mlp = gemv_stream(y, dn_q, dn_s, dn_m, dn_sd, dn_md, dbuf_dn, dmbuf_dn,
-                      g_dn, hm_dn, n4_dn)
+    hb2 = h2.astype(jnp.bfloat16)
+    if not moe:
+        gu = gemv_stream(hb2, gu_q, gu_s, gu_m,
+                         gu_sd, gu_md, dbuf_gu, dmbuf_gu, g_gu, hm_gu, n4_gu)
+        g_b = gu[:, :F].astype(jnp.bfloat16)
+        u_b = gu[:, F:].astype(jnp.bfloat16)
+        y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(jnp.bfloat16)
+             * u_b)
+        mlp = gemv_stream(y, dn_q, dn_s, dn_m, dn_sd, dn_md, dbuf_dn,
+                          dmbuf_dn, g_dn, hm_dn, n4_dn)
+    else:
+        # routed-experts FFN, fully in-kernel (reference build_moe_ffn,
+        # src/llama-graph.cpp:776-1024).  The router + top-k run on the
+        # VPU; the selected expert ids land in SMEM and drive the expert
+        # slice DMAs directly — no per-expert kernel launches, no host
+        # round trip, and only the k active slices stream from HBM.
+        mlp = jnp.zeros_like(h2)
+        if has_shexp:
+            # always-active shared expert rides the dense gu/dn windows
+            gu = gemv_stream(hb2, gu_q, gu_s, gu_m, gu_sd, gu_md,
+                             dbuf_gu, dmbuf_gu, g_gu, hm_gu, n4_gu)
+            g_b = gu[:, :F].astype(jnp.bfloat16)
+            u_b = gu[:, F:].astype(jnp.bfloat16)
+            y = (_act_f32(g_b.astype(jnp.float32), act_fn).astype(
+                jnp.bfloat16) * u_b)
+            sh = gemv_stream(y, dn_q, dn_s, dn_m, dn_sd, dn_md, dbuf_dn,
+                             dmbuf_dn, g_dn, hm_dn, n4_dn)
+            if has_sgi:  # qwen2moe sigmoid gate on the shared expert
+                sig = jax.nn.sigmoid(jnp.sum(
+                    h2 * sgi_ref[0].astype(jnp.float32), axis=-1,
+                    keepdims=True))
+                sh = sh * sig
+            mlp = mlp + sh
+        # router: (1, D) · (D, Ep) — pad lanes (>= n_exp) masked to -inf
+        logits = jax.lax.dot(h2, ginp_ref[0],
+                             preferred_element_type=jnp.float32)
+        Ep = logits.shape[-1]
+        ecol = jax.lax.broadcasted_iota(jnp.int32, (1, Ep), 1)
+        logits = jnp.where(ecol < n_exp, logits, NEG_INF)
+        if gating_sigmoid:  # LLAMA_EXPERT_GATING_FUNC_TYPE_SIGMOID
+            probs = jnp.where(ecol < n_exp, jax.nn.sigmoid(logits), 0.0)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
+        # top-k selection: k masked-max passes; ids to SMEM (they become
+        # the DMA base index of the expert axis), weights stay vector
+        r = probs
+        sel_w = []
+        wsum = jnp.zeros((1, 1), jnp.float32)
+        for j in range(topk):
+            mj = jnp.max(r, axis=-1, keepdims=True)  # (1, 1)
+            first = jnp.min(jnp.where(r == mj, ecol, Ep))  # first argmax
+            eidx[j] = first
+            sel_w.append(mj)
+            wsum = wsum + mj
+            r = jnp.where(ecol == first, NEG_INF, r)
+        for j in range(topk):
+            e = eidx[j]
+            ge = gemv_stream(hb2, eg_q, eg_s, eg_m, eg_s, eg_s, dbuf_gu,
+                             dmbuf_gu, g_eg, hm_eg, n4_eg, exp=e,
+                             fold=False, sb=esbuf, mb=embuf)
+            ue = gemv_stream(hb2, eu_q, eu_s, eu_m, eu_s, eu_s, dbuf_gu,
+                             dmbuf_gu, g_eu, hm_eu, n4_eu, exp=e,
+                             fold=False, sb=esbuf, mb=embuf)
+            ye = (_act_f32(ge, act_fn).astype(jnp.bfloat16)
+                  * ue.astype(jnp.bfloat16))
+            de = gemv_stream(ye, ed_q, ed_s, ed_m, ed_s, ed_s, dbuf_dn,
+                             dmbuf_dn, g_ed, hm_ed, n4_ed, exp=e,
+                             fold=False, sb=esbuf, mb=embuf)
+            w_j = sel_w[j] / jnp.maximum(wsum, 1e-9) if wnorm else sel_w[j]
+            if wscale != 1.0:
+                w_j = w_j * wscale
+            mlp = mlp + de * w_j
     mlp_b = mlp.astype(jnp.bfloat16)
     if has_post:
         mlp_b = rms(mlp_b.astype(jnp.float32),
@@ -604,8 +685,15 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     p = params["layers"]
     split_v = "wqk_fused" in p and "wv" in p and "wqkv_fused" not in p
     qkv_key = "wqk_fused" if split_v else "wqkv_fused"
-    proj_keys = ((qkv_key, "wv", "wgateup_fused", "wo", "w_down") if split_v
-                 else (qkv_key, "wgateup_fused", "wo", "w_down"))
+    moe = "moe_gate_inp" in p
+    if moe:
+        if not _moe_stream_ok(p, cfg):
+            return False
+        dense_keys = (("shexp_gateup_fused", "shexp_down")
+                      if "shexp_gateup_fused" in p else ())
+    else:
+        dense_keys = ("wgateup_fused", "w_down")
+    proj_keys = (qkv_key, "wo") + dense_keys + (("wv",) if split_v else ())
     if not all(k in p for k in proj_keys + ("attn_norm", "ffn_norm")):
         return False
     if split_v and ("wq" in p or "wk" in p):
@@ -617,7 +705,7 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     if p[qkv_key].sd is not None and len(
             {p[k].sgroup for k in proj_keys}) != 1:
         return False  # one shared SB granularity per kernel launch
-    blocked = ("bqkv_fused", "bo", "b_down", "moe_gate_inp", "ffn_norm_exps",
+    blocked = ("bqkv_fused", "bo", "b_down", "ffn_norm_exps",
                "attn_sub_norm", "sinks", "cvec", "attn_norm_b", "ffn_norm_b",
                "q_norm_b", "k_norm_b")
     if any(k in p for k in blocked) or any(k.endswith("_lora_a") for k in p):
@@ -648,6 +736,8 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
         return False
     D, Dh, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
     S = kv.k.shape[2]
+    if moe:  # F (shexp width) checked via its own chunk grid below
+        F = 128
     if not (D % 128 == 0 and Dh % 128 == 0 and F % 128 == 0 and S % 128 == 0):
         return False
     from .rope import rope_frequencies
@@ -661,7 +751,7 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
             return False
     elif p["wqkv_fused"].shape != (D, (cfg.n_heads + 2 * cfg.n_kv_heads) * Dh):
         return False
-    if p["wgateup_fused"].shape != (D, 2 * F):
+    if not moe and p["wgateup_fused"].shape != (D, 2 * F):
         return False
     # every projection must factor into the streamed chunk grid
     for k in proj_keys:
@@ -670,6 +760,43 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
         if (_pick(_TN_CAPS, N) is None
                 or _proj_tk(K, qt.group, qt.fmt == "nib4c") is None):
             return False
+    return True
+
+
+def _moe_stream_ok(p, cfg) -> bool:
+    """MoE leg of the streamed-kernel gate: routing semantics the kernel
+    implements (softmax/sigmoid over all experts → top-k, optional renorm
+    and scale — reference build_moe_ffn's common configurations) and
+    stacked-expert tensors the expert windows can stream."""
+    from .quant_matmul import QuantTensor
+
+    if not (cfg.n_experts > 0 and 1 <= cfg.n_experts_used <= 8):
+        return False
+    if cfg.moe_topk_softmax or cfg.moe_scale_input or cfg.moe_gate_prenorm:
+        return False  # gpt-oss / llama4 / smallthinker routing variants
+    if cfg.expert_gating_func not in (1, 2):
+        return False
+    if any(k in p for k in ("moe_gate_inp_b", "moe_gate_b", "moe_up_b",
+                            "moe_down_b", "moe_probs_bias", "exp_probs_b")):
+        return False
+    gi = p["moe_gate_inp"]
+    if not (hasattr(gi, "ndim") and gi.ndim == 3
+            and gi.shape[1] == cfg.n_embd and gi.shape[2] == cfg.n_experts):
+        return False
+    for k in ("moe_gate", "moe_up", "moe_down"):
+        t = p.get(k)
+        if not (isinstance(t, QuantTensor) and t.fmt in ("int8", "nib4c")
+                and not t.xla_only and t.sd is None and t.q.ndim == 4
+                and t.q.shape[1] == cfg.n_experts):
+            return False
+        K, N = t.shape
+        if (_pick(_TN_CAPS, N) is None
+                or _proj_tk(K, t.group, t.fmt == "nib4c") is None):
+            return False
+    if ("shexp_gateup_fused" in p) != ("shexp_down" in p):
+        return False
+    if "shexp_gate" in p or "shexp_up" in p:  # unfused shared expert
+        return False
     return True
 
 
@@ -732,29 +859,65 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
     split_v = "wqk_fused" in p
     qkv_qt = p["wqk_fused"] if split_v else p["wqkv_fused"]
     vw_qt = p["wv"] if split_v else qkv_qt  # dummy refs when fully fused
-    wo_qt, gu_qt, dn_qt = p["wo"], p["wgateup_fused"], p["w_down"]
+    wo_qt = p["wo"]
+    moe = "moe_gate_inp" in p
+    has_shexp = moe and "shexp_gateup_fused" in p
+    if moe:
+        # shared expert (when present) rides the dense gu/dn window slots
+        gu_qt = p["shexp_gateup_fused"] if has_shexp else qkv_qt
+        dn_qt = p["shexp_down"] if has_shexp else wo_qt
+        F = gu_qt.shape[1] // 2 if has_shexp else 1
+        eg_qt, eu_qt, ed_qt = p["moe_gate"], p["moe_up"], p["moe_down"]
+        E = eg_qt.q.shape[1]
+        Ep = -(-E // 128) * 128  # router lanes padded; pads masked -inf
+        ginp = p["moe_gate_inp"].astype(jnp.float32)
+        if Ep != E:
+            ginp = jnp.pad(ginp, ((0, 0), (0, 0), (0, Ep - E)))
+        sgi = (p["shexp_gate_inp"].astype(jnp.float32).reshape(L, 1, D)
+               if has_shexp and "shexp_gate_inp" in p
+               else jnp.zeros((L, 1, D), jnp.float32))
+    else:
+        gu_qt, dn_qt = p["wgateup_fused"], p["w_down"]
+        eg_qt = eu_qt = ed_qt = qkv_qt  # unread dummies
+        E, Ep = 0, 128
+        ginp = jnp.zeros((L, 1, Ep), jnp.float32)
+        sgi = jnp.zeros((L, 1, 1), jnp.float32)
     Nqkv = qkv_qt.q.shape[-1] + (vw_qt.q.shape[-1] if split_v else 0)
 
     BK = next(t for t in (512, 256, 128) if S % t == 0)
+    kv_buf_bytes = 2 * 2 * BK * HD * k3.dtype.itemsize * 2  # k + v
+    if moe and kv_buf_bytes > 5 * 2**20 and S % (BK // 2) == 0:
+        # MoE layers carry extra windows (router block, expert scales) —
+        # halve the KV chunk so the whole working set stays inside VMEM
+        BK //= 2
+        kv_buf_bytes //= 2
     # window caps: 1024-lane N windows unless the KV chunk buffers are big
     # enough that VMEM gets tight (kbuf+vbuf double-buffered)
-    kv_buf_bytes = 2 * 2 * BK * HD * k3.dtype.itemsize * 2  # k + v
     tn_top = min(_TN_TOP, 1024 if kv_buf_bytes <= 5 * 2**20 else 512)
     tn_caps = tuple(t for t in (1024, 512, 256, 128) if t <= tn_top)
     # shared weight-chunk window: max window ROWS × max TN over the
-    # projections (nib4c windows carry TK/2 packed-byte rows)
+    # projections (nib4c windows carry TK/2 packed-byte rows); expert
+    # slices (E axis dropped — per-slice geometry) share the same window
     projs = ((qkv_qt, vw_qt, wo_qt, gu_qt, dn_qt) if split_v
              else (qkv_qt, wo_qt, gu_qt, dn_qt))
-    n4 = {id(qt): qt.fmt == "nib4c" for qt in projs}
+    experts = (eg_qt, eu_qt, ed_qt) if moe else ()
+    n4 = {id(qt): qt.fmt == "nib4c" for qt in projs + experts}
     proj_tk = {id(qt): _proj_tk(qt.shape[0], qt.group, n4[id(qt)])
-               for qt in projs}
-    TKmax = max(proj_tk[id(qt)] // (2 if n4[id(qt)] else 1) for qt in projs)
-    TKgmax = max(proj_tk[id(qt)] // qt.group for qt in projs)
-    TNmax = max(_pick(tn_caps, qt.shape[1]) for qt in projs)
+               for qt in projs + experts}
+    TKmax = max(proj_tk[id(qt)] // (2 if n4[id(qt)] else 1)
+                for qt in projs + experts)
+    TKgmax = max(proj_tk[id(qt)] // qt.group for qt in projs + experts)
+    TNmax = max(_pick(tn_caps, qt.shape[1]) for qt in projs + experts)
     g_min = min(qt.group for qt in projs)
     if not split_v:
         n4[id(vw_qt)] = n4[id(qkv_qt)]
         proj_tk[id(vw_qt)] = proj_tk[id(qkv_qt)]
+    if moe:
+        # expert scale windows (plain f32 s/m planes, never folded)
+        eTKg = max(proj_tk[id(qt)] // qt.group for qt in experts)
+        eTN = max(_pick(tn_caps, qt.shape[1]) for qt in experts)
+    else:
+        eTKg, eTN = 1, 128
 
     folded = qkv_qt.sd is not None
     SB = qkv_qt.sgroup if folded else 256
@@ -768,6 +931,17 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
         n4_qkv=n4[id(qkv_qt)], n4_v=n4[id(vw_qt)], n4_o=n4[id(wo_qt)],
         n4_gu=n4[id(gu_qt)], n4_dn=n4[id(dn_qt)], split_v=split_v,
         folded=folded, SB=SB,
+        moe=moe, n_exp=E, topk=int(cfg.n_experts_used) if moe else 0,
+        gating_sigmoid=bool(cfg.expert_gating_func == 2),
+        wnorm=bool(cfg.expert_weights_norm),
+        wscale=float(getattr(cfg, "expert_weights_scale", 1.0) or 1.0),
+        has_shexp=has_shexp, has_sgi=bool(moe and "shexp_gate_inp" in p),
+        g_eg=eg_qt.group, g_eu=eu_qt.group, g_ed=ed_qt.group,
+        hm_eg=eg_qt.m is not None, hm_eu=eu_qt.m is not None,
+        hm_ed=ed_qt.m is not None,
+        n4_eg=n4.get(id(eg_qt), False) if moe else False,
+        n4_eu=n4.get(id(eu_qt), False) if moe else False,
+        n4_ed=n4.get(id(ed_qt), False) if moe else False,
         scale=float(scale), eps=float(cfg.rms_eps),
         act_fn=cfg.act_fn, interleaved=bool(cfg.rope_interleaved),
         has_qk=has_qk, has_post=has_post,
@@ -778,6 +952,12 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
                   + (t.sd.nbytes if t.sd is not None else 0)
                   + (t.md.nbytes if t.md is not None else 0)
                   for t in projs)
+    if moe:  # only the top-k slices stream per token
+        w_bytes += sum(
+            (t.q.nbytes + t.s.nbytes
+             + (t.m.nbytes if t.m is not None else 0))
+            * int(cfg.n_experts_used) // max(E, 1)
+            for t in experts)
     flops = 2 * L * (D * Nqkv + Hq * Dh * D + D * 2 * F + F * D)
 
     x_out, k_new, v_new = pl.pallas_call(
@@ -796,11 +976,18 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             pl.BlockSpec((1, 1, Dh), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            # router block (per-layer (D, Ep) when moe; tiny dummy else)
+            pl.BlockSpec((1, ginp.shape[1], Ep), lambda l: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # shared-expert gate row
+            pl.BlockSpec((1, 1, sgi.shape[2]), lambda l: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
             # weights + scales + mins (+ folded super-scales) stay in HBM;
             # the kernel streams chunks: 5 projections × (q, s, m, sd, md)
             # (qkv|qk, v, o, gate|up, down — v duplicates qkv refs when the
-            # model fuses all three) then the KV planes
-            *([pl.BlockSpec(memory_space=pltpu.ANY)] * 27),
+            # model fuses all three), 3 stacked-expert tensors × (q, s, m),
+            # then the KV planes
+            *([pl.BlockSpec(memory_space=pltpu.ANY)] * 36),
         ],
         out_specs=[
             pl.BlockSpec((B, D), lambda l: (0, 0), memory_space=pltpu.VMEM),
@@ -812,7 +999,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
             jax.ShapeDtypeStruct((L, B, S, HD), k3.dtype),
             jax.ShapeDtypeStruct((L, B, S, HD), v3.dtype),
         ],
-        input_output_aliases={37: 1, 38: 2},
+        input_output_aliases={48: 1, 49: 2},
         scratch_shapes=[
             pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf
             pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
@@ -824,6 +1011,11 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
                        jnp.int8 if folded else jnp.float32),  # sbuf
             pltpu.VMEM((2, TKgmax, TNmax),
                        jnp.int8 if folded else jnp.float32),  # mbuf
+            # expert scale/min windows: plain f32 planes, never folded
+            pltpu.VMEM((2, eTKg, eTN), jnp.float32),  # esbuf
+            pltpu.VMEM((2, eTKg, eTN), jnp.float32),  # embuf
+            pltpu.SMEM((max(int(cfg.n_experts_used), 1),),
+                       jnp.int32),  # eidx (top-k expert ids → DMA bases)
             # folded super-scale windows: exact (rows, lanes) per
             # projection — Mosaic rejects sub-tile sublane slices of a
             # shared max-shaped buffer, and exact shapes need none
@@ -856,12 +1048,15 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
         C.astype(jnp.float32), Ss.astype(jnp.float32),
         p["attn_norm"].astype(jnp.float32).reshape(L, 1, D),
         p["ffn_norm"].astype(jnp.float32).reshape(L, 1, D),
-        qn, kn, pa, pf,
+        qn, kn, pa, pf, ginp, sgi,
         *[a for t in (qkv_qt, vw_qt, wo_qt, gu_qt, dn_qt) for a in (
             t.q, t.s,
             t.m if t.m is not None else t.s,
             t.sd if t.sd is not None else t.s,
             t.md if t.md is not None else t.s,
+        )],
+        *[a for t in (eg_qt, eu_qt, ed_qt) for a in (
+            t.q, t.s, t.m if t.m is not None else t.s,
         )],
         k3, v3,
     )

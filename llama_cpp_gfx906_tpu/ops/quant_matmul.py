@@ -352,16 +352,29 @@ def supported_qmm_types() -> list[GGMLType]:
 
 
 def pack_gguf_experts(
-    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int, int], put=jnp.asarray
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int, int],
+    put=jnp.asarray, pad_k: bool = False, pad_n: bool = False,
 ) -> QuantTensor:
     """Decode a stacked-expert GGUF tensor (E, N, K) into a QuantTensor whose
     leaves carry a leading expert axis: q (E, K, N) int8 or (E, K/2, N)
-    nib4-packed, s/m (E, K/g, N).
+    chunk-local 4-bit (nib4c) packed, s/m (E, K/g, N).
 
     This is the storage side of the ``ggml_mul_mat_id`` analog (reference
     ``build_moe_ffn``, src/llama-graph.cpp:776-1024): experts stay
-    block-quantized in HBM and are gathered/dequantized per token inside
-    :func:`routed_quant_matmul`.
+    block-quantized in HBM; decode gathers only the selected slices —
+    inside the MoE megakernel (ops/decode_stream, expert ids resolved
+    in-kernel) or via the XLA quantized gather.
+
+    ``pad_k``/``pad_n`` zero-pad that dim up to a multiple of 512 so every
+    expert slice factors into the streamed chunk grid (512-row nib4c
+    chunks, ≥512-lane windows).  The loader pads the expert-FF dim only
+    (gate/up ``pad_n``, down ``pad_k`` — consistent by construction since
+    both round the same EF up): pad rows/cols carry zero scales (and
+    mins), so dequantized values are exactly zero — gate/up emit zero
+    activations on pad lanes, down consumes zero rows — numerically
+    exact.  Expert FF dims like qwen's 1408 otherwise force 128-lane
+    tiles (narrow DMA).  The model dim stays untouched (it feeds/receives
+    the residual stream).
     """
     E, N, K = int(shape[0]), int(shape[1]), int(shape[2])
     ggml_type = GGMLType(ggml_type)
@@ -371,7 +384,30 @@ def pack_gguf_experts(
     s = s.reshape(E, N, K // g).transpose(0, 2, 1)
     m = m.reshape(E, N, K // g).transpose(0, 2, 1) if m is not None else None
 
-    if ggml_type in _NIB4_TYPES and K % (2 * g) == 0:
+    Kp = -(-K // 512) * 512 if pad_k else K
+    Np = -(-N // 512) * 512 if pad_n else N
+    if (Kp, Np) != (K, N):
+        pk, pn = Kp - K, Np - N
+        q = np.pad(q, ((0, 0), (0, pk), (0, pn)))
+        s = np.pad(s, ((0, 0), (0, pk // g), (0, pn)))
+        if m is not None:
+            m = np.pad(m, ((0, 0), (0, pk // g), (0, pn)))
+        K, N = Kp, Np
+
+    is4 = ggml_type in _NIB4_TYPES and K % (2 * g) == 0
+    ck = nib4c_chunk(K) if is4 else None
+    if is4 and ck is not None and ck % (2 * g) == 0:
+        qu = q.astype(np.uint8).reshape(E * K, N)
+        packed = _pack_nib4c(qu, ck).reshape(E, K // 2, N)
+        return QuantTensor(
+            q=put(np.ascontiguousarray(packed)),
+            s=put(np.ascontiguousarray(s, np.float32)),
+            m=put(np.ascontiguousarray(m, np.float32)) if m is not None else None,
+            fmt="nib4c",
+            group=g,
+            shape=(K, N),
+        )
+    if is4:
         qu = q.astype(np.uint8)
         packed = (qu[:, : K // 2] | (qu[:, K // 2 :] << 4)).view(np.int8)
         return QuantTensor(
@@ -393,7 +429,8 @@ def pack_gguf_experts(
 
 
 def pack_experts_int8_g16(
-    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int, int], put=jnp.asarray
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int, int],
+    put=jnp.asarray, pad_k: bool = False, pad_n: bool = False,
 ) -> QuantTensor:
     """Stacked-expert analog of ``_pack_int8_g16`` (runtime/weights.py):
     unify mixed per-layer quant types to int8 values + group-16 scales so
@@ -411,6 +448,16 @@ def pack_experts_int8_g16(
     if g != 16:
         s = np.repeat(s, g // 16, axis=1)
         m = np.repeat(m, g // 16, axis=1)
+    # pad to the streamed chunk grid like pack_gguf_experts (zero scales
+    # keep pad rows/cols dequant-exact zeros)
+    Kp = -(-K // 512) * 512 if pad_k else K
+    Np = -(-N // 512) * 512 if pad_n else N
+    if (Kp, Np) != (K, N):
+        pk, pn = Kp - K, Np - N
+        q = np.pad(q, ((0, 0), (0, pk), (0, pn)))
+        s = np.pad(s, ((0, 0), (0, pk // 16), (0, pn)))
+        m = np.pad(m, ((0, 0), (0, pk // 16), (0, pn)))
+        K, N = Kp, Np
     return QuantTensor(
         q=put(np.ascontiguousarray(q)),
         s=put(np.ascontiguousarray(s, np.float32)),
@@ -476,6 +523,21 @@ FOLD_KQ_SCALES = os.environ.get("LCG_KQ_FOLD", "0") == "1"
 LOADER_KQ_FOLD_DEFAULT = os.environ.get("LCG_KQ_FOLD", "1") == "1"
 
 
+def _fold_streams(K: int, ggml_type) -> bool:
+    """True when a folded (int8 sub-scale + per-128 f32 super-plane)
+    layout of a K-row weight still dispatches to the streamed kernels.
+
+    Mirrors decode_stream._stream_qt / _gemv_tiles: the super-scale DMA
+    chunk is (TK/128, TN) and Mosaic needs its sublane offset 8-aligned,
+    so either the K-chunk covers the whole plane (TK == K) or
+    TK/128 ≡ 0 (mod 8) → TK a 1024-multiple."""
+    if ggml_type in _NIB4_TYPES:
+        ck = nib4c_chunk(K)
+        return ck is not None and (ck == K or (ck // 128) % 8 == 0)
+    tk = next((t for t in (1024, 512, 256) if K % t == 0), None)
+    return tk is not None and (tk == K or tk % 1024 == 0)
+
+
 def pack_gguf_tensor(
     raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...], put=jnp.asarray,
     fold_scales: bool | None = None,
@@ -490,10 +552,16 @@ def pack_gguf_tensor(
     group — exactly the same dequantized values, ~4× fewer scale bytes to
     stream at decode.  Non-k-quant types ignore the flag.
     """
-    if fold_scales is None:
-        fold_scales = FOLD_KQ_SCALES
     N, K = int(np.prod(shape[:-1])), int(shape[-1])
     ggml_type = GGMLType(ggml_type)
+    if fold_scales is None:
+        # fold only when the folded layout can actually STREAM: the decode
+        # kernels DMA (TK/128, TN) super-scale chunks whose HBM sublane
+        # offsets must be 8-aligned, i.e. TK a 1024-multiple or a single
+        # full-K chunk.  K like llama-2's 11008 (chunk 512) would fold
+        # into a layout every kernel rejects — and then silently ride the
+        # scan path; keep such tensors on plain f32 scale planes instead.
+        fold_scales = FOLD_KQ_SCALES and _fold_streams(K, ggml_type)
     blck, bsize = GGML_BLOCK_SIZES[ggml_type]
     decode = _GRID_DECODERS[ggml_type]
     blocks = raw.reshape(-1, bsize)
@@ -1222,6 +1290,11 @@ def _rqmm_nib4_kernel(idx_ref, *refs, group, n_k, has_m):
 def _routed_qmm_pallas(x, q, s, m, idx, *, fmt, group, shape, has_m, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if fmt == "nib4c":
+        raise ValueError(
+            "routed kernel: nib4c experts decode through the MoE megakernel"
+            " (ops/decode_stream) or the XLA gather path, not this kernel")
 
     K, N = shape
     P = x.shape[0]

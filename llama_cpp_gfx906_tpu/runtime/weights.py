@@ -639,6 +639,26 @@ def load_llama_params_quantized(
     heads_l, kv_l = (_per_layer_counts(reader, cfg)
                      if (cfg.kv_expand or cfg.ragged_zero_fill) else (None, None))
     layers: dict = {}
+    # one fold decision per MODEL: the streamed kernel requires every
+    # projection to share one scale layout (folded int8 sub-planes vs
+    # plain f32), and folded layouts only stream when each K's chunk keeps
+    # the super-scale DMA 8-sublane aligned (quant_matmul._fold_streams —
+    # llama-2's 11008 FFN fails it).  One non-foldable or non-k-quant
+    # projection therefore keeps the whole model on plain scale planes.
+    from ..ops import quant_matmul as _qmm
+
+    fold_model = _qmm.FOLD_KQ_SCALES
+    for key in list(_layer_names(0)):
+        per_layer = [_layer_names(i)[key] for i in range(cfg.n_layers)]
+        infos = [tensors[n] for n in per_layer if n in tensors]
+        if (not infos or key not in _QUANTIZABLE
+                or len(infos[0].shape) != 2
+                or len({t.shape for t in infos}) > 1):
+            continue
+        for t in infos:
+            if not (t.ggml_type in _qmm._SCALE_PART_DECODERS
+                    and _qmm._fold_streams(int(t.shape[-1]), t.ggml_type)):
+                fold_model = False
     for key in list(_layer_names(0)):
         per_layer = [_layer_names(i)[key] for i in range(cfg.n_layers)]
         names = [n for n in per_layer if n in tensors]
@@ -664,31 +684,34 @@ def load_llama_params_quantized(
             and first.shape[-1] % 32 == 0
         ):
             if quantizable_moe:
+                # pad the expert-FF dim to the streamed chunk grid (512):
+                # gate/up out-dim and down in-dim round to the same EFp, so
+                # the FFN stays consistent; pad slices dequant to exact
+                # zeros (see pack_gguf_experts)
+                pad = dict(pad_n=key in ("moe_gate", "moe_up"),
+                           pad_k=key == "moe_down")
                 if len(types) == 1:
                     qts = [
-                        pack_gguf_experts(np.asarray(t.data), t.ggml_type, t.shape)
+                        pack_gguf_experts(np.asarray(t.data), t.ggml_type,
+                                          t.shape, **pad)
                         for t in infos
                     ]
                 else:  # mixed types across layers: unify to int8/g16
                     qts = [
-                        pack_experts_int8_g16(np.asarray(t.data), t.ggml_type, t.shape)
+                        pack_experts_int8_g16(np.asarray(t.data), t.ggml_type,
+                                              t.shape, **pad)
                         for t in infos
                     ]
             elif len(types) == 1:
                 qts = [
-                    pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape)
+                    pack_gguf_tensor(np.asarray(t.data), t.ggml_type, t.shape,
+                                     fold_scales=fold_model)
                     for t in infos
                 ]
             else:  # mixed types (e.g. Q4_K_M): unify to int8/g16
-                from ..ops import quant_matmul as _qmm
-
-                # fold only when EVERY type in the mix folds — stacked
-                # layers must share one scale layout
-                fold_mix = (_qmm.FOLD_KQ_SCALES and
-                            all(t in _qmm._SCALE_PART_DECODERS for t in types))
                 qts = [
                     _pack_int8_g16(np.asarray(t.data), t.ggml_type, t.shape,
-                                   jnp.asarray, fold_scales=fold_mix)
+                                   jnp.asarray, fold_scales=fold_model)
                     for t in infos
                 ]
             proto = qts[0]

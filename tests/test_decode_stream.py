@@ -377,3 +377,125 @@ def test_streamed_nib4c_q4km_mix(fold):
     # ulp on K rows lands at ~0.031 against the 0.03 default bound, and
     # the greedy-fedback steps accumulate path-rounding differences
     lockstep_check(cfg, params, n_prompt=7, kv_tol=6e-2, logit_tol=8e-2)
+
+
+# ---------------------------------------------------------------------------
+# MoE megakernel: router + top-k + expert-slice streaming fully in-kernel
+
+
+def estack(rng, E, K, N, g=16):
+    """Stacked int8 affine experts (the pack_experts_int8_g16 layout)."""
+    q = rng.integers(0, 16, (E, K, N)).astype(np.int8)
+    s = rng.uniform(0.002, 0.006, (E, K // g, N)).astype(np.float32)
+    m = rng.uniform(0.0, 0.05, (E, K // g, N)).astype(np.float32)
+    st = lambda a: jnp.stack([jnp.asarray(a)] * L)
+    return qmm.QuantTensor(q=st(q), s=st(s), m=st(m), fmt="int8", group=g,
+                           shape=(K, N))
+
+
+def moe_params(rng, E=8, EF=256, shexp=True, sgi=True):
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.float32) * 1.1,
+        "ffn_norm": jnp.ones((L, D), jnp.float32) * 0.9,
+        "wq": qstack(rng, D, HQ * DH),
+        "wk": qstack(rng, D, HKV * DH),
+        "wv": qstack(rng, D, HKV * DH),
+        "wo": qstack(rng, HQ * DH, D),
+        "moe_gate_inp": jnp.asarray(
+            rng.standard_normal((L, D, E)) * 0.3, jnp.float32),
+        "moe_gate": estack(rng, E, D, EF),
+        "moe_up": estack(rng, E, D, EF),
+        "moe_down": estack(rng, E, EF, D),
+    }
+    if shexp:
+        layers["shexp_gate"] = qstack(rng, D, F)
+        layers["shexp_up"] = qstack(rng, D, F)
+        layers["shexp_down"] = qstack(rng, F, D)
+        if sgi:
+            layers["shexp_gate_inp"] = jnp.asarray(
+                rng.standard_normal((L, D, 1)) * 0.1, jnp.float32)
+    head = rng.standard_normal((V, D), dtype=np.float32) * 0.05
+    return {
+        "tok_emb": jnp.asarray(rng.standard_normal((V, D)) * 0.1,
+                               jnp.bfloat16),
+        "out_norm": jnp.ones(D, jnp.float32),
+        "lm_head": qmm.pack_gguf_tensor(quantize(head, GGMLType.Q8_0),
+                                        GGMLType.Q8_0, (V, D)),
+        "layers": fuse_projections(layers),
+    }
+
+
+@pytest.mark.parametrize("shexp,gating,wnorm", [
+    (True, 1, False),    # qwen2moe: softmax, no renorm, shared expert
+    (False, 1, True),    # mixtral/qwen3moe: softmax + renorm, no shexp
+    (False, 2, True),    # sigmoid gating (deepseek-lineage)
+])
+def test_streamed_moe_matches_scan(shexp, gating, wnorm):
+    rng = np.random.default_rng(29)
+    cfg = make_cfg(n_experts=8, n_experts_used=2, expert_ff=256,
+                   expert_weights_norm=wnorm, expert_gating_func=gating)
+    params = moe_params(rng, shexp=shexp)
+    if shexp:
+        assert "shexp_gateup_fused" in params["layers"]
+    lockstep_check(cfg, params, n_prompt=7, seed=29)
+
+
+def test_streamed_moe_nib4c_padded_experts():
+    """nib4c experts with the expert-FF dim padded to the 512 chunk grid
+    (the loader's pack_gguf_experts pad_n/pad_k path) through the kernel's
+    expert windows."""
+    from llama_cpp_gfx906_tpu.gguf import quantize as q_
+    D2, HQ2, DH2, EF_RAW = 512, 4, 128, 384  # pads to 512
+    E = 4
+    rng = np.random.default_rng(31)
+
+    def experts4(N, K, pad_k=False, pad_n=False):
+        w = rng.standard_normal((E, N, K), dtype=np.float32) * 0.05
+        raw = q_(w.reshape(E * N, K), GGMLType.Q4_K)
+        qt = qmm.pack_gguf_experts(raw, GGMLType.Q4_K, (E, N, K),
+                                   pad_k=pad_k, pad_n=pad_n)
+        assert qt.fmt == "nib4c"
+        st = lambda a: (jnp.stack([a] * L) if a is not None else None)
+        return qmm.QuantTensor(q=st(qt.q), s=st(qt.s), m=st(qt.m),
+                               fmt=qt.fmt, group=qt.group, shape=qt.shape)
+
+    def q8stack(K, N):
+        w = rng.standard_normal((N, K), dtype=np.float32) * 0.05
+        qt = qmm.pack_gguf_tensor(q_(w, GGMLType.Q8_0), GGMLType.Q8_0,
+                                  (N, K))
+        return qmm.QuantTensor(
+            q=jnp.stack([qt.q] * L), s=jnp.stack([qt.s] * L), m=None,
+            fmt=qt.fmt, group=qt.group, shape=qt.shape)
+
+    layers = fuse_projections({
+        "attn_norm": jnp.ones((L, D2), jnp.float32) * 1.1,
+        "ffn_norm": jnp.ones((L, D2), jnp.float32) * 0.9,
+        "wq": q8stack(D2, HQ2 * DH2),
+        "wk": q8stack(D2, DH2),
+        "wv": q8stack(D2, DH2),
+        "wo": q8stack(HQ2 * DH2, D2),
+        "moe_gate_inp": jnp.asarray(
+            rng.standard_normal((L, D2, E)) * 0.3, jnp.float32),
+        "moe_gate": experts4(EF_RAW, D2, pad_n=True),
+        "moe_up": experts4(EF_RAW, D2, pad_n=True),
+        "moe_down": experts4(D2, EF_RAW, pad_k=True),
+    })
+    assert layers["moe_gate"].shape == (D2, 512)
+    assert layers["moe_down"].shape == (512, D2)
+    head = rng.standard_normal((V, D2), dtype=np.float32) * 0.05
+    params = {
+        "tok_emb": jnp.asarray(rng.standard_normal((V, D2)) * 0.1,
+                               jnp.bfloat16),
+        "out_norm": jnp.ones(D2, jnp.float32),
+        "lm_head": qmm.pack_gguf_tensor(q_(head, GGMLType.Q8_0),
+                                        GGMLType.Q8_0, (V, D2)),
+        "layers": layers,
+    }
+    cfg = ModelConfig(
+        arch="llama", n_layers=L, n_embd=D2, n_heads=HQ2, n_kv_heads=1,
+        head_dim=DH2, n_ff=512, n_vocab=V, n_ctx_train=S,
+        n_experts=E, n_experts_used=2, expert_ff=EF_RAW,
+        expert_weights_norm=True,
+    )
+    lockstep_check(cfg, params, n_prompt=7, seed=31, kv_tol=6e-2,
+                   logit_tol=8e-2)

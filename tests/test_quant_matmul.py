@@ -191,6 +191,15 @@ def test_routed_xla_matches_dense(qtype):
 def test_routed_pallas_interpret(qtype):
     qt, _ = make_experts(qtype, E=4, N=128, K=512)
     P, K = 5, 512
+    if qt.fmt == "nib4c":
+        # the loader packs 4-bit experts chunk-local (for the MoE
+        # megakernel); rebuild the legacy split-K nib4 layout this routed
+        # kernel tiles
+        vals = np.asarray(
+            qmm._unpack4_jnp(qt.q, "nib4c", K), np.uint8)  # (E, K, N)
+        packed = (vals[:, : K // 2] | (vals[:, K // 2 :] << 4)).view(np.int8)
+        qt = qmm.QuantTensor(q=jnp.asarray(packed), s=qt.s, m=qt.m,
+                             fmt="nib4", group=qt.group, shape=qt.shape)
     x = (RNG.standard_normal((P, K)) * 0.5).astype(np.float32)
     idx = RNG.integers(0, 4, size=P).astype(np.int32)
     got = np.asarray(
