@@ -151,7 +151,9 @@ def test_qwen2moe(tmp_path):
     path = str(tmp_path / "tiny-qwen2moe-f32.gguf")
     convert_hf_llama(hf, dummy_vocab("llama"), path, quant_type=GGMLType.F32, arch="qwen2moe")
     eng = Engine.from_gguf(path, max_seq=32, dtype=jnp.float32)
-    assert "shexp_gate" in eng.params["layers"]
+    # loader fuses the shared expert's gate|up when shapes allow
+    assert ("shexp_gateup_fused" in eng.params["layers"]
+            or "shexp_gate" in eng.params["layers"])
     assert not eng.cfg.expert_weights_norm
 
     ids = [3, 17, 42, 9, 88]
