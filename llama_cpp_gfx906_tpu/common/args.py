@@ -204,8 +204,9 @@ REGISTRY: list[Flag] = [
        "accepted for compatibility (special tokens always render in "
        "the stream)", action="store_true", scopes={"cli"}),
     _f(["--no-warmup"], "no_warmup",
-       "accepted for compatibility (no warmup run is performed)",
-       action="store_true", scopes={"cli", "embedding"}),
+       "skip the startup warmup run (server: the compile-the-hot-paths "
+       "request before /health reports ok)",
+       action="store_true", scopes={"cli", "embedding", "server"}),
     # ---- interactive / conversation (tools/main REPL surface) -------------
     _f(["-i", "--interactive"], "interactive",
        "interactive mode: control returns to the user at EOG / reverse "

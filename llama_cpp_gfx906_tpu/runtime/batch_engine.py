@@ -155,6 +155,9 @@ class BatchedEngine:
         # speculative/prefilling slot) so per-token host control is not
         # needed; tokens stream in burst-sized groups.
     ):
+        from .engine import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
@@ -856,15 +859,15 @@ class BatchedEngine:
         # a PREFILLING slot would have its first tokens delayed by the
         # whole burst, so bursts wait for an all-generating engine.
         burst = self.decode_burst
-        if burst > 1:
-            if (any(s.state == SlotState.PREFILLING for s in self.slots)
-                    or any(s.n_past + burst >= self.max_seq
-                           for s in self.slots)):
-                burst = 1
-            else:
-                burst = max(1, min(
-                    burst,
-                    max(s.n_predict - len(s.generated) for s in active)))
+        if burst > 1 and (
+                any(s.state == SlotState.PREFILLING for s in self.slots)
+                or any(s.n_past + burst >= self.max_seq
+                       for s in self.slots)):
+            burst = 1
+        # burst length stays FIXED at K: n_steps is a static arg, so a
+        # tail-sized burst (remaining n_predict < K) would compile a new
+        # program — 20-40 s over a tunneled chip vs at most K-1 truncated
+        # decode steps (~ms).  Overshoot rows die above n_past.
 
         tokens = np.zeros((self.n_slots, 1), np.int32)
         temp = np.zeros(self.n_slots, np.float32)
@@ -1213,6 +1216,34 @@ class BatchedEngine:
         keep = min(len(slot.cache_tokens), self.max_seq - guard)
         slot.cache_tokens = slot.cache_tokens[:keep]
         self.n_past_host[slot.id] = keep
+
+    def warmup(self) -> None:
+        """Compile the hot serving programs before traffic arrives.
+
+        The reference warms up with a throwaway decode at init
+        (common_init_from_params; disabled by --no-warmup).  Here one tiny
+        greedy request runs to completion, which traces the smallest
+        prefill bucket, the fused burst decode and the single-step decode;
+        with the persistent compile cache every later restart replays
+        these from disk.  Metrics and the slot's prompt cache are cleared
+        so /metrics and prefix reuse start clean."""
+        bos = self.tokenizer.vocab.special.bos or 0
+        for n, burst in ((self.decode_burst + 1, self.decode_burst), (2, 1)):
+            saved, self.decode_burst = self.decode_burst, burst
+            try:
+                slot = self.add_request([int(bos)] * 4, n,
+                                        SamplerConfig(temp=0.0), "warmup")
+                if slot is None:  # saturated engine: nothing to warm
+                    return
+                slot.no_cache = True  # reset() drops the warmup prefix rows
+                for _ in range(n * 4):
+                    if any(fin for s, _t, fin in self.step() if s is slot):
+                        break
+                self.release(slot)
+            finally:
+                self.decode_burst = saved
+        for k in self.metrics:
+            self.metrics[k] = 0.0 if isinstance(self.metrics[k], float) else 0
 
     # -- state save/restore (llama_state_seq_* analog) ------------------------
 

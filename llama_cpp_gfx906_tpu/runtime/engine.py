@@ -11,6 +11,7 @@ it in place in HBM.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -35,6 +36,32 @@ def bucket_len(n: int) -> int:
         if n <= b:
             return b
     return ((n + 4095) // 4096) * 4096
+
+
+_COMPILE_CACHE_ON = False
+
+
+def enable_persistent_compile_cache() -> None:
+    """Turn on XLA's on-disk compilation cache for this process.
+
+    A fresh engine process re-traces every prefill bucket and decode
+    program; on a tunneled TPU each remote compile costs 20-40 s, so a
+    server restart pays minutes before steady state.  The reference ships
+    its kernels precompiled in the binary — the XLA analog is the
+    persistent compilation cache, which makes every restart warm.  Dir:
+    ``LCG_COMPILE_CACHE_DIR`` (default ``/tmp/lcg_jax_cache``); disable
+    with ``LCG_NO_COMPILE_CACHE=1``."""
+    global _COMPILE_CACHE_ON
+    if _COMPILE_CACHE_ON or os.environ.get("LCG_NO_COMPILE_CACHE"):
+        return
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("LCG_COMPILE_CACHE_DIR", "/tmp/lcg_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # unsupported backend/config: cache is best-effort
+    _COMPILE_CACHE_ON = True
 
 
 class ModelLoadCancelled(RuntimeError):
@@ -174,6 +201,7 @@ class Engine:
         # (llama-model.cpp:1908-1975); build one with
         # parallel.sharding.make_mesh or common.args.mesh_from_args.
     ) -> "Engine":
+        enable_persistent_compile_cache()
         t0 = time.perf_counter()
         reader = GGUFModelReader(path)
         if kv_overrides:

@@ -1082,6 +1082,11 @@ def main(argv=None) -> int:
                            kv_cache_dtype=kv_dtype, mesh=mesh)
     if args.lora:
         engine.attach_lora(args.lora)
+    if not getattr(args, "no_warmup", False):
+        # compile the hot prefill/decode programs before /health goes ok
+        # (reference common_init warmup; persistent compile cache makes
+        # restarts replay these from disk)
+        engine.warmup()
     encoder = None
     if args.rerank_model:
         from ..runtime.encoder import EncoderEngine

@@ -91,6 +91,12 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None, help="with --spawn")
     ap.add_argument("--startup-timeout", type=float, default=300.0)
+    ap.add_argument("--warmup", choices=("none", "one", "full"),
+                    default="full",
+                    help="untimed pre-pass: 'full' covers every prompt "
+                    "bucket at full concurrency (steady-state serving "
+                    "numbers, first-compile cost excluded), 'one' fires a "
+                    "single 2-token request, 'none' times a cold server")
     args = ap.parse_args(argv)
 
     base = f"http://{args.host}:{args.port}"
@@ -121,7 +127,23 @@ def main(argv=None) -> int:
         ]
 
         # warmup (compile paths), then the timed concurrent run
-        one_request(base, prompts[0], 2)
+        if args.warmup != "none":
+            one_request(base, prompts[0], 2)
+        if args.warmup == "full":
+            # one untimed representative per prefill bucket, fired at full
+            # concurrency: compiles every bucketed prefill program plus the
+            # multi-slot burst/single-step decode paths, so the timed run
+            # measures steady-state serving rather than first compiles
+            sys.path.insert(0, REPO)
+            from llama_cpp_gfx906_tpu.runtime.engine import bucket_len
+
+            reps: dict[int, list[int]] = {}
+            for p in prompts:
+                reps.setdefault(bucket_len(len(p)), p)
+            with cf.ThreadPoolExecutor(max_workers=args.parallel) as pool:
+                list(pool.map(
+                    lambda p: one_request(base, p, args.n_predict),
+                    reps.values()))
         t0 = time.perf_counter()
         with cf.ThreadPoolExecutor(max_workers=args.parallel) as pool:
             results = list(pool.map(

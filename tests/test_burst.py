@@ -151,3 +151,38 @@ def test_unbounded_n_predict_runs_past_one_token(model_path):
         if s.stop_reason is not None:
             break
     assert n > 1
+
+
+def test_warmup_compiles_and_leaves_engine_clean(model_path):
+    """warmup() (the server's pre-/health compile pass, the reference
+    common_init warmup analog) must run a burst + a single-step request to
+    completion, then leave zeroed metrics and fully-free slots, and a
+    later request must match a never-warmed engine token-for-token."""
+    eng = _engine(model_path, 4, n_slots=2, max_seq=128)
+    eng.warmup()
+    assert all(v == 0 for v in eng.metrics.values())
+    assert all(s.state.name == "IDLE" for s in eng.slots)
+    got, _ = _run(eng, [[3, 17, 42, 9]], n_predict=10)
+    ref_eng = _engine(model_path, 4, n_slots=2, max_seq=128)
+    ref, _ = _run(ref_eng, [[3, 17, 42, 9]], n_predict=10)
+    assert list(got.values()) == list(ref.values())
+
+
+def test_burst_fixed_length_no_tail_resize(model_path, monkeypatch):
+    """Burst length stays static when a request's remaining n_predict is
+    smaller than K (a tail-sized burst would compile a new program);
+    overshoot tokens must be truncated at exactly n_predict."""
+    eng = _engine(model_path, 8, n_slots=1, max_seq=128)
+    seen_bursts = set()
+    orig = eng._decode_burst_fn
+
+    def spy(*a, **kw):
+        # positional: (params, cfg, tokens, kv, key, ...) with burst as
+        # the trailing static int before gain
+        seen_bursts.add(a[-2])
+        return orig(*a, **kw)
+
+    eng._decode_burst_fn = spy
+    got, slots = _run(eng, [[3, 17, 42, 9]], n_predict=11)
+    assert len(list(got.values())[0]) == 11
+    assert seen_bursts == {8}  # never a tail-sized 3-step program
