@@ -208,6 +208,34 @@ def bench_8b() -> dict:
     print(json.dumps(out))  # partial line: default-config numbers survive
     # an ablation-leg failure (the parent keeps the LAST json line)
 
+    # --- batched serving decode: B=4 slots through the SAME streamed
+    #     megakernel (round-5: per-slot n_past/rope/KV streams, ONE shared
+    #     weight stream per step — the llama-server -np 4 configuration) --
+    try:
+        B4 = 4
+        kv = None  # free the single-stream cache before the B=4 alloc
+        kv4 = KVCache.create(cfg, batch=B4, max_seq=1024, dtype=jnp.bfloat16)
+        out["stream_dispatch_8b_b4"] = bool(_stream_ok(params, cfg, kv4, B4, 1))
+        prompt4 = jnp.asarray(rng.integers(0, V, (B4, 16)), jnp.int32)
+        logits4, kv4 = fwd(params, cfg, prompt4, kv4)
+        tok4 = logits4[:, -1:].argmax(-1).astype(jnp.int32)
+        for _ in range(2):
+            toks4, kv4 = decode_steps(params, tok4, kv4, 16)
+            tok4 = toks4[-1].reshape(B4, 1)
+        np.asarray(tok4)
+        t0 = time.perf_counter()
+        for _ in range(n_decode // 16):
+            toks4, kv4 = decode_steps(params, tok4, kv4, 16)
+            tok4 = toks4[-1].reshape(B4, 1)
+        np.asarray(tok4)
+        dt4 = time.perf_counter() - t0
+        out["batched_decode_tok_s_8b_b4"] = round(B4 * n_decode / dt4, 2)
+        out["eff_bw_gb_s_8b_b4"] = round(streamed * (n_decode / dt4) / 1e9, 1)
+        kv4 = logits4 = toks4 = None
+        print(json.dumps(out))
+    except Exception as e:
+        out["bench_8b_b4_error"] = f"{type(e).__name__}: {e}"[:160]
+
     # --- ABLATION: lossless int8 repack of the nib4c tensors (the
     #     round-3 fast path: 2× the streamed/resident weight bytes for a
     #     higher per-byte DMA rate).  Kept as a comparison row so the

@@ -20,7 +20,10 @@ Reference analog: the fork's persistent fused-GEMM decode discipline
 (docs/gfx906/implementation_guide.md:170-287) applied at a size where
 even one projection exceeds on-chip memory.
 
-Scope (``_stream_ok``): B=1, T=1, int8/nib4c-format QuantTensor weights
+Scope (``_stream_ok``): B ≤ 8 (dense; the batched rows ride every MXU dot
+free while the weights stream ONCE per step — the whole point of batched
+serving on an HBM-bound chip; MoE stays B=1), T=1, int8/nib4c-format
+QuantTensor weights
 (Q8_0 / Q6_K lineage / chunk-packed 4-bit), either a fully fused qkv or
 the split-v layout (``wqk_fused`` + ``wv`` — the Q4_K_M disposition where
 a Q6_K attn_v would otherwise force the q/k planes to int8 width), bf16/
@@ -107,7 +110,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
             dbuf_qkv, dbuf_v, dbuf_o, dbuf_gu, dbuf_dn,
             dmbuf_qkv, dmbuf_v, dmbuf_o, dmbuf_gu, dmbuf_dn,
             ksem, vsem, isem, wsem, ssem, msem, dsem, dmsem,
-            *, Hq, Hkv, Dh, F, BK, tn_caps, g_qkv, g_v, g_o, g_gu, g_dn,
+            *, B, Hq, Hkv, Dh, F, BK, tn_caps, g_qkv, g_v, g_o, g_gu, g_dn,
             hm_qkv, hm_v, hm_o, hm_gu, hm_dn,
             n4_qkv, n4_v, n4_o, n4_gu, n4_dn, split_v,
             folded, SB,
@@ -125,18 +128,32 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     def _():
         xout_ref[:] = x0_ref[:]
 
-    x = xout_ref[:]  # (1, D) f32 carry across grid steps
+    x = xout_ref[:]  # (B, D) f32 carry across grid steps
 
-    np_ = npast_ref[0]
-    base = pl.multiple_of((np_ // 8) * 8, 8)
+    np_b = [npast_ref[b] for b in range(B)]
+    bases = [pl.multiple_of((np_b[b] // 8) * 8, 8) for b in range(B)]
 
-    # the KV insert tile read starts now; latency hides under the qkv GEMV
-    k_tin = pltpu.make_async_copy(
-        kin_ref.at[l, 0, pl.ds(base, 8), :], krow, isem.at[0])
-    v_tin = pltpu.make_async_copy(
-        vin_ref.at[l, 0, pl.ds(base, 8), :], vrow, isem.at[1])
-    k_tin.start()
-    v_tin.start()
+    # every slot's KV insert tile read starts now; the DMA latency hides
+    # under the qkv GEMV (v1's per-slot scheme, decode_step.py)
+    k_tins, v_tins = [], []
+    for b in range(B):
+        kt = pltpu.make_async_copy(
+            kin_ref.at[l, b, pl.ds(bases[b], 8), :],
+            krow.at[pl.ds(b * 8, 8)], isem.at[0, b])
+        vt = pltpu.make_async_copy(
+            vin_ref.at[l, b, pl.ds(bases[b], 8), :],
+            vrow.at[pl.ds(b * 8, 8)], isem.at[1, b])
+        kt.start()
+        vt.start()
+        k_tins.append(kt)
+        v_tins.append(vt)
+
+    def row(mat, b):  # extract row b of (B, X) without sublane-offset slices
+        if B == 1:
+            return mat
+        sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == b
+        return jnp.sum(jnp.where(sel, mat, jnp.zeros_like(mat)),
+                       axis=0, keepdims=True)
 
     def rms(v, w):
         sc = jax.lax.rsqrt(jnp.mean(v * v, axis=-1, keepdims=True) + eps)
@@ -168,7 +185,14 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         stay chunk-contiguous, so only the window row count and the
         unpack-into-two-planes dequant differ from int8.  Halves the
         streamed weight bytes; the elementwise unpack keeps up with the
-        DMA (scripts/exp_nib4.py: ~590 GB/s packed on the 8B shape)."""
+        DMA (scripts/exp_nib4.py: ~590 GB/s packed on the 8B shape).
+
+        ``xb`` may carry M ≤ 8 rows (batched serving): the extra rows ride
+        the same MXU dots free, the dequant work is unchanged, and HBM
+        weight traffic is amortized over all M tokens.  The M=1-only
+        schedules (groupdot-diff nib4c, _DEQ_MODE 5) fall back to the
+        elementwise dequant for M > 1."""
+        M = xb.shape[0]
         kd = 2 if exp is not None else 1  # expert tensors: (L, E, Kq, N)
         K = 2 * wq.shape[kd] if is_n4 else wq.shape[kd]
         N = wq.shape[kd + 1]
@@ -188,11 +212,11 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
         chunks = [(j0, k0) for j0 in range(0, N, TN) for k0 in range(0, K, TK)]
 
         TKg = TK // g
-        if has_m and (_DEQ_MODE != 5 or is_n4):
-            row = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 0)
+        if has_m and (_DEQ_MODE != 5 or is_n4 or M > 1):
+            riot = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (TK, TKg), 1)
-            gmat = (row // g == col).astype(jnp.bfloat16)
-        if _DEQ_MODE == 5 and not is_n4:
+            gmat = (riot // g == col).astype(jnp.bfloat16)
+        if _DEQ_MODE == 5 and not is_n4 and M == 1:
             # group-factored schedule: block-diagonal x expansion so the
             # MXU dots RAW int8 (exact in bf16: |q| ≤ 127 < 2^8 mantissa)
             # per group and scales apply per GROUP row afterward — the
@@ -226,7 +250,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
 
         start(0)
         outs = []
-        acc = jnp.zeros((1, TN), jnp.float32)
+        acc = jnp.zeros((M, TN), jnp.float32)
         for t, (j0, k0) in enumerate(chunks):
             s = t % 2
             if t + 1 < len(chunks):
@@ -245,7 +269,50 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                              * jnp.repeat(dbuf[s], SB // g, axis=0))
             else:
                 sg_g_full = sb[s, :TK // g, :TN]
-            mode = _DEQ_MODE if not is_n4 else 0
+            mode = _DEQ_MODE if (not is_n4 and M == 1) else 0
+            if is_n4 and M > 1:
+                # batched rows: elementwise nibble unpack (the groupdot-diff
+                # schedule's block-diagonal x expansions are per-row); the
+                # unpack VPU cost is the same as M=1 but amortizes over M
+                # tokens, and the MXU dot takes all M rows in one pass.
+                # Mins subtract BEFORE the bf16 cast (the scanned path's
+                # rounding: the positive-shifted q·s loses a bf16 mantissa
+                # bit that q·s − m keeps), so no correction dots
+                if has_m:
+                    pltpu.make_async_copy(
+                        wsl(wm, k0 // g, TK // g, j0, TN),
+                        mb.at[s, :TK // g, :TN], msem.at[s]).wait()
+                    if fo:
+                        pltpu.make_async_copy(
+                            wsl(wmd, k0 // SB, TK // SB, j0, TN),
+                            dmbuf.at[s], dmsem.at[s]).wait()
+                        mg_full = (mb[s, :TK // g, :TN].astype(jnp.float32)
+                                   * jnp.repeat(dmbuf[s], SB // g, axis=0))
+                    else:
+                        mg_full = mb[s, :TK // g, :TN]
+                subs = []
+                for n0 in range(0, TN, 512):
+                    nn = min(512, TN - n0)
+                    q8 = wb[s, :TKq, n0:n0 + nn]
+                    b32 = q8.astype(jnp.int32) + 128  # packed = lo+16·hi−128
+                    lo = (b32 & 15).astype(jnp.float32)
+                    hi = (b32 >> 4).astype(jnp.float32)
+                    wfull = jnp.concatenate([lo, hi], axis=0)  # (TK, nn)
+                    sg = jnp.repeat(sg_g_full[:, n0:n0 + nn], g, axis=0)
+                    wd = wfull * sg
+                    if has_m:
+                        wd = wd - jnp.repeat(mg_full[:, n0:n0 + nn], g,
+                                             axis=0)
+                    subs.append(jax.lax.dot(
+                        xb[:, k0:k0 + TK].astype(jnp.bfloat16),
+                        wd.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32))
+                acc = acc + (subs[0] if len(subs) == 1
+                             else jnp.concatenate(subs, axis=-1))
+                if k0 + TK >= K:
+                    outs.append(acc)
+                    acc = jnp.zeros((M, TN), jnp.float32)
+                continue
             if is_n4:
                 # nib4c groupdot-diff schedule (the 693 GB/s variant,
                 # scripts/exp_nib4.py nib4xi8): the biased packed byte
@@ -391,7 +458,7 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                     xg, mg, preferred_element_type=jnp.float32)
             if k0 + TK >= K:
                 outs.append(acc)
-                acc = jnp.zeros((1, TN), jnp.float32)
+                acc = jnp.zeros((M, TN), jnp.float32)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
     # ---- attention ---------------------------------------------------------
@@ -439,112 +506,130 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
     v_vec = qkv[:, Dq + Dkv:]
     k_vec = jnp.concatenate(k_rows, axis=-1) if Hkv > 1 else k_rows[0]
 
-    # KV insert: masked RMW of the aligned 8-row tile (v1's scheme, B=1)
+    # KV insert (masked RMW of each slot's aligned 8-row tile) + flash-
+    # style streamed attention, per slot (v1's B≤8 scheme, decode_step.py:
+    # each slot's live prefix streams through the shared double-buffered
+    # chunk window; the assembled (B, Hq·Dh) rows then share ONE wo stream)
     G = Hq // Hkv
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BK), 1)
     t8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    lo = jnp.where(window > 0, jnp.maximum(np_ - window + 1, 0), 0)
-    c0 = lo // BK
-    n_chunks = (np_ + BK - 1) // BK
+    o_slot_rows = []
+    ins_dmas = []
+    for b in range(B):
+        np_ = np_b[b]
+        lo = jnp.where(window > 0, jnp.maximum(np_ - window + 1, 0), 0)
+        c0 = lo // BK
+        n_chunks = (np_ + BK - 1) // BK
 
-    k_tin.wait()
-    v_tin.wait()
-    t_iota = base + t8
-    krow[:] = jnp.where(t_iota == np_, k_vec.astype(krow.dtype), krow[:])
-    vrow[:] = jnp.where(t_iota == np_, v_vec.astype(vrow.dtype), vrow[:])
-    k_ins = pltpu.make_async_copy(
-        krow, kout_ref.at[l, 0, pl.ds(base, 8), :], isem.at[0])
-    v_ins = pltpu.make_async_copy(
-        vrow, vout_ref.at[l, 0, pl.ds(base, 8), :], isem.at[1])
-    k_ins.start()
-    v_ins.start()
+        kvk_b = row(k_vec, b)
+        kvv_b = row(v_vec, b)
+        k_tins[b].wait()
+        v_tins[b].wait()
+        t_iota = bases[b] + t8
+        krow[b * 8:(b + 1) * 8] = jnp.where(
+            t_iota == np_, kvk_b.astype(krow.dtype), krow[b * 8:(b + 1) * 8])
+        vrow[b * 8:(b + 1) * 8] = jnp.where(
+            t_iota == np_, kvv_b.astype(vrow.dtype), vrow[b * 8:(b + 1) * 8])
+        k_ins = pltpu.make_async_copy(
+            krow.at[pl.ds(b * 8, 8)],
+            kout_ref.at[l, b, pl.ds(bases[b], 8), :], isem.at[0, b])
+        v_ins = pltpu.make_async_copy(
+            vrow.at[pl.ds(b * 8, 8)],
+            vout_ref.at[l, b, pl.ds(bases[b], 8), :], isem.at[1, b])
+        k_ins.start()
+        v_ins.start()
+        ins_dmas += [k_ins, v_ins]
 
-    def kdma(slot, i):
-        return pltpu.make_async_copy(
-            kin_ref.at[l, 0, pl.ds(i * BK, BK), :], kbuf.at[slot],
-            ksem.at[slot])
+        def kdma(slot, i, b=b):
+            return pltpu.make_async_copy(
+                kin_ref.at[l, b, pl.ds(i * BK, BK), :], kbuf.at[slot],
+                ksem.at[slot])
 
-    def vdma(slot, i):
-        return pltpu.make_async_copy(
-            vin_ref.at[l, 0, pl.ds(i * BK, BK), :], vbuf.at[slot],
-            vsem.at[slot])
+        def vdma(slot, i, b=b):
+            return pltpu.make_async_copy(
+                vin_ref.at[l, b, pl.ds(i * BK, BK), :], vbuf.at[slot],
+                vsem.at[slot])
 
-    @pl.when(c0 < n_chunks)
-    def _():
-        kdma(jax.lax.rem(c0, 2), c0).start()
-        vdma(jax.lax.rem(c0, 2), c0).start()
-
-    qbs = [q_rows[i].astype(jnp.bfloat16) for i in range(Hq)]
-    init = tuple(
-        (jnp.zeros((1, Dh), jnp.float32),
-         jnp.full((1, 1), NEG_INF, jnp.float32),
-         jnp.zeros((1, 1), jnp.float32))
-        for _ in range(Hq)
-    )
-
-    def chunk_body(i, carry):
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < n_chunks)
+        @pl.when(c0 < n_chunks)
         def _():
-            kdma(1 - slot, i + 1).start()
-            vdma(1 - slot, i + 1).start()
+            kdma(jax.lax.rem(c0, 2), c0).start()
+            vdma(jax.lax.rem(c0, 2), c0).start()
 
-        kdma(slot, i).wait()
-        vdma(slot, i).wait()
-        kc = kbuf[slot]
-        vc = vbuf[slot]
-        rows = i * BK + c_iota
-        live = (rows >= lo) & (rows < np_)
-        out = []
+        qbs = [row(q_rows[i], b).astype(jnp.bfloat16) for i in range(Hq)]
+        init = tuple(
+            (jnp.zeros((1, Dh), jnp.float32),
+             jnp.full((1, 1), NEG_INF, jnp.float32),
+             jnp.zeros((1, 1), jnp.float32))
+            for _ in range(Hq)
+        )
+
+        def chunk_body(i, carry, np_=np_, lo=lo, n_chunks=n_chunks,
+                       kdma=kdma, vdma=vdma, qbs=qbs):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                kdma(1 - slot, i + 1).start()
+                vdma(1 - slot, i + 1).start()
+
+            kdma(slot, i).wait()
+            vdma(slot, i).wait()
+            kc = kbuf[slot]
+            vc = vbuf[slot]
+            rows = i * BK + c_iota
+            live = (rows >= lo) & (rows < np_)
+            out = []
+            for h_i in range(Hkv):
+                kch = kc[:, h_i * Dh:(h_i + 1) * Dh]
+                vch = vc[:, h_i * Dh:(h_i + 1) * Dh]
+                for g_i in range(G):
+                    qi = h_i * G + g_i
+                    acc, m, den = carry[qi]
+                    sc = jax.lax.dot_general(
+                        qbs[qi], kch, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    sc = jnp.where(live, sc, NEG_INF)
+                    m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                    p = jnp.exp(sc - m_new)
+                    alpha = jnp.exp(m - m_new)
+                    den = den * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p.astype(jnp.bfloat16), vch, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out.append((acc * alpha + pv, m_new, den))
+            return tuple(out)
+
+        carry = jax.lax.fori_loop(c0, n_chunks, chunk_body, init)
+
+        # self term; the slot's assembled (1, Hq·Dh) attention row
+        kb = kvk_b.astype(jnp.bfloat16).astype(jnp.float32)
+        vb = kvv_b.astype(jnp.bfloat16).astype(jnp.float32)
+        o_rows = []
         for h_i in range(Hkv):
-            kch = kc[:, h_i * Dh:(h_i + 1) * Dh]
-            vch = vc[:, h_i * Dh:(h_i + 1) * Dh]
+            k_h = kb[:, h_i * Dh:(h_i + 1) * Dh]
+            v_h = vb[:, h_i * Dh:(h_i + 1) * Dh]
             for g_i in range(G):
                 qi = h_i * G + g_i
                 acc, m, den = carry[qi]
-                sc = jax.lax.dot_general(
-                    qbs[qi], kch, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                s_self = jnp.sum(
+                    qbs[qi].astype(jnp.float32) * k_h, axis=-1, keepdims=True
                 ) * scale
-                sc = jnp.where(live, sc, NEG_INF)
-                m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
-                p = jnp.exp(sc - m_new)
+                m_new = jnp.maximum(m, s_self)
+                p = jnp.exp(s_self - m_new)
                 alpha = jnp.exp(m - m_new)
-                den = den * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16), vch, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                out.append((acc * alpha + pv, m_new, den))
-        return tuple(out)
-
-    carry = jax.lax.fori_loop(c0, n_chunks, chunk_body, init)
-
-    # self term, then the assembled (1, Hq·Dh) row streams through wo
-    kb = k_vec.astype(jnp.bfloat16).astype(jnp.float32)
-    vb = v_vec.astype(jnp.bfloat16).astype(jnp.float32)
-    o_rows = []
-    for h_i in range(Hkv):
-        k_h = kb[:, h_i * Dh:(h_i + 1) * Dh]
-        v_h = vb[:, h_i * Dh:(h_i + 1) * Dh]
-        for g_i in range(G):
-            qi = h_i * G + g_i
-            acc, m, den = carry[qi]
-            s_self = jnp.sum(
-                qbs[qi].astype(jnp.float32) * k_h, axis=-1, keepdims=True
-            ) * scale
-            m_new = jnp.maximum(m, s_self)
-            p = jnp.exp(s_self - m_new)
-            alpha = jnp.exp(m - m_new)
-            den = den * alpha + p
-            o_rows.append((acc * alpha + p * v_h) / den)
-    o_vec = (jnp.concatenate(o_rows, axis=-1) if len(o_rows) > 1
-             else o_rows[0])
+                den = den * alpha + p
+                o_rows.append((acc * alpha + p * v_h) / den)
+        o_slot_rows.append(
+            jnp.concatenate(o_rows, axis=-1) if len(o_rows) > 1
+            else o_rows[0])
+    o_vec = (o_slot_rows[0] if B == 1
+             else jnp.concatenate(o_slot_rows, axis=0))  # (B, Hq·Dh)
     attn_out = gemv_stream(o_vec.astype(jnp.bfloat16), wo_q, wo_s, wo_m,
                            wo_sd, wo_md, dbuf_o, dmbuf_o, g_o, hm_o, n4_o)
-    k_ins.wait()
-    v_ins.wait()
+    for d in ins_dmas:
+        d.wait()
 
     attn_b = attn_out.astype(jnp.bfloat16)
     if has_post:
@@ -671,10 +756,12 @@ _int8_affine_qt = _stream_qt  # back-compat alias (tests, docs)
 
 def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     """Same feature gate as v1's ``_fused_ok`` but sized for HBM-resident
-    weights: single-stream only, chunk grid must divide every projection."""
+    weights: B ≤ 8 slots (the weight stream amortizes across slots — the
+    per-matmul scan path pays it per launch), chunk grid must divide every
+    projection."""
     from .decode_step import _DISABLE
 
-    if _DISABLE or _DISABLE_STREAM or T != 1 or B != 1:
+    if _DISABLE or _DISABLE_STREAM or T != 1 or not (1 <= B <= 8):
         return False
     if kv.pos is not None or kv.shared_k is not None:
         return False
@@ -687,6 +774,8 @@ def _stream_ok(params, cfg, kv, B: int, T: int) -> bool:
     qkv_key = "wqk_fused" if split_v else "wqkv_fused"
     moe = "moe_gate_inp" in p
     if moe:
+        if B != 1:  # per-row expert routing/DMA not in-kernel yet
+            return False
         if not _moe_stream_ok(p, cfg):
             return False
         dense_keys = (("shexp_gateup_fused", "shexp_down")
@@ -801,8 +890,9 @@ def _moe_stream_ok(p, cfg) -> bool:
 
 
 def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
-    """One decode token through the whole stack, weights streamed from HBM.
-    Same contract as ``decode_step.fused_decode_step`` (B=1 only)."""
+    """One decode token per slot through the whole stack, weights streamed
+    from HBM.  Same contract as ``decode_step.fused_decode_step`` (B ≤ 8:
+    per-slot n_past/rope/KV streams; the weight stream is shared)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -922,7 +1012,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
     folded = qkv_qt.sd is not None
     SB = qkv_qt.sgroup if folded else 256
     kern = functools.partial(
-        _kernel, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK, tn_caps=tn_caps,
+        _kernel, B=B, Hq=Hq, Hkv=Hkv, Dh=Dh, F=F, BK=BK, tn_caps=tn_caps,
         g_qkv=qkv_qt.group, g_v=vw_qt.group, g_o=wo_qt.group,
         g_gu=gu_qt.group, g_dn=dn_qt.group,
         hm_qkv=qkv_qt.m is not None, hm_v=vw_qt.m is not None,
@@ -1003,8 +1093,8 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((2, BK, HD), k3.dtype),  # kbuf
             pltpu.VMEM((2, BK, HD), v3.dtype),  # vbuf
-            pltpu.VMEM((8, HD), k3.dtype),  # krow
-            pltpu.VMEM((8, HD), v3.dtype),  # vrow
+            pltpu.VMEM((B * 8, HD), k3.dtype),  # krow (8-row tile per slot)
+            pltpu.VMEM((B * 8, HD), v3.dtype),  # vrow
             pltpu.VMEM((2, TKmax, TNmax), jnp.int8),  # wbuf
             # folded: sub-scale planes are int8, 4× narrower in VMEM too
             pltpu.VMEM((2, TKgmax, TNmax),
@@ -1027,7 +1117,7 @@ def fused_decode_step_streamed(params, cfg, x, kv, interpret: bool = False):
               for qt in (qkv_qt, vw_qt, wo_qt, gu_qt, dn_qt)],
             pltpu.SemaphoreType.DMA((2,)),  # ksem
             pltpu.SemaphoreType.DMA((2,)),  # vsem
-            pltpu.SemaphoreType.DMA((2,)),  # isem
+            pltpu.SemaphoreType.DMA((2, B)),  # isem (insert tiles per slot)
             pltpu.SemaphoreType.DMA((2,)),  # wsem
             pltpu.SemaphoreType.DMA((2,)),  # ssem
             pltpu.SemaphoreType.DMA((2,)),  # msem

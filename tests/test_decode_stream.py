@@ -103,6 +103,52 @@ def lockstep_check(cfg, params, n_prompt, steps=3, seed=3, kv_tol=3e-2,
         tok = jnp.asarray([[int(np.argmax(logits_ref))]], jnp.int32)
 
 
+def lockstep_check_batched(cfg, params, lens, steps=3, seed=7, kv_tol=3e-2,
+                           logit_tol=2e-2):
+    """B>1 slots with ragged n_past: the kernel streams the weights ONCE
+    per step while every slot's KV prefix streams and inserts per-slot —
+    must match the scanned path row-for-row."""
+    rng = np.random.default_rng(seed)
+    B = len(lens)
+    kv = KVCache.create(cfg, batch=B, max_seq=S, dtype=jnp.bfloat16)
+    assert _stream_ok(params, cfg, kv, B, 1)
+
+    tmax = max(lens)
+    toks = np.zeros((B, tmax), np.int32)
+    for b, ln in enumerate(lens):
+        toks[b, :ln] = rng.integers(0, V, ln)
+    _, kv = forward(params, cfg, jnp.asarray(toks), kv,
+                    n_tokens=jnp.asarray(lens, jnp.int32))
+    kv_f = KVCache(k=kv.k, v=kv.v, n_past=kv.n_past)
+
+    from llama_cpp_gfx906_tpu.ops.norms import rms_norm
+    from llama_cpp_gfx906_tpu.ops.quant_matmul import linear
+
+    tok = jnp.asarray(rng.integers(0, V, (B, 1)), jnp.int32)
+    for _ in range(steps):
+        logits_ref, kv = forward(params, cfg, tok, kv)
+        x = params["tok_emb"][tok]
+        x2, k_new, v_new = fused_decode_step_streamed(params, cfg, x, kv_f,
+                                                      interpret=True)
+        kv_f = KVCache(k=k_new, v=v_new, n_past=kv_f.n_past + 1)
+        hid = rms_norm(x2, params["out_norm"], cfg.rms_eps)
+        logits = linear(hid, params["lm_head"]).astype(jnp.float32)
+        lg = np.asarray(logits[:, 0])
+        lr = np.asarray(logits_ref[:, 0])
+        np.testing.assert_allclose(lg, lr, rtol=logit_tol, atol=logit_tol)
+        for b in range(B):
+            assert lg[b, int(np.argmax(lr[b]))] >= lg[b].max() - 0.05
+        np.testing.assert_allclose(
+            np.asarray(kv_f.k, np.float32), np.asarray(kv.k, np.float32),
+            rtol=kv_tol, atol=kv_tol,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kv_f.v, np.float32), np.asarray(kv.v, np.float32),
+            rtol=kv_tol, atol=kv_tol,
+        )
+        tok = jnp.asarray(np.argmax(lr, axis=-1).reshape(B, 1), jnp.int32)
+
+
 @pytest.mark.parametrize("interleaved,n_prompt", [
     (True, 7),     # self-term + 1 KV chunk
     (False, 7),
@@ -314,17 +360,12 @@ def test_repack_then_fuse_matches_nib4():
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("fold", [False, True])
-def test_streamed_nib4c_q4km_mix(fold):
-    """The production Q4_K_M decode disposition through the megakernel:
-    Q4_K tensors stay nib4c-packed (biased chunk-local 4-bit, groupdot-
-    diff schedule); the Q6_K attn_v no longer forces an int8 qkv repack —
-    fusion keeps q|k 4-bit (wqk_fused) and the kernel streams v through
-    its own window (split-v path), optionally with folded k-quant scales
-    (the from_gguf default).  nib4c needs TK ≥ 16·group=512, so dims here
-    are 2× the module's."""
+def make_q4km(fold, seed=11):
+    """The production Q4_K_M decode disposition: Q4_K tensors nib4c-packed,
+    Q6_K attn_v split out (split-v), optionally folded k-quant scales.
+    nib4c needs TK ≥ 16·group=512, so dims here are 2× the module's."""
     D2, HQ2, DH2, F2 = 512, 4, 128, 1024
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
 
     def q4k_stack(K, N):
         w = rng.standard_normal((N, K), dtype=np.float32) * 0.05
@@ -373,10 +414,36 @@ def test_streamed_nib4c_q4km_mix(fold):
         arch="llama", n_layers=L, n_embd=D2, n_heads=HQ2, n_kv_heads=1,
         head_dim=DH2, n_ff=F2, n_vocab=V, n_ctx_train=S,
     )
+    return cfg, params
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_streamed_nib4c_q4km_mix(fold):
+    """The Q4_K_M disposition through the megakernel (split-v, groupdot-
+    diff nib4c schedule, optional fold — the from_gguf default)."""
+    cfg, params = make_q4km(fold)
     # Q4_K rounding is coarser than the module's Q8_0 shapes: one bf16
     # ulp on K rows lands at ~0.031 against the 0.03 default bound, and
     # the greedy-fedback steps accumulate path-rounding differences
     lockstep_check(cfg, params, n_prompt=7, kv_tol=6e-2, logit_tol=8e-2)
+
+
+def test_streamed_batched_slots():
+    """B=4 ragged slots through the streamed kernel (Q8_0): per-slot
+    n_past/rope/KV streams, shared weight stream — the batched-serving
+    configuration (decode_step's test_fused_batched_slots analog)."""
+    rng = np.random.default_rng(3)
+    lockstep_check_batched(make_cfg(), make_params(rng), [7, 135, 1, 40])
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_streamed_batched_nib4c_q4km(fold):
+    """Batched rows over the Q4_K_M disposition: exercises the M>1
+    elementwise nibble-unpack dequant (the groupdot-diff schedule is
+    per-row) with affine mins, split-v and folded scales."""
+    cfg, params = make_q4km(fold)
+    lockstep_check_batched(cfg, params, [7, 30, 3],
+                           kv_tol=6e-2, logit_tol=8e-2)
 
 
 # ---------------------------------------------------------------------------
