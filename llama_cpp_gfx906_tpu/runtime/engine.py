@@ -55,9 +55,15 @@ def enable_persistent_compile_cache() -> None:
     if _COMPILE_CACHE_ON or os.environ.get("LCG_NO_COMPILE_CACHE"):
         return
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("LCG_COMPILE_CACHE_DIR", "/tmp/lcg_jax_cache"))
+        backend = jax.default_backend()
+        if backend != "tpu":
+            # CPU compiles are cheap, and test processes with different
+            # virtual topologies sharing one cache dir can segfault on
+            # executable deserialization — cache only where it pays
+            _COMPILE_CACHE_ON = True
+            return
+        base = os.environ.get("LCG_COMPILE_CACHE_DIR", "/tmp/lcg_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", f"{base}-{backend}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # unsupported backend/config: cache is best-effort

@@ -22,6 +22,23 @@ jax.config.update("jax_platforms", "cpu")
 # repo root importable regardless of pytest invocation directory
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache():
+    """Drop compiled executables at module boundaries.
+
+    The full suite jits thousands of programs in one process; past ~600
+    tests the XLA CPU compiler segfaults deterministically (observed at
+    test_wave4 with 128 GB RAM free — in-process compiler state, not
+    OOM).  Clearing per module bounds the accumulation; cross-module
+    programs rarely share shapes, so the recompile cost is minor."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
 REFERENCE_DIR = "/root/reference"
 
 
