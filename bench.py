@@ -482,7 +482,7 @@ def bench_serve() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
     cmd = [_sys.executable, os.path.join("scripts", "server_bench.py"),
            "-m", model, "--spawn", "--port", "8871",
-           "--n-prompts", "16", "--parallel", "4", "--n-predict", "32",
+           "--n-prompts", "16", "--parallel", "4", "--n-predict", "64",
            "--prompt-length-min", "32", "--prompt-length-max", "256",
            "--startup-timeout", "1500"]
     if os.environ.get("BENCH_PLATFORM"):
@@ -543,6 +543,9 @@ def _enable_compile_cache() -> None:
     import jax
 
     try:
+        if jax.default_backend() != "tpu":
+            return  # CPU compiles are cheap; mixed-topology cache reads
+            # have segfaulted (see runtime.engine.enable_persistent_...)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -271,13 +271,52 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                 sg_g_full = sb[s, :TK // g, :TN]
             mode = _DEQ_MODE if (not is_n4 and M == 1) else 0
             if is_n4 and M > 1:
-                # batched rows: elementwise nibble unpack (the groupdot-diff
-                # schedule's block-diagonal x expansions are per-row); the
-                # unpack VPU cost is the same as M=1 but amortizes over M
-                # tokens, and the MXU dot takes all M rows in one pass.
-                # Mins subtract BEFORE the bf16 cast (the scanned path's
-                # rounding: the positive-shifted q·s loses a bf16 mantissa
-                # bit that q·s − m keeps), so no correction dots
+                # batched groupdot-diff: the weight-plane work stays TWO
+                # VPU casts per chunk (l_bf mask+cast, h_bf subtract) no
+                # matter how many rows ride the step — the per-row block-
+                # diagonal x expansions stack into ONE (M·TKgh, TKq) pair
+                # of MXU dots against the shared planes, and the group
+                # scales apply on the tiny per-group dot outputs.  (An
+                # elementwise unpack measured VPU-bound at ~240 GB/s on
+                # the 8B B=4 shape — ~12 f32 passes over the bytes.)
+                TKgh = TKg // 2  # groups per half-chunk
+                rg = jax.lax.broadcasted_iota(jnp.int32, (TKgh, TKq), 0)
+                cg = jax.lax.broadcasted_iota(jnp.int32, (TKgh, TKq), 1)
+                gmask_h = (cg // g == rg).astype(jnp.bfloat16)
+                lo_rows, hi_rows = [], []
+                for m_i in range(M):
+                    sel = jax.lax.broadcasted_iota(
+                        jnp.int32, (M, TK), 0) == m_i
+                    xr = jnp.sum(jnp.where(sel, xb[:, k0:k0 + TK],
+                                           jnp.zeros_like(xb[:, :TK])),
+                                 axis=0, keepdims=True)  # (1, TK)
+                    lo_rows.append(gmask_h * xr[:, :TKq])
+                    hi_rows.append(gmask_h * xr[:, TKq:])
+                xg_lo = jnp.concatenate(lo_rows, axis=0)  # (M·TKgh, TKq)
+                xg_hi = jnp.concatenate(hi_rows, axis=0)
+                xsum_hi = jnp.sum(xg_hi.astype(jnp.float32), axis=1,
+                                  keepdims=True)  # per-group x sums
+                subs = []
+                for n0 in range(0, TN, 512):
+                    nn = min(512, TN - n0)
+                    q8 = wb[s, :TKq, n0:n0 + nn]
+                    l_bf = (q8 & jnp.int8(0x0F)).astype(jnp.bfloat16)
+                    h_bf = q8.astype(jnp.bfloat16) - l_bf  # = 16·hi − 128
+                    sg_g = sg_g_full[:, n0:n0 + nn]
+                    y_lo = jax.lax.dot(xg_lo, l_bf,
+                                       preferred_element_type=jnp.float32)
+                    y_hr = jax.lax.dot(xg_hi, h_bf,
+                                       preferred_element_type=jnp.float32)
+                    y_hi = (y_hr + 128.0 * xsum_hi) / 16.0
+                    sg_lo = jnp.concatenate(
+                        [sg_g[:TKgh].astype(jnp.float32)] * M, axis=0)
+                    sg_hi = jnp.concatenate(
+                        [sg_g[TKgh:].astype(jnp.float32)] * M, axis=0)
+                    contrib = sg_lo * y_lo + sg_hi * y_hi  # (M·TKgh, nn)
+                    subs.append(jnp.sum(
+                        contrib.reshape(M, TKgh, nn), axis=1))
+                acc = acc + (subs[0] if len(subs) == 1
+                             else jnp.concatenate(subs, axis=-1))
                 if has_m:
                     pltpu.make_async_copy(
                         wsl(wm, k0 // g, TK // g, j0, TN),
@@ -286,29 +325,14 @@ def _kernel(npast_ref, win_ref, swa_ref, x0_ref, cos_ref, ssig_ref,
                         pltpu.make_async_copy(
                             wsl(wmd, k0 // SB, TK // SB, j0, TN),
                             dmbuf.at[s], dmsem.at[s]).wait()
-                        mg_full = (mb[s, :TK // g, :TN].astype(jnp.float32)
-                                   * jnp.repeat(dmbuf[s], SB // g, axis=0))
+                        mg = (mb[s, :TK // g, :TN].astype(jnp.float32)
+                              * jnp.repeat(dmbuf[s], SB // g, axis=0))
                     else:
-                        mg_full = mb[s, :TK // g, :TN]
-                subs = []
-                for n0 in range(0, TN, 512):
-                    nn = min(512, TN - n0)
-                    q8 = wb[s, :TKq, n0:n0 + nn]
-                    b32 = q8.astype(jnp.int32) + 128  # packed = lo+16·hi−128
-                    lo = (b32 & 15).astype(jnp.float32)
-                    hi = (b32 >> 4).astype(jnp.float32)
-                    wfull = jnp.concatenate([lo, hi], axis=0)  # (TK, nn)
-                    sg = jnp.repeat(sg_g_full[:, n0:n0 + nn], g, axis=0)
-                    wd = wfull * sg
-                    if has_m:
-                        wd = wd - jnp.repeat(mg_full[:, n0:n0 + nn], g,
-                                             axis=0)
-                    subs.append(jax.lax.dot(
-                        xb[:, k0:k0 + TK].astype(jnp.bfloat16),
-                        wd.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32))
-                acc = acc + (subs[0] if len(subs) == 1
-                             else jnp.concatenate(subs, axis=-1))
+                        mg = mb[s, :TK // g, :TN]
+                    xg = jax.lax.dot(xb[:, k0:k0 + TK], gmat,
+                                     preferred_element_type=jnp.float32)
+                    acc = acc - jax.lax.dot(
+                        xg, mg, preferred_element_type=jnp.float32)
                 if k0 + TK >= K:
                     outs.append(acc)
                     acc = jnp.zeros((M, TN), jnp.float32)
